@@ -18,8 +18,29 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** events schema as read with nanosAsLong (ts: raw nanosecond long) —
+    * needed by the streaming file source, which requires an explicit schema. */
+  val rawEventsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+  }
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    require(all.contains(name), s"unknown table: $name")
+    if (name == "events") {
+      // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark's reader
+      // rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and floor-divide
+      // to microseconds (integer div — a double division would lose precision
+      // at 1.7e18) to rebuild a native TimestampType column.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 }
 
 /** One category of operators: Spark-side queries plus, for every query

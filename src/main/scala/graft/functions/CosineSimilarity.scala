@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression: cosine similarity of two float vectors,
+  * with whole-stage codegen (`doGenCode`) — the B14 "custom Expression"
+  * surface, and the hot inner loop of similarity search.
+  *
+  * Semantics match the HOF formulation in [[graft.operators.Similarity]]
+  * exactly: each element is widened to double BEFORE multiply, accumulation is
+  * a sequential left fold, result = dot / (||a||·||b||); null or
+  * zero-norm input → null. Versus the zip_with+aggregate HOF this fuses
+  * three array traversals into one loop with no intermediate array
+  * allocation — at 100 TB the difference is an extra array materialization
+  * per row versus none.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // Inputs must be array<float> (the embeddings column type); enforced by
+  // the caller rather than ExpectsInputTypes (private[sql] in Spark 4).
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    if (denom == 0.0) null else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      val denom = ctx.freshName("denom")
+      s"""
+        int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+        double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $xi = (double) $x.getFloat($i);
+          double $yi = (double) $y.getFloat($i);
+          $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+        }
+        double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+        if ($denom == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = $dot / $denom; }
+      """
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarity {
+  /** Column-API entry point. */
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+
+/** Extensibility surface (B14): scalar UDF, typed UDAF (`Aggregator`), and
+  * the native codegen [[CosineSimilarity]] expression — demonstrated via
+  * oracle-checked queries.
+  *
+  * Preference order at scale (SURVEY.md §2 B14): built-in functions >
+  * native codegen `Expression` > JVM UDF — a UDF breaks whole-stage
+  * codegen at its column boundary, an `Expression` with `doGenCode` does
+  * not. The UDAF below ships partial aggregates (map-side combine), so it
+  * shuffles one (sum, weight) pair per group per partition, not raw rows.
+  */
+object Extensibility extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Typed weighted-average aggregator: avg(price weighted by qty). */
+  object WeightedAvg extends Aggregator[(Double, Double), (Double, Double), Double] {
+    def zero: (Double, Double) = (0.0, 0.0)
+    def reduce(b: (Double, Double), in: (Double, Double)): (Double, Double) =
+      (b._1 + in._1 * in._2, b._2 + in._2)
+    def merge(a: (Double, Double), b: (Double, Double)): (Double, Double) =
+      (a._1 + b._1, a._2 + b._2)
+    def finish(r: (Double, Double)): Double = if (r._2 == 0.0) 0.0 else r._1 / r._2
+    def bufferEncoder: Encoder[(Double, Double)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Typed UDAF: per-flag quantity-weighted mean price.
+    "q_udaf_wavg" -> ((s, dir) => {
+      val wavg = udaf(WeightedAvg)
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(wavg(col("l_extendedprice"), col("l_quantity")), 4).as("wavg_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Scalar UDF (JVM): price-band classifier. Oracle = same CASE logic.
+    "q_udf_band" -> ((s, dir) => {
+      val band = udf((p: Double) =>
+        if (p < 50000) "low" else if (p < 200000) "mid" else "high")
+      t(s, dir, "orders")
+        .groupBy(band(col("o_totalprice")).as("band"))
+        .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 2).as("avg_price"))
+        .orderBy("band")
+    }),
+
+    // Native codegen Expression: same result contract as q_sim_topk but the
+    // cosine runs in one fused loop (see CosineSimilarity scaladoc).
+    "q_sim_expr" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+      broadcast(q).join(e, col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"),
+          round(CosineSimilarity.cosineSim(col("qe"), col("embedding")), 4).as("cosine"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("vec_id"), col("cosine"), col("rn"))
+        .orderBy("qid", "rn")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_udaf_wavg" ->
+      """SELECT l_returnflag,
+         ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS wavg_price,
+         COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_udf_band" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 200000 THEN 'mid'
+                ELSE 'high' END AS band,
+         COUNT(*) AS n, ROUND(AVG(o_totalprice), 2) AS avg_price
+         FROM orders GROUP BY 1 ORDER BY band""",
+    "q_sim_expr" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe
+           FROM embeddings WHERE vec_id < 10),
+       nrm AS (SELECT vec_id, SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nv
+               FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+       dots AS (SELECT qid, vec_id, SUM(qx*ex) AS dp FROM (
+           SELECT q.qid, e.vec_id,
+                  CAST(unnest(q.qe) AS DOUBLE) AS qx,
+                  CAST(unnest(e.embedding) AS DOUBLE) AS ex
+           FROM q JOIN embeddings e ON q.qid <> e.vec_id)
+         GROUP BY qid, vec_id),
+       cosined AS (SELECT qid, d.vec_id,
+           ROUND(dp / (nq.nv * nc.nv), 4) AS cosine
+         FROM dots d JOIN nrm nq ON nq.vec_id = d.qid JOIN nrm nc ON nc.vec_id = d.vec_id),
+       ranked AS (SELECT qid, vec_id, cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS INT) AS rn
+         FROM cosined)
+       SELECT qid, vec_id, cosine, rn FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
+  )
+}

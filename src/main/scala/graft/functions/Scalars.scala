@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+
+/** Scalar function batteries: string / date / math / array / JSON.
+  *
+  * The reference has no scalar functions at all (its only string ops are C
+  * `snprintf`/byte writes, `Assignment2/secondary_server.c:448-452`); this is
+  * the mandated Part-B scalar surface. Everything here is
+  * `org.apache.spark.sql.functions._` built-ins (whole-stage-codegen'd) — no
+  * UDFs in the hot path.
+  *
+  * Engine-portability notes (for the DuckDB oracle): integer-returning
+  * functions are cast to INT on the DuckDB side (DuckDB widens to BIGINT);
+  * floating outputs are rounded so last-ulp libm differences can't flip a
+  * hash; `regexp_replace` uses DuckDB's 'g' flag to match Spark's
+  * replace-all semantics.
+  */
+object Scalars extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fn_string" -> ((s, dir) => {
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        lower(col("p_name")).as("lname"),
+        upper(col("p_type")).as("utype"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_brand"), 7, 2).as("brand_suffix"),
+        regexp_extract(col("p_brand"), "Brand#(\\d+)", 1).as("brand_num"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("tag"),
+        regexp_replace(col("p_name"), " ", "_").as("slug"),
+        lpad(col("p_partkey").cast("string"), 6, "0").as("pk_pad"),
+        locate("a", col("p_name")).as("first_a"))
+        .orderBy("p_partkey")
+    }),
+
+    "q_fn_date" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        quarter(col("o_orderdate")).as("qtr"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        date_add(col("o_orderdate").cast("date"), 30).cast("timestamp").as("plus30"),
+        last_day(col("o_orderdate")).cast("timestamp").as("eom"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_2002"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_fn_math" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(sqrt(col("l_extendedprice")), 4).as("sqrt_price"),
+        round(pow(col("l_quantity"), 2), 2).as("qty_sq"),
+        floor(col("l_extendedprice")).as("fl"),
+        ceil(col("l_extendedprice")).as("cl"),
+        abs(col("l_discount") - 0.05).as("disc_dev"),
+        round(log(col("l_extendedprice") + 1.0), 6).as("log_price"),
+        greatest(col("l_tax"), col("l_discount")).as("max_rate"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // Array battery over the 64-dim embeddings: size/element_at/slice plus
+    // higher-order aggregate (codegen-free but still JVM-columnar — floats
+    // are cast to double BEFORE multiply so the oracle's double math agrees).
+    "q_fn_array" -> ((s, dir) => {
+      val sumSq = aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))
+      val headSum = aggregate(slice(col("embedding"), 1, 8), lit(0.0),
+        (acc, x) => acc + x.cast("double"))
+      t(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(sqrt(sumSq), 4).as("norm"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("first_val"),
+        round(headSum, 5).as("head_sum"),
+        round(array_max(col("embedding")).cast("double"), 6).as("max_val"))
+        .orderBy("vec_id")
+    }),
+
+    // JSON: from_json on events.props (schema 'k INT'), then agg by key.
+    "q_fn_json" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k", from_json(col("props"), lit("k INT")).getField("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("val_sum"))
+        .orderBy("k")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_fn_string" ->
+      """SELECT p_partkey, lower(p_name) AS lname, upper(p_type) AS utype,
+         CAST(length(p_name) AS INT) AS name_len,
+         substring(p_brand, 7, 2) AS brand_suffix,
+         regexp_extract(p_brand, 'Brand#(\d+)', 1) AS brand_num,
+         concat_ws('|', p_brand, p_type) AS tag,
+         regexp_replace(p_name, ' ', '_', 'g') AS slug,
+         lpad(CAST(p_partkey AS VARCHAR), 6, '0') AS pk_pad,
+         CAST(strpos(p_name, 'a') AS INT) AS first_a
+         FROM part ORDER BY p_partkey""",
+    "q_fn_date" ->
+      """SELECT o_orderkey,
+         CAST(year(o_orderdate) AS INT) AS yr,
+         CAST(month(o_orderdate) AS INT) AS mo,
+         CAST(dayofmonth(o_orderdate) AS INT) AS dom,
+         CAST(quarter(o_orderdate) AS INT) AS qtr,
+         CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+         CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS plus30,
+         CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS eom,
+         CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS days_to_2002
+         FROM orders ORDER BY o_orderkey""",
+    "q_fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+         ROUND(sqrt(l_extendedprice), 4) AS sqrt_price,
+         ROUND(pow(l_quantity, 2), 2) AS qty_sq,
+         CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+         CAST(ceil(l_extendedprice) AS BIGINT) AS cl,
+         abs(l_discount - 0.05) AS disc_dev,
+         ROUND(ln(l_extendedprice + 1.0), 6) AS log_price,
+         greatest(l_tax, l_discount) AS max_rate
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_fn_array" ->
+      """SELECT vec_id,
+         CAST(len(embedding) AS INT) AS dim,
+         ROUND(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))), 4) AS norm,
+         ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+         ROUND(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 5) AS head_sum,
+         ROUND(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS max_val
+         FROM embeddings ORDER BY vec_id""",
+    "q_fn_json" ->
+      """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k,
+         COUNT(*) AS n, ROUND(SUM(value), 2) AS val_sum
+         FROM events GROUP BY 1 ORDER BY k"""
+  )
+}

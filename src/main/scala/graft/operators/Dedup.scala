@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryModule, Tables}
+
+/** Deduplication surface: exact (hash-groupBy), keep-first (window),
+  * near-dup via MinHash+LSH (shingle→minhash→band→bucket-join→exact
+  * verify), exact n-gram Jaccard, and SimHash.
+  *
+  * Scale design (the whole point at 100 TB):
+  *  - exact dedup groups on a 256-bit content hash, never on the raw text
+  *    (shuffle keys are 32 bytes, not documents);
+  *  - MinHash-LSH only ever joins documents that share a band bucket —
+  *    candidate generation is O(docs × bands), not O(docs²); the exact
+  *    Jaccard verify runs on the (tiny) candidate set;
+  *  - band parameters (r=4 rows × b=16 bands, 64 minhashes) put the
+  *    false-negative probability at J≥0.9 (where this corpus's planted
+  *    near-dups live) below 4e-8, so the LSH output equals the exact
+  *    all-pairs oracle;
+  *  - the exact n-gram variant (`q_dedup_ngram`) is the verify stage run
+  *    standalone — quadratic only within shingle-sharing groups.
+  */
+object Dedup extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Distinct word-bigram shingles per document, exploded to (doc_id, s). */
+  private def shingles(docs: DataFrame): DataFrame = {
+    val tk = split(col("text"), " ")
+    val bigrams = array_distinct(zip_with(
+      slice(tk, lit(1), size(tk) - 1),
+      slice(tk, lit(2), size(tk) - 1),
+      (a, b) => concat(a, lit(" "), b)))
+    docs.select(col("doc_id"), explode(bigrams).as("s"))
+  }
+
+  /** Exact-Jaccard pairs (da < db) with J >= threshold, from a shingle set. */
+  private def jaccardPairs(sh: DataFrame, threshold: Double,
+                           candidates: Option[DataFrame] = None): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("da"), col("s"))
+    val b = sh.select(col("doc_id").as("db"), col("s"))
+    val joined = a.join(b, Seq("s")).filter(col("da") < col("db"))
+    val scoped = candidates match {
+      case Some(c) => joined.join(c, Seq("da", "db"), "left_semi")
+      case None    => joined
+    }
+    val inter = scoped.groupBy("da", "db").agg(count(lit(1)).as("c"))
+    val jac = col("c").cast("double") /
+      (col("na") + col("nb") - col("c")).cast("double")
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .filter(jac >= threshold)
+      .select(col("da"), col("db"), round(jac, 4).as("jaccard"))
+      .orderBy("da", "db")
+  }
+
+  private val numHashes = 64
+  private val bandRows = 4 // 16 bands of 4 minhashes
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: group on sha2(text) — collision-free content identity.
+    "q_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id")
+    }),
+
+    // Keep-first dedup: first event per (user, type) by time.
+    "q_dedup_first_event" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id").as("first_event"))
+        .orderBy("user_id", "event_type")
+    }),
+
+    // MinHash + banded LSH near-dup detection, exact-verified at J >= 0.5.
+    "q_dedup_minhash" -> ((s, dir) => {
+      val sh = shingles(t(s, dir, "documents")).persist()
+      // 64 min-hashes per doc: h_i = min over shingles of xxhash64(i, s).
+      val minhashAggs = (0 until numHashes).map(i =>
+        min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+      val mh = sh.groupBy("doc_id").agg(minhashAggs.head, minhashAggs.tail: _*)
+      // 16 band signatures, each hashing 4 consecutive minhashes.
+      val bands = array((0 until numHashes / bandRows).map { j =>
+        val cols = (0 until bandRows).map(k => col(s"h${j * bandRows + k}"))
+        struct(lit(j).as("band"), xxhash64(lit(j) +: cols: _*).as("sig"))
+      }: _*)
+      val banded = mh.select(col("doc_id"), explode(bands).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      val cand = banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+        .distinct()
+      val out = jaccardPairs(sh, 0.5, Some(cand))
+      out
+    }),
+
+    // Exact n-gram Jaccard similarity (the LSH verify stage standalone),
+    // lower threshold to show the mid-similarity band.
+    "q_dedup_ngram" -> ((s, dir) =>
+      jaccardPairs(shingles(t(s, dir, "documents")), 0.3)),
+
+    // SimHash (64-bit) per document — engine-specific hash family, so this
+    // is a rows-only entry; properties pinned in DedupSpec.
+    "q_dedup_simhash" -> ((s, dir) => {
+      val tokens = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .withColumn("h", xxhash64(col("tok")))
+      val bitAggs = (0 until 64).map(i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
+      val withBits = tokens.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+      val sim = (0 until 64).map(i =>
+        when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _)
+      withBits.select(col("doc_id"), sim.as("simhash")).orderBy("doc_id")
+    })
+  )
+
+  private val shingleCte =
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       sh AS (SELECT DISTINCT doc_id, a || ' ' || b AS s FROM (
+         SELECT doc_id, unnest(list_slice(tk, 1, len(tk)-1)) AS a,
+                unnest(list_slice(tk, 2, len(tk))) AS b FROM tk)),
+       sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       iv AS (SELECT x.doc_id AS da, y.doc_id AS db, COUNT(*) AS c
+              FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+              GROUP BY 1, 2)"""
+
+  private def jaccardSql(threshold: String) =
+    s"""$shingleCte
+       SELECT da, db, ROUND(CAST(c AS DOUBLE)/(sa.n+sb.n-c), 4) AS jaccard
+       FROM iv JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+       WHERE CAST(c AS DOUBLE)/(sa.n+sb.n-c) >= $threshold
+       ORDER BY da, db"""
+
+  def oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+         FROM documents GROUP BY text ORDER BY keep_id""",
+    "q_dedup_first_event" ->
+      """SELECT user_id, event_type, event_id AS first_event FROM (
+           SELECT user_id, event_type, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+               ORDER BY ts, event_id) AS rn
+           FROM events) WHERE rn = 1
+         ORDER BY user_id, event_type""",
+    "q_dedup_minhash" -> jaccardSql("0.5"),
+    "q_dedup_ngram" -> jaccardSql("0.3")
+  )
+}

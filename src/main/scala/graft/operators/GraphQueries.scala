@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+import graft.plans.GraphOps
+
+/** Graph query surface — reference parity for the two headline operators
+  * (BFS op 4, DFS-leaves op 3) plus connected components, over edge tables
+  * derived deterministically from the driver testdata (so DuckDB
+  * recursive-CTE oracles apply; FIXTURES.md §2).
+  *
+  * Two graphs:
+  *  - "ring" graph: vertices = custkeys 0..V−1, directed edges
+  *    c → (2c+1) mod V and c → (5c+7) mod V. Deep enough (~10 levels) to
+  *    exercise real BSP iteration; V scales with sf.
+  *  - hierarchy graph: region(id=r) ← nation(id=10+n) ← customer(id=100+c),
+  *    symmetrized. Exactly one component per region.
+  */
+object GraphQueries extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Directed edges of the synthetic deep graph. V is a scalar dim-count —
+    * computing it is a metadata-sized action, not a data collect. */
+  private def ringEdges(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_custkey"))
+    val v = lit(c.count())
+    c.select(col("c_custkey").as("src"), ((col("c_custkey") * 2 + 1) % v).as("dst"))
+      .union(c.select(col("c_custkey").as("src"), ((col("c_custkey") * 5 + 7) % v).as("dst")))
+  }
+
+  /** Symmetrized hierarchy edges: nation↔region, customer↔nation. */
+  private def hierEdges(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation")
+    val c = t(s, dir, "customer")
+    val nr = n.select((col("n_nationkey") + 10).cast("long").as("src"),
+      col("n_regionkey").cast("long").as("dst"))
+    val cn = c.select((col("c_custkey") + 100).cast("long").as("src"),
+      (col("c_nationkey") + 10).cast("long").as("dst"))
+    val fwd = nr.union(cn)
+    fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** Shared recursive-CTE prelude for the ring graph (DuckDB dialect). */
+  private val ringWalkCte =
+    """WITH RECURSIVE e AS (
+         SELECT c_custkey AS src, (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst FROM customer
+         UNION ALL
+         SELECT c_custkey, (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer),
+       walk(v, lvl) AS (
+         SELECT CAST(0 AS BIGINT), 0
+         UNION
+         SELECT e.dst, w.lvl+1 FROM walk w JOIN e ON e.src = w.v WHERE w.lvl < 40),
+       lv AS (SELECT v, MIN(lvl) AS level FROM walk GROUP BY v)"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A5: BFS level-order traversal (reference `secondary_server.c:588-619`).
+    "q_graph_bfs" -> ((s, dir) =>
+      GraphOps.bfsLevels(s, ringEdges(s, dir), 0L).orderBy("v")),
+
+    // A6: DFS leaf-node query, deterministic reinterpretation
+    // (reference `secondary_server.c:189-238`; see GraphOps scaladoc).
+    "q_graph_dfs_leaves" -> ((s, dir) =>
+      GraphOps.bfsTreeLeaves(s, ringEdges(s, dir), 0L).orderBy("v")),
+
+    // Connected components over the hierarchy graph: 1 per region.
+    "q_graph_cc" -> ((s, dir) =>
+      GraphOps.connectedComponents(s, hierEdges(s, dir))
+        .groupBy("comp")
+        .agg(count(lit(1)).as("n_members"), min("v").as("min_v"), max("v").as("max_v"))
+        .orderBy("comp"))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_graph_bfs" ->
+      (ringWalkCte + """
+         SELECT v, CAST(level AS INT) AS level FROM lv ORDER BY v"""),
+    "q_graph_dfs_leaves" ->
+      (ringWalkCte + """,
+       par AS (
+         SELECT e.dst, MIN(e.src) AS parent
+         FROM e JOIN lv a ON a.v = e.src JOIN lv b ON b.v = e.dst AND b.level = a.level + 1
+         GROUP BY e.dst)
+       SELECT v, CAST(level AS INT) AS level FROM lv
+       WHERE v NOT IN (SELECT parent FROM par) ORDER BY v"""),
+    "q_graph_cc" ->
+      """WITH RECURSIVE e AS (
+           SELECT CAST(n_nationkey+10 AS BIGINT) AS src, CAST(n_regionkey AS BIGINT) AS dst FROM nation
+           UNION ALL SELECT CAST(n_regionkey AS BIGINT), CAST(n_nationkey+10 AS BIGINT) FROM nation
+           UNION ALL SELECT CAST(c_custkey+100 AS BIGINT), CAST(c_nationkey+10 AS BIGINT) FROM customer
+           UNION ALL SELECT CAST(c_nationkey+10 AS BIGINT), CAST(c_custkey+100 AS BIGINT) FROM customer),
+         reach(v, root) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.v),
+         comp AS (SELECT v, MIN(root) AS comp FROM reach GROUP BY v)
+         SELECT comp, COUNT(*) AS n_members, MIN(v) AS min_v, MAX(v) AS max_v
+         FROM comp GROUP BY comp ORDER BY comp"""
+  )
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{QueryModule, Tables}
+
+/** Multimodal column plumbing: opaque `binary` payloads with typed
+  * metadata, partition-wise decode/feature-extraction.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB (`fakeDecode`); everything around it —
+  * binary column, metadata struct, mapPartitions batch shape, schema — is
+  * the real pipeline a 100 TB media table would use (payloads never leave
+  * executors, decode runs once per partition iterator, feature vectors are
+  * fixed-width arrays).
+  */
+object Multimodal extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** STUB decoder: stands in for an image/audio decode. Deterministic
+    * function of the payload bytes only. */
+  private[operators] def fakeDecode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+    val w = 64 + (payload.length % 640)
+    val h = 64 + ((payload.length * 7) % 480)
+    // "feature vector": byte-histogram-ish 8-dim summary, deterministic.
+    val feat = new Array[Float](8)
+    var i = 0
+    while (i < payload.length) { feat(i % 8) += (payload(i) & 0xff) / 255.0f; i += 1 }
+    (w, h, feat)
+  }
+
+  private val decodedSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("feat", ArrayType(FloatType))))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Binary payload + metadata struct, metadata-only projection (at scale:
+    // reads ONLY the metadata columns — payload never deserialized).
+    "q_mm_meta" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload"),
+          struct(col("lang"), col("source"), col("n_chars")).as("meta"))
+        .select(
+          col("doc_id"),
+          length(col("payload")).as("payload_bytes"),
+          col("meta.lang").as("lang"),
+          (length(col("payload")) % 640).as("fake_width"))
+        .orderBy("doc_id")
+    }),
+
+    // Partition-wise decode: binary → (width, height, feature vector).
+    // Rows-only check (the stub decode is not SQL-expressible); feature
+    // determinism is pinned in MultimodalSpec.
+    "q_mm_decode" -> ((s, dir) => {
+      val src = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(decodedSchema)
+      src.mapPartitions { rows =>
+        rows.map { r =>
+          val (w, h, f) = fakeDecode(r.getAs[Array[Byte]]("payload"))
+          Row(r.getLong(0), w, h, f.toSeq)
+        }
+      }(enc)
+        .select(col("doc_id"), col("width"), col("height"),
+          round(element_at(col("feat"), 1).cast("double"), 4).as("f0"))
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_mm_meta" ->
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS INT) AS payload_bytes,
+         lang,
+         CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width
+         FROM documents ORDER BY doc_id"""
+  )
+}

@@ -1,0 +1,329 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryModule, Tables}
+
+/** Relational core: scan→filter→project, equi/semi/anti/theta/range/as-of
+  * joins, hash aggregation, distinct, rollup/cube/grouping-sets, sorts,
+  * top-k, set ops, pivot.
+  *
+  * The reference (Sabr-eX/GraphDatabase) has NO relational operators — this
+  * is the mandated Part-B surface (SURVEY.md §2 Part B). The closest
+  * reference behavior is the full-matrix scan at
+  * `Assignment2/secondary_server.c:537-559` (scan) and the `wc -w` external
+  * aggregation at `Assignment1/server.c:179-252`.
+  *
+  * Scale posture: every query is declarative DataFrame API, so Catalyst
+  * pushes filters/projections into the parquet scan; small dims
+  * (region/nation/buckets) are explicitly `broadcast()`; large joins shuffle
+  * on their keys and AQE (on by default in Spark 4) handles skew/coalesce.
+  * Output determinism: every query ends in an explicit orderBy with a
+  * unique tie-break, and float aggregates are rounded so oracle comparison
+  * is engine-stable.
+  */
+object Relational extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style pricing summary: scan→filter→hash agg (partial+final
+    // map-side combine comes free from Catalyst).
+    "q_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Predicate variety: IN, LIKE, BETWEEN, >=, IS NOT NULL — all pushed to
+    // the parquet scan (verify via PushedFilters in explain).
+    "q_filter_predicates" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(
+          col("o_orderstatus").isin("O", "F") &&
+          (col("o_orderpriority").like("1%") || col("o_orderpriority").like("2%")) &&
+          col("o_totalprice").between(1000.0, 300000.0) &&
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_custkey").isNotNull)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("tp"), col("o_orderpriority"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Star-schema join: both dims broadcast (no shuffle of the fact side
+    // beyond the final agg).
+    "q_join_bcast" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum("c_acctbal"), 2).as("total_bal"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // Large-side shuffle join (orders ⋈ lineitem on orderkey) + distinct agg.
+    "q_join_shuffle" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          countDistinct("o_orderkey").as("n_orders"),
+          count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Left-semi: customers with ≥1 urgent big order.
+    "q_join_semi" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 200000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Left-anti: customers with no event activity (event user_ids only cover
+    // a prefix of the custkey space, so this is non-empty).
+    "q_join_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val e = t(s, dir, "events")
+      c.join(e, c("c_custkey") === e("user_id"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_silent"))
+        .orderBy("c_nationkey")
+    }),
+
+    // Theta join: equi key (nation) + non-equi residual (acctbal ordering).
+    "q_join_theta" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val c = t(s, dir, "customer")
+      sup.join(c, sup("s_nationkey") === c("c_nationkey") && sup("s_acctbal") < c("c_acctbal"))
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_richer"),
+          round(sum(c("c_acctbal") - sup("s_acctbal")), 2).as("gap_sum"))
+        .orderBy("s_suppkey")
+    }),
+
+    // Range join against a broadcast bucket dim (BroadcastNestedLoopJoin).
+    "q_join_range" -> ((s, dir) => {
+      import s.implicits._
+      val buckets = Seq(
+        (0.0, 10.0, "b0"), (10.0, 20.0, "b1"), (20.0, 30.0, "b2"),
+        (30.0, 40.0, "b3"), (40.0, 50.5, "b4")).toDF("lo", "hi", "bucket")
+      t(s, dir, "lineitem")
+        .join(broadcast(buckets), col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total"))
+        .orderBy("bucket")
+    }),
+
+    // As-of join: for each event, the latest order of that customer at or
+    // before the event time. Key-equi join + per-event row_number, which is
+    // the shuffle-friendly as-of formulation (no sort-merge interleave op in
+    // Spark; DuckDB expresses the same with ASOF JOIN).
+    "q_join_asof" -> ((s, dir) => {
+      val e = t(s, dir, "events").select("event_id", "user_id", "ts")
+      val o = t(s, dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+      val j = e.join(o, e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts"))
+      val w = Window.partitionBy("event_id")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      j.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_orderdate"))
+        .orderBy("event_id")
+    }),
+
+    // Top-k: Catalyst rewrites orderBy+limit to TakeOrderedAndProject (no
+    // global sort of the full table).
+    "q_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("price"))
+    }),
+
+    // Set ops: INTERSECT / EXCEPT / UNION(distinct) with tags.
+    "q_setops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def yr(y: Int): DataFrame =
+        o.filter(year(col("o_orderdate")) === y).select("o_custkey").distinct()
+      val both = yr(1995).intersect(yr(1996)).withColumn("tag", lit("both"))
+      val only95 = yr(1995).except(yr(1996)).withColumn("tag", lit("only_1995"))
+      val either = yr(1995).union(yr(1996)).distinct().withColumn("tag", lit("either"))
+      both.union(only95).union(either).orderBy("tag", "o_custkey")
+    }),
+
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+    }),
+
+    "q_agg_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct("l_partkey").as("nd_part"),
+          countDistinct("l_suppkey").as("nd_supp"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Approximate distinct (HLL) — not oracle-comparable (approximate), so
+    // registered rows-only; correctness pinned by AggSpec against exact.
+    "q_agg_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_partkey", 0.02).as("apx_part"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Pivot: event_type counts per user, fixed column set for a stable schema.
+    "q_pivot_events" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0)
+        .orderBy("user_id")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         ROUND(SUM(l_quantity),2) AS sum_qty,
+         ROUND(SUM(l_extendedprice),2) AS sum_base_price,
+         ROUND(SUM(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
+         ROUND(AVG(l_quantity),4) AS avg_qty,
+         ROUND(AVG(l_discount),4) AS avg_disc,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q_filter_predicates" ->
+      """SELECT o_orderkey, o_custkey, ROUND(o_totalprice,2) AS tp, o_orderpriority
+         FROM orders
+         WHERE o_orderstatus IN ('O','F')
+           AND (o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%')
+           AND o_totalprice BETWEEN 1000.0 AND 300000.0
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_custkey IS NOT NULL
+         ORDER BY o_orderkey""",
+    "q_join_bcast" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_customers, ROUND(SUM(c_acctbal),2) AS total_bal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q_join_shuffle" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT o_orderkey) AS n_orders,
+         COUNT(*) AS n_lines,
+         ROUND(SUM(l_extendedprice*(1.0-l_discount)),2) AS revenue
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_join_semi" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+           AND o_orderpriority = '1-URGENT' AND o_totalprice > 200000.0)
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_join_anti" ->
+      """SELECT c_nationkey, COUNT(*) AS n_silent FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q_join_theta" ->
+      """SELECT s_suppkey, COUNT(*) AS n_richer,
+         ROUND(SUM(c_acctbal - s_acctbal),2) AS gap_sum
+         FROM supplier JOIN customer
+           ON s_nationkey = c_nationkey AND s_acctbal < c_acctbal
+         GROUP BY s_suppkey ORDER BY s_suppkey""",
+    "q_join_range" ->
+      """SELECT bucket, COUNT(*) AS n, ROUND(SUM(l_extendedprice),2) AS total
+         FROM lineitem JOIN (VALUES (0.0,10.0,'b0'),(10.0,20.0,'b1'),(20.0,30.0,'b2'),
+           (30.0,40.0,'b3'),(40.0,50.5,'b4')) b(lo,hi,bucket)
+           ON l_quantity >= lo AND l_quantity < hi
+         GROUP BY bucket ORDER BY bucket""",
+    "q_join_asof" ->
+      """SELECT event_id, user_id, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
+         FROM (SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+                 ROW_NUMBER() OVER (PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+               FROM events e JOIN orders o
+                 ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+         WHERE rn = 1 ORDER BY event_id""",
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, ROUND(o_totalprice,2) AS price
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q_setops" ->
+      """SELECT o_custkey, 'both' AS tag FROM (
+           SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate)=1995
+           INTERSECT
+           SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate)=1996)
+         UNION ALL
+         SELECT o_custkey, 'only_1995' AS tag FROM (
+           SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate)=1995
+           EXCEPT
+           SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate)=1996)
+         UNION ALL
+         SELECT o_custkey, 'either' AS tag FROM (
+           SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate)=1995
+           UNION
+           SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate)=1996)
+         ORDER BY tag, o_custkey""",
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ROUND(SUM(l_quantity),2) AS qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice),2) AS total
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+         FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    "q_agg_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part,
+         COUNT(DISTINCT l_suppkey) AS nd_supp, COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_pivot_events" ->
+      """SELECT user_id,
+         COUNT(*) FILTER (WHERE event_type='click') AS click,
+         COUNT(*) FILTER (WHERE event_type='view') AS view,
+         COUNT(*) FILTER (WHERE event_type='purchase') AS purchase,
+         COUNT(*) FILTER (WHERE event_type='signup') AS signup,
+         COUNT(*) FILTER (WHERE event_type='error') AS error
+         FROM events GROUP BY user_id ORDER BY user_id"""
+  )
+}

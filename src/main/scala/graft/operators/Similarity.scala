@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryModule, Tables}
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  *  - `q_sim_topk`: brute-force cosine top-k — the correctness baseline.
+  *    The query set is broadcast; the corpus side streams, so at 100 TB
+  *    this is one scan with a broadcast-nested-loop, no corpus shuffle.
+  *  - `q_sim_ivf`: IVF-style ANN — the corpus is partitioned into cells
+  *    (here the pre-assigned `label` column is the cell id, standing in for
+  *    a k-means assignment) and each query probes only its own cell. At
+  *    scale the cell id becomes the shuffle/bucket key, cutting the scan
+  *    by the cell fan-out.
+  *
+  * Floats are cast to double BEFORE multiplication (the oracle's double
+  * math must agree bit-for-bit modulo final rounding), and ranking is done
+  * on the ROUNDED cosine with vec_id tie-break so last-ulp summation-order
+  * differences between engines can't flip the top-k boundary.
+  */
+object Similarity extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Sequential left-fold dot product with double accumulation. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Shared plan: cosine top-k of `corpus` for each row of `queries`,
+    * joined under `joinCond` (plus self-exclusion), k per query. */
+  private def topk(queries: DataFrame, corpus: DataFrame, k: Int,
+                   extraCond: Column): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+      col("label").as("qlabel"))
+    val c = corpus.select(col("vec_id"), col("embedding"), col("label"))
+    val cos = round(dot(col("qe"), col("embedding")) / (norm(col("qe")) * norm(col("embedding"))), 4)
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    broadcast(q).join(c, col("qid") =!= col("vec_id") && extraCond)
+      .select(col("qid"), col("vec_id"), cos.as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("cosine"), col("rn"))
+      .orderBy("qid", "rn")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      topk(e.filter(col("vec_id") < 10), e, 5, lit(true))
+    }),
+    "q_sim_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      topk(e.filter(col("vec_id") < 20), e, 3, col("qlabel") === col("label"))
+    }),
+
+    // Embedding-cosine near-dup: same-cell (label) pairs above a high
+    // cosine threshold, via the native CosineSimilarity expression. The
+    // cell-equi join keeps candidate generation linear in cell size — the
+    // 100 TB shape (shuffle on cell id), not an all-pairs cross join.
+    "q_sim_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("label"))
+      val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("label"))
+      val cos = round(graft.functions.CosineSimilarity.cosineSim(col("ea"), col("eb")), 4)
+      a.join(b, Seq("label")).filter(col("va") < col("vb"))
+        .select(col("va"), col("vb"), cos.as("cosine"))
+        .filter(col("cosine") >= 0.95)
+        .orderBy("va", "vb")
+    }),
+
+    // Random-hyperplane LSH ANN: multi-table banded signatures (8 tables ×
+    // 3 bits) from deterministic pseudo-random hyperplanes (hash-derived
+    // coefficients). Candidates = vectors sharing any table's band value;
+    // exact cosine re-rank inside the candidate set. At scale the (band,
+    // sig) pair is the shuffle key — candidate generation is linear in
+    // bucket sizes, never all-pairs. Engine-specific hash family →
+    // rows-only entry; recall vs brute force is pinned in PipelineSpec.
+    "q_sim_ann" -> ((s, dir) => {
+      val nTables = 8; val bitsPerTable = 3
+      val e = t(s, dir, "embeddings")
+      // plane p coefficient for dim d = centered hash in [-0.5, 0.5)
+      def bit(p: Int): Column = {
+        val proj = aggregate(
+          zip_with(col("embedding"), sequence(lit(0), lit(63)),
+            (x, d) => x.cast("double") *
+              ((pmod(xxhash64(lit(p), d), lit(1000000L)).cast("double") / 1000000.0) - 0.5)),
+          lit(0.0), (acc, v) => acc + v)
+        when(proj >= 0, lit(1)).otherwise(0)
+      }
+      val bands = array((0 until nTables).map { j =>
+        val sig = (0 until bitsPerTable)
+          .map(k => bit(j * bitsPerTable + k) * (1 << k)).reduce(_ + _)
+        struct(lit(j).as("band"), sig.as("sig"))
+      }: _*)
+      val tagged = e.select(col("vec_id"), col("embedding"), explode(bands).as("bs"))
+        .select(col("vec_id"), col("embedding"),
+          col("bs.band").as("band"), col("bs.sig").as("sig"))
+      val a = tagged.select(col("vec_id").as("va"), col("embedding").as("ea"),
+        col("band"), col("sig"))
+      val b = tagged.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+        col("band"), col("sig"))
+      val cand = a.join(b, Seq("band", "sig")).filter(col("va") =!= col("vb"))
+        .select("va", "vb", "ea", "eb").distinct()
+      val cos = round(graft.functions.CosineSimilarity.cosineSim(col("ea"), col("eb")), 4)
+      val w = Window.partitionBy("va").orderBy(col("cosine").desc, col("vb"))
+      cand.select(col("va"), col("vb"), cos.as("cosine"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .orderBy("va", "rn")
+    })
+  )
+
+  /** Oracle prelude: per-vector norms + double dot via zipped unnest. */
+  private def cosineSql(queryPred: String, cellCond: String, k: Int) =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+           FROM embeddings WHERE $queryPred),
+       nrm AS (SELECT vec_id, SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nv
+               FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+       dots AS (SELECT qid, vec_id, SUM(qx*ex) AS dp FROM (
+           SELECT q.qid, e.vec_id,
+                  CAST(unnest(q.qe) AS DOUBLE) AS qx,
+                  CAST(unnest(e.embedding) AS DOUBLE) AS ex
+           FROM q JOIN embeddings e ON q.qid <> e.vec_id $cellCond)
+         GROUP BY qid, vec_id),
+       cosined AS (SELECT qid, d.vec_id,
+           ROUND(dp / (nq.nv * nc.nv), 4) AS cosine
+         FROM dots d JOIN nrm nq ON nq.vec_id = d.qid JOIN nrm nc ON nc.vec_id = d.vec_id),
+       ranked AS (SELECT qid, vec_id, cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS INT) AS rn
+         FROM cosined)
+       SELECT qid, vec_id, cosine, rn FROM ranked WHERE rn <= $k ORDER BY qid, rn"""
+
+  def oracles: Map[String, String] = Map(
+    "q_sim_topk" -> cosineSql("vec_id < 10", "", 5),
+    "q_sim_ivf" -> cosineSql("vec_id < 20", "AND q.qlabel = e.label", 3),
+    "q_sim_neardup" ->
+      """WITH nrm AS (SELECT vec_id, SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nv
+               FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+       dots AS (SELECT va, vb, SUM(ax*bx) AS dp FROM (
+           SELECT a.vec_id AS va, b.vec_id AS vb,
+                  CAST(unnest(a.embedding) AS DOUBLE) AS ax,
+                  CAST(unnest(b.embedding) AS DOUBLE) AS bx
+           FROM embeddings a JOIN embeddings b
+             ON a.label = b.label AND a.vec_id < b.vec_id)
+         GROUP BY va, vb)
+       SELECT va, vb, ROUND(dp/(na.nv*nb.nv), 4) AS cosine
+       FROM dots JOIN nrm na ON na.vec_id = va JOIN nrm nb ON nb.vec_id = vb
+       WHERE ROUND(dp/(na.nv*nb.nv), 4) >= 0.95
+       ORDER BY va, vb"""
+  )
+}

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+
+/** Text analysis over `documents` — generalizes the reference's one text
+  * operator, word count via `exec wc -w` (`Assignment1/server.c:179-252`),
+  * into the mandated training-data-pipeline surface: token stats, quality
+  * scoring, language-ID heuristic, and document fingerprinting.
+  *
+  * Everything is built-in functions + higher-order array functions (no UDFs,
+  * fully codegen-friendly); token pipelines stay inside one projection so at
+  * 100 TB this is a single pass over the text column with no shuffle except
+  * the final aggregations.
+  */
+object TextOps extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** documents.text is single-space separated (verified in TESTDATA recon). */
+  private val toks: Column = split(col("text"), " ")
+
+  private val stopList = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A14 parity: corpus word count, per language.
+    "q_text_wordcount" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"), explode(toks).as("tok"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"), countDistinct("tok").as("n_distinct"))
+        .orderBy("lang")
+    }),
+
+    // Per-document token statistics.
+    "q_text_stats" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        round((length(col("text")).cast("double") - size(toks) + 1) / size(toks), 4)
+          .as("avg_word_len"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: stopword ratio + length-normalized score.
+    "q_text_quality" -> ((s, dir) => {
+      val nStop = size(filter(toks, tk =>
+        stopList.map(tk === _).reduce(_ || _)))
+      val nTok = size(toks)
+      val stopRatio = nStop.cast("double") / nTok
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        round(stopRatio, 4).as("stop_ratio"),
+        round(least(lit(1.0), nTok.cast("double") / 50.0) * (lit(1.0) - stopRatio), 4)
+          .as("quality_score"))
+        .orderBy("doc_id")
+    }),
+
+    // Language-ID heuristic (stopword-density + mean-word-length bands).
+    // Deterministic rule shared with the oracle; accuracy is not the point —
+    // the engine-side plumbing (single-pass scoring over 100 TB of text) is.
+    "q_text_langid" -> ((s, dir) => {
+      val nTok = size(toks)
+      val nStop = size(filter(toks, tk => stopList.map(tk === _).reduce(_ || _)))
+      val stopRatio = nStop.cast("double") / nTok
+      val awl = (length(col("text")).cast("double") - nTok + 1) / nTok
+      t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        when(stopRatio >= 0.08, "en")
+          .when(awl >= 5.0, "de")
+          .otherwise("other").as("predicted"))
+        .withColumn("is_match", col("predicted") === col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // Positional fingerprint: sum((i+1) * len(token_i)) mod 1000003, plus
+    // boundary tokens — a cheap order-sensitive document signature.
+    "q_text_fingerprint" -> ((s, dir) => {
+      val weighted = transform(toks, (x, i) => (i.cast("long") + 1) * length(x).cast("long"))
+      val fp = aggregate(weighted, lit(0L), (acc, v) => acc + v) % 1000003L
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        fp.as("fp"),
+        element_at(toks, 1).as("first_tok"),
+        element_at(toks, -1).as("last_tok"))
+        .orderBy("doc_id")
+    })
+  )
+
+  private val stopSql = "('the','a','and','of','to','in','is')"
+
+  def oracles: Map[String, String] = Map(
+    "q_text_wordcount" ->
+      """SELECT lang, COUNT(*) AS n_words, COUNT(DISTINCT tok) AS n_distinct
+         FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+         GROUP BY lang ORDER BY lang""",
+    "q_text_stats" ->
+      """SELECT doc_id,
+         CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text,' '))) AS INT) AS n_distinct,
+         ROUND((CAST(length(text) AS DOUBLE) - len(string_split(text,' ')) + 1)
+               / len(string_split(text,' ')), 4) AS avg_word_len
+         FROM documents ORDER BY doc_id""",
+    "q_text_quality" ->
+      s"""SELECT doc_id,
+         CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
+         ROUND(CAST(len(list_filter(string_split(text,' '), tk -> tk IN $stopSql)) AS DOUBLE)
+               / len(string_split(text,' ')), 4) AS stop_ratio,
+         ROUND(least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE) / 50.0)
+               * (1.0 - CAST(len(list_filter(string_split(text,' '), tk -> tk IN $stopSql)) AS DOUBLE)
+                  / len(string_split(text,' '))), 4) AS quality_score
+         FROM documents ORDER BY doc_id""",
+    "q_text_langid" ->
+      s"""WITH f AS (SELECT doc_id, lang,
+           CAST(len(list_filter(string_split(text,' '), tk -> tk IN $stopSql)) AS DOUBLE)
+             / len(string_split(text,' ')) AS stop_ratio,
+           (CAST(length(text) AS DOUBLE) - len(string_split(text,' ')) + 1)
+             / len(string_split(text,' ')) AS awl
+           FROM documents)
+         SELECT doc_id, lang,
+           CASE WHEN stop_ratio >= 0.08 THEN 'en'
+                WHEN awl >= 5.0 THEN 'de'
+                ELSE 'other' END AS predicted,
+           (CASE WHEN stop_ratio >= 0.08 THEN 'en'
+                 WHEN awl >= 5.0 THEN 'de'
+                 ELSE 'other' END) = lang AS is_match
+         FROM f ORDER BY doc_id""",
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+         CAST(SUM(i * length(tok)) AS BIGINT) % 1000003 AS fp,
+         MIN(first_tok) AS first_tok, MIN(last_tok) AS last_tok
+         FROM (SELECT doc_id,
+                 unnest(string_split(text,' ')) AS tok,
+                 generate_subscripts(string_split(text,' '), 1) AS i,
+                 string_split(text,' ')[1] AS first_tok,
+                 string_split(text,' ')[-1] AS last_tok
+               FROM documents)
+         GROUP BY doc_id ORDER BY doc_id"""
+  )
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryModule, Tables}
+
+/** Window functions: ranking, analytic (lag/lead), aggregate frames,
+  * ntile/percent_rank/cume_dist.
+  *
+  * Closest reference analog: the BFS "level" is a computed rank over
+  * traversal order (`Assignment2/secondary_server.c:588-619`) — here the
+  * whole ranking/analytic surface is declarative `Window` specs, which
+  * Spark executes as a single sort-based window operator per partition
+  * spec (one shuffle per distinct partitioning).
+  *
+  * Every orderBy inside a window spec carries a unique tie-break column so
+  * results are deterministic across engines.
+  */
+object Windows extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_rank" -> ((s, dir) => {
+      val wUnique = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val wTies = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc)
+      t(s, dir, "customer").select(
+        col("c_custkey"), col("c_nationkey"),
+        row_number().over(wUnique).as("rn"),
+        rank().over(wTies).as("rnk"),
+        dense_rank().over(wTies).as("drnk"))
+        .orderBy("c_custkey")
+    }),
+
+    "q_win_lag" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        round(lag("o_totalprice", 1).over(w), 2).as("prev_price"),
+        round(lead("o_totalprice", 1).over(w), 2).as("next_price"),
+        datediff(col("o_orderdate").cast("date"),
+          lag(col("o_orderdate"), 1).over(w).cast("date")).as("days_since_prev"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_win_frames" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val runFrame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val ma3Frame = w.rowsBetween(-2, 0)
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        round(sum("o_totalprice").over(runFrame), 2).as("run_total"),
+        round(avg("o_totalprice").over(ma3Frame), 4).as("ma3"),
+        round(max("o_totalprice").over(runFrame), 2).as("run_max"),
+        count(lit(1)).over(Window.partitionBy("o_custkey")).as("n_orders"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_win_ntile" -> ((s, dir) => {
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+        .orderBy("c_custkey")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_win_rank" ->
+      """SELECT c_custkey, c_nationkey,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn,
+         CAST(RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS INT) AS rnk,
+         CAST(DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS INT) AS drnk
+         FROM customer ORDER BY c_custkey""",
+    "q_win_lag" ->
+      """SELECT o_orderkey, o_custkey,
+         ROUND(LAG(o_totalprice, 1) OVER w, 2) AS prev_price,
+         ROUND(LEAD(o_totalprice, 1) OVER w, 2) AS next_price,
+         CAST(date_diff('day',
+           CAST(LAG(o_orderdate, 1) OVER w AS DATE),
+           CAST(o_orderdate AS DATE)) AS INT) AS days_since_prev
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_orderkey""",
+    "q_win_frames" ->
+      """SELECT o_orderkey, o_custkey,
+         ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total,
+         ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3,
+         ROUND(MAX(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_max,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+         FROM orders ORDER BY o_orderkey""",
+    "q_win_ntile" ->
+      """SELECT c_custkey, c_mktsegment,
+         CAST(NTILE(4) OVER w AS INT) AS quartile,
+         ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+         ROUND(CUME_DIST() OVER w, 6) AS cd
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+         ORDER BY c_custkey"""
+  )
+}

@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.{QueryModule, Tables}
+
+/** Structured Streaming surface over `events` (the reference's unbounded
+  * request stream, `load_balancer.c:154-160`, re-expressed as a data
+  * stream): tumbling/sliding windows with watermark, streaming dedup, and
+  * session windows.
+  *
+  * The streaming queries replay events.parquet through `readStream` with
+  * `Trigger.AvailableNow` into a memory sink, then return the sink table —
+  * so the driver's batch-oracle compare applies (streaming result ==
+  * batch-equivalent SQL). At scale the memory sink becomes a parquet/Kafka
+  * sink and AvailableNow becomes a continuous trigger; the plan is
+  * identical.
+  *
+  * events.ts is ns-precision parquet which Spark's streaming file source
+  * can't read natively (same [PARQUET_TYPE_ILLEGAL] as batch), so the
+  * stream reads nanos-as-long and rebuilds the timestamp — see
+  * [[graft.Tables]].
+  */
+object StreamingOps extends QueryModule {
+
+  /** readStream version of the events loader (ns ts → TimestampType). */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.rawEventsSchema
+    // events.parquet is a single file; for a non-glob path the streaming
+    // file source forces basePath = that file and then rejects it ("must be
+    // a directory"), so feed it a glob that resolves to the same file.
+    s.readStream.schema(schema).parquet(s"$dir/*events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming aggregation to completion on a memory sink, return
+    * the materialized table. */
+  private def runToMemory(s: SparkSession, agg: DataFrame, name: String,
+                          mode: String): DataFrame = {
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 5-minute windows with watermark, complete mode.
+    "q_stream_tumbling" -> ((s, dir) => {
+      val agg = eventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "300 seconds").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("val_sum"))
+        .select(col("w.start").as("win_start"), col("event_type"), col("n"), col("val_sum"))
+      runToMemory(s, agg, "t_stream_tumbling", "complete")
+        .orderBy("win_start", "event_type")
+    }),
+
+    // Sliding windows: 10-minute window, 5-minute slide.
+    "q_stream_sliding" -> ((s, dir) => {
+      val agg = eventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "600 seconds", "300 seconds").as("w"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("val_sum"))
+        .select(col("w.start").as("win_start"), col("n"), col("val_sum"))
+      runToMemory(s, agg, "t_stream_sliding", "complete")
+        .orderBy("win_start")
+    }),
+
+    // Streaming dedup on event_id (append mode emits immediately), then a
+    // batch rollup of the deduped stream.
+    "q_stream_dedup" -> ((s, dir) => {
+      val deduped = eventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates("event_id")
+        .select("event_id", "event_type")
+      runToMemory(s, deduped, "t_stream_dedup", "append")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // Session windows (30-minute gap) per user — batch session_window (the
+    // streaming variant requires append mode + watermark, which withholds
+    // the final unexpired sessions, so batch is the oracle-comparable form;
+    // the same plan runs under readStream in update mode).
+    "q_session_window" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("val_sum"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("n_events"), col("val_sum"))
+        .orderBy("user_id", "session_start")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    // Window start = epoch-aligned 300s bucket, built with naive-timestamp
+    // arithmetic (no epoch()/to_timestamp, which are timezone-sensitive).
+    "q_stream_tumbling" ->
+      """SELECT TIMESTAMP '2024-01-01'
+           + (date_diff('second', TIMESTAMP '2024-01-01', ts) // 300) * 300
+             * INTERVAL '1 second' AS win_start,
+         event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS val_sum
+         FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
+    "q_stream_sliding" ->
+      """WITH offs(o) AS (VALUES (0), (300)),
+         b AS (SELECT TIMESTAMP '2023-12-01'
+             + ((date_diff('second', TIMESTAMP '2023-12-01', ts) - o) // 600) * 600
+               * INTERVAL '1 second' + o * INTERVAL '1 second' AS win_start,
+             value
+           FROM events CROSS JOIN offs)
+         SELECT win_start, COUNT(*) AS n, ROUND(SUM(value), 2) AS val_sum
+         FROM b GROUP BY 1 ORDER BY win_start""",
+    "q_stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS n
+         FROM (SELECT DISTINCT event_id, event_type FROM events)
+         GROUP BY event_type ORDER BY event_type""",
+    // Islands formulation of gap-based sessionization.
+    "q_session_window" ->
+      """WITH x AS (SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000
+                THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         y AS (SELECT user_id, ts, value,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS UNBOUNDED PRECEDING) AS sid
+           FROM x)
+         SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS val_sum
+         FROM y GROUP BY user_id, sid ORDER BY user_id, session_start"""
+  )
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextOps, Multimodal, Relational}
+
+/** Specs for the LLM-pipeline operators at sf0.001 — each checks the Spark
+  * result against an independent in-memory computation (not the DuckDB
+  * oracle, which the driver runs separately).
+  */
+class PipelineSpec extends SparkSpec {
+
+  private def docs = Tables(spark, sfDir, "documents")
+    .select("doc_id", "text").collect()
+    .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  private def bigramSet(text: String): Set[String] =
+    text.split(" ").sliding(2).map(_.mkString(" ")).toSet
+
+  test("minhash-LSH near-dup equals exact Jaccard >= 0.5 (no false negatives)") {
+    val exact = for {
+      (a, ta) <- docs.toSeq; (b, tb) <- docs.toSeq if a < b
+      sa = bigramSet(ta); sb = bigramSet(tb)
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= 0.5
+    } yield (a, b)
+    val lsh = Dedup.queries("q_dedup_minhash")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact.toSet)
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+  }
+
+  test("exact ngram Jaccard values are correct") {
+    val got = Dedup.queries("q_dedup_ngram")(spark, sfDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    for (((a, b), j) <- got) {
+      val sa = bigramSet(docs(a)); val sb = bigramSet(docs(b))
+      val expect = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(math.abs(j - expect) < 5e-5, s"pair ($a,$b)")
+    }
+  }
+
+  test("simhash: near-dup pairs have smaller hamming distance than random pairs") {
+    val sh = Dedup.queries("q_dedup_simhash")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val near = Dedup.queries("q_dedup_minhash")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val nearAvg = near.map { case (a, b) => ham(sh(a), sh(b)) }.sum.toDouble / near.length
+    val ids = sh.keys.toSeq.sorted.take(40)
+    val randPairs = for (a <- ids; b <- ids if a < b) yield (a, b)
+    val randAvg = randPairs.map { case (a, b) => ham(sh(a), sh(b)) }.sum.toDouble / randPairs.length
+    assert(nearAvg < randAvg / 2, s"near=$nearAvg rand=$randAvg")
+  }
+
+  test("brute-force cosine top-k matches in-memory computation") {
+    val vecs = Tables(spark, sfDir, "embeddings").select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = Similarity.queries("q_sim_topk")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    for (q <- 0L until 10L) {
+      val expected = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) =>
+          (id, BigDecimal(cos(vecs(q), v)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+      val gotK = (1 to 5).map(rn => got((q, rn)))
+      assert(gotK == expected, s"query $q")
+    }
+  }
+
+  test("text wordcount matches in-memory token count") {
+    val expected = Tables(spark, sfDir, "documents").select("lang", "text").collect()
+      .groupBy(_.getString(0))
+      .map { case (lang, rows) =>
+        lang -> rows.map(_.getString(1).split(" ").length.toLong).sum }
+    val got = TextOps.queries("q_text_wordcount")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("multimodal decode stub is deterministic and schema-stable") {
+    val df = Multimodal.queries("q_mm_decode")(spark, sfDir)
+    assert(df.columns.toSeq == Seq("doc_id", "width", "height", "f0"))
+    val a = df.collect(); val b = Multimodal.queries("q_mm_decode")(spark, sfDir).collect()
+    assert(a.sameElements(b))
+    assert(a.length == docs.size)
+  }
+
+  test("native CosineSimilarity expression == HOF formulation (q_sim_expr == q_sim_topk)") {
+    val hof = graft.operators.Similarity.queries("q_sim_topk")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val expr = graft.functions.Extensibility.queries("q_sim_expr")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(expr == hof)
+  }
+
+  test("LSH ANN finds the true nearest neighbor for most queries (recall@1)") {
+    val ann = graft.operators.Similarity.queries("q_sim_ann")(spark, sfDir).collect()
+      .filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = graft.operators.Similarity.queries("q_sim_topk")(spark, sfDir).collect()
+      .filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 16-bit signatures are coarse; require the plumbing to work and recall
+    // to be well above chance for the 10 probe queries.
+    val hits = brute.count { case (q, nn) => ann.get(q).contains(nn) }
+    assert(ann.nonEmpty && hits >= 5, s"recall@1 = $hits/${brute.size}")
+  }
+
+  test("approx_count_distinct within rsd of exact") {
+    val approx = Relational.queries("q_agg_approx_distinct")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, e) <- exact)
+      assert(math.abs(approx(k) - e).toDouble / e < 0.1, s"flag $k: ${approx(k)} vs $e")
+  }
+}
