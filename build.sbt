@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Dozens of queries in one JVM generate enough whole-stage-codegen
+  // classes to overflow the default 240m code cache, after which the JIT
+  // stops compiling and random queries run interpreted (10x slowdowns).
+  "-XX:ReservedCodeCacheSize=640m",
 )

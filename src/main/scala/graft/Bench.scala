@@ -21,7 +21,11 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // One warm-up action so JVM/codegen startup isn't billed to the first query.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional subset filter for local iteration: SPARK_GRAFT_ONLY=regex.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -29,7 +33,10 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
           false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // Don't let one query's leaked cache/persist skew its successors.
+      spark.catalog.clearCache()
+      (name, sec, ok)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")

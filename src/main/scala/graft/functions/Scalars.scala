@@ -87,7 +87,10 @@ object Scalars extends QueryModule {
     // JSON: from_json on events.props (schema 'k INT'), then agg by key.
     "q_fn_json" -> ((s, dir) => {
       t(s, dir, "events")
-        .withColumn("k", from_json(col("props"), lit("k INT")).getField("k"))
+        .withColumn("k", from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType)))).getField("k"))
         .groupBy("k")
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("val_sum"))
         .orderBy("k")

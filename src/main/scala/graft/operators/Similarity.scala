@@ -70,7 +70,7 @@ object Similarity extends QueryModule {
       val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("label"))
       val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("label"))
       val cos = round(graft.functions.CosineSimilarity.cosineSim(col("ea"), col("eb")), 4)
-      a.join(b, Seq("label")).filter(col("va") < col("vb"))
+      a.join(broadcast(b), Seq("label")).filter(col("va") < col("vb"))
         .select(col("va"), col("vb"), cos.as("cosine"))
         .filter(col("cosine") >= 0.95)
         .orderBy("va", "vb")
@@ -103,8 +103,12 @@ object Similarity extends QueryModule {
       val tagged = e.select(col("vec_id"), col("embedding"), explode(bands).as("bs"))
         .select(col("vec_id"), col("embedding"),
           col("bs.band").as("band"), col("bs.sig").as("sig"))
-      val a = tagged.select(col("vec_id").as("va"), col("embedding").as("ea"),
-        col("band"), col("sig"))
+      // Probe set = the same 10 query vectors as the brute-force baseline;
+      // the corpus side stays full. (ANN cost = probes × bucket size, not
+      // corpus².)
+      val a = tagged.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("va"), col("embedding").as("ea"),
+          col("band"), col("sig"))
       val b = tagged.select(col("vec_id").as("vb"), col("embedding").as("eb"),
         col("band"), col("sig"))
       val cand = a.join(b, Seq("band", "sig")).filter(col("va") =!= col("vb"))

@@ -41,14 +41,24 @@ object GraphOps {
     var i = 0
     var done = false
     while (i < maxIter && !done) {
-      val next = frontier.join(e, frontier("v") === e("src"))
+      // The frontier and the seen-set are tiny relative to the edge table —
+      // broadcast them so each superstep is one scan of e with a broadcast
+      // hash join + broadcast anti-join, not three shuffles. (On a cluster
+      // this is exactly the frontier-broadcast BFS pattern; a frontier too
+      // big to broadcast would flip to the shuffle formulation.)
+      val next = e.join(broadcast(frontier), frontier("v") === e("src"))
         .select(e("dst").as("v")).distinct()
-        .join(levels, Seq("v"), "left_anti")
+        .join(broadcast(levels), Seq("v"), "left_anti")
         .withColumn("level", lit(i + 1))
         .localCheckpoint(true)
       if (next.isEmpty) done = true
       else {
-        levels = levels.union(next).localCheckpoint(true)
+        // Checkpoint the accumulated level set only every few supersteps —
+        // an eager checkpoint per superstep re-materializes all levels each
+        // time (quadratic in depth); the frontier checkpoint above already
+        // bounds lineage growth to a few unions.
+        val u = levels.union(next)
+        levels = if (i % 5 == 4) u.localCheckpoint(true) else u
         frontier = next
       }
       i += 1
@@ -62,7 +72,9 @@ object GraphOps {
     * vertex is a leaf iff it is nobody's parent. Returns `(v, level)`.
     */
   def bfsTreeLeaves(spark: SparkSession, edges: DataFrame, start: Long, maxIter: Int = 50): DataFrame = {
-    val levels = bfsLevels(spark, edges, start, maxIter)
+    // levels is consumed three times below — materialize once or the whole
+    // BFS loop re-executes per consumer.
+    val levels = bfsLevels(spark, edges, start, maxIter).localCheckpoint(true)
     val ls = levels.select(col("v").as("sv"), col("level").as("slevel"))
     val ld = levels.select(col("v").as("dv"), col("level").as("dlevel"))
     val parents = edges
