@@ -60,6 +60,10 @@ object GraphQueries extends QueryModule {
     "q_graph_bfs" -> ((s, dir) =>
       GraphOps.bfsLevels(s, ringEdges(s, dir), 0L).orderBy("v")),
 
+    // A5 via GraphX Pregel (alternate engine for the same BFS; same oracle).
+    "q_graph_bfs_pregel" -> ((s, dir) =>
+      GraphOps.bfsLevelsPregel(s, ringEdges(s, dir), 0L).orderBy("v")),
+
     // A6: DFS leaf-node query, deterministic reinterpretation
     // (reference `secondary_server.c:189-238`; see GraphOps scaladoc).
     "q_graph_dfs_leaves" -> ((s, dir) =>
@@ -75,6 +79,9 @@ object GraphQueries extends QueryModule {
 
   def oracles: Map[String, String] = Map(
     "q_graph_bfs" ->
+      (ringWalkCte + """
+         SELECT v, CAST(level AS INT) AS level FROM lv ORDER BY v"""),
+    "q_graph_bfs_pregel" ->
       (ringWalkCte + """
          SELECT v, CAST(level AS INT) AS level FROM lv ORDER BY v"""),
     "q_graph_dfs_leaves" ->

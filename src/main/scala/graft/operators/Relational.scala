@@ -211,6 +211,23 @@ object Relational extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    // Statistical aggregates: stddev/variance, exact percentiles (the scale
+    // path is approx_percentile — see q_agg_approx_distinct for the sketch
+    // posture), correlation and covariance.
+    "q_agg_stats" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+          round(covar_samp(col("l_discount"), col("l_tax")), 6).as("disc_tax_cov"),
+          round(min("l_extendedprice"), 2).as("min_price"),
+          round(max("l_extendedprice"), 2).as("max_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // Pivot: event_type counts per user, fixed column set for a stable schema.
     "q_pivot_events" -> ((s, dir) => {
       t(s, dir, "events")
@@ -316,6 +333,16 @@ object Relational extends QueryModule {
     "q_agg_distinct" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part,
          COUNT(DISTINCT l_suppkey) AS nd_supp, COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+         ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
+         ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+         ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+         ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+         ROUND(covar_samp(l_discount, l_tax), 6) AS disc_tax_cov,
+         ROUND(MIN(l_extendedprice), 2) AS min_price,
+         ROUND(MAX(l_extendedprice), 2) AS max_price
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_pivot_events" ->
       """SELECT user_id,

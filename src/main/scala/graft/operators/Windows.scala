@@ -59,6 +59,17 @@ object Windows extends QueryModule {
         .orderBy("o_orderkey")
     }),
 
+    // Value-based RANGE frame: peers within $10k below the current price.
+    "q_win_range" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice"))
+        .rangeBetween(-10000, 0)
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        count(lit(1)).over(w).as("n_in_band"),
+        round(sum("o_totalprice").over(w), 2).as("band_total"))
+        .orderBy("o_orderkey")
+    }),
+
     "q_win_ntile" -> ((s, dir) => {
       val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
       t(s, dir, "customer").select(
@@ -97,6 +108,14 @@ object Windows extends QueryModule {
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_max,
          COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
          FROM orders ORDER BY o_orderkey""",
+    "q_win_range" ->
+      """SELECT o_orderkey, o_orderstatus,
+         COUNT(*) OVER w AS n_in_band,
+         ROUND(SUM(o_totalprice) OVER w, 2) AS band_total
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+           RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+         ORDER BY o_orderkey""",
     "q_win_ntile" ->
       """SELECT c_custkey, c_mktsegment,
          CAST(NTILE(4) OVER w AS INT) AS quartile,

@@ -67,6 +67,33 @@ object GraphOps {
     levels
   }
 
+  /** BFS levels via GraphX Pregel — the alternate formulation of
+    * [[bfsLevels]] (identical output). Pregel's superstep barrier is the
+    * exact Spark-native analog of the reference's per-level `pthread_join`
+    * (`secondary_server.c:601-618`): vertex program = min-level merge,
+    * messages flow along out-edges only while they improve the level.
+    * RDD-based (GraphX), so used as the cross-check implementation; the
+    * DataFrame loop stays the Catalyst-optimizable default.
+    */
+  def bfsLevelsPregel(spark: SparkSession, edges: DataFrame, start: Long, maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.graphx.{Edge, EdgeDirection, Graph}
+    import spark.implicits._
+    val edgeRdd = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    // vertex set = edge endpoints ∪ {start} (start may be isolated)
+    val vRdd = edgeRdd.flatMap(e => Iterator(e.srcId, e.dstId))
+      .union(spark.sparkContext.parallelize(Seq(start)))
+      .distinct().map(v => (v, ()))
+    val g = Graph(vRdd, edgeRdd)
+      .mapVertices((id, _) => if (id == start) 0 else Int.MaxValue)
+    val res = g.pregel(Int.MaxValue, maxIter, EdgeDirection.Out)(
+      (_, attr, msg) => math.min(attr, msg),
+      t => if (t.srcAttr != Int.MaxValue && t.srcAttr + 1 < t.dstAttr)
+        Iterator((t.dstId, t.srcAttr + 1)) else Iterator.empty,
+      (a, b) => math.min(a, b))
+    res.vertices.filter(_._2 != Int.MaxValue).toDF("v", "level")
+  }
+
   /** Leaves of the deterministic min-parent BFS tree from `start`:
     * parent(u) = min{v : level(v) = level(u) − 1, (v,u) ∈ E}; a reachable
     * vertex is a leaf iff it is nobody's parent. Returns `(v, level)`.

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, Trigger}
 import graft.{QueryModule, Tables}
 
 /** Structured Streaming surface over `events` (the reference's unbounded
@@ -80,6 +80,48 @@ object StreamingOps extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // Custom stateful streaming: flatMapGroupsWithState tracking per-user
+    // (event count, first/last event time in µs, 30-min-gap session count).
+    // State merges correctly across microbatches (the session counter keeps
+    // the previous batch's last timestamp as the boundary), so the result
+    // is batch-equivalent regardless of how the source is chunked.
+    "q_stream_stateful" -> ((s, dir) => {
+      import s.implicits._
+      val stream = eventsStream(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tsus"))
+        .as[(Long, Long)]
+      val updated = stream.groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Long, Long, Long), (Long, Long, Long, Long, Long)](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+          case (user, rows, state) =>
+            val gapUs = 30L * 60 * 1000000
+            val ts = rows.map(_._2).toArray.sorted
+            val (pn, pFirst, pLast, pSess) =
+              state.getOption.getOrElse((0L, Long.MaxValue, Long.MinValue, 0L))
+            var sess = pSess
+            var last = pLast
+            for (t <- ts) {
+              if (last == Long.MinValue || t - last >= gapUs) sess += 1
+              last = t
+            }
+            val next = (pn + ts.length, math.min(pFirst, ts.headOption.getOrElse(pFirst)),
+              last, sess)
+            state.update(next)
+            Iterator((user, next._1, next._2, next._3, next._4))
+        }
+      val run = runToMemory(s, updated.toDF(
+        "user_id", "n_events", "first_us", "last_us", "n_sessions"), "t_stream_stateful", "update")
+      // update-mode memory sink appends one row per (user, batch); keep the
+      // final state row per user (max event count).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n_events").desc)
+      run.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("n_events"),
+          timestamp_micros(col("first_us")).as("first_ts"),
+          timestamp_micros(col("last_us")).as("last_ts"), col("n_sessions"))
+        .orderBy("user_id")
+    }),
+
     // Session windows (30-minute gap) per user — batch session_window (the
     // streaming variant requires append mode + watermark, which withholds
     // the final unexpired sessions, so batch is the oracle-comparable form;
@@ -116,6 +158,18 @@ object StreamingOps extends QueryModule {
       """SELECT event_type, COUNT(*) AS n
          FROM (SELECT DISTINCT event_id, event_type FROM events)
          GROUP BY event_type ORDER BY event_type""",
+    "q_stream_stateful" ->
+      """WITH x AS (SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000
+                THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, COUNT(*) AS n_events,
+           CAST(MIN(ts) AS TIMESTAMP) AS first_ts,
+           CAST(MAX(ts) AS TIMESTAMP) AS last_ts,
+           CAST(SUM(new_s) AS BIGINT) AS n_sessions
+         FROM x GROUP BY user_id ORDER BY user_id""",
     // Islands formulation of gap-based sessionization.
     "q_session_window" ->
       """WITH x AS (SELECT user_id, ts, value,

@@ -52,6 +52,17 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("Pregel BFS == DataFrame-loop BFS on every fixture") {
+    for (g <- Seq("G2", "G5", "G6", "G12")) {
+      val edges = AdjacencyCodec.read(spark, s"$fixtures/$g.txt")
+      val loop = GraphOps.bfsLevels(spark, edges, 0L)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val pregel = GraphOps.bfsLevelsPregel(spark, edges, 0L)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(pregel == loop, s"fixture $g")
+    }
+  }
+
   test("G12 empty graph: BFS returns just the start vertex") {
     assert(sparkBfs(s"$fixtures/G12.txt", 0L) == Map(0L -> 0))
   }

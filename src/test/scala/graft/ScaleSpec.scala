@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.{GraftRules, SkewJoin}
+
+/** Scale-posture specs: salting, bucketed co-located joins, custom
+  * optimizer rule injection.
+  */
+class ScaleSpec extends SparkSpec {
+
+  test("salted join == plain join on a skewed key") {
+    import spark.implicits._
+    // 90% of probe rows share one key — the canonical skew shape.
+    val probe = spark.range(10000)
+      .select((when(col("id") % 10 === 0, col("id") % 100).otherwise(7L)).as("k"),
+        col("id").as("payload"))
+    val build = spark.range(100).select(col("id").as("k"), (col("id") * 2).as("dim"))
+    val plain = probe.join(build, "k").agg(count(lit(1)), sum("dim"), sum("payload"))
+      .collect()(0)
+    val salted = SkewJoin.saltedJoin(probe, build, "k", 8)
+      .agg(count(lit(1)), sum("dim"), sum("payload")).collect()(0)
+    assert(plain == salted)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // the in-memory catalog forgets tables between JVMs but the warehouse
+      // dir survives — clear both for idempotence
+      for (t <- Seq("bt_a", "bt_b")) {
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"/tmp/graft-warehouse/$t"))
+      }
+      spark.range(1000).select(col("id").as("k"), (col("id") % 7).as("va"))
+        .write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bt_a")
+      spark.range(1000).select(col("id").as("k"), (col("id") % 5).as("vb"))
+        .write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bt_b")
+      val joined = spark.table("bt_a").join(spark.table("bt_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join should be shuffle-free:\n$plan")
+      assert(joined.count() == 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("CollapseDoubleRound rule fires via extraOptimizations and preserves results") {
+    import spark.implicits._
+    GraftRules.install(spark)
+    val df = Seq(1.23456, 2.5, -2.675).toDF("x")
+      .select(round(round(col("x"), 2), 4).as("r"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    // outer round(…, 4) must be gone
+    assert(!plan.contains(", 4)"), s"outer round not collapsed:\n$plan")
+    val expect = Seq(1.23456, 2.5, -2.675).toDF("x")
+      .select(round(col("x"), 2).as("r")).collect().map(_.getDouble(0)).toSeq
+    assert(df.collect().map(_.getDouble(0)).toSeq == expect)
+  }
+}
