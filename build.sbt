@@ -30,5 +30,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Dozens of queries in one JVM generate enough whole-stage-codegen
   // classes to overflow the default 240m code cache, after which the JIT
   // stops compiling and random queries run interpreted (10x slowdowns).
-  "-XX:ReservedCodeCacheSize=640m",
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -34,8 +34,12 @@ object Bench {
           false
         }
       val sec = (System.nanoTime() - t0) / 1e9
-      // Don't let one query's leaked cache/persist skew its successors.
+      // Don't let one query's leaked state skew its successors: clearCache
+      // drops table caches, but localCheckpoint blocks live as persistent
+      // RDDs and broadcasts only die on GC — flush all three.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
       (name, sec, ok)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

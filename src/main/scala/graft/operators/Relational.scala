@@ -169,6 +169,19 @@ object Relational extends QueryModule {
       both.union(only95).union(either).orderBy("tag", "o_custkey")
     }),
 
+    // Multiset set-ops: INTERSECT ALL / EXCEPT ALL keep duplicate
+    // cardinalities (lineitem has many lines per (orderkey, suppkey)).
+    "q_setops_all" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      def keys(flag: String): DataFrame =
+        l.filter(col("l_returnflag") === flag).select("l_suppkey")
+      val ia = keys("A").intersectAll(keys("R")).groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n")).withColumn("tag", lit("intersect_all"))
+      val ea = keys("A").exceptAll(keys("R")).groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n")).withColumn("tag", lit("except_all"))
+      ia.union(ea).orderBy("tag", "l_suppkey")
+    }),
+
     "q_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
@@ -318,6 +331,17 @@ object Relational extends QueryModule {
            UNION
            SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate)=1996)
          ORDER BY tag, o_custkey""",
+    "q_setops_all" ->
+      """SELECT l_suppkey, COUNT(*) AS n, 'intersect_all' AS tag FROM (
+           SELECT l_suppkey FROM lineitem WHERE l_returnflag='A'
+           INTERSECT ALL
+           SELECT l_suppkey FROM lineitem WHERE l_returnflag='R') GROUP BY l_suppkey
+         UNION ALL
+         SELECT l_suppkey, COUNT(*) AS n, 'except_all' AS tag FROM (
+           SELECT l_suppkey FROM lineitem WHERE l_returnflag='A'
+           EXCEPT ALL
+           SELECT l_suppkey FROM lineitem WHERE l_returnflag='R') GROUP BY l_suppkey
+         ORDER BY tag, l_suppkey""",
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ROUND(SUM(l_quantity),2) AS qty
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)

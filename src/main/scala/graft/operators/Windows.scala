@@ -59,6 +59,18 @@ object Windows extends QueryModule {
         .orderBy("o_orderkey")
     }),
 
+    // Value windows: first/last/nth within an explicit frame.
+    "q_win_value" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        first("o_orderkey").over(full).as("first_order"),
+        last("o_orderkey").over(full).as("last_order"),
+        nth_value(col("o_orderkey"), 2).over(full).as("second_order"))
+        .orderBy("o_orderkey")
+    }),
+
     // Value-based RANGE frame: peers within $10k below the current price.
     "q_win_range" -> ((s, dir) => {
       val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice"))
@@ -108,6 +120,15 @@ object Windows extends QueryModule {
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_max,
          COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
          FROM orders ORDER BY o_orderkey""",
+    "q_win_value" ->
+      """SELECT o_orderkey, o_custkey,
+         FIRST_VALUE(o_orderkey) OVER w AS first_order,
+         LAST_VALUE(o_orderkey) OVER w AS last_order,
+         NTH_VALUE(o_orderkey, 2) OVER w AS second_order
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_orderkey""",
     "q_win_range" ->
       """SELECT o_orderkey, o_orderstatus,
          COUNT(*) OVER w AS n_in_band,

@@ -45,6 +45,22 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("partitioned write + partition pruning reaches the scan") {
+    import spark.implicits._
+    val dir = "/tmp/graft-partitioned-orders"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    Tables(spark, sfDir, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.partitionBy("o_year").mode("overwrite").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("o_year") === 1997)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("1997"),
+      s"partition filter should reach the scan:\n${scan.take(800)}")
+    val expect = Tables(spark, sfDir, "orders")
+      .filter(year(col("o_orderdate")) === 1997).count()
+    assert(pruned.count() == expect)
+  }
+
   test("CollapseDoubleRound rule fires via extraOptimizations and preserves results") {
     import spark.implicits._
     GraftRules.install(spark)
