@@ -76,4 +76,12 @@ object CosineSimilarity {
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimilarity(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Make `cosine_sim(a, b)` callable from `spark.sql(...)`. */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    ColumnBridge.registerFunction(spark, "cosine_sim", {
+      case Seq(a, b) => CosineSimilarity(a, b)
+      case other => throw new IllegalArgumentException(
+        s"cosine_sim expects 2 arguments, got ${other.size}")
+    })
 }

@@ -54,6 +54,19 @@ object Extensibility extends QueryModule {
         .orderBy("band")
     }),
 
+    // Custom whole-operator path (LogicalPlan + Strategy + two-phase
+    // physical exec): top-3 orders per customer with map-side rank pruning.
+    // See graft.plans.TopKPerKey.
+    "q_topk_perkey" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      graft.plans.TopK.perKey(o, 3,
+          Seq("o_custkey"),
+          Seq("o_totalprice" -> true, "o_orderkey" -> false))
+        .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"))
+    }),
+
     // Native codegen Expression: same result contract as q_sim_topk but the
     // cosine runs in one fused loop (see CosineSimilarity scaladoc).
     "q_sim_expr" -> ((s, dir) => {
@@ -83,6 +96,13 @@ object Extensibility extends QueryModule {
                 ELSE 'high' END AS band,
          COUNT(*) AS n, ROUND(AVG(o_totalprice), 2) AS avg_price
          FROM orders GROUP BY 1 ORDER BY band""",
+    "q_topk_perkey" ->
+      """SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 3
+         ORDER BY o_custkey, o_totalprice DESC, o_orderkey""",
     "q_sim_expr" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe
            FROM embeddings WHERE vec_id < 10),

@@ -84,6 +84,21 @@ object Scalars extends QueryModule {
         .orderBy("vec_id")
     }),
 
+    // Map functions: construction, key/value access, transform_values.
+    // Output stays scalar (map renderings aren't engine-portable); the map
+    // expressions live in the plan.
+    "q_fn_map" -> ((s, dir) => {
+      val m = map(lit("price"), col("o_totalprice"),
+        lit("double_key"), col("o_totalprice") * 2)
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        round(element_at(m, "price"), 2).as("price_val"),
+        size(m).as("n_keys"),
+        array_join(map_keys(m), ",").as("keys"),
+        round(element_at(transform_values(m, (_, v) => v + 1.0), "price"), 2).as("bumped_price"))
+        .orderBy("o_orderkey")
+    }),
+
     // JSON: from_json on events.props (schema 'k INT'), then agg by key.
     "q_fn_json" -> ((s, dir) => {
       t(s, dir, "events")
@@ -137,6 +152,13 @@ object Scalars extends QueryModule {
          ROUND(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 5) AS head_sum,
          ROUND(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS max_val
          FROM embeddings ORDER BY vec_id""",
+    "q_fn_map" ->
+      """SELECT o_orderkey,
+         ROUND(o_totalprice, 2) AS price_val,
+         CAST(2 AS INT) AS n_keys,
+         'price,double_key' AS keys,
+         ROUND(o_totalprice + 1.0, 2) AS bumped_price
+         FROM orders ORDER BY o_orderkey""",
     "q_fn_json" ->
       """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k,
          COUNT(*) AS n, ROUND(SUM(value), 2) AS val_sum

@@ -101,6 +101,15 @@ class PipelineSpec extends SparkSpec {
     assert(expr == hof)
   }
 
+  test("cosine_sim is callable from SQL after registry injection") {
+    graft.functions.CosineSimilarity.registerSql(spark)
+    Tables(spark, sfDir, "embeddings").createOrReplaceTempView("emb_sql")
+    val r = spark.sql(
+      "SELECT round(cosine_sim(embedding, embedding), 6) AS self FROM emb_sql LIMIT 5")
+      .collect().map(_.getDouble(0))
+    assert(r.length == 5 && r.forall(_ == 1.0))
+  }
+
   test("LSH ANN finds the true nearest neighbor for most queries (recall@1)") {
     val ann = graft.operators.Similarity.queries("q_sim_ann")(spark, sfDir).collect()
       .filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.plans.{GraphOps, SkewJoin}
+
+/** Property tests promised by SURVEY §5: BFS level structure, dedup
+  * idempotence, set-op cardinalities, salted-join equivalence — over
+  * ScalaCheck-generated random inputs (fixed seeds: deterministic CI).
+  */
+class PropertySpec extends SparkSpec {
+
+  /** Deterministic sample stream from a Gen. */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val graphGen: Gen[Seq[(Long, Long)]] = for {
+    n <- Gen.choose(2, 25)
+    nEdges <- Gen.choose(1, 60)
+    edges <- Gen.listOfN(nEdges, for {
+      s <- Gen.choose(0L, n - 1L); d <- Gen.choose(0L, n - 1L)
+    } yield (s, d))
+  } yield edges
+
+  test("BFS property: every edge between reachable vertices spans <= 1 level") {
+    import spark.implicits._
+    for (edges <- samples(graphGen, 8)) {
+      val lv = GraphOps.bfsLevels(spark, edges.toDF("src", "dst"), 0L)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(lv(0L) == 0)
+      for ((u, v) <- edges if lv.contains(u)) {
+        assert(lv.contains(v) && lv(v) <= lv(u) + 1,
+          s"edge ($u->$v) violates level structure in $edges: $lv")
+      }
+      val max = lv.values.max
+      assert((0 to max).forall(l => lv.values.exists(_ == l)), "levels contiguous")
+    }
+  }
+
+  test("dedup idempotence: dropDuplicates twice == once") {
+    val docs = Tables(spark, sfDir, "documents")
+    // localCheckpoint severs the plan: exceptAll(X, dropDuplicates(X)) on a
+    // shared lazy plan hits Spark's attribute-binding internal error
+    val once = docs.dropDuplicates("lang", "source").localCheckpoint(true)
+    val twice = once.dropDuplicates("lang", "source")
+    assert(once.count() == twice.count())
+    assert(once.exceptAll(twice).isEmpty)
+  }
+
+  test("set-op cardinalities: |A| = |A intersectAll B| + |A exceptAll B|") {
+    import spark.implicits._
+    val listGen = Gen.listOf(Gen.choose(0, 20))
+    for ((xs, ys) <- samples(listGen, 6).zip(samples(listGen, 6).reverse)
+         if xs.nonEmpty || ys.nonEmpty) {
+      val a = xs.toDF("x"); val b = ys.toDF("x")
+      val inter = a.intersectAll(b).count()
+      val diff = a.exceptAll(b).count()
+      assert(inter + diff == xs.size.toLong, s"xs=$xs ys=$ys")
+    }
+  }
+
+  test("salted join equals plain join for random salt counts") {
+    import spark.implicits._
+    for (salts <- samples(Gen.choose(1, 12), 4)) {
+      val probe = spark.range(500).select((col("id") % 13).as("k"), col("id").as("p"))
+      val build = spark.range(13).select(col("id").as("k"), (col("id") + 100).as("d"))
+      val plain = probe.join(build, "k").agg(sum("p"), sum("d"), count(lit(1))).collect()(0)
+      val salted = SkewJoin.saltedJoin(probe, build, "k", salts)
+        .agg(sum("p"), sum("d"), count(lit(1))).collect()(0)
+      assert(plain == salted, s"salts=$salts")
+    }
+  }
+
+  test("format round-trip: csv and json sinks preserve data (B2)") {
+    val src = Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice").limit(200)
+    for (fmt <- Seq("csv", "json")) {
+      val dir = s"/tmp/graft-roundtrip-$fmt"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      src.write.format(fmt).option("header", "true").mode("overwrite").save(dir)
+      val back = spark.read.format(fmt).option("header", "true")
+        .schema(src.schema).load(dir)
+      assert(back.count() == 200, fmt)
+      assert(src.exceptAll(back).isEmpty && back.exceptAll(src).isEmpty, fmt)
+    }
+  }
+}

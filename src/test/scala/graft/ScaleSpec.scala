@@ -61,6 +61,25 @@ class ScaleSpec extends SparkSpec {
     assert(pruned.count() == expect)
   }
 
+  test("TopKPerKey custom operator == window formulation, with partial phase before the exchange") {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables(spark, sfDir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    val custom = graft.plans.TopK.perKey(o, 3,
+      Seq("o_custkey"), Seq("o_totalprice" -> true, "o_orderkey" -> false))
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val windowed = o.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).drop("rn")
+    assert(custom.exceptAll(windowed).isEmpty && windowed.exceptAll(custom).isEmpty)
+    val plan = custom.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan.take(500))
+    // partial phase (trailing ", true") must sit below the exchange — that
+    // is the map-side rank pruning this operator exists for
+    val idxPartial = plan.indexOf(", true")
+    val idxExchange = plan.indexOf("Exchange")
+    val idxFinal = plan.indexOf(", false")
+    assert(idxFinal >= 0 && idxExchange > idxFinal && idxPartial > idxExchange,
+      s"expected final ≺ Exchange ≺ partial in:\n${plan.take(800)}")
+  }
+
   test("CollapseDoubleRound rule fires via extraOptimizations and preserves results") {
     import spark.implicits._
     GraftRules.install(spark)
