@@ -23,12 +23,16 @@ object GraphQueries extends QueryModule {
     Tables(s, dir, name)
 
   /** Directed edges of the synthetic deep graph. V is a scalar dim-count —
-    * computing it is a metadata-sized action, not a data collect. */
+    * computing it is a metadata-sized action, not a data collect. Three
+    * edge rules (including one long-range hop) keep the BFS diameter around
+    * 8–12 across scale factors: enough supersteps to exercise real BSP
+    * iteration without the bench degenerating into scheduler overhead. */
   private def ringEdges(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer").select(col("c_custkey"))
     val v = lit(c.count())
     c.select(col("c_custkey").as("src"), ((col("c_custkey") * 2 + 1) % v).as("dst"))
       .union(c.select(col("c_custkey").as("src"), ((col("c_custkey") * 5 + 7) % v).as("dst")))
+      .union(c.select(col("c_custkey").as("src"), ((col("c_custkey") * 16 + 3) % v).as("dst")))
   }
 
   /** Symmetrized hierarchy edges: nation↔region, customer↔nation. */
@@ -48,7 +52,9 @@ object GraphQueries extends QueryModule {
     """WITH RECURSIVE e AS (
          SELECT c_custkey AS src, (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst FROM customer
          UNION ALL
-         SELECT c_custkey, (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer),
+         SELECT c_custkey, (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer
+         UNION ALL
+         SELECT c_custkey, (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer),
        walk(v, lvl) AS (
          SELECT CAST(0 AS BIGINT), 0
          UNION
