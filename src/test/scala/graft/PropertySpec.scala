@@ -72,6 +72,12 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("driver contract: entry() flagship returns rows on sf0.001") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length == 6) // one per (returnflag, linestatus)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("format round-trip: csv and json sinks preserve data (B2)") {
     val src = Tables(spark, sfDir, "orders")
       .select("o_orderkey", "o_orderstatus", "o_totalprice").limit(200)

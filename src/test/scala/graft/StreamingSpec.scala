@@ -30,6 +30,54 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("watermark drops late data (checkpoint-restored watermark, with control)") {
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.Files
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-late").toString
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("id", "s").selectExpr("id", "CAST(s AS TIMESTAMP) AS ts")
+        .coalesce(1).write.mode("append").parquet(s"$base/data")
+    def agg() = spark.readStream.schema("id LONG, ts TIMESTAMP")
+      .parquet(s"$base/data/*.parquet")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "60 minutes")).agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("string").as("w"), col("n"))
+    // file sink supports checkpoint recovery (memory sink does not)
+    def runToFiles(): Map[String, Long] = {
+      val q = agg().writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(s"$base/out").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    // run 1: watermark ends at 12:02 − 10min = 11:52 (persisted in ckpt)
+    write(Seq((1L, "2024-06-01 12:00:00"), (2L, "2024-06-01 12:02:00")))
+    runToFiles()
+    // run 2 (same checkpoint) sees ONLY the late 09:00 event — its window
+    // closed long before the restored watermark → dropped
+    write(Seq((3L, "2024-06-01 09:00:00")))
+    runToFiles()
+    // run 3: an on-time 14:30 event pushes the watermark past 13:00 so the
+    // 12:00 window EMITS — proving emission works while 09:00 stays absent
+    write(Seq((4L, "2024-06-01 14:30:00")))
+    val out = runToFiles()
+    assert(out.exists { case (w, n) => w.contains("12:00") && n == 2L },
+      s"12:00 window should have emitted with 2 events: $out")
+    assert(!out.keys.exists(_.contains("09:00")),
+      s"late event leaked past the restored watermark: $out")
+    // control: fresh query with no prior watermark state accepts the same
+    // 09:00 event and emits its window — the drop above was the watermark.
+    val q2 = agg().writeStream.format("memory").queryName("t_late_ctl")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val control = spark.table("t_late_ctl").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(control.exists(_._1.contains("09:00")), s"control missing 09:00: $control")
+  }
+
   test("session windows: gap property holds (no intra-session gap >= 30 min)") {
     val sessions = StreamingOps.queries("q_session_window")(spark, sfDir).collect()
     val events = Tables(spark, sfDir, "events")
