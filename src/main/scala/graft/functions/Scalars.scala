@@ -84,6 +84,14 @@ object Scalars extends QueryModule {
         .orderBy("vec_id")
     }),
 
+    // Generator / UDTF surface: posexplode lateral view (the Spark-native
+    // "table function" — one input row fans out to one row per token).
+    "q_fn_explode" -> ((s, dir) => {
+      t(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+        .orderBy("doc_id", "pos")
+    }),
+
     // Map functions: construction, key/value access, transform_values.
     // Output stays scalar (map renderings aren't engine-portable); the map
     // expressions live in the plan.
@@ -152,6 +160,12 @@ object Scalars extends QueryModule {
          ROUND(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 5) AS head_sum,
          ROUND(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS max_val
          FROM embeddings ORDER BY vec_id""",
+    "q_fn_explode" ->
+      """SELECT doc_id, CAST(i - 1 AS INT) AS pos, token FROM (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+                  generate_subscripts(string_split(text, ' '), 1) AS i
+           FROM documents WHERE doc_id < 50)
+         ORDER BY doc_id, pos""",
     "q_fn_map" ->
       """SELECT o_orderkey,
          ROUND(o_totalprice, 2) AS price_val,

@@ -75,6 +75,14 @@ object GraphQueries extends QueryModule {
     "q_graph_dfs_leaves" -> ((s, dir) =>
       GraphOps.bfsTreeLeaves(s, ringEdges(s, dir), 0L).orderBy("v")),
 
+    // k-hop reachability profile: how many vertices first appear at each
+    // BFS depth (the frontier-growth curve — the quantity a traversal
+    // planner would use to decide broadcast vs shuffle per superstep).
+    "q_graph_khop" -> ((s, dir) =>
+      GraphOps.bfsLevels(s, ringEdges(s, dir), 0L)
+        .groupBy("level").agg(count(lit(1)).as("n_vertices"))
+        .orderBy("level")),
+
     // Connected components over the hierarchy graph: 1 per region.
     "q_graph_cc" -> ((s, dir) =>
       GraphOps.connectedComponents(s, hierEdges(s, dir))
@@ -90,6 +98,10 @@ object GraphQueries extends QueryModule {
     "q_graph_bfs_pregel" ->
       (ringWalkCte + """
          SELECT v, CAST(level AS INT) AS level FROM lv ORDER BY v"""),
+    "q_graph_khop" ->
+      (ringWalkCte + """
+         SELECT CAST(level AS INT) AS level, COUNT(*) AS n_vertices
+         FROM lv GROUP BY level ORDER BY level"""),
     "q_graph_dfs_leaves" ->
       (ringWalkCte + """,
        par AS (
