@@ -54,6 +54,21 @@ object Multimodal extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Frame sampling: each payload fans out to its frames (1→N media
+    // expansion — the video/audio shape). Frame count and the stub
+    // per-frame feature are deterministic functions of payload bytes, so
+    // the full pipeline (binary → frames → features) is oracle-checkable.
+    "q_mm_frames" -> ((s, dir) => {
+      val plen = length(encode(col("text"), "UTF-8"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), plen.as("payload_bytes"))
+        .select(col("doc_id"), col("payload_bytes"),
+          posexplode(sequence(lit(0), col("payload_bytes") % 8)).as(Seq("pos", "frame_id")))
+        .select(col("doc_id"), col("frame_id"),
+          ((col("payload_bytes") * 7 + col("frame_id") * 13) % 255).as("feat"))
+        .orderBy("doc_id", "frame_id")
+    }),
+
     // Partition-wise decode: binary → (width, height, feature vector).
     // Rows-only check (the stub decode is not SQL-expressible); feature
     // determinism is pinned in MultimodalSpec.
@@ -74,6 +89,13 @@ object Multimodal extends QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_mm_frames" ->
+      """SELECT doc_id, CAST(frame_id AS INT) AS frame_id,
+         CAST((octet_length(encode(text)) * 7 + frame_id * 13) % 255 AS INT) AS feat
+         FROM (SELECT doc_id, text,
+                 unnest(range(0, octet_length(encode(text)) % 8 + 1)) AS frame_id
+               FROM documents)
+         ORDER BY doc_id, frame_id""",
     "q_mm_meta" ->
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS INT) AS payload_bytes,
