@@ -103,23 +103,7 @@ object Extensibility extends QueryModule {
                ORDER BY o_totalprice DESC, o_orderkey) AS rn
            FROM orders) WHERE rn <= 3
          ORDER BY o_custkey, o_totalprice DESC, o_orderkey""",
-    "q_sim_expr" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding AS qe
-           FROM embeddings WHERE vec_id < 10),
-       nrm AS (SELECT vec_id, SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nv
-               FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
-       dots AS (SELECT qid, vec_id, SUM(qx*ex) AS dp FROM (
-           SELECT q.qid, e.vec_id,
-                  CAST(unnest(q.qe) AS DOUBLE) AS qx,
-                  CAST(unnest(e.embedding) AS DOUBLE) AS ex
-           FROM q JOIN embeddings e ON q.qid <> e.vec_id)
-         GROUP BY qid, vec_id),
-       cosined AS (SELECT qid, d.vec_id,
-           ROUND(dp / (nq.nv * nc.nv), 4) AS cosine
-         FROM dots d JOIN nrm nq ON nq.vec_id = d.qid JOIN nrm nc ON nc.vec_id = d.vec_id),
-       ranked AS (SELECT qid, vec_id, cosine,
-           CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS INT) AS rn
-         FROM cosined)
-       SELECT qid, vec_id, cosine, rn FROM ranked WHERE rn <= 5 ORDER BY qid, rn"""
+    // identical result contract to q_sim_topk → same oracle, by reference
+    "q_sim_expr" -> graft.operators.Similarity.cosineSql("vec_id < 10", "", 5)
   )
 }

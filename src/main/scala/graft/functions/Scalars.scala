@@ -174,7 +174,7 @@ object Scalars extends QueryModule {
          ROUND(o_totalprice + 1.0, 2) AS bumped_price
          FROM orders ORDER BY o_orderkey""",
     "q_fn_json" ->
-      """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k,
+      """SELECT CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '') AS INT) AS k,
          COUNT(*) AS n, ROUND(SUM(value), 2) AS val_sum
          FROM events GROUP BY 1 ORDER BY k"""
   )

@@ -15,10 +15,13 @@ import graft.{QueryModule, Tables}
   *  - MinHash-LSH only ever joins documents that share a band bucket —
   *    candidate generation is O(docs × bands), not O(docs²); the exact
   *    Jaccard verify runs on the (tiny) candidate set;
-  *  - band parameters (r=4 rows × b=16 bands, 64 minhashes) put the
-  *    false-negative probability at J≥0.9 (where this corpus's planted
-  *    near-dups live) below 4e-8, so the LSH output equals the exact
-  *    all-pairs oracle;
+  *  - band parameters (r=4 rows × b=16 bands, 64 minhashes) and the
+  *    verification threshold are tuned TOGETHER: the threshold (0.85) sits
+  *    inside the bands' guarantee zone — false-negative probability is
+  *    ≤7e-6 at J=0.85 and ≤4e-8 at J≥0.9 (where this corpus's planted
+  *    near-dups live) — so the LSH output equals the exact all-pairs
+  *    oracle. A lower threshold requires more/narrower bands (r=2, b=64
+  *    reaches 1e-8 at J=0.5) at the cost of a much larger candidate set;
   *  - the exact n-gram variant (`q_dedup_ngram`) is the verify stage run
   *    standalone — quadratic only within shingle-sharing groups.
   */
@@ -92,7 +95,8 @@ object Dedup extends QueryModule {
         .orderBy("user_id", "event_type")
     }),
 
-    // MinHash + banded LSH near-dup detection, exact-verified at J >= 0.5.
+    // MinHash + banded LSH near-dup detection, exact-verified at J >= 0.85
+    // (inside the band guarantee zone — see object scaladoc).
     "q_dedup_minhash" -> ((s, dir) => {
       val sh = shingles(t(s, dir, "documents")).persist()
       // 64 min-hashes per doc: h_i = min over shingles of xxhash64(i, s).
@@ -113,7 +117,7 @@ object Dedup extends QueryModule {
         .distinct()
       // Materialize before unpersisting the shared shingle frame — leaking
       // the cache across queries starves later queries of executor memory.
-      val out = jaccardPairs(sh, 0.5, Some(cand)).localCheckpoint(true)
+      val out = jaccardPairs(sh, 0.85, Some(cand)).localCheckpoint(true)
       sh.unpersist()
       out
     }),
@@ -170,7 +174,7 @@ object Dedup extends QueryModule {
                ORDER BY ts, event_id) AS rn
            FROM events) WHERE rn = 1
          ORDER BY user_id, event_type""",
-    "q_dedup_minhash" -> jaccardSql("0.5"),
+    "q_dedup_minhash" -> jaccardSql("0.85"),
     "q_dedup_ngram" -> jaccardSql("0.3")
       .replace("FROM documents", "FROM documents WHERE doc_id < 1000")
   )

@@ -12,8 +12,9 @@ import graft.plans.GraphOps
   *
   * Two graphs:
   *  - "ring" graph: vertices = custkeys 0..V−1, directed edges
-  *    c → (2c+1) mod V and c → (5c+7) mod V. Deep enough (~10 levels) to
-  *    exercise real BSP iteration; V scales with sf.
+  *    c → (2c+1) mod V, c → (5c+7) mod V and c → (16c+3) mod V. Deep
+  *    enough (~10 BFS levels) to exercise real BSP iteration; V scales
+  *    with sf.
   *  - hierarchy graph: region(id=r) ← nation(id=10+n) ← customer(id=100+c),
   *    symmetrized. Exactly one component per region.
   */

@@ -121,8 +121,9 @@ object Similarity extends QueryModule {
     })
   )
 
-  /** Oracle prelude: per-vector norms + double dot via zipped unnest. */
-  private def cosineSql(queryPred: String, cellCond: String, k: Int) =
+  /** Oracle prelude: per-vector norms + double dot via zipped unnest.
+    * Shared with Extensibility's q_sim_expr (same result contract). */
+  private[graft] def cosineSql(queryPred: String, cellCond: String, k: Int) =
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
            FROM embeddings WHERE $queryPred),
        nrm AS (SELECT vec_id, SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nv

@@ -22,8 +22,11 @@ object GraftRules {
     */
   object CollapseDoubleRound extends Rule[LogicalPlan] {
     def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+      // Double only: on DecimalType, Round's RESULT TYPE carries the scale
+      // literal, so collapsing would change the plan's output schema.
       case Round(inner @ Round(_, Literal(s1: Int, _), _), Literal(s2: Int, _), _)
-          if s2 >= s1 =>
+          if s2 >= s1 &&
+            inner.dataType == org.apache.spark.sql.types.DoubleType =>
         inner
     }
   }

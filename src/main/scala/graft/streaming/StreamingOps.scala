@@ -69,15 +69,16 @@ object StreamingOps extends QueryModule {
     }),
 
     // Streaming dedup on event_id (append mode emits immediately), then a
-    // batch rollup of the deduped stream.
+    // batch count of the deduped stream. Output is keyed on event_id only:
+    // dropDuplicates keeps an ARBITRARY row per id, so projecting any other
+    // column would make the result depend on arrival order.
     "q_stream_dedup" -> ((s, dir) => {
       val deduped = eventsStream(s, dir)
         .withWatermark("ts", "1 hour")
         .dropDuplicates("event_id")
-        .select("event_id", "event_type")
+        .select("event_id")
       runToMemory(s, deduped, "t_stream_dedup", "append")
-        .groupBy("event_type").agg(count(lit(1)).as("n"))
-        .orderBy("event_type")
+        .agg(count(lit(1)).as("n_distinct_ids"))
     }),
 
     // Custom stateful streaming: flatMapGroupsWithState tracking per-user
@@ -155,9 +156,7 @@ object StreamingOps extends QueryModule {
          SELECT win_start, COUNT(*) AS n, ROUND(SUM(value), 2) AS val_sum
          FROM b GROUP BY 1 ORDER BY win_start""",
     "q_stream_dedup" ->
-      """SELECT event_type, COUNT(*) AS n
-         FROM (SELECT DISTINCT event_id, event_type FROM events)
-         GROUP BY event_type ORDER BY event_type""",
+      "SELECT COUNT(DISTINCT event_id) AS n_distinct_ids FROM events",
     "q_stream_stateful" ->
       """WITH x AS (SELECT user_id, ts,
            CASE WHEN lag(ts) OVER w IS NULL

@@ -16,12 +16,12 @@ class PipelineSpec extends SparkSpec {
   private def bigramSet(text: String): Set[String] =
     text.split(" ").sliding(2).map(_.mkString(" ")).toSet
 
-  test("minhash-LSH near-dup equals exact Jaccard >= 0.5 (no false negatives)") {
+  test("minhash-LSH near-dup equals exact Jaccard >= 0.85 (no false negatives)") {
     val exact = for {
       (a, ta) <- docs.toSeq; (b, tb) <- docs.toSeq if a < b
       sa = bigramSet(ta); sb = bigramSet(tb)
       j = sa.intersect(sb).size.toDouble / sa.union(sb).size
-      if j >= 0.5
+      if j >= 0.85
     } yield (a, b)
     val lsh = Dedup.queries("q_dedup_minhash")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

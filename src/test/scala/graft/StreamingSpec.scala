@@ -20,14 +20,12 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
-  test("streaming dedup == batch distinct") {
+  test("streaming dedup == batch distinct-id count") {
     val streamed = StreamingOps.queries("q_stream_dedup")(spark, sfDir)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      .collect()(0).getLong(0)
     val batch = Tables(spark, sfDir, "events")
-      .select("event_id", "event_type").distinct()
-      .groupBy("event_type").agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
-    assert(streamed == batch)
+      .select("event_id").distinct().count()
+    assert(streamed == batch && streamed > 0)
   }
 
   test("watermark drops late data (checkpoint-restored watermark, with control)") {

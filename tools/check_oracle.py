@@ -71,6 +71,5 @@ for name in sorted(oracle):
         print(f"PASS {name} ({len(s)} rows)")
         n_pass += 1
 
-no_oracle = []  # queries without oracle get a rows-only check from the driver
 print(f"\n{n_pass} pass, {n_fail} fail, {len(oracle)} oracled")
 sys.exit(1 if n_fail else 0)
