@@ -84,6 +84,23 @@ object GraphQueries extends QueryModule {
         .groupBy("level").agg(count(lit(1)).as("n_vertices"))
         .orderBy("level")),
 
+    // Triangle counting on the undirected ring graph: canonicalize edges to
+    // a<b, enumerate wedges a<b<c, close them with a semi-join. Each
+    // triangle is counted exactly once; at scale this is the standard
+    // degree-ordered triangle enumeration (shuffle keys = vertex ids).
+    "q_graph_triangles" -> ((s, dir) => {
+      val e = ringEdges(s, dir)
+      val und = e.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val wedges = und.as("x").join(und.as("y"), col("x.b") === col("y.a"))
+        .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))
+      val closing = und.select(col("a").as("ca"), col("b").as("cb"))
+      wedges.join(closing, col("a") === col("ca") && col("c") === col("cb"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+    }),
+
     // Connected components over the hierarchy graph: 1 per region.
     "q_graph_cc" -> ((s, dir) =>
       GraphOps.connectedComponents(s, hierEdges(s, dir))
@@ -111,6 +128,15 @@ object GraphQueries extends QueryModule {
          GROUP BY e.dst)
        SELECT v, CAST(level AS INT) AS level FROM lv
        WHERE v NOT IN (SELECT parent FROM par) ORDER BY v"""),
+    "q_graph_triangles" ->
+      """WITH e AS (
+           SELECT c_custkey AS src, (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst FROM customer
+           UNION ALL SELECT c_custkey, (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer
+           UNION ALL SELECT c_custkey, (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer),
+         und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                 FROM e WHERE src <> dst)
+         SELECT COUNT(*) AS n_triangles
+         FROM und x JOIN und y ON x.b = y.a JOIN und z ON z.a = x.a AND z.b = y.b""",
     "q_graph_cc" ->
       """WITH RECURSIVE e AS (
            SELECT CAST(n_nationkey+10 AS BIGINT) AS src, CAST(n_regionkey AS BIGINT) AS dst FROM nation
