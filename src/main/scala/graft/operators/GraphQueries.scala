@@ -84,6 +84,12 @@ object GraphQueries extends QueryModule {
         .groupBy("level").agg(count(lit(1)).as("n_vertices"))
         .orderBy("level")),
 
+    // Static PageRank, 10 iterations, over the directed ring graph.
+    "q_graph_pagerank" -> ((s, dir) =>
+      GraphOps.pageRank(s, ringEdges(s, dir), 10)
+        .select(col("v"), round(col("pr"), 6).as("pr"))
+        .orderBy("v")),
+
     // Triangle counting on the undirected ring graph: canonicalize edges to
     // a<b, enumerate wedges a<b<c, close them with a semi-join. Each
     // triangle is counted exactly once; at scale this is the standard
@@ -128,6 +134,32 @@ object GraphQueries extends QueryModule {
          GROUP BY e.dst)
        SELECT v, CAST(level AS INT) AS level FROM lv
        WHERE v NOT IN (SELECT parent FROM par) ORDER BY v"""),
+    "q_graph_pagerank" -> {
+      // 10 unrolled iterations (recursive CTEs can't aggregate in the
+      // recursive term) of the exact recurrence the Spark loop runs.
+      val ringE =
+        """SELECT c_custkey AS src, (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst FROM customer
+           UNION ALL SELECT c_custkey, (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer
+           UNION ALL SELECT c_custkey, (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer"""
+      // all literals cast to DOUBLE — DuckDB would otherwise propagate
+      // DECIMAL arithmetic where Spark computes in doubles
+      val steps = (1 to 10).map { i =>
+        s"""pr$i AS (
+             SELECT t.v, CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE)
+               * COALESCE(SUM(p.pr / dg.d), CAST(0 AS DOUBLE)) AS pr
+             FROM verts t
+             LEFT JOIN e ON e.dst = t.v
+             LEFT JOIN pr${i - 1} p ON p.v = e.src
+             LEFT JOIN deg dg ON dg.v = e.src
+             GROUP BY t.v)"""
+      }.mkString(",\n")
+      s"""WITH e AS ($ringE),
+          verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+          deg AS (SELECT src AS v, COUNT(*) AS d FROM e GROUP BY src),
+          pr0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS pr FROM verts),
+          $steps
+          SELECT v, ROUND(pr, 6) AS pr FROM pr10 ORDER BY v"""
+    },
     "q_graph_triangles" ->
       """WITH e AS (
            SELECT c_custkey AS src, (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst FROM customer

@@ -121,6 +121,34 @@ object GraphOps {
     levels.join(parents, Seq("v"), "left_anti")
   }
 
+  /** Static PageRank, GraphX formulation: `pr_0 = 1.0`,
+    * `pr_{t+1}(v) = 0.15 + 0.85 · Σ_{(u,v)∈E} pr_t(u)/outdeg(u)`, a fixed
+    * number of iterations, multi-edges counted with multiplicity, no
+    * dangling-mass redistribution. One shuffle per iteration (contribution
+    * aggregation on dst); ranks/degrees are broadcastable at moderate |V|.
+    */
+  def pageRank(spark: SparkSession, edges: DataFrame, iterations: Int = 10): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("esrc"),
+      col("dst").cast("long").as("edst")).persist()
+    val verts = e.select(col("esrc").as("v")).union(e.select(col("edst").as("v")))
+      .distinct().localCheckpoint(true)
+    val deg = e.groupBy(col("esrc").as("v")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    var ranks = verts.withColumn("pr", lit(1.0))
+    for (_ <- 0 until iterations) {
+      val contribs = ranks.join(deg, Seq("v"))
+        .join(e, col("v") === col("esrc"))
+        .groupBy(col("edst").as("cv"))
+        .agg(sum(col("pr") / col("outdeg")).as("contrib"))
+      ranks = verts.join(contribs, verts("v") === col("cv"), "left")
+        .select(verts("v"),
+          (lit(0.15) + lit(0.85) * coalesce(col("contrib"), lit(0.0))).as("pr"))
+        .localCheckpoint(true)
+    }
+    e.unpersist()
+    ranks
+  }
+
   /** Connected components by iterative min-label propagation over an
     * edge list that must already contain BOTH directions of every edge.
     * Returns `(v: long, comp: long)` where comp = min vertex id in the

@@ -86,6 +86,21 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("PageRank DataFrame loop converges to the same fixed point as GraphX") {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val edges = AdjacencyCodec.read(spark, s"$fixtures/G6.txt")
+    // 20 iterations: both implementations are within tolerance of the
+    // unique fixed point regardless of initialization details
+    val ours = GraphOps.pageRank(spark, edges, 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val edgeRdd = edges.collect().map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val gx = Graph.fromEdges(spark.sparkContext.parallelize(edgeRdd.toSeq), ())
+      .staticPageRank(20).vertices.collect().toMap
+    for ((v, pr) <- gx) {
+      assert(math.abs(ours(v) - pr) < 1e-3, s"vertex $v: ours=${ours(v)} graphx=$pr")
+    }
+  }
+
   test("connected components on two disjoint triangles") {
     import spark.implicits._
     val tri = Seq((0L, 1L), (1L, 2L), (2L, 0L), (10L, 11L), (11L, 12L), (12L, 10L))
