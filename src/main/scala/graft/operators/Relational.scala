@@ -216,11 +216,24 @@ object Relational extends QueryModule {
     }),
 
     // Approximate distinct (HLL) — not oracle-comparable (approximate), so
-    // registered rows-only; correctness pinned by AggSpec against exact.
+    // registered rows-only; correctness pinned by PipelineSpec against exact.
     "q_agg_approx_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(approx_count_distinct("l_partkey", 0.02).as("apx_part"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Approximate percentiles (the 100 TB path for q_agg_stats' exact
+    // percentiles) — sketch-based, rows-only; accuracy pinned in
+    // PipelineSpec against the exact values.
+    "q_agg_approx_pct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)").as("pcts"))
+        .select(col("l_returnflag"),
+          round(element_at(col("pcts"), 1), 2).as("apx_median"),
+          round(element_at(col("pcts"), 2), 2).as("apx_p90"))
         .orderBy("l_returnflag")
     }),
 

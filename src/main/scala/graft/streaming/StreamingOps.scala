@@ -81,6 +81,19 @@ object StreamingOps extends QueryModule {
         .agg(count(lit(1)).as("n_distinct_ids"))
     }),
 
+    // Watermark-bounded streaming dedup: unlike plain dropDuplicates (whose
+    // state grows forever), state for ids older than the watermark is
+    // evicted — the production form for unbounded streams. Rows-only
+    // (same count contract as q_stream_dedup, pinned in StreamingSpec).
+    "q_stream_dedup_wm" -> ((s, dir) => {
+      val deduped = eventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select("event_id")
+      runToMemory(s, deduped, "t_stream_dedup_wm", "append")
+        .agg(count(lit(1)).as("n_distinct_ids"))
+    }),
+
     // Custom stateful streaming: flatMapGroupsWithState tracking per-user
     // (event count, first/last event time in µs, 30-min-gap session count).
     // State merges correctly across microbatches (the session counter keeps

@@ -121,6 +121,32 @@ class PipelineSpec extends SparkSpec {
     assert(ann.nonEmpty && hits >= 5, s"recall@1 = $hits/${brute.size}")
   }
 
+  test("approx_percentile within 2% of exact percentiles") {
+    val apx = Relational.queries("q_agg_approx_pct")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Tables(spark, sfDir, "lineitem").groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.expr("percentile(l_extendedprice, 0.5)").as("m"),
+        org.apache.spark.sql.functions.expr("percentile(l_extendedprice, 0.9)").as("p"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    for ((k, (m, p)) <- exact) {
+      assert(math.abs(apx(k)._1 - m) / m < 0.02, s"$k median")
+      assert(math.abs(apx(k)._2 - p) / p < 0.02, s"$k p90")
+    }
+  }
+
+  test("unionByName aligns by column name, not position") {
+    import spark.implicits._
+    val a = Seq((1L, "x")).toDF("id", "tag")
+    val b = Seq(("y", 2L)).toDF("tag", "id")
+    val u = a.unionByName(b).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(u == Seq((1L, "x"), (2L, "y")))
+    val c = Seq((3L)).toDF("id")
+    val m = a.unionByName(c, allowMissingColumns = true)
+      .filter(col("id") === 3).collect()(0)
+    assert(m.isNullAt(1))
+  }
+
   test("approx_count_distinct within rsd of exact") {
     val approx = Relational.queries("q_agg_approx_distinct")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -20,12 +20,13 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
-  test("streaming dedup == batch distinct-id count") {
-    val streamed = StreamingOps.queries("q_stream_dedup")(spark, sfDir)
-      .collect()(0).getLong(0)
+  test("streaming dedup == batch distinct-id count (plain and within-watermark)") {
     val batch = Tables(spark, sfDir, "events")
       .select("event_id").distinct().count()
-    assert(streamed == batch && streamed > 0)
+    for (q <- Seq("q_stream_dedup", "q_stream_dedup_wm")) {
+      val streamed = StreamingOps.queries(q)(spark, sfDir).collect()(0).getLong(0)
+      assert(streamed == batch && streamed > 0, q)
+    }
   }
 
   test("watermark drops late data (checkpoint-restored watermark, with control)") {
