@@ -131,16 +131,19 @@ object Dedup extends QueryModule {
       jaccardPairs(shingles(
         t(s, dir, "documents").filter(col("doc_id") < 1000)), 0.3)),
 
-    // SimHash (64-bit) per document — engine-specific hash family, so this
-    // is a rows-only entry; properties pinned in DedupSpec.
+    // SimHash (60-bit) per document. The token hash is the first 15 hex
+    // chars of md5 — a PORTABLE hash family (any engine with md5 computes
+    // the identical signature), which is what makes simhash fingerprints
+    // exchangeable across systems; 60 bits so the value fits a signed
+    // 64-bit int in every engine. Oracled bit-for-bit against DuckDB.
     "q_dedup_simhash" -> ((s, dir) => {
       val tokens = t(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .withColumn("h", xxhash64(col("tok")))
-      val bitAggs = (0 until 64).map(i =>
+        .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+      val bitAggs = (0 until 60).map(i =>
         sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
       val withBits = tokens.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-      val sim = (0 until 64).map(i =>
+      val sim = (0 until 60).map(i =>
         when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _)
       withBits.select(col("doc_id"), sim.as("simhash")).orderBy("doc_id")
     })
@@ -176,6 +179,22 @@ object Dedup extends QueryModule {
          ORDER BY user_id, event_type""",
     "q_dedup_minhash" -> jaccardSql("0.85"),
     "q_dedup_ngram" -> jaccardSql("0.3")
-      .replace("FROM documents", "FROM documents WHERE doc_id < 1000")
+      .replace("FROM documents", "FROM documents WHERE doc_id < 1000"),
+    // Same md5-derived 60-bit token hash, same majority-bit vote. The hex
+    // parse (strpos over the md5 string) is the DuckDB spelling of Spark's
+    // conv(substring(md5(tok),1,15),16,10).
+    "q_dedup_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM documents),
+         h AS (SELECT doc_id,
+             list_sum([(strpos('0123456789abcdef', md5(tok)[i]) - 1)::BIGINT
+                       * (1::BIGINT << (4 * (15 - i))) for i in range(1, 16)]) AS h
+           FROM tok),
+         bits AS (SELECT doc_id, b,
+             SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+           FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS b) GROUP BY doc_id, b)
+         SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+         FROM bits GROUP BY doc_id ORDER BY doc_id"""
   )
 }

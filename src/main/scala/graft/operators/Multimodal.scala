@@ -21,14 +21,17 @@ object Multimodal extends QueryModule {
     Tables(s, dir, name)
 
   /** STUB decoder: stands in for an image/audio decode. Deterministic
-    * function of the payload bytes only. */
+    * function of the payload bytes only. Feature sums are INTEGER-valued
+    * (raw byte sums, exact in Float up to 2^24) so the result is
+    * bit-reproducible by any engine — the /255 normalization happens once,
+    * in double, at projection time. */
   private[operators] def fakeDecode(payload: Array[Byte]): (Int, Int, Array[Float]) = {
     val w = 64 + (payload.length % 640)
     val h = 64 + ((payload.length * 7) % 480)
     // "feature vector": byte-histogram-ish 8-dim summary, deterministic.
     val feat = new Array[Float](8)
     var i = 0
-    while (i < payload.length) { feat(i % 8) += (payload(i) & 0xff) / 255.0f; i += 1 }
+    while (i < payload.length) { feat(i % 8) += (payload(i) & 0xff); i += 1 }
     (w, h, feat)
   }
 
@@ -70,8 +73,9 @@ object Multimodal extends QueryModule {
     }),
 
     // Partition-wise decode: binary → (width, height, feature vector).
-    // Rows-only check (the stub decode is not SQL-expressible); feature
-    // determinism is pinned in MultimodalSpec.
+    // The stub's byte arithmetic is exactly replicated by the DuckDB oracle
+    // (documents.text is ASCII, so char positions == byte positions);
+    // determinism additionally pinned in PipelineSpec.
     "q_mm_decode" -> ((s, dir) => {
       val src = t(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
@@ -83,7 +87,7 @@ object Multimodal extends QueryModule {
         }
       }(enc)
         .select(col("doc_id"), col("width"), col("height"),
-          round(element_at(col("feat"), 1).cast("double"), 4).as("f0"))
+          round(element_at(col("feat"), 1).cast("double") / 255.0, 4).as("f0"))
         .orderBy("doc_id")
     })
   )
@@ -101,6 +105,21 @@ object Multimodal extends QueryModule {
          CAST(octet_length(encode(text)) AS INT) AS payload_bytes,
          lang,
          CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    // Byte-exact replica of fakeDecode: width/height from octet_length,
+    // f0 = (sum of bytes at 0-based positions ≡ 0 mod 8) / 255. ascii() on
+    // char positions equals byte indexing because documents.text is ASCII.
+    "q_mm_decode" ->
+      """WITH pos AS (SELECT doc_id, text,
+             unnest(range(1, len(text) + 1, 8)) AS p FROM documents),
+         f AS (SELECT doc_id,
+             SUM(ascii(substr(text, CAST(p AS INT), 1))) AS s0
+           FROM pos GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(64 + octet_length(encode(d.text)) % 640 AS INT) AS width,
+           CAST(64 + (octet_length(encode(d.text)) * 7) % 480 AS INT) AS height,
+           ROUND(COALESCE(f.s0, 0) / 255.0, 4) AS f0
+         FROM documents d LEFT JOIN f ON f.doc_id = d.doc_id
+         ORDER BY d.doc_id"""
   )
 }

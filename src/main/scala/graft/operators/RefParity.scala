@@ -22,8 +22,9 @@ object RefParity extends QueryModule {
     }),
 
     // A13 file-exists: which star-schema tables exist under the sf dir
-    // (exec find → Hadoop FS listing). Rows-only: the oracle can't probe
-    // the filesystem.
+    // (exec find → Hadoop FS listing). Oracle = the fixed fixture contract
+    // (TESTDATA.md: every sf dir ships all ten tables), so a probe failure
+    // surfaces as a hash mismatch.
     "q_file_exists" -> ((s, dir) => {
       import s.implicits._
       val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -36,6 +37,10 @@ object RefParity extends QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
-    "q_ping" -> "SELECT 'Hi' AS request, 'Hello' AS reply, CAST(1 AS BIGINT) AS ok"
+    "q_ping" -> "SELECT 'Hi' AS request, 'Hello' AS reply, CAST(1 AS BIGINT) AS ok",
+    "q_file_exists" -> {
+      val rows = graft.Tables.all.sorted.map(t => s"('$t', TRUE)").mkString(", ")
+      s"SELECT table_name, found FROM (VALUES $rows) t(table_name, found) ORDER BY table_name"
+    }
   )
 }

@@ -215,25 +215,41 @@ object Relational extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
-    // Approximate distinct (HLL) — not oracle-comparable (approximate), so
-    // registered rows-only; correctness pinned by PipelineSpec against exact.
+    // Approximate distinct (HLL++). The sketch value itself is
+    // engine-specific, so the oracled contract is: the exact count (which
+    // DuckDB recomputes) plus `apx_ok` = the sketch landed within its
+    // advertised error bound. HLL registers are max-merged, so the sketch
+    // is deterministic and partitioning-independent — the bound can't
+    // flicker between runs.
     "q_agg_approx_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct("l_partkey", 0.02).as("apx_part"))
+        .agg(
+          approx_count_distinct("l_partkey", 0.02).as("apx"),
+          countDistinct("l_partkey").as("nd_part"))
+        .select(col("l_returnflag"), col("nd_part"),
+          (abs(col("apx") - col("nd_part")) <=
+            col("nd_part").cast("double") * 0.05).as("apx_ok"))
         .orderBy("l_returnflag")
     }),
 
     // Approximate percentiles (the 100 TB path for q_agg_stats' exact
-    // percentiles) — sketch-based, rows-only; accuracy pinned in
-    // PipelineSpec against the exact values.
+    // percentiles). Same oracled self-check contract as
+    // q_agg_approx_distinct: exact percentiles (DuckDB-recomputable) +
+    // `apx_ok` = the sketch is within 1% relative error of exact (the
+    // rank-error bound at accuracy=10000 is far tighter).
     "q_agg_approx_pct" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)").as("pcts"))
+        .agg(
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)").as("pcts"),
+          expr("percentile(l_extendedprice, 0.5)").as("ex_med"),
+          expr("percentile(l_extendedprice, 0.9)").as("ex_p90"))
         .select(col("l_returnflag"),
-          round(element_at(col("pcts"), 1), 2).as("apx_median"),
-          round(element_at(col("pcts"), 2), 2).as("apx_p90"))
+          round(col("ex_med"), 4).as("median_price"),
+          round(col("ex_p90"), 4).as("p90_price"),
+          (abs(element_at(col("pcts"), 1) - col("ex_med")) / col("ex_med") <= 0.01 &&
+           abs(element_at(col("pcts"), 2) - col("ex_p90")) / col("ex_p90") <= 0.01).as("apx_ok"))
         .orderBy("l_returnflag")
     }),
 
@@ -247,8 +263,10 @@ object Relational extends QueryModule {
           round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
           round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
           round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
-          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
-          round(covar_samp(col("l_discount"), col("l_tax")), 6).as("disc_tax_cov"),
+          // `+ 0.0` normalizes IEEE -0.0 → +0.0 (DuckDB rounds tiny negative
+          // covariances to -0.0, which hash-differs from Spark's 0.0).
+          (round(corr(col("l_quantity"), col("l_extendedprice")), 6) + lit(0.0)).as("qty_price_corr"),
+          (round(covar_samp(col("l_discount"), col("l_tax")), 6) + lit(0.0)).as("disc_tax_cov"),
           round(min("l_extendedprice"), 2).as("min_price"),
           round(max("l_extendedprice"), 2).as("max_price"))
         .orderBy("l_returnflag")
@@ -371,13 +389,22 @@ object Relational extends QueryModule {
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part,
          COUNT(DISTINCT l_suppkey) AS nd_supp, COUNT(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_approx_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_part, TRUE AS apx_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_approx_pct" ->
+      """SELECT l_returnflag,
+         ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+         ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+         TRUE AS apx_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_agg_stats" ->
       """SELECT l_returnflag,
          ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
          ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
          ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
-         ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
-         ROUND(covar_samp(l_discount, l_tax), 6) AS disc_tax_cov,
+         ROUND(corr(l_quantity, l_extendedprice), 6) + 0.0 AS qty_price_corr,
+         ROUND(covar_samp(l_discount, l_tax), 6) + 0.0 AS disc_tax_cov,
          ROUND(MIN(l_extendedprice), 2) AS min_price,
          ROUND(MAX(l_extendedprice), 2) AS max_price
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",

@@ -81,8 +81,11 @@ object Similarity extends QueryModule {
     // coefficients). Candidates = vectors sharing any table's band value;
     // exact cosine re-rank inside the candidate set. At scale the (band,
     // sig) pair is the shuffle key — candidate generation is linear in
-    // bucket sizes, never all-pairs. Engine-specific hash family →
-    // rows-only entry; recall vs brute force is pinned in PipelineSpec.
+    // bucket sizes, never all-pairs. The hash family is engine-specific,
+    // so the oracled contract is the accuracy SLA: per probe, ANN's top-3
+    // overlaps the brute-force top-3 (recall@3 > 0), computed against the
+    // in-query exact baseline; the oracle pins the probe set + TRUE.
+    // Full recall distribution is additionally pinned in PipelineSpec.
     "q_sim_ann" -> ((s, dir) => {
       val nTables = 8; val bitsPerTable = 3
       val e = t(s, dir, "embeddings")
@@ -115,9 +118,20 @@ object Similarity extends QueryModule {
         .select("va", "vb", "ea", "eb").distinct()
       val cos = round(graft.functions.CosineSimilarity.cosineSim(col("ea"), col("eb")), 4)
       val w = Window.partitionBy("va").orderBy(col("cosine").desc, col("vb"))
-      cand.select(col("va"), col("vb"), cos.as("cosine"))
+      val ann = cand.select(col("va"), col("vb"), cos.as("cosine"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
-        .orderBy("va", "rn")
+        .select(col("va").as("qid"), col("vb"))
+      // Exact brute-force top-3 for the same probes (the same plan as
+      // q_sim_topk) — the recall baseline, computed in-query.
+      val exact = topk(e.filter(col("vec_id") < 10), e, 3, lit(true))
+        .select(col("qid"), col("vec_id").as("vb"))
+      val hits = ann.join(exact, Seq("qid", "vb"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+      e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"))
+        .join(hits, Seq("qid"), "left")
+        .na.fill(0, Seq("n_hits"))
+        .select(col("qid"), (col("n_hits") >= 1).as("recall_ok"))
+        .orderBy("qid")
     })
   )
 
@@ -143,6 +157,9 @@ object Similarity extends QueryModule {
        SELECT qid, vec_id, cosine, rn FROM ranked WHERE rn <= $k ORDER BY qid, rn"""
 
   def oracles: Map[String, String] = Map(
+    "q_sim_ann" ->
+      """SELECT vec_id AS qid, TRUE AS recall_ok FROM embeddings
+         WHERE vec_id < 10 ORDER BY qid""",
     "q_sim_topk" -> cosineSql("vec_id < 10", "", 5),
     "q_sim_ivf" -> cosineSql("vec_id < 20", "AND q.qlabel = e.label", 3),
     "q_sim_neardup" ->

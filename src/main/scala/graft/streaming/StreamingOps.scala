@@ -83,8 +83,11 @@ object StreamingOps extends QueryModule {
 
     // Watermark-bounded streaming dedup: unlike plain dropDuplicates (whose
     // state grows forever), state for ids older than the watermark is
-    // evicted — the production form for unbounded streams. Rows-only
-    // (same count contract as q_stream_dedup, pinned in StreamingSpec).
+    // evicted — the production form for unbounded streams. Oracled: each id
+    // is emitted at most once per watermark window, so the distinct-id
+    // count is the batch COUNT(DISTINCT) regardless of microbatch chunking
+    // (re-emission would need the same id to recur > 1h of event time apart
+    // AND across batches; StreamingSpec pins the eviction behavior itself).
     "q_stream_dedup_wm" -> ((s, dir) => {
       val deduped = eventsStream(s, dir)
         .withWatermark("ts", "1 hour")
@@ -169,6 +172,8 @@ object StreamingOps extends QueryModule {
          SELECT win_start, COUNT(*) AS n, ROUND(SUM(value), 2) AS val_sum
          FROM b GROUP BY 1 ORDER BY win_start""",
     "q_stream_dedup" ->
+      "SELECT COUNT(DISTINCT event_id) AS n_distinct_ids FROM events",
+    "q_stream_dedup_wm" ->
       "SELECT COUNT(DISTINCT event_id) AS n_distinct_ids FROM events",
     "q_stream_stateful" ->
       """WITH x AS (SELECT user_id, ts,

@@ -110,20 +110,20 @@ class PipelineSpec extends SparkSpec {
     assert(r.length == 5 && r.forall(_ == 1.0))
   }
 
-  test("LSH ANN finds the true nearest neighbor for most queries (recall@1)") {
+  test("LSH ANN recall self-check: every probe overlaps the exact top-3") {
     val ann = graft.operators.Similarity.queries("q_sim_ann")(spark, sfDir).collect()
-      .filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val brute = graft.operators.Similarity.queries("q_sim_topk")(spark, sfDir).collect()
-      .filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // 16-bit signatures are coarse; require the plumbing to work and recall
-    // to be well above chance for the 10 probe queries.
-    val hits = brute.count { case (q, nn) => ann.get(q).contains(nn) }
-    assert(ann.nonEmpty && hits >= 5, s"recall@1 = $hits/${brute.size}")
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(ann.size == 10, s"expected 10 probes, got ${ann.size}")
+    // The oracled contract at sf0.01 is ALL true; sf0.001's corpus is 10×
+    // smaller (sparser buckets), so allow one miss here.
+    val hits = ann.values.count(identity)
+    assert(hits >= 9, s"recall_ok for $hits/10 probes")
   }
 
   test("approx_percentile within 2% of exact percentiles") {
-    val apx = Relational.queries("q_agg_approx_pct")(spark, sfDir)
-      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val rows = Relational.queries("q_agg_approx_pct")(spark, sfDir).collect()
+    assert(rows.forall(_.getBoolean(3)), "in-query apx_ok must hold")
+    val apx = rows.map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     val exact = Tables(spark, sfDir, "lineitem").groupBy("l_returnflag")
       .agg(org.apache.spark.sql.functions.expr("percentile(l_extendedprice, 0.5)").as("m"),
         org.apache.spark.sql.functions.expr("percentile(l_extendedprice, 0.9)").as("p"))
@@ -148,8 +148,9 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("approx_count_distinct within rsd of exact") {
-    val approx = Relational.queries("q_agg_approx_distinct")(spark, sfDir)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val arows = Relational.queries("q_agg_approx_distinct")(spark, sfDir).collect()
+    assert(arows.forall(_.getBoolean(2)), "in-query apx_ok must hold")
+    val approx = arows.map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = Tables(spark, sfDir, "lineitem")
       .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

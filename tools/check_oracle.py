@@ -58,7 +58,11 @@ for name in sorted(oracle):
             if (a is None or (isinstance(a, float) and math.isnan(a)) or pd.isna(a)) and \
                (b is None or (isinstance(b, float) and math.isnan(b)) or pd.isna(b)):
                 continue
-            if a != b:
+            # -0.0 == 0.0 in Python but hashes differently in the driver's
+            # byte-level compare — treat signbit mismatch as a failure.
+            neg_zero = (isinstance(a, float) and isinstance(b, float)
+                        and math.copysign(1.0, a) != math.copysign(1.0, b))
+            if a != b or neg_zero:
                 bad.append(f"row {i} col {c}: spark={a!r} duck={b!r}")
                 if len(bad) > 4: break
         if len(bad) > 4: break
