@@ -28,7 +28,25 @@ object Tables {
       StructField("value", DoubleType), StructField("props", StringType)))
   }
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    parallelize(spark, raw(spark, sfDir, name), s"$sfDir/$name.parquet", name)
+
+  /** Primary key per table — the hash-repartition key [[parallelize]] uses
+    * (hash on a unique key is balanced and needs no sort-before-repartition,
+    * unlike round-robin). */
+  private val pk: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey"), "nation" -> Seq("n_nationkey"),
+    "customer" -> Seq("c_custkey"), "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"), "orders" -> Seq("o_orderkey"),
+    "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+    "events" -> Seq("event_id"), "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  /** The un-fanned scan. For queries whose FIRST operator is already a
+    * key shuffle (groupBy/window/distinct on a key) or a broadcast probe —
+    * there the round-robin exchange from [[parallelize]] is pure overhead
+    * at any scale, since the key shuffle immediately re-distributes. */
+  def raw(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(all.contains(name), s"unknown table: $name")
     if (name == "events") {
       // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark's reader
@@ -40,6 +58,30 @@ object Tables {
         .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** Fan a degenerate scan out to the cluster's parallelism.
+    *
+    * Parquet is only splittable at row-group boundaries, and the local
+    * fixtures are single-row-group files — so every downstream operator
+    * (explode, per-row hashing, partial aggregation) would otherwise run in
+    * ONE task no matter how many cores exist. On a production multi-file /
+    * multi-row-group table the scan already yields ≥ cores splits and this
+    * is a no-op; it only fires for pathological few-split inputs, where one
+    // small round-robin shuffle buys full-width parallelism for everything
+    * above the scan. Dim tables below the broadcast threshold are left
+    * alone (repartitioning them would just add an exchange in front of a
+    * broadcast).
+    */
+  private def parallelize(spark: SparkSession, df: DataFrame, path: String,
+                          name: String): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    val bytes =
+      try new java.io.File(new java.net.URI("file://" + path).getPath).length
+      catch { case _: Throwable => 0L }
+    if (bytes > 400 * 1024 && df.rdd.getNumPartitions * 2 < target)
+      df.repartition(target, pk(name).map(org.apache.spark.sql.functions.col): _*)
+    else df
   }
 }
 

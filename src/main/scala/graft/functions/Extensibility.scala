@@ -20,6 +20,12 @@ object Extensibility extends QueryModule {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  // Raw scan for the queries that aggregate/shuffle on their own keys right
+  // above the scan — there the small-file fan-out shuffle is pure overhead
+  // (the UDAF/UDF already parallelize via map-side partial aggregation).
+  private def tr(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.raw(s, dir, name)
+
   /** Typed weighted-average aggregator: avg(price weighted by qty). */
   object WeightedAvg extends Aggregator[(Double, Double), (Double, Double), Double] {
     def zero: (Double, Double) = (0.0, 0.0)
@@ -37,7 +43,7 @@ object Extensibility extends QueryModule {
     // Typed UDAF: per-flag quantity-weighted mean price.
     "q_udaf_wavg" -> ((s, dir) => {
       val wavg = udaf(WeightedAvg)
-      t(s, dir, "lineitem")
+      tr(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(round(wavg(col("l_extendedprice"), col("l_quantity")), 4).as("wavg_price"),
           count(lit(1)).as("n"))
@@ -48,7 +54,7 @@ object Extensibility extends QueryModule {
     "q_udf_band" -> ((s, dir) => {
       val band = udf((p: Double) =>
         if (p < 50000) "low" else if (p < 200000) "mid" else "high")
-      t(s, dir, "orders")
+      tr(s, dir, "orders")
         .groupBy(band(col("o_totalprice")).as("band"))
         .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 2).as("avg_price"))
         .orderBy("band")
@@ -58,7 +64,7 @@ object Extensibility extends QueryModule {
     // physical exec): top-3 orders per customer with map-side rank pruning.
     // See graft.plans.TopKPerKey.
     "q_topk_perkey" -> ((s, dir) => {
-      val o = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      val o = tr(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
       graft.plans.TopK.perKey(o, 3,
           Seq("o_custkey"),
           Seq("o_totalprice" -> true, "o_orderkey" -> false))

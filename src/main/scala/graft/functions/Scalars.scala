@@ -40,7 +40,7 @@ object Scalars extends QueryModule {
     }),
 
     "q_fn_date" -> ((s, dir) => {
-      t(s, dir, "orders").select(
+      Tables.raw(s, dir, "orders").select(
         col("o_orderkey"),
         year(col("o_orderdate")).as("yr"),
         month(col("o_orderdate")).as("mo"),
@@ -109,7 +109,7 @@ object Scalars extends QueryModule {
 
     // JSON: from_json on events.props (schema 'k INT'), then agg by key.
     "q_fn_json" -> ((s, dir) => {
-      t(s, dir, "events")
+      Tables.raw(s, dir, "events")
         .withColumn("k", from_json(col("props"),
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("k",

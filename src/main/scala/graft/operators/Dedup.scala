@@ -40,9 +40,14 @@ object Dedup extends QueryModule {
     docs.select(col("doc_id"), explode(bigrams).as("s"))
   }
 
-  /** Exact-Jaccard pairs (da < db) with J >= threshold, from a shingle set. */
-  private def jaccardPairs(sh: DataFrame, threshold: Double,
+  /** Exact-Jaccard pairs (da < db) with J >= threshold, from a shingle set.
+    * The shingle frame feeds THREE consumers (sizes, both join sides) in
+    * one action — materialize it eagerly or the shingling pipeline
+    * re-executes per consumer (quadratic-feeling re-computation; at scale
+    * this is `checkpoint` on reliable storage). */
+  private def jaccardPairs(shRaw: DataFrame, threshold: Double,
                            candidates: Option[DataFrame] = None): DataFrame = {
+    val sh = shRaw.localCheckpoint(true)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("da"), col("s"))
     val b = sh.select(col("doc_id").as("db"), col("s"))
@@ -110,11 +115,15 @@ object Dedup extends QueryModule {
       }: _*)
       val banded = mh.select(col("doc_id"), explode(bands).as("bs"))
         .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      // cand appears three times in the verify plan (two per-side semi-joins
+      // + the pair-scoping semi-join) — materialize it once, and banded's
+      // 64-hash agg with it, instead of re-running the LSH pipeline per
+      // consumer.
       val cand = banded.as("x").join(banded.as("y"),
           col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-        .distinct()
+        .distinct().localCheckpoint(true)
       // Materialize before unpersisting the shared shingle frame — leaking
       // the cache across queries starves later queries of executor memory.
       val out = jaccardPairs(sh, 0.85, Some(cand)).localCheckpoint(true)

@@ -17,8 +17,10 @@ import graft.{QueryModule, Tables}
   */
 object Multimodal extends QueryModule {
 
+  // Raw scan: the stub decode/meta passes are cheap per row — the
+  // small-file fan-out shuffle costs more than it saves.
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables(s, dir, name)
+    Tables.raw(s, dir, name)
 
   /** STUB decoder: stands in for an image/audio decode. Deterministic
     * function of the payload bytes only. Feature sums are INTEGER-valued

@@ -28,11 +28,17 @@ object Relational extends QueryModule {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  // Raw scan for queries whose first operator already shuffles on its own
+  // key (groupBy/distinct/window) or broadcast-probes — the small-file
+  // fan-out shuffle in Tables() is pure overhead for those.
+  private def tr(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.raw(s, dir, name)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-style pricing summary: scan→filter→hash agg (partial+final
     // map-side combine comes free from Catalyst).
     "q_pricing_summary" -> ((s, dir) => {
-      t(s, dir, "lineitem")
+      tr(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -76,8 +82,8 @@ object Relational extends QueryModule {
 
     // Large-side shuffle join (orders ⋈ lineitem on orderkey) + distinct agg.
     "q_join_shuffle" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      val l = t(s, dir, "lineitem")
+      val o = tr(s, dir, "orders")
+      val l = tr(s, dir, "lineitem")
       o.join(l, o("o_orderkey") === l("l_orderkey"))
         .groupBy("o_orderpriority")
         .agg(
@@ -126,7 +132,7 @@ object Relational extends QueryModule {
       val buckets = Seq(
         (0.0, 10.0, "b0"), (10.0, 20.0, "b1"), (20.0, 30.0, "b2"),
         (30.0, 40.0, "b3"), (40.0, 50.5, "b4")).toDF("lo", "hi", "bucket")
-      t(s, dir, "lineitem")
+      tr(s, dir, "lineitem")
         .join(broadcast(buckets), col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total"))
@@ -152,7 +158,7 @@ object Relational extends QueryModule {
     // Top-k: Catalyst rewrites orderBy+limit to TakeOrderedAndProject (no
     // global sort of the full table).
     "q_topk" -> ((s, dir) => {
-      t(s, dir, "orders")
+      tr(s, dir, "orders")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)
         .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("price"))
@@ -160,7 +166,7 @@ object Relational extends QueryModule {
 
     // Set ops: INTERSECT / EXCEPT / UNION(distinct) with tags.
     "q_setops" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
+      val o = tr(s, dir, "orders")
       def yr(y: Int): DataFrame =
         o.filter(year(col("o_orderdate")) === y).select("o_custkey").distinct()
       val both = yr(1995).intersect(yr(1996)).withColumn("tag", lit("both"))
@@ -172,7 +178,7 @@ object Relational extends QueryModule {
     // Multiset set-ops: INTERSECT ALL / EXCEPT ALL keep duplicate
     // cardinalities (lineitem has many lines per (orderkey, suppkey)).
     "q_setops_all" -> ((s, dir) => {
-      val l = t(s, dir, "lineitem")
+      val l = tr(s, dir, "lineitem")
       def keys(flag: String): DataFrame =
         l.filter(col("l_returnflag") === flag).select("l_suppkey")
       val ia = keys("A").intersectAll(keys("R")).groupBy("l_suppkey")
@@ -183,7 +189,7 @@ object Relational extends QueryModule {
     }),
 
     "q_rollup" -> ((s, dir) => {
-      t(s, dir, "lineitem")
+      tr(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
@@ -197,7 +203,7 @@ object Relational extends QueryModule {
     }),
 
     "q_grouping_sets" -> ((s, dir) => {
-      t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      tr(s, dir, "orders").createOrReplaceTempView("orders_gs")
       s.sql("""
         SELECT o_orderstatus, o_orderpriority, count(*) AS n
         FROM orders_gs
@@ -274,7 +280,7 @@ object Relational extends QueryModule {
 
     // Pivot: event_type counts per user, fixed column set for a stable schema.
     "q_pivot_events" -> ((s, dir) => {
-      t(s, dir, "events")
+      tr(s, dir, "events")
         .groupBy("user_id")
         .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
         .agg(count(lit(1)))

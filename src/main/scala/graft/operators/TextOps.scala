@@ -16,8 +16,10 @@ import graft.{QueryModule, Tables}
   */
 object TextOps extends QueryModule {
 
+  // Raw scan: text queries do one cheap projection pass then aggregate —
+  // the small-file fan-out shuffle costs more than it saves here.
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables(s, dir, name)
+    Tables.raw(s, dir, name)
 
   /** documents.text is single-space separated (verified in TESTDATA recon). */
   private val toks: Column = split(col("text"), " ")

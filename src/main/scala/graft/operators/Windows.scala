@@ -19,8 +19,10 @@ import graft.{QueryModule, Tables}
   */
 object Windows extends QueryModule {
 
+  // Raw scan: every window query's first operator IS the window's
+  // partition-key shuffle, so a pre-repartition exchange is pure overhead.
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables(s, dir, name)
+    Tables.raw(s, dir, name)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_win_rank" -> ((s, dir) => {

@@ -144,7 +144,7 @@ object StreamingOps extends QueryModule {
     // the final unexpired sessions, so batch is the oracle-comparable form;
     // the same plan runs under readStream in update mode).
     "q_session_window" -> ((s, dir) => {
-      Tables(s, dir, "events")
+      Tables.raw(s, dir, "events")
         .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
         .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("val_sum"))
         .select(col("user_id"), col("sw.start").as("session_start"),
