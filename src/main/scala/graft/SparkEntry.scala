@@ -11,6 +11,8 @@ object SparkEntry {
   /** Every operator module. Key sets must be disjoint (enforced below). */
   val modules: Seq[QueryModule] = Seq(
     graft.operators.Relational,
+    graft.operators.Headline,
+    graft.sources.FileFormats,
     graft.functions.Scalars,
     graft.operators.Windows,
     graft.operators.GraphQueries,

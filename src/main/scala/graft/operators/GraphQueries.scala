@@ -107,6 +107,17 @@ object GraphQueries extends QueryModule {
         .agg(count(lit(1)).as("n_triangles"))
     }),
 
+    // Weighted single-source shortest paths over the ring graph, weight =
+    // 1 + (src+dst) mod 5 (deterministic, strictly positive). Frontier-
+    // based Bellman-Ford (GraphOps.sssp); oracle = bounded-cost recursive
+    // walk (every optimal distance ≤ 5 × BFS diameter, so the 60 cap is
+    // safely above any shortest path while keeping the walk finite).
+    "q_graph_sssp" -> ((s, dir) => {
+      val e = ringEdges(s, dir)
+        .select(col("src"), col("dst"), (lit(1) + (col("src") + col("dst")) % 5).as("w"))
+      GraphOps.sssp(s, e, 0L).orderBy("v")
+    }),
+
     // Connected components over the hierarchy graph: 1 per region.
     "q_graph_cc" -> ((s, dir) =>
       GraphOps.connectedComponents(s, hierEdges(s, dir))
@@ -169,6 +180,19 @@ object GraphQueries extends QueryModule {
                  FROM e WHERE src <> dst)
          SELECT COUNT(*) AS n_triangles
          FROM und x JOIN und y ON x.b = y.a JOIN und z ON z.a = x.a AND z.b = y.b""",
+    "q_graph_sssp" ->
+      """WITH RECURSIVE e AS (
+           SELECT c_custkey AS src, (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst FROM customer
+           UNION ALL SELECT c_custkey, (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer
+           UNION ALL SELECT c_custkey, (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer),
+         we AS (SELECT src, dst, 1 + (src + dst) % 5 AS w FROM e),
+         walk(v, d) AS (
+           SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+           UNION
+           SELECT we.dst, w.d + we.w FROM walk w JOIN we ON we.src = w.v
+           WHERE w.d + we.w <= 60),
+         best AS (SELECT v, MIN(d) AS dist FROM walk GROUP BY v)
+         SELECT v, dist FROM best ORDER BY v""",
     "q_graph_cc" ->
       """WITH RECURSIVE e AS (
            SELECT CAST(n_nationkey+10 AS BIGINT) AS src, CAST(n_regionkey AS BIGINT) AS dst FROM nation

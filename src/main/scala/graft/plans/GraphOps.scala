@@ -149,6 +149,41 @@ object GraphOps {
     ranks
   }
 
+  /** Single-source shortest paths over weighted edges
+    * `(src: long, dst: long, w: long)`, positive weights — delta-stepping-
+    * style Bellman-Ford: only vertices whose distance improved last round
+    * (the "settled frontier") propagate relaxations, so each superstep is
+    * one frontier⋈edges join + a min-merge, not a full |V| relaxation.
+    * Returns `(v, dist)` for every vertex reachable from `start`.
+    */
+  def sssp(spark: SparkSession, edges: DataFrame, start: Long, maxIter: Int = 100): DataFrame = {
+    import spark.implicits._
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+      col("w").cast("long")).persist()
+    var dist = Seq((start, 0L)).toDF("v", "dist").localCheckpoint(true)
+    var frontier = dist
+    var i = 0
+    while (i < maxIter && !frontier.isEmpty) {
+      // Candidate relaxations from the improved set only.
+      val cand = e.join(broadcast(frontier), frontier("v") === e("src"))
+        .select(e("dst").as("v"), (col("dist") + col("w")).as("nd"))
+        .groupBy("v").agg(min("nd").as("nd"))
+        .localCheckpoint(true)
+      val merged = dist.as("d").join(cand.as("c"), Seq("v"), "full_outer")
+        .select(col("v"),
+          least(coalesce(col("d.dist"), lit(Long.MaxValue)),
+                coalesce(col("c.nd"), lit(Long.MaxValue))).as("dist"),
+          (coalesce(col("c.nd"), lit(Long.MaxValue)) <
+           coalesce(col("d.dist"), lit(Long.MaxValue))).as("improved"))
+        .localCheckpoint(true)
+      frontier = merged.filter(col("improved")).select("v", "dist").localCheckpoint(true)
+      dist = merged.select("v", "dist")
+      i += 1
+    }
+    e.unpersist()
+    dist
+  }
+
   /** Connected components by iterative min-label propagation over an
     * edge list that must already contain BOTH directions of every edge.
     * Returns `(v: long, comp: long)` where comp = min vertex id in the

@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.{QueryModule, Tables}
+
+/** CSV / JSON source+sink surface (B1/B2 beyond parquet), exercised as
+  * oracled queries: project a table, write it through the text format,
+  * read it back with an explicit schema, aggregate — the result must equal
+  * the same aggregate computed straight from parquet (which is exactly what
+  * the DuckDB oracle does). Doubles survive the text round-trip exactly
+  * (Spark writes the shortest representation that parses back to the same
+  * bit pattern).
+  *
+  * At scale both formats split by line across many files — the read-back
+  * parallelizes like any other scan; the point here is the codec + schema
+  * plumbing, not the staging write (a production pipeline would land data
+  * in columnar form once and keep it there).
+  */
+object FileFormats extends QueryModule {
+
+  private def stage(dir: String, tag: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_stage_${tag}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // parquet → CSV (header) → explicit-schema read-back → aggregate.
+    "q_src_csv" -> ((s, dir) => {
+      val path = stage(dir, "csv")
+      Tables.raw(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").option("header", "true").csv(path)
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+        StructField("o_totalprice", DoubleType), StructField("o_orderpriority", StringType)))
+      s.read.option("header", "true").schema(schema).csv(path)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // parquet → JSON lines → explicit-schema read-back → aggregate. The
+    // props column is a JSON *string inside* the JSON document — quoting
+    // must survive the round-trip for the count to match.
+    "q_src_json" -> ((s, dir) => {
+      val path = stage(dir, "json")
+      Tables.raw(s, dir, "events")
+        .select("event_id", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").json(path)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType),
+        StructField("props", StringType)))
+      s.read.schema(schema).json(path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum("value"), 2).as("val_sum"),
+          countDistinct("props").as("nd_props"))
+        .orderBy("event_type")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_src_csv" ->
+      """SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_src_json" ->
+      """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS val_sum,
+         COUNT(DISTINCT props) AS nd_props
+         FROM events GROUP BY event_type ORDER BY event_type"""
+  )
+}

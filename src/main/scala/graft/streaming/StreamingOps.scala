@@ -36,12 +36,24 @@ object StreamingOps extends QueryModule {
   }
 
   /** Run a streaming aggregation to completion on a memory sink, return
-    * the materialized table. */
+    * the materialized table.
+    *
+    * Stateful operators allocate state stores PER shuffle partition (a
+    * stream-stream join allocates four) and the partition count freezes
+    * into the checkpoint at first run — so it must be sized to the
+    * stream's throughput, not the session's batch default. At this volume
+    * 8 partitions cuts store-init overhead ~4× (the batch conf is
+    * restored after the run; microbatch planning reads it at execution).
+    */
   private def runToMemory(s: SparkSession, agg: DataFrame, name: String,
                           mode: String): DataFrame = {
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 
@@ -95,6 +107,32 @@ object StreamingOps extends QueryModule {
         .select("event_id")
       runToMemory(s, deduped, "t_stream_dedup_wm", "append")
         .agg(count(lit(1)).as("n_distinct_ids"))
+    }),
+
+    // Stream-stream inner join: purchases joined to the same user's clicks
+    // within a 30-minute event-time window. Both sides carry watermarks and
+    // the join condition bounds event time on both ends — that is what lets
+    // the state store evict rows (the unbounded-state trap of stream-stream
+    // joins). Inner join in append mode emits exactly the batch-join pairs,
+    // so the batch SQL oracle applies.
+    "q_stream_join" -> ((s, dir) => {
+      val clicks = eventsStream(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("cts"))
+        .withWatermark("cts", "1 hour")
+      val purchases = eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("pts"))
+        .withWatermark("pts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("cu") === col("pu") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr("INTERVAL 30 MINUTES"))
+      val run = runToMemory(s, joined.select(col("cu"), col("cts"), col("pts")),
+        "t_stream_join", "append")
+      run.groupBy(col("cu").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
     }),
 
     // Custom stateful streaming: flatMapGroupsWithState tracking per-user
@@ -175,6 +213,13 @@ object StreamingOps extends QueryModule {
       "SELECT COUNT(DISTINCT event_id) AS n_distinct_ids FROM events",
     "q_stream_dedup_wm" ->
       "SELECT COUNT(DISTINCT event_id) AS n_distinct_ids FROM events",
+    "q_stream_join" ->
+      """SELECT c.user_id, COUNT(*) AS n_pairs
+         FROM events c JOIN events p
+           ON p.user_id = c.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+         GROUP BY c.user_id ORDER BY c.user_id""",
     "q_stream_stateful" ->
       """WITH x AS (SELECT user_id, ts,
            CASE WHEN lag(ts) OVER w IS NULL

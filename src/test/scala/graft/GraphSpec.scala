@@ -110,6 +110,27 @@ class GraphSpec extends SparkSpec {
     assert(cc == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("sssp on a hand graph + dominance over BFS levels on the ring graph") {
+    import spark.implicits._
+    // 0→1 (w by rule 1+(s+d)%5), hand-check: 0→1 w=2, 1→2 w=4, 0→2 direct w=3.
+    val e = Seq((0L, 1L), (1L, 2L), (0L, 2L))
+      .toDF("src", "dst")
+      .selectExpr("src", "dst", "1 + (src + dst) % 5 AS w")
+    val d = GraphOps.sssp(spark, e, 0L).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(0L -> 0L, 1L -> 2L, 2L -> 3L)) // direct 0→2 beats 0→1→2 (2+4)
+    // Invariant on the real graph: hops(v) <= dist(v) <= 5 * hops(v)
+    // (weights are 1..5), and both traversals reach the same vertex set.
+    val lv = graft.operators.GraphQueries.queries("q_graph_bfs")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ds = graft.operators.GraphQueries.queries("q_graph_sssp")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ds.keySet == lv.keySet)
+    for ((v, l) <- lv) {
+      assert(ds(v) >= l, s"v=$v dist=${ds(v)} level=$l")
+      assert(ds(v) <= 5L * l || l == 0, s"v=$v dist=${ds(v)} level=$l")
+    }
+  }
+
   test("GraphStore create/modify snapshot semantics (A1/A2)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graphstore").toString + "/g"

@@ -29,6 +29,23 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream join == batch time-window join") {
+    val streamed = StreamingOps.queries("q_stream_join")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ev = Tables(spark, sfDir, "events")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val batch = c.join(p, col("cu") === col("pu") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr("INTERVAL 30 MINUTES"))
+      .groupBy(col("cu")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("watermark drops late data (checkpoint-restored watermark, with control)") {
     import org.apache.spark.sql.streaming.Trigger
     import java.nio.file.Files
