@@ -39,6 +39,24 @@ object Scalars extends QueryModule {
         .orderBy("p_partkey")
     }),
 
+    // NULL semantics: NULLIF/COALESCE, count(*) vs count(col) (nulls
+    // skipped), distinct over nulls, null-safe equality (<=> here,
+    // IS NOT DISTINCT FROM in the oracle), and the NULLIF(x,x) → all-null
+    // aggregate → COALESCE fallback round trip.
+    "q_fn_null" -> ((s, dir) => {
+      Tables.raw(s, dir, "orders")
+        .withColumn("st", nullif(col("o_orderstatus"), lit("F")))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_all"),
+          count(col("st")).as("n_nonnull"),
+          countDistinct(col("st")).as("nd_st"),
+          sum(when(col("st") <=> lit(null).cast("string"), 1).otherwise(0)).as("n_f"),
+          coalesce(max(nullif(col("o_orderstatus"), col("o_orderstatus"))), lit("none"))
+            .as("all_null_marker"))
+        .orderBy("o_orderpriority")
+    }),
+
     "q_fn_date" -> ((s, dir) => {
       Tables.raw(s, dir, "orders").select(
         col("o_orderkey"),
@@ -131,6 +149,14 @@ object Scalars extends QueryModule {
          lpad(CAST(p_partkey AS VARCHAR), 6, '0') AS pk_pad,
          CAST(strpos(p_name, 'a') AS INT) AS first_a
          FROM part ORDER BY p_partkey""",
+    "q_fn_null" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_all,
+         COUNT(NULLIF(o_orderstatus, 'F')) AS n_nonnull,
+         COUNT(DISTINCT NULLIF(o_orderstatus, 'F')) AS nd_st,
+         CAST(SUM(CASE WHEN NULLIF(o_orderstatus, 'F') IS NOT DISTINCT FROM NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+         COALESCE(MAX(NULLIF(o_orderstatus, o_orderstatus)), 'none') AS all_null_marker
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_fn_date" ->
       """SELECT o_orderkey,
          CAST(year(o_orderdate) AS INT) AS yr,

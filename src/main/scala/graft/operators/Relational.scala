@@ -115,6 +115,31 @@ object Relational extends QueryModule {
         .orderBy("c_nationkey")
     }),
 
+    // Full outer join: per-nation customer vs supplier rollups, keeping
+    // nations that have only one side (null-filled on the other).
+    "q_join_full" -> ((s, dir) => {
+      val c = tr(s, dir, "customer").filter(col("c_acctbal") > 9000.0)
+        .groupBy(col("c_nationkey").as("nk_c"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sup = tr(s, dir, "supplier").filter(col("s_acctbal") > 4000.0)
+        .groupBy(col("s_nationkey").as("nk_s"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(sup, col("nk_c") === col("nk_s"), "full_outer")
+        .select(coalesce(col("nk_c"), col("nk_s")).as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nationkey")
+    }),
+
+    // Cross join (bounded: two tiny dims) — the explicit cartesian product.
+    "q_join_cross" -> ((s, dir) => {
+      val r = t(s, dir, "region").select("r_regionkey", "r_name")
+      val seg = tr(s, dir, "customer").select("c_mktsegment").distinct()
+      r.crossJoin(seg)
+        .select(col("r_regionkey"), col("r_name"), col("c_mktsegment"))
+        .orderBy("r_regionkey", "c_mktsegment")
+    }),
+
     // Theta join: equi key (nation) + non-equi residual (acctbal ordering).
     "q_join_theta" -> ((s, dir) => {
       val sup = t(s, dir, "supplier")
@@ -329,6 +354,20 @@ object Relational extends QueryModule {
       """SELECT c_nationkey, COUNT(*) AS n_silent FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
          GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q_join_full" ->
+      """SELECT COALESCE(nk_c, nk_s) AS nationkey,
+         COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+         FROM (SELECT c_nationkey AS nk_c, COUNT(*) AS n_cust
+               FROM customer WHERE c_acctbal > 9000.0 GROUP BY 1) c
+         FULL OUTER JOIN
+              (SELECT s_nationkey AS nk_s, COUNT(*) AS n_supp
+               FROM supplier WHERE s_acctbal > 4000.0 GROUP BY 1) s
+           ON nk_c = nk_s
+         ORDER BY nationkey""",
+    "q_join_cross" ->
+      """SELECT r_regionkey, r_name, c_mktsegment
+         FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer)
+         ORDER BY r_regionkey, c_mktsegment""",
     "q_join_theta" ->
       """SELECT s_suppkey, COUNT(*) AS n_richer,
          ROUND(SUM(c_acctbal - s_acctbal),2) AS gap_sum

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{QueryModule, Tables}
 
 /** Text analysis over `documents` — generalizes the reference's one text
@@ -79,6 +80,46 @@ object TextOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // BPE-ish regex tokenization: lowercase, then split into word pieces /
+    // digit runs / single punctuation marks — the pre-tokenization pass a
+    // byte-pair tokenizer runs before merges. Counts per class per doc;
+    // token-budget estimate = pieces (what an LLM pipeline bills by).
+    "q_text_tokens_bpe" -> ((s, dir) => {
+      val pieces = expr(
+        """regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)""")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(pieces).as("n_pieces"),
+        size(filter(pieces, p => p.rlike("^[a-z]+$"))).as("n_words"),
+        size(filter(pieces, p => p.rlike("^[0-9]+$"))).as("n_nums"),
+        size(filter(pieces, p => !p.rlike("^[a-z0-9]+$"))).as("n_punct"))
+        .orderBy("doc_id")
+    }),
+
+    // Winnowing fingerprints (the MOSS scheme): hash every char 8-gram
+    // (portable md5-derived 60-bit hash, same family as q_dedup_simhash),
+    // take the min hash of each sliding window of 16 consecutive grams,
+    // keep the distinct mins — a position-robust document signature whose
+    // density is guaranteed by the window size. Bounded slice (doc_id <
+    // 1000) like q_dedup_ngram; each stage is one projection + one window
+    // over (doc, position), so at scale it is a single shuffle on doc_id.
+    "q_text_winnow" -> ((s, dir) => {
+      val k = 8; val w = 16
+      val grams = t(s, dir, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")) - k + 1)).as("p"))
+        .select(col("doc_id"), col("p"),
+          conv(substring(md5(expr(s"substring(text, p, $k)")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+      val win = Window.partitionBy("doc_id").orderBy("p")
+        .rowsBetween(Window.currentRow, w - 1)
+      grams.select(col("doc_id"), min("h").over(win).as("wh"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fp"), min("wh").as("min_fp"), max("wh").as("max_fp"))
+        .orderBy("doc_id")
+    }),
+
     // Positional fingerprint: sum((i+1) * len(token_i)) mod 1000003, plus
     // boundary tokens — a cheap order-sensitive document signature.
     "q_text_fingerprint" -> ((s, dir) => {
@@ -131,6 +172,32 @@ object TextOps extends QueryModule {
                  WHEN awl >= 5.0 THEN 'de'
                  ELSE 'other' END) = lang AS is_match
          FROM f ORDER BY doc_id""",
+    "q_text_tokens_bpe" ->
+      """WITH p AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]') AS pieces
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(pieces) AS INT) AS n_pieces,
+           CAST(len(list_filter(pieces, x -> regexp_matches(x, '^[a-z]+$'))) AS INT) AS n_words,
+           CAST(len(list_filter(pieces, x -> regexp_matches(x, '^[0-9]+$'))) AS INT) AS n_nums,
+           CAST(len(list_filter(pieces, x -> NOT regexp_matches(x, '^[a-z0-9]+$'))) AS INT) AS n_punct
+         FROM p ORDER BY doc_id""",
+    // Same md5-derived 60-bit gram hash as the Spark side (hex parse via
+    // strpos), same 16-gram sliding-window min, distinct mins per doc.
+    "q_text_winnow" ->
+      """WITH g AS (SELECT doc_id, p,
+             list_sum([(strpos('0123456789abcdef', md5(substr(text, CAST(p AS INT), 8))[i]) - 1)::BIGINT
+                       * (1::BIGINT << (4 * (15 - i))) for i in range(1, 16)]) AS h
+           FROM (SELECT doc_id, text, unnest(range(1, len(text) - 8 + 2)) AS p
+                 FROM documents WHERE doc_id < 1000)),
+         wm AS (SELECT doc_id,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wh
+           FROM g),
+         fp AS (SELECT DISTINCT doc_id, wh FROM wm)
+         SELECT doc_id, COUNT(*) AS n_fp,
+           CAST(MIN(wh) AS BIGINT) AS min_fp, CAST(MAX(wh) AS BIGINT) AS max_fp
+         FROM fp GROUP BY doc_id ORDER BY doc_id""",
     "q_text_fingerprint" ->
       """SELECT doc_id,
          CAST(SUM(i * length(tok)) AS BIGINT) % 1000003 AS fp,
