@@ -28,6 +28,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"cosine_sim expects 2 arguments, got ${other.size}")
         }))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("ngrams_gen"),
+      new ExpressionInfo(classOf[functions.NGramsGen].getName, "ngrams_gen"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        children match {
+          case Seq(tokens, n) =>
+            functions.NGramsGen(tokens, n.eval(null).asInstanceOf[Int])
+          case other => throw new IllegalArgumentException(
+            s"ngrams_gen expects (array, n), got ${other.size} args")
+        }))
     ext.injectOptimizerRule(_ => plans.GraftRules.CollapseDoubleRound)
     ext.injectPlannerStrategy(_ => plans.TopKPerKeyStrategy)
   }

@@ -73,6 +73,18 @@ object Extensibility extends QueryModule {
           round(col("o_totalprice"), 2).as("price"))
     }),
 
+    // Custom UDTF (Catalyst Generator): word trigrams per document via the
+    // native Generate operator; recurring trigrams per language.
+    "q_udtf_ngrams" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      t(s, dir, "documents")
+        .select(col("lang"), NGramsGen.ngrams(toks, 3).as("ngram"))
+        .groupBy("lang", "ngram")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 3)
+        .orderBy("lang", "ngram")
+    }),
+
     // Native codegen Expression: same result contract as q_sim_topk but the
     // cosine runs in one fused loop (see CosineSimilarity scaladoc).
     "q_sim_expr" -> ((s, dir) => {
@@ -109,6 +121,16 @@ object Extensibility extends QueryModule {
                ORDER BY o_totalprice DESC, o_orderkey) AS rn
            FROM orders) WHERE rn <= 3
          ORDER BY o_custkey, o_totalprice DESC, o_orderkey""",
+    "q_udtf_ngrams" ->
+      """WITH tk AS (SELECT lang, string_split(text, ' ') AS t FROM documents),
+         pos AS (SELECT lang, t, unnest(range(1, len(t) - 1)) AS i FROM tk),
+         ng AS (SELECT lang,
+             t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' ||
+             t[CAST(i AS INT) + 2] AS ngram
+           FROM pos)
+         SELECT lang, ngram, COUNT(*) AS n FROM ng
+         GROUP BY lang, ngram HAVING COUNT(*) >= 3
+         ORDER BY lang, ngram""",
     // identical result contract to q_sim_topk → same oracle, by reference
     "q_sim_expr" -> graft.operators.Similarity.cosineSql("vec_id < 10", "", 5)
   )

@@ -101,6 +101,27 @@ class PipelineSpec extends SparkSpec {
     assert(expr == hof)
   }
 
+  test("custom generator UDTF: == HOF trigrams, and SQL/LATERAL VIEW callable") {
+    import graft.functions.NGramsGen
+    val docs = Tables(spark, sfDir, "documents").filter(col("doc_id") < 50)
+    val viaGen = docs
+      .select(col("doc_id"), NGramsGen.ngrams(split(col("text"), " "), 3).as("ngram"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val viaHof = docs
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk)-2), i -> concat_ws(' ', tk[i-1], tk[i], tk[i+1]))")).as("ngram"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(viaGen.nonEmpty && viaGen.sameElements(viaHof))
+    NGramsGen.registerSql(spark)
+    docs.createOrReplaceTempView("docs_gen")
+    val viaSql = spark.sql(
+      """SELECT doc_id, ngram FROM docs_gen
+         LATERAL VIEW ngrams_gen(split(text, ' '), 3) t AS ngram""")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(viaSql.sameElements(viaGen))
+  }
+
   test("cosine_sim is callable from SQL after registry injection") {
     graft.functions.CosineSimilarity.registerSql(spark)
     Tables(spark, sfDir, "embeddings").createOrReplaceTempView("emb_sql")

@@ -80,6 +80,23 @@ class ScaleSpec extends SparkSpec {
       s"expected final ≺ Exchange ≺ partial in:\n${plan.take(800)}")
   }
 
+  test("plan shapes: pushed filters, broadcast joins, top-k rewrite, Generate") {
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+    // predicate pushdown reaches the parquet scan
+    assert(plan("q_filter_predicates").contains("PushedFilters: [IsNotNull"),
+      "filters should be pushed to the scan")
+    // the 6-way join keeps its dims broadcast (explicit hints honored)
+    assert(plan("q_tpch_q5").contains("BroadcastHashJoin"),
+      "q5 dims should broadcast")
+    // orderBy+limit is rewritten to TakeOrderedAndProject (no global sort)
+    assert(plan("q_topk").contains("TakeOrderedAndProject"),
+      "top-k should avoid a global sort")
+    // the custom UDTF is planned through the native Generate operator
+    assert(plan("q_udtf_ngrams").contains("Generate"),
+      "ngrams generator should plan as Generate")
+  }
+
   test("CollapseDoubleRound rule fires via extraOptimizations and preserves results") {
     import spark.implicits._
     GraftRules.install(spark)
