@@ -303,6 +303,33 @@ object Relational extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    // Deterministic hash sampling — the reproducible alternative to
+    // df.sample() (whose output depends on partitioning): keep rows whose
+    // portable key hash lands in the first 5 of 100 residue classes. The
+    // same rows are selected on any engine, any partitioning, any run —
+    // the property a 100 TB pipeline needs for resumable sampled jobs.
+    "q_sample_hash" -> ((s, dir) => {
+      val h = conv(substring(md5(col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+      tr(s, dir, "orders")
+        .filter(h % 100 < 5)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_sampled"),
+          round(sum("o_totalprice"), 2).as("sampled_total"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Equi-width histogram: fixed-width buckets keep the plan a single
+    // hash aggregation (no sort, no percentile state) — the scalable
+    // first look at a distribution.
+    "q_agg_histogram" -> ((s, dir) => {
+      tr(s, dir, "lineitem")
+        .withColumn("bucket", floor(col("l_extendedprice") / 5000).cast("int"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), round(avg("l_extendedprice"), 2).as("avg_price"))
+        .orderBy("bucket")
+    }),
+
     // Pivot: event_type counts per user, fixed column set for a stable schema.
     "q_pivot_events" -> ((s, dir) => {
       tr(s, dir, "events")
@@ -453,6 +480,18 @@ object Relational extends QueryModule {
          ROUND(MIN(l_extendedprice), 2) AS min_price,
          ROUND(MAX(l_extendedprice), 2) AS max_price
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_sample_hash" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_sampled,
+         ROUND(SUM(o_totalprice), 2) AS sampled_total
+         FROM orders
+         WHERE list_sum([(strpos('0123456789abcdef',
+                  md5(CAST(o_orderkey AS VARCHAR))[i]) - 1)::BIGINT
+                * (1::BIGINT << (4 * (15 - i))) for i in range(1, 16)]) % 100 < 5
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_agg_histogram" ->
+      """SELECT CAST(FLOOR(l_extendedprice / 5000) AS INT) AS bucket,
+         COUNT(*) AS n, ROUND(AVG(l_extendedprice), 2) AS avg_price
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q_pivot_events" ->
       """SELECT user_id,
          COUNT(*) FILTER (WHERE event_type='click') AS click,

@@ -84,6 +84,55 @@ object Windows extends QueryModule {
         .orderBy("o_orderkey")
     }),
 
+    // The SCALE formulation of q_win_range: identical result contract, but
+    // instead of one window per o_orderstatus (parallelism capped at 3
+    // groups), rows are bucketed into price bands exactly as wide as the
+    // frame (10000), so the [p−10000, p] frame spans at most the row's own
+    // band and the previous one. Pass 1: per-(status, band) totals.
+    // Pass 2: within-band running RANGE count/sum (small partitions), plus
+    // a probe row at value p−10000 merged into the PREVIOUS band whose
+    // running count/sum (probes sorted before equal-valued data rows)
+    // gives the strictly-below-cut prefix — prev-band contribution =
+    // band total − prefix. All partitions are (status, band): fine-grained,
+    // shuffle-parallel, no 3-group bottleneck.
+    "q_win_range_banded" -> ((s, dir) => {
+      val W = 10000.0
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("band", floor(col("o_totalprice") / W))
+      // In-band part: RANGE frame within the (status, band) partition.
+      val wIn = Window.partitionBy("o_orderstatus", "band")
+        .orderBy(col("o_totalprice")).rangeBetween(Window.unboundedPreceding, 0)
+      val inBand = o
+        .withColumn("in_n", count(lit(1)).over(wIn))
+        .withColumn("in_sum", sum("o_totalprice").over(wIn))
+      // Prev-band part via merged probes: data rows (w=1) + probe rows
+      // (w=0) at cut = p − W, keyed into band − 1.
+      val data = o.select(col("o_orderstatus"), col("band"),
+        col("o_totalprice").as("v"), lit(1L).as("w"),
+        lit(null).cast("long").as("probe_key"))
+      val probes = o.select(col("o_orderstatus"), (col("band") - 1).as("band"),
+        (col("o_totalprice") - W).as("v"), lit(0L).as("w"),
+        col("o_orderkey").as("probe_key"))
+      val wRun = Window.partitionBy("o_orderstatus", "band")
+        .orderBy(col("v"), col("w")).rowsBetween(Window.unboundedPreceding, 0)
+      val wTot = Window.partitionBy("o_orderstatus", "band")
+      val merged = data.union(probes)
+        .withColumn("below_n", sum(col("w")).over(wRun))
+        .withColumn("below_sum", sum(col("v") * col("w").cast("double")).over(wRun))
+        .withColumn("tot_n", sum(col("w")).over(wTot))
+        .withColumn("tot_sum", sum(col("v") * col("w").cast("double")).over(wTot))
+      val prev = merged.filter(col("probe_key").isNotNull)
+        .select(col("probe_key").as("o_orderkey"),
+          (col("tot_n") - col("below_n")).as("prev_n"),
+          (col("tot_sum") - col("below_sum")).as("prev_sum"))
+      inBand.join(prev, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("in_n") + col("prev_n")).as("n_in_band"),
+          round(col("in_sum") + col("prev_sum"), 2).as("band_total"))
+        .orderBy("o_orderkey")
+    }),
+
     "q_win_ntile" -> ((s, dir) => {
       val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
       t(s, dir, "customer").select(
@@ -132,6 +181,16 @@ object Windows extends QueryModule {
            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY o_orderkey""",
     "q_win_range" ->
+      """SELECT o_orderkey, o_orderstatus,
+         COUNT(*) OVER w AS n_in_band,
+         ROUND(SUM(o_totalprice) OVER w, 2) AS band_total
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+           RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+         ORDER BY o_orderkey""",
+    // Identical result contract to q_win_range — the banded rewrite must
+    // reproduce the straightforward RANGE-frame window bit-for-bit.
+    "q_win_range_banded" ->
       """SELECT o_orderkey, o_orderstatus,
          COUNT(*) OVER w AS n_in_band,
          ROUND(SUM(o_totalprice) OVER w, 2) AS band_total

@@ -80,6 +80,14 @@ class ScaleSpec extends SparkSpec {
       s"expected final ≺ Exchange ≺ partial in:\n${plan.take(800)}")
   }
 
+  test("banded RANGE-window rewrite == direct RANGE window") {
+    val direct = SparkEntry.queries("q_win_range")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).sorted
+    val banded = SparkEntry.queries("q_win_range_banded")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).sorted
+    assert(direct.nonEmpty && direct.sameElements(banded))
+  }
+
   test("plan shapes: pushed filters, broadcast joins, top-k rewrite, Generate") {
     def plan(name: String): String =
       SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
