@@ -303,6 +303,22 @@ object Relational extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    // Salted skew join as an oracled query: lineitem (probe, suppkey-
+    // skew-prone at scale) ⋈ supplier, salted 8 ways — the hot-key
+    // countermeasure when the build side is replicable. Result must equal
+    // the plain join (which is exactly what the oracle computes).
+    "q_join_salted" -> ((s, dir) => {
+      val l = tr(s, dir, "lineitem")
+        .select(col("l_suppkey").as("k"), col("l_extendedprice"))
+      val sup = tr(s, dir, "supplier")
+        .select(col("s_suppkey").as("k"), col("s_nationkey"))
+      graft.plans.SkewJoin.saltedJoin(l, sup, "k", 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum("l_extendedprice"), 2).as("total"))
+        .orderBy("s_nationkey")
+    }),
+
     // Deterministic hash sampling — the reproducible alternative to
     // df.sample() (whose output depends on partitioning): keep rows whose
     // portable key hash lands in the first 5 of 100 residue classes. The
@@ -480,6 +496,11 @@ object Relational extends QueryModule {
          ROUND(MIN(l_extendedprice), 2) AS min_price,
          ROUND(MAX(l_extendedprice), 2) AS max_price
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_join_salted" ->
+      """SELECT s_nationkey, COUNT(*) AS n_lines,
+         ROUND(SUM(l_extendedprice), 2) AS total
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_nationkey ORDER BY s_nationkey""",
     "q_sample_hash" ->
       """SELECT o_orderpriority, COUNT(*) AS n_sampled,
          ROUND(SUM(o_totalprice), 2) AS sampled_total

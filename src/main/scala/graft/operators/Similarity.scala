@@ -76,6 +76,35 @@ object Similarity extends QueryModule {
         .orderBy("va", "vb")
     }),
 
+    // Int8-quantized cosine top-k — the ANN memory-compression path (4×
+    // smaller vectors; at 100 TB the quantized corpus is what fits in
+    // executor memory). Per-vector affine quantization to 0..255 levels
+    // (floor(x+0.5) — unambiguous across engines, unlike round-half
+    // conventions), cosine computed on the dequantized grid. Fully
+    // deterministic arithmetic → the oracle reproduces the quantized
+    // ranking bit-for-bit; accuracy vs exact is pinned in PipelineSpec.
+    "q_sim_quantized" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      def deq(c: Column): Column = {
+        val mn = array_min(c).cast("double")
+        val mx = array_max(c).cast("double")
+        val sc = (mx - mn) / 255.0
+        when(mx === mn, transform(c, _ => mn))
+          .otherwise(transform(c, x =>
+            mn + floor((x.cast("double") - mn) / sc + 0.5) * sc))
+      }
+      val base = e.select(col("vec_id"), deq(col("embedding")).as("eq"))
+      val q = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("eq").as("qe"))
+      val cos = round(dot(col("qe"), col("eq")) / (norm(col("qe")) * norm(col("eq"))), 4)
+      val w = Window.partitionBy("qid").orderBy(col("cosine_q").desc, col("vec_id"))
+      broadcast(q).join(base, col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id"), cos.as("cosine_q"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .orderBy("qid", "rn")
+    }),
+
     // Random-hyperplane LSH ANN: multi-table banded signatures (8 tables ×
     // 3 bits) from deterministic pseudo-random hyperplanes (hash-derived
     // coefficients). Candidates = vectors sharing any table's band value;
@@ -157,6 +186,33 @@ object Similarity extends QueryModule {
        SELECT qid, vec_id, cosine, rn FROM ranked WHERE rn <= $k ORDER BY qid, rn"""
 
   def oracles: Map[String, String] = Map(
+    // Same per-vector affine quantization (floor(x+0.5) to the 255-level
+    // grid) then the standard zipped-unnest cosine machinery.
+    "q_sim_quantized" ->
+      """WITH base AS (SELECT vec_id, embedding,
+             CAST(list_min(embedding) AS DOUBLE) AS mn,
+             CAST(list_max(embedding) AS DOUBLE) AS mx
+           FROM embeddings),
+         deq AS (SELECT vec_id,
+             CASE WHEN mx = mn THEN [mn for x in embedding]
+                  ELSE [mn + floor((CAST(x AS DOUBLE) - mn) / ((mx - mn) / 255.0) + 0.5)
+                        * ((mx - mn) / 255.0) for x in embedding] END AS e
+           FROM base),
+         q AS (SELECT vec_id AS qid, e AS qe FROM deq WHERE vec_id < 10),
+         nrm AS (SELECT vec_id, SQRT(SUM(x * x)) AS nv
+                 FROM (SELECT vec_id, unnest(e) AS x FROM deq) GROUP BY vec_id),
+         dots AS (SELECT qid, vec_id, SUM(qx * ex) AS dp FROM (
+             SELECT q.qid, d.vec_id, unnest(q.qe) AS qx, unnest(d.e) AS ex
+             FROM q JOIN deq d ON q.qid <> d.vec_id) GROUP BY qid, vec_id),
+         cosined AS (SELECT qid, d.vec_id, ROUND(dp / (nq.nv * nc.nv), 4) AS cosine_q
+           FROM dots d JOIN nrm nq ON nq.vec_id = d.qid
+           JOIN nrm nc ON nc.vec_id = d.vec_id),
+         ranked AS (SELECT qid, vec_id, cosine_q,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY cosine_q DESC, vec_id) AS INT) AS rn
+           FROM cosined)
+         SELECT qid, vec_id, cosine_q, rn FROM ranked WHERE rn <= 5
+         ORDER BY qid, rn""",
     "q_sim_ann" ->
       """SELECT vec_id AS qid, TRUE AS recall_ok FROM embeddings
          WHERE vec_id < 10 ORDER BY qid""",

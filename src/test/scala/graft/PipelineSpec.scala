@@ -122,6 +122,18 @@ class PipelineSpec extends SparkSpec {
     assert(viaSql.sameElements(viaGen))
   }
 
+  test("int8-quantized cosine stays close to exact (top-1 preserved mostly)") {
+    val exact = graft.operators.Similarity.queries("q_sim_topk")(spark, sfDir).collect()
+      .filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val quant = graft.operators.Similarity.queries("q_sim_quantized")(spark, sfDir).collect()
+      .filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(quant.size == exact.size)
+    // 255 quantization levels perturb cosines by ~1e-3 — the top-1 should
+    // survive for nearly all probes.
+    val hits = exact.count { case (q, nn) => quant.get(q).contains(nn) }
+    assert(hits >= exact.size - 1, s"quantized top-1 preserved for $hits/${exact.size}")
+  }
+
   test("cosine_sim is callable from SQL after registry injection") {
     graft.functions.CosineSimilarity.registerSql(spark)
     Tables(spark, sfDir, "embeddings").createOrReplaceTempView("emb_sql")
