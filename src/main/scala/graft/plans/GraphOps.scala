@@ -164,11 +164,13 @@ object GraphOps {
     var frontier = dist
     var i = 0
     while (i < maxIter && !frontier.isEmpty) {
-      // Candidate relaxations from the improved set only.
+      // Candidate relaxations from the improved set only. ONE
+      // materialization per superstep: `merged` — cand feeds it exactly
+      // once (no checkpoint), and frontier/dist are trivial projections of
+      // the materialized merged frame (lineage stays rooted there).
       val cand = e.join(broadcast(frontier), frontier("v") === e("src"))
         .select(e("dst").as("v"), (col("dist") + col("w")).as("nd"))
         .groupBy("v").agg(min("nd").as("nd"))
-        .localCheckpoint(true)
       val merged = dist.as("d").join(cand.as("c"), Seq("v"), "full_outer")
         .select(col("v"),
           least(coalesce(col("d.dist"), lit(Long.MaxValue)),
@@ -176,7 +178,7 @@ object GraphOps {
           (coalesce(col("c.nd"), lit(Long.MaxValue)) <
            coalesce(col("d.dist"), lit(Long.MaxValue))).as("improved"))
         .localCheckpoint(true)
-      frontier = merged.filter(col("improved")).select("v", "dist").localCheckpoint(true)
+      frontier = merged.filter(col("improved")).select("v", "dist")
       dist = merged.select("v", "dist")
       i += 1
     }
@@ -202,12 +204,14 @@ object GraphOps {
       val nbrMin = labels.as("l").join(e.as("e"), col("l.v") === col("e.esrc"))
         .groupBy(col("e.edst").as("nv"))
         .agg(min(col("l.comp")).as("nbr_comp"))
+      // One materialization per superstep: the changed-count and the next
+      // label set are both cheap projections of the checkpointed frame.
       val updated = labels.join(nbrMin, labels("v") === col("nv"), "left")
         .select(labels("v"), col("comp"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp2"))
         .localCheckpoint(true)
       changed = updated.filter(col("comp2") < col("comp")).count()
-      labels = updated.select(col("v"), col("comp2").as("comp")).localCheckpoint(true)
+      labels = updated.select(col("v"), col("comp2").as("comp"))
       i += 1
     }
     e.unpersist()
