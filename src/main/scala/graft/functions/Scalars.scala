@@ -39,6 +39,39 @@ object Scalars extends QueryModule {
         .orderBy("p_partkey")
     }),
 
+    // Nested types: per-order sorted array of line structs, field access,
+    // and a fold over the nested array. sort_array on structs orders by
+    // fields in declaration order (linenumber first) — deterministic, and
+    // the fold then adds quantities in the SAME sequence on every engine.
+    "q_fn_nested" -> ((s, dir) => {
+      Tables.raw(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(struct(
+          col("l_linenumber").as("ln"), col("l_quantity").as("qty")))).as("lines"))
+        .select(col("l_orderkey"),
+          size(col("lines")).as("n_lines"),
+          col("lines")(0).getField("qty").as("first_qty"),
+          round(aggregate(col("lines"), lit(0.0),
+            (acc, x) => acc + x.getField("qty")), 2).as("qty_sum"))
+        .orderBy("l_orderkey")
+    }),
+
+    // ANSI-safe "try" functions: try_cast to null on bad input, try_divide
+    // to null on zero divisor (instead of ANSI runtime errors) — the
+    // error-tolerant forms a dirty-data pipeline needs.
+    "q_fn_try" -> ((s, dir) => {
+      Tables.raw(s, dir, "orders").select(
+        col("o_orderkey"),
+        expr("try_cast(o_orderpriority AS INT)").as("prio_int"),
+        expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio_num"),
+        // round at 4: divisor ∈ {1, 2} over 2-decimal prices → ≤3 decimal
+        // digits, so 4-digit rounding never sits on a half boundary (where
+        // Spark's decimal-string HALF_UP and DuckDB's binary round differ).
+        round(expr("try_divide(o_totalprice, o_orderkey % 3)"), 4).as("div3"),
+        round(expr("coalesce(try_divide(o_totalprice, o_orderkey % 3), -1.0)"), 4).as("div3_c"))
+        .orderBy("o_orderkey")
+    }),
+
     // NULL semantics: NULLIF/COALESCE, count(*) vs count(col) (nulls
     // skipped), distinct over nulls, null-safe equality (<=> here,
     // IS NOT DISTINCT FROM in the oracle), and the NULLIF(x,x) → all-null
@@ -149,6 +182,24 @@ object Scalars extends QueryModule {
          lpad(CAST(p_partkey AS VARCHAR), 6, '0') AS pk_pad,
          CAST(strpos(p_name, 'a') AS INT) AS first_a
          FROM part ORDER BY p_partkey""",
+    "q_fn_nested" ->
+      """SELECT l_orderkey, CAST(len(lines) AS INT) AS n_lines,
+         lines[1].qty AS first_qty,
+         ROUND(list_sum([x.qty for x in lines]), 2) AS qty_sum
+         FROM (SELECT l_orderkey,
+                 list(struct_pack(ln := l_linenumber, qty := l_quantity)
+                      ORDER BY l_linenumber, l_quantity) AS lines
+               FROM lineitem GROUP BY l_orderkey)
+         ORDER BY l_orderkey""",
+    "q_fn_try" ->
+      """SELECT o_orderkey,
+         TRY_CAST(o_orderpriority AS INT) AS prio_int,
+         TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_num,
+         ROUND(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                    ELSE o_totalprice / (o_orderkey % 3) END, 4) AS div3,
+         ROUND(COALESCE(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                             ELSE o_totalprice / (o_orderkey % 3) END, -1.0), 4) AS div3_c
+         FROM orders ORDER BY o_orderkey""",
     "q_fn_null" ->
       """SELECT o_orderpriority, COUNT(*) AS n_all,
          COUNT(NULLIF(o_orderstatus, 'F')) AS n_nonnull,

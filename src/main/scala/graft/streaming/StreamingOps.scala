@@ -109,6 +109,31 @@ object StreamingOps extends QueryModule {
         .agg(count(lit(1)).as("n_distinct_ids"))
     }),
 
+    // Streaming parquet file sink (the production sink; memory sink is the
+    // test harness): filtered projection streamed append-mode into a
+    // parquet directory with a checkpoint, then the sink directory is read
+    // back in batch and aggregated. Exactly-once comes from the sink's
+    // commit log — re-running with the same checkpoint emits nothing new,
+    // so the readback is stable across retries.
+    "q_stream_sink" -> ((s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val out = s"${sys.props("java.io.tmpdir")}/graft_stream_sink_$tag"
+      val ck = out + "_ck"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ck))
+      val q = eventsStream(s, dir)
+        .filter(col("event_type").isin("purchase", "signup"))
+        .select("event_id", "event_type", "value")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("val_sum"))
+        .orderBy("event_type")
+    }),
+
     // Stream-stream inner join: purchases joined to the same user's clicks
     // within a 30-minute event-time window. Both sides carry watermarks and
     // the join condition bounds event time on both ends — that is what lets
@@ -213,6 +238,10 @@ object StreamingOps extends QueryModule {
       "SELECT COUNT(DISTINCT event_id) AS n_distinct_ids FROM events",
     "q_stream_dedup_wm" ->
       "SELECT COUNT(DISTINCT event_id) AS n_distinct_ids FROM events",
+    "q_stream_sink" ->
+      """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS val_sum
+         FROM events WHERE event_type IN ('purchase', 'signup')
+         GROUP BY event_type ORDER BY event_type""",
     "q_stream_join" ->
       """SELECT c.user_id, COUNT(*) AS n_pairs
          FROM events c JOIN events p
