@@ -107,6 +107,18 @@ object GraphQueries extends QueryModule {
         .agg(count(lit(1)).as("n_triangles"))
     }),
 
+    // Degree distribution (in + out): the first profiling query a graph
+    // planner runs — the histogram that decides broadcast vs shuffle and
+    // flags skewed hubs. Two shuffles on vertex id, then a tiny agg.
+    "q_graph_degrees" -> ((s, dir) => {
+      val e = ringEdges(s, dir)
+      def hist(key: String, kind: String): DataFrame =
+        e.groupBy(col(key)).agg(count(lit(1)).as("deg"))
+          .groupBy("deg").agg(count(lit(1)).as("n_vertices"))
+          .withColumn("kind", lit(kind))
+      hist("src", "out").union(hist("dst", "in")).orderBy("kind", "deg")
+    }),
+
     // Weighted single-source shortest paths over the ring graph, weight =
     // 1 + (src+dst) mod 5 (deterministic, strictly positive). Frontier-
     // based Bellman-Ford (GraphOps.sssp); oracle = bounded-cost recursive
@@ -180,6 +192,17 @@ object GraphQueries extends QueryModule {
                  FROM e WHERE src <> dst)
          SELECT COUNT(*) AS n_triangles
          FROM und x JOIN und y ON x.b = y.a JOIN und z ON z.a = x.a AND z.b = y.b""",
+    "q_graph_degrees" ->
+      """WITH e AS (
+           SELECT c_custkey AS src, (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst FROM customer
+           UNION ALL SELECT c_custkey, (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer
+           UNION ALL SELECT c_custkey, (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer),
+         o AS (SELECT deg, COUNT(*) AS n_vertices, 'out' AS kind
+               FROM (SELECT src, COUNT(*) AS deg FROM e GROUP BY src) GROUP BY deg),
+         i AS (SELECT deg, COUNT(*) AS n_vertices, 'in' AS kind
+               FROM (SELECT dst, COUNT(*) AS deg FROM e GROUP BY dst) GROUP BY deg)
+         SELECT deg, n_vertices, kind FROM (SELECT * FROM o UNION ALL SELECT * FROM i)
+         ORDER BY kind, deg""",
     "q_graph_sssp" ->
       """WITH RECURSIVE e AS (
            SELECT c_custkey AS src, (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst FROM customer

@@ -74,6 +74,24 @@ object Multimodal extends QueryModule {
         .orderBy("doc_id", "frame_id")
     }),
 
+    // Resize planning: target dims for a max-256 aspect-preserving resize
+    // of each (stub-decoded) image, plus the scale factor — the metadata
+    // half of a resize kernel (the pixel work itself is the stubbed decode
+    // path; dims and scale are what the pipeline partitions/bills by).
+    "q_mm_resize" -> ((s, dir) => {
+      val plen = length(encode(col("text"), "UTF-8"))
+      val w = lit(64) + plen % 640
+      val h = lit(64) + (plen * 7) % 480
+      val maxSide = greatest(w, h).cast("double")
+      val scale = when(maxSide <= 256.0, lit(1.0)).otherwise(lit(256.0) / maxSide)
+      t(s, dir, "documents").select(
+        col("doc_id"), w.as("width"), h.as("height"),
+        round(scale, 6).as("scale"),
+        floor(w.cast("double") * scale).cast("int").as("out_w"),
+        floor(h.cast("double") * scale).cast("int").as("out_h"))
+        .orderBy("doc_id")
+    }),
+
     // Partition-wise decode: binary → (width, height, feature vector).
     // The stub's byte arithmetic is exactly replicated by the DuckDB oracle
     // (documents.text is ASCII, so char positions == byte positions);
@@ -108,6 +126,20 @@ object Multimodal extends QueryModule {
          lang,
          CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width
          FROM documents ORDER BY doc_id""",
+    "q_mm_resize" ->
+      """WITH d AS (SELECT doc_id,
+             64 + octet_length(encode(text)) % 640 AS w,
+             64 + (octet_length(encode(text)) * 7) % 480 AS h
+           FROM documents),
+         s AS (SELECT doc_id, w, h,
+             CASE WHEN GREATEST(w, h) <= 256 THEN 1.0
+                  ELSE 256.0 / GREATEST(w, h) END AS sc
+           FROM d)
+         SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           ROUND(sc, 6) AS scale,
+           CAST(FLOOR(w * sc) AS INT) AS out_w,
+           CAST(FLOOR(h * sc) AS INT) AS out_h
+         FROM s ORDER BY doc_id""",
     // Byte-exact replica of fakeDecode: width/height from octet_length,
     // f0 = (sum of bytes at 0-based positions ≡ 0 mod 8) / 255. ascii() on
     // char positions equals byte indexing because documents.text is ASCII.
