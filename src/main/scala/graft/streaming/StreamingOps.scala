@@ -26,6 +26,12 @@ object StreamingOps extends QueryModule {
 
   /** readStream version of the events loader (ns ts → TimestampType). */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    // A glob that matches zero files is a VALID empty stream to Spark —
+    // a missing source would silently "succeed" with zero rows. Fail fast
+    // instead so the bench's fail-visible contract holds for streaming too.
+    val src = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    require(src.getFileSystem(s.sparkContext.hadoopConfiguration).exists(src),
+      s"streaming source missing: $src")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = Tables.rawEventsSchema
     // events.parquet is a single file; for a non-glob path the streaming
