@@ -31,13 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("ngrams_gen"),
       new ExpressionInfo(classOf[functions.NGramsGen].getName, "ngrams_gen"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        children match {
-          case Seq(tokens, n) =>
-            functions.NGramsGen(tokens, n.eval(null).asInstanceOf[Int])
-          case other => throw new IllegalArgumentException(
-            s"ngrams_gen expects (array, n), got ${other.size} args")
-        }))
+      functions.NGramsGen.sqlBuilder))
     ext.injectOptimizerRule(_ => plans.GraftRules.CollapseDoubleRound)
     ext.injectPlannerStrategy(_ => plans.TopKPerKeyStrategy)
   }

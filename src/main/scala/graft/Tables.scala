@@ -76,9 +76,10 @@ object Tables {
   private def parallelize(spark: SparkSession, df: DataFrame, path: String,
                           name: String): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
-    val bytes =
-      try new java.io.File(new java.net.URI("file://" + path).getPath).length
-      catch { case _: Throwable => 0L }
+    // Plain File handles relative and absolute local paths alike (a
+    // file:// URI parse would swallow the first segment of a relative
+    // path as the URI authority and silently disable the fan-out).
+    val bytes = try new java.io.File(path).length catch { case _: Throwable => 0L }
     if (bytes > 400 * 1024 && df.rdd.getNumPartitions * 2 < target)
       df.repartition(target, pk(name).map(org.apache.spark.sql.functions.col): _*)
     else df

@@ -36,15 +36,23 @@ case class NGramsGen(child: Expression, n: Int)
       val arr = data.asInstanceOf[ArrayData]
       val m = arr.numElements()
       if (m < n) Iterator.empty
-      else (0 to m - n).iterator.map { i =>
+      else (0 to m - n).iterator.flatMap { i =>
         val sb = new java.lang.StringBuilder
         var j = 0
-        while (j < n) {
-          if (j > 0) sb.append(' ')
-          sb.append(arr.getUTF8String(i + j).toString)
+        var hasNull = false
+        while (j < n && !hasNull) {
+          val tok = arr.getUTF8String(i + j)
+          if (tok == null) hasNull = true
+          else {
+            if (j > 0) sb.append(' ')
+            sb.append(tok.toString)
+          }
           j += 1
         }
-        InternalRow(UTF8String.fromString(sb.toString))
+        // Windows containing a null token are skipped (elementSchema
+        // declares ngram non-nullable) rather than NPE-ing the task.
+        if (hasNull) Iterator.empty
+        else Iterator(InternalRow(UTF8String.fromString(sb.toString)))
       }
     }
   }
@@ -58,12 +66,25 @@ object NGramsGen {
   def ngrams(tokens: Column, n: Int): Column =
     ColumnBridge.column(NGramsGen(ColumnBridge.expression(tokens), n))
 
+  /** The ONE SQL builder (shared by the session registry and
+    * GraftExtensions): n must be a foldable integral literal — Int and
+    * Long spellings (`3`, `CAST(3 AS BIGINT)`) both accepted. */
+  val sqlBuilder: Seq[Expression] => Expression = {
+    case Seq(tokens, nExpr) if nExpr.foldable =>
+      val n = nExpr.eval(null) match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long    => l.intValue
+        case s: java.lang.Short   => s.intValue
+        case other => throw new IllegalArgumentException(
+          s"ngrams_gen: n must be an integer literal, got $other")
+      }
+      NGramsGen(tokens, n)
+    case other => throw new IllegalArgumentException(
+      s"ngrams_gen expects (array, <integer literal>), got ${other.size} args" +
+        (if (other.size == 2) " with non-foldable n" else ""))
+  }
+
   /** Make `ngrams_gen(tokens, n)` usable from SQL (incl. LATERAL VIEW). */
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
-    ColumnBridge.registerFunction(spark, "ngrams_gen", {
-      case Seq(tokens, nLit) =>
-        NGramsGen(tokens, nLit.eval(null).asInstanceOf[Int])
-      case other => throw new IllegalArgumentException(
-        s"ngrams_gen expects (array, n), got ${other.size} args")
-    })
+    ColumnBridge.registerFunction(spark, "ngrams_gen", sqlBuilder)
 }

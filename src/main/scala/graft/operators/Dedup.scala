@@ -46,8 +46,9 @@ object Dedup extends QueryModule {
     * re-executes per consumer (quadratic-feeling re-computation; at scale
     * this is `checkpoint` on reliable storage). */
   private def jaccardPairs(shRaw: DataFrame, threshold: Double,
-                           candidates: Option[DataFrame] = None): DataFrame = {
-    val sh = shRaw.localCheckpoint(true)
+                           candidates: Option[DataFrame] = None,
+                           preMaterialized: Boolean = false): DataFrame = {
+    val sh = if (preMaterialized) shRaw else shRaw.localCheckpoint(true)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("da"), col("s"))
     val b = sh.select(col("doc_id").as("db"), col("s"))
@@ -103,7 +104,10 @@ object Dedup extends QueryModule {
     // MinHash + banded LSH near-dup detection, exact-verified at J >= 0.85
     // (inside the band guarantee zone — see object scaladoc).
     "q_dedup_minhash" -> ((s, dir) => {
-      val sh = shingles(t(s, dir, "documents")).persist()
+      // ONE materialized copy of the shingle frame, shared by the minhash
+      // pipeline and the verify stage (persist + a second checkpoint
+      // inside jaccardPairs would double-buffer it in executor storage).
+      val sh = shingles(t(s, dir, "documents")).localCheckpoint(true)
       // 64 min-hashes per doc: h_i = min over shingles of xxhash64(i, s).
       val minhashAggs = (0 until numHashes).map(i =>
         min(xxhash64(lit(i), col("s"))).as(s"h$i"))
@@ -124,11 +128,9 @@ object Dedup extends QueryModule {
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
         .distinct().localCheckpoint(true)
-      // Materialize before unpersisting the shared shingle frame — leaking
-      // the cache across queries starves later queries of executor memory.
-      val out = jaccardPairs(sh, 0.85, Some(cand)).localCheckpoint(true)
-      sh.unpersist()
-      out
+      // Checkpointed blocks (sh, cand) are persistent RDDs — Bench/Verify
+      // flush those between queries, so nothing leaks across entries.
+      jaccardPairs(sh, 0.85, Some(cand), preMaterialized = true)
     }),
 
     // Exact n-gram Jaccard similarity (the LSH verify stage standalone),
@@ -148,7 +150,7 @@ object Dedup extends QueryModule {
     "q_dedup_simhash" -> ((s, dir) => {
       val tokens = t(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+        .withColumn("h", graft.functions.PortableHash.hash60(col("tok")))
       val bitAggs = (0 until 60).map(i =>
         sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
       val withBits = tokens.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
@@ -193,11 +195,9 @@ object Dedup extends QueryModule {
     // parse (strpos over the md5 string) is the DuckDB spelling of Spark's
     // conv(substring(md5(tok),1,15),16,10).
     "q_dedup_simhash" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
              FROM documents),
-         h AS (SELECT doc_id,
-             list_sum([(strpos('0123456789abcdef', md5(tok)[i]) - 1)::BIGINT
-                       * (1::BIGINT << (4 * (15 - i))) for i in range(1, 16)]) AS h
+         h AS (SELECT doc_id, ${graft.functions.PortableHash.sql("tok")} AS h
            FROM tok),
          bits AS (SELECT doc_id, b,
              SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s

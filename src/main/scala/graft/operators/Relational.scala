@@ -325,8 +325,7 @@ object Relational extends QueryModule {
     // same rows are selected on any engine, any partitioning, any run —
     // the property a 100 TB pipeline needs for resumable sampled jobs.
     "q_sample_hash" -> ((s, dir) => {
-      val h = conv(substring(md5(col("o_orderkey").cast("string")), 1, 15), 16, 10)
-        .cast("long")
+      val h = graft.functions.PortableHash.hash60(col("o_orderkey").cast("string"))
       tr(s, dir, "orders")
         .filter(h % 100 < 5)
         .groupBy("o_orderpriority")
@@ -502,12 +501,10 @@ object Relational extends QueryModule {
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          GROUP BY s_nationkey ORDER BY s_nationkey""",
     "q_sample_hash" ->
-      """SELECT o_orderpriority, COUNT(*) AS n_sampled,
+      s"""SELECT o_orderpriority, COUNT(*) AS n_sampled,
          ROUND(SUM(o_totalprice), 2) AS sampled_total
          FROM orders
-         WHERE list_sum([(strpos('0123456789abcdef',
-                  md5(CAST(o_orderkey AS VARCHAR))[i]) - 1)::BIGINT
-                * (1::BIGINT << (4 * (15 - i))) for i in range(1, 16)]) % 100 < 5
+         WHERE ${graft.functions.PortableHash.sql("CAST(o_orderkey AS VARCHAR)")} % 100 < 5
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_agg_histogram" ->
       """SELECT CAST(FLOOR(l_extendedprice / 5000) AS INT) AS bucket,

@@ -105,12 +105,15 @@ object TextOps extends QueryModule {
     // over (doc, position), so at scale it is a single shuffle on doc_id.
     "q_text_winnow" -> ((s, dir) => {
       val k = 8; val w = 16
-      val grams = t(s, dir, "documents").filter(col("doc_id") < 1000)
+      // length >= k guard: sequence(1, len-k+1) would DESCEND for
+      // shorter docs (Spark steps -1 when start > stop) while the oracle's
+      // range() is empty — both sides must drop sub-k-length docs.
+      val grams = t(s, dir, "documents")
+        .filter(col("doc_id") < 1000 && length(col("text")) >= k)
         .select(col("doc_id"), col("text"),
           explode(sequence(lit(1), length(col("text")) - k + 1)).as("p"))
         .select(col("doc_id"), col("p"),
-          conv(substring(md5(expr(s"substring(text, p, $k)")), 1, 15), 16, 10)
-            .cast("long").as("h"))
+          graft.functions.PortableHash.hash60(expr(s"substring(text, p, $k)")).as("h"))
       val win = Window.partitionBy("doc_id").orderBy("p")
         .rowsBetween(Window.currentRow, w - 1)
       grams.select(col("doc_id"), min("h").over(win).as("wh"))
@@ -185,11 +188,10 @@ object TextOps extends QueryModule {
     // Same md5-derived 60-bit gram hash as the Spark side (hex parse via
     // strpos), same 16-gram sliding-window min, distinct mins per doc.
     "q_text_winnow" ->
-      """WITH g AS (SELECT doc_id, p,
-             list_sum([(strpos('0123456789abcdef', md5(substr(text, CAST(p AS INT), 8))[i]) - 1)::BIGINT
-                       * (1::BIGINT << (4 * (15 - i))) for i in range(1, 16)]) AS h
+      s"""WITH g AS (SELECT doc_id, p,
+             ${graft.functions.PortableHash.sql("substr(text, CAST(p AS INT), 8)")} AS h
            FROM (SELECT doc_id, text, unnest(range(1, len(text) - 8 + 2)) AS p
-                 FROM documents WHERE doc_id < 1000)),
+                 FROM documents WHERE doc_id < 1000 AND len(text) >= 8)),
          wm AS (SELECT doc_id,
              MIN(h) OVER (PARTITION BY doc_id ORDER BY p
                ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wh
