@@ -80,6 +80,38 @@ object Dedup extends QueryModule {
   private val numHashes = 64
   private val bandRows = 4 // 16 bands of 4 minhashes
 
+  /** The full MinHash→LSH→exact-verify pipeline (shared by q_dedup_minhash
+    * and q_dedup_cluster): verified near-dup pairs (da < db, J ≥ 0.85). */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    // ONE materialized copy of the shingle frame, shared by the minhash
+    // pipeline and the verify stage (persist + a second checkpoint
+    // inside jaccardPairs would double-buffer it in executor storage).
+    val sh = shingles(t(s, dir, "documents")).localCheckpoint(true)
+    // 64 min-hashes per doc: h_i = min over shingles of xxhash64(i, s).
+    val minhashAggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    val mh = sh.groupBy("doc_id").agg(minhashAggs.head, minhashAggs.tail: _*)
+    // 16 band signatures, each hashing 4 consecutive minhashes.
+    val bands = array((0 until numHashes / bandRows).map { j =>
+      val cols = (0 until bandRows).map(k => col(s"h${j * bandRows + k}"))
+      struct(lit(j).as("band"), xxhash64(lit(j) +: cols: _*).as("sig"))
+    }: _*)
+    val banded = mh.select(col("doc_id"), explode(bands).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    // cand appears three times in the verify plan (two per-side semi-joins
+    // + the pair-scoping semi-join) — materialize it once, and banded's
+    // 64-hash agg with it, instead of re-running the LSH pipeline per
+    // consumer.
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct().localCheckpoint(true)
+    // Checkpointed blocks (sh, cand) are persistent RDDs — Bench/Verify
+    // flush those between queries, so nothing leaks across entries.
+    jaccardPairs(sh, 0.85, Some(cand), preMaterialized = true)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: group on sha2(text) — collision-free content identity.
     "q_dedup_exact" -> ((s, dir) => {
@@ -103,34 +135,22 @@ object Dedup extends QueryModule {
 
     // MinHash + banded LSH near-dup detection, exact-verified at J >= 0.85
     // (inside the band guarantee zone — see object scaladoc).
-    "q_dedup_minhash" -> ((s, dir) => {
-      // ONE materialized copy of the shingle frame, shared by the minhash
-      // pipeline and the verify stage (persist + a second checkpoint
-      // inside jaccardPairs would double-buffer it in executor storage).
-      val sh = shingles(t(s, dir, "documents")).localCheckpoint(true)
-      // 64 min-hashes per doc: h_i = min over shingles of xxhash64(i, s).
-      val minhashAggs = (0 until numHashes).map(i =>
-        min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-      val mh = sh.groupBy("doc_id").agg(minhashAggs.head, minhashAggs.tail: _*)
-      // 16 band signatures, each hashing 4 consecutive minhashes.
-      val bands = array((0 until numHashes / bandRows).map { j =>
-        val cols = (0 until bandRows).map(k => col(s"h${j * bandRows + k}"))
-        struct(lit(j).as("band"), xxhash64(lit(j) +: cols: _*).as("sig"))
-      }: _*)
-      val banded = mh.select(col("doc_id"), explode(bands).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      // cand appears three times in the verify plan (two per-side semi-joins
-      // + the pair-scoping semi-join) — materialize it once, and banded's
-      // 64-hash agg with it, instead of re-running the LSH pipeline per
-      // consumer.
-      val cand = banded.as("x").join(banded.as("y"),
-          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-        .distinct().localCheckpoint(true)
-      // Checkpointed blocks (sh, cand) are persistent RDDs — Bench/Verify
-      // flush those between queries, so nothing leaks across entries.
-      jaccardPairs(sh, 0.85, Some(cand), preMaterialized = true)
+    "q_dedup_minhash" -> ((s, dir) => minhashPairs(s, dir)),
+
+    // Near-dup CLUSTERING — the dedup endgame: the verified LSH pairs form
+    // an undirected similarity graph; connected components group transitive
+    // near-dups into clusters, and the min doc_id is the kept
+    // representative. This is the keep-one operator a training-data
+    // pipeline actually runs (pairs alone still leave both copies in the
+    // corpus).
+    "q_dedup_cluster" -> ((s, dir) => {
+      val pairs = minhashPairs(s, dir)
+      val fwd = pairs.select(col("da").as("src"), col("db").as("dst"))
+      val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      graft.plans.GraphOps.connectedComponents(s, edges)
+        .groupBy(col("comp").as("keep_id"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy("keep_id")
     }),
 
     // Exact n-gram Jaccard similarity (the LSH verify stage standalone),
@@ -189,6 +209,22 @@ object Dedup extends QueryModule {
            FROM events) WHERE rn = 1
          ORDER BY user_id, event_type""",
     "q_dedup_minhash" -> jaccardSql("0.85"),
+    // Same exact-Jaccard pair graph, then min-label components via a
+    // recursive reachability CTE (the SQL spelling of label propagation).
+    "q_dedup_cluster" ->
+      (shingleCte.replace("WITH tk", "WITH RECURSIVE tk") + """,
+       pairs AS (SELECT da, db
+         FROM iv JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+         WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.85),
+       e AS (SELECT da AS src, db AS dst FROM pairs
+             UNION ALL SELECT db, da FROM pairs),
+       reach(v, root) AS (
+         SELECT src, src FROM e
+         UNION
+         SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.v),
+       comp AS (SELECT v, MIN(root) AS comp FROM reach GROUP BY v)
+       SELECT comp AS keep_id, COUNT(*) AS n_members
+       FROM comp GROUP BY comp ORDER BY keep_id"""),
     "q_dedup_ngram" -> jaccardSql("0.3")
       .replace("FROM documents", "FROM documents WHERE doc_id < 1000"),
     // Same md5-derived 60-bit token hash, same majority-bit vote. The hex

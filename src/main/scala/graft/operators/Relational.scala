@@ -303,6 +303,21 @@ object Relational extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    // Deterministic mode: most frequent value per group with an explicit
+    // min-value tie-break (engines' built-in mode() breaks ties
+    // arbitrarily, which can never hash-match) — count + rank-1.
+    "q_agg_mode" -> ((s, dir) => {
+      val counts = tr(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("n").desc, col("l_quantity"))
+      counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("l_returnflag"),
+          round(col("l_quantity"), 2).as("mode_qty"), col("n").as("mode_n"))
+        .orderBy("l_returnflag")
+    }),
+
     // Salted skew join as an oracled query: lineitem (probe, suppkey-
     // skew-prone at scale) ⋈ supplier, salted 8 ways — the hot-key
     // countermeasure when the build side is replicable. Result must equal
@@ -495,6 +510,13 @@ object Relational extends QueryModule {
          ROUND(MIN(l_extendedprice), 2) AS min_price,
          ROUND(MAX(l_extendedprice), 2) AS max_price
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_mode" ->
+      """SELECT l_returnflag, ROUND(l_quantity, 2) AS mode_qty, n AS mode_n
+         FROM (SELECT l_returnflag, l_quantity, COUNT(*) AS n,
+                 ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                   ORDER BY COUNT(*) DESC, l_quantity) AS rn
+               FROM lineitem GROUP BY l_returnflag, l_quantity)
+         WHERE rn = 1 ORDER BY l_returnflag""",
     "q_join_salted" ->
       """SELECT s_nationkey, COUNT(*) AS n_lines,
          ROUND(SUM(l_extendedprice), 2) AS total
