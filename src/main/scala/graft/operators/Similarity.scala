@@ -106,61 +106,45 @@ object Similarity extends QueryModule {
     }),
 
     // Random-hyperplane LSH ANN: multi-table banded signatures (8 tables ×
-    // 3 bits) from deterministic pseudo-random hyperplanes (hash-derived
-    // coefficients). Candidates = vectors sharing any table's band value;
-    // exact cosine re-rank inside the candidate set. At scale the (band,
-    // sig) pair is the shuffle key — candidate generation is linear in
-    // bucket sizes, never all-pairs. The hash family is engine-specific,
-    // so the oracled contract is the accuracy SLA: per probe, ANN's top-3
-    // overlaps the brute-force top-3 (recall@3 > 0), computed against the
-    // in-query exact baseline; the oracle pins the probe set + TRUE.
-    // Full recall distribution is additionally pinned in PipelineSpec.
+    // 3 bits) computed by the codegen [[graft.functions.HyperplaneBands]]
+    // expression — one fused integer loop per row, coefficients derived
+    // once at plan time from the portable md5 family (NOT per row).
+    // Candidates = vectors sharing any table's band value; exact cosine
+    // re-rank inside the candidate set. At scale the (band, sig) pair is
+    // the shuffle key — candidate generation is linear in bucket sizes,
+    // never all-pairs — and the embedding join-backs below flip from
+    // broadcast to shuffle-on-vec_id when the corpus outgrows the
+    // broadcast threshold. The integer signature arithmetic is
+    // order-independent, so the DuckDB oracle replicates the FULL LSH
+    // (bands, candidates, re-rank) bit-for-bit; recall vs the exact top-3
+    // is pinned separately in PipelineSpec.
     "q_sim_ann" -> ((s, dir) => {
       val nTables = 8; val bitsPerTable = 3
       val e = t(s, dir, "embeddings")
-      // plane p coefficient for dim d = centered hash in [-0.5, 0.5)
-      def bit(p: Int): Column = {
-        val proj = aggregate(
-          zip_with(col("embedding"), sequence(lit(0), lit(63)),
-            (x, d) => x.cast("double") *
-              ((pmod(xxhash64(lit(p), d), lit(1000000L)).cast("double") / 1000000.0) - 0.5)),
-          lit(0.0), (acc, v) => acc + v)
-        when(proj >= 0, lit(1)).otherwise(0)
-      }
-      val bands = array((0 until nTables).map { j =>
-        val sig = (0 until bitsPerTable)
-          .map(k => bit(j * bitsPerTable + k) * (1 << k)).reduce(_ + _)
-        struct(lit(j).as("band"), sig.as("sig"))
-      }: _*)
-      val tagged = e.select(col("vec_id"), col("embedding"), explode(bands).as("bs"))
-        .select(col("vec_id"), col("embedding"),
-          col("bs.band").as("band"), col("bs.sig").as("sig"))
+      val tagged = e.select(col("vec_id"),
+        posexplode(graft.functions.HyperplaneBands.bands(
+          col("embedding"), nTables, bitsPerTable)).as(Seq("band", "sig")))
       // Probe set = the same 10 query vectors as the brute-force baseline;
       // the corpus side stays full. (ANN cost = probes × bucket size, not
-      // corpus².)
-      val a = tagged.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("va"), col("embedding").as("ea"),
-          col("band"), col("sig"))
-      val b = tagged.select(col("vec_id").as("vb"), col("embedding").as("eb"),
-        col("band"), col("sig"))
-      val cand = a.join(b, Seq("band", "sig")).filter(col("va") =!= col("vb"))
-        .select("va", "vb", "ea", "eb").distinct()
+      // corpus².) Candidates carry only (va, vb) through the distinct —
+      // embeddings re-attach afterwards, so the shuffle moves ids, not
+      // 256-byte vectors.
+      val probes = tagged.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("va"), col("band"), col("sig"))
+      val corpus = tagged.select(col("vec_id").as("vb"), col("band"), col("sig"))
+      val cand = broadcast(probes).join(corpus, Seq("band", "sig"))
+        .filter(col("va") =!= col("vb"))
+        .select("va", "vb").distinct()
+      val qe = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("va"), col("embedding").as("ea"))
+      val ce = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
       val cos = round(graft.functions.CosineSimilarity.cosineSim(col("ea"), col("eb")), 4)
       val w = Window.partitionBy("va").orderBy(col("cosine").desc, col("vb"))
-      val ann = cand.select(col("va"), col("vb"), cos.as("cosine"))
+      cand.join(broadcast(qe), Seq("va")).join(broadcast(ce), Seq("vb"))
+        .select(col("va"), col("vb"), cos.as("cosine"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
-        .select(col("va").as("qid"), col("vb"))
-      // Exact brute-force top-3 for the same probes (the same plan as
-      // q_sim_topk) — the recall baseline, computed in-query.
-      val exact = topk(e.filter(col("vec_id") < 10), e, 3, lit(true))
-        .select(col("qid"), col("vec_id").as("vb"))
-      val hits = ann.join(exact, Seq("qid", "vb"), "left_semi")
-        .groupBy("qid").agg(count(lit(1)).as("n_hits"))
-      e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"))
-        .join(hits, Seq("qid"), "left")
-        .na.fill(0, Seq("n_hits"))
-        .select(col("qid"), (col("n_hits") >= 1).as("recall_ok"))
-        .orderBy("qid")
+        .select(col("va").as("qid"), col("vb"), col("cosine"), col("rn"))
+        .orderBy("qid", "rn")
     })
   )
 
@@ -213,9 +197,30 @@ object Similarity extends QueryModule {
            FROM cosined)
          SELECT qid, vec_id, cosine_q, rn FROM ranked WHERE rn <= 5
          ORDER BY qid, rn""",
+    // Full LSH replication: same integer hyperplane signatures
+    // (HyperplaneBands.oracleSigsSql), same candidate join, same rounded
+    // cosine re-rank — DuckDB reproduces every band bit.
     "q_sim_ann" ->
-      """SELECT vec_id AS qid, TRUE AS recall_ok FROM embeddings
-         WHERE vec_id < 10 ORDER BY qid""",
+      s"""WITH ${graft.functions.HyperplaneBands.oracleSigsSql(8, 3)},
+         cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+                  FROM hp_sigs a JOIN hp_sigs b
+                    ON a.band = b.band AND a.sig = b.sig
+                  WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id),
+         nrm AS (SELECT vec_id, SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nv
+                 FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),
+         dots AS (SELECT va, vb, SUM(qx*ex) AS dp FROM (
+             SELECT c.va, c.vb,
+                    CAST(unnest(qa.embedding) AS DOUBLE) AS qx,
+                    CAST(unnest(qb.embedding) AS DOUBLE) AS ex
+             FROM cand c JOIN embeddings qa ON qa.vec_id = c.va
+                         JOIN embeddings qb ON qb.vec_id = c.vb)
+           GROUP BY va, vb),
+         cosined AS (SELECT va, vb, ROUND(dp / (na.nv * nb.nv), 4) AS cosine
+           FROM dots JOIN nrm na ON na.vec_id = va JOIN nrm nb ON nb.vec_id = vb),
+         ranked AS (SELECT va, vb, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY va ORDER BY cosine DESC, vb) AS INT) AS rn
+           FROM cosined)
+         SELECT va AS qid, vb, cosine, rn FROM ranked WHERE rn <= 3 ORDER BY qid, rn""",
     "q_sim_topk" -> cosineSql("vec_id < 10", "", 5),
     "q_sim_ivf" -> cosineSql("vec_id < 20", "AND q.qlabel = e.label", 3),
     "q_sim_neardup" ->

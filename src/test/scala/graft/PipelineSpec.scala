@@ -143,14 +143,27 @@ class PipelineSpec extends SparkSpec {
     assert(r.length == 5 && r.forall(_ == 1.0))
   }
 
-  test("LSH ANN recall self-check: every probe overlaps the exact top-3") {
-    val ann = graft.operators.Similarity.queries("q_sim_ann")(spark, sfDir).collect()
-      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
-    assert(ann.size == 10, s"expected 10 probes, got ${ann.size}")
-    // The oracled contract at sf0.01 is ALL true; sf0.001's corpus is 10×
-    // smaller (sparser buckets), so allow one miss here.
-    val hits = ann.values.count(identity)
-    assert(hits >= 9, s"recall_ok for $hits/10 probes")
+  test("LSH ANN recall self-check: probes overlap the exact top-3") {
+    // q_sim_ann now outputs the ANN top-3 itself (the oracle replicates the
+    // full LSH); recall vs the exact top-3 is pinned here instead.
+    val ann = Similarity.queries("q_sim_ann")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (q, vs) => q -> vs.map(_._2).toSet }
+    val emb = Tables(spark, sfDir, "embeddings").select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val hits = (0L until 10L).count { q =>
+      val top3 = emb.keys.filter(_ != q).toSeq
+        .sortBy(v => (-cos(emb(q), emb(v)), v)).take(3).toSet
+      ann.getOrElse(q, Set.empty).intersect(top3).nonEmpty
+    }
+    // sf0.001's corpus is 10× sparser than the oracled sf0.01 — allow one
+    // bucket-miss probe.
+    assert(hits >= 9, s"ANN top-3 overlaps exact top-3 for $hits/10 probes")
   }
 
   test("approx_percentile within 2% of exact percentiles") {
