@@ -1,9 +1,11 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
 import graft.plans.GraphOps
+import graft.sources.{AdjacencyCodec, GraphStore}
 
 /** Graph query surface — reference parity for the two headline operators
   * (BFS op 4, DFS-leaves op 3) plus connected components, over edge tables
@@ -135,7 +137,35 @@ object GraphQueries extends QueryModule {
       GraphOps.connectedComponents(s, hierEdges(s, dir))
         .groupBy("comp")
         .agg(count(lit(1)).as("n_members"), min("v").as("min_v"), max("v").as("max_v"))
-        .orderBy("comp"))
+        .orderBy("comp")),
+
+    // A1–A4 end-to-end: the nation→region hierarchy (30 vertices: regions
+    // 0–4, nations 5–29 — inside the codec's 100-vertex reference cap,
+    // `secondary_server.c:30`) is serialized to the reference's adjacency
+    // text format, parsed back ([[AdjacencyCodec]], A3/A4), written as an
+    // initial PARTIAL snapshot (A1 create), then snapshot-REPLACED with
+    // the full edge set (A2 modify — load must observe the replacement,
+    // not the first write), loaded, and queried with a per-dst in-degree
+    // window. The oracle recomputes every edge AND the degree straight
+    // from `nation`, so any corruption in format → parse → create →
+    // modify → load flips the compare.
+    "q_graph_store_roundtrip" -> ((s, dir) => {
+      val edges = t(s, dir, "nation")
+        .select((col("n_nationkey") + 5).cast("long").as("src"),
+          col("n_regionkey").cast("long").as("dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val base = java.nio.file.Files.createTempDirectory("graft_store_")
+      val txt = base.resolve("G30.txt")
+      java.nio.file.Files.writeString(txt, AdjacencyCodec.format(edges, 30))
+      val parsed = AdjacencyCodec.read(s, txt.toString)
+      val store = base.resolve("edges.parquet").toString
+      GraphStore.create(parsed.limit(10), store)
+      GraphStore.modify(parsed, store)
+      GraphStore.load(s, store)
+        .select(col("src"), col("dst"),
+          count(lit(1)).over(Window.partitionBy("dst")).as("dst_in_degree"))
+        .orderBy("src", "dst")
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -228,6 +258,11 @@ object GraphQueries extends QueryModule {
            SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.v),
          comp AS (SELECT v, MIN(root) AS comp FROM reach GROUP BY v)
          SELECT comp, COUNT(*) AS n_members, MIN(v) AS min_v, MAX(v) AS max_v
-         FROM comp GROUP BY comp ORDER BY comp"""
+         FROM comp GROUP BY comp ORDER BY comp""",
+    "q_graph_store_roundtrip" ->
+      """SELECT CAST(n_nationkey + 5 AS BIGINT) AS src,
+                CAST(n_regionkey AS BIGINT) AS dst,
+                COUNT(*) OVER (PARTITION BY n_regionkey) AS dst_in_degree
+         FROM nation ORDER BY src, dst"""
   )
 }

@@ -74,28 +74,20 @@ object Windows extends QueryModule {
     }),
 
     // Value-based RANGE frame: peers within $10k below the current price.
+    // Shipped as the BANDED formulation — the naive spelling (one window
+    // per o_orderstatus, i.e. 3 partitions for the whole table) is a
+    // scale-killer kept only as [[naiveRangeWindow]] for ScaleSpec's
+    // equality proof. Here, rows are bucketed into price bands exactly as
+    // wide as the frame (10000), so the [p−10000, p] frame spans at most
+    // the row's own band and the previous one. Pass 1: per-(status, band)
+    // totals. Pass 2: within-band running RANGE count/sum (small
+    // partitions), plus a probe row at value p−10000 merged into the
+    // PREVIOUS band whose running count/sum (probes sorted before
+    // equal-valued data rows) gives the strictly-below-cut prefix —
+    // prev-band contribution = band total − prefix. All partitions are
+    // (status, band): fine-grained, shuffle-parallel, no 3-group
+    // bottleneck.
     "q_win_range" -> ((s, dir) => {
-      val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice"))
-        .rangeBetween(-10000, 0)
-      t(s, dir, "orders").select(
-        col("o_orderkey"), col("o_orderstatus"),
-        count(lit(1)).over(w).as("n_in_band"),
-        round(sum("o_totalprice").over(w), 2).as("band_total"))
-        .orderBy("o_orderkey")
-    }),
-
-    // The SCALE formulation of q_win_range: identical result contract, but
-    // instead of one window per o_orderstatus (parallelism capped at 3
-    // groups), rows are bucketed into price bands exactly as wide as the
-    // frame (10000), so the [p−10000, p] frame spans at most the row's own
-    // band and the previous one. Pass 1: per-(status, band) totals.
-    // Pass 2: within-band running RANGE count/sum (small partitions), plus
-    // a probe row at value p−10000 merged into the PREVIOUS band whose
-    // running count/sum (probes sorted before equal-valued data rows)
-    // gives the strictly-below-cut prefix — prev-band contribution =
-    // band total − prefix. All partitions are (status, band): fine-grained,
-    // shuffle-parallel, no 3-group bottleneck.
-    "q_win_range_banded" -> ((s, dir) => {
       val W = 10000.0
       val o = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
@@ -144,6 +136,21 @@ object Windows extends QueryModule {
     })
   )
 
+  /** The textbook RANGE-frame spelling of q_win_range: one window per
+    * o_orderstatus, so the whole table sorts in 3 partitions. Equivalent to
+    * the shipped banded plan (proved row-for-row in ScaleSpec) but a
+    * scale-killer at 100×, so it is deliberately NOT a queries/bench entry.
+    */
+  private[graft] def naiveRangeWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice"))
+      .rangeBetween(-10000, 0)
+    t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_orderstatus"),
+      count(lit(1)).over(w).as("n_in_band"),
+      round(sum("o_totalprice").over(w), 2).as("band_total"))
+      .orderBy("o_orderkey")
+  }
+
   def oracles: Map[String, String] = Map(
     "q_win_rank" ->
       """SELECT c_custkey, c_nationkey,
@@ -180,17 +187,9 @@ object Windows extends QueryModule {
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
          ORDER BY o_orderkey""",
+    // The oracle keeps the straightforward RANGE-frame spelling — the
+    // shipped banded rewrite must reproduce it bit-for-bit.
     "q_win_range" ->
-      """SELECT o_orderkey, o_orderstatus,
-         COUNT(*) OVER w AS n_in_band,
-         ROUND(SUM(o_totalprice) OVER w, 2) AS band_total
-         FROM orders
-         WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
-           RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
-         ORDER BY o_orderkey""",
-    // Identical result contract to q_win_range — the banded rewrite must
-    // reproduce the straightforward RANGE-frame window bit-for-bit.
-    "q_win_range_banded" ->
       """SELECT o_orderkey, o_orderstatus,
          COUNT(*) OVER w AS n_in_band,
          ROUND(SUM(o_totalprice) OVER w, 2) AS band_total
