@@ -29,27 +29,51 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Rows of accumulated BFS state past which the seen-set anti-join stops
+    * being broadcast: ~1M (v: long, level: int) rows ≈ 50 MB of broadcast
+    * hash relation — the point where re-shipping the whole seen-set to
+    * every executor each superstep costs more than one shuffle of the
+    * (much smaller) freshly-grown frontier. */
+  val BroadcastSeenLimit: Long = 1000000L
+
+  /** One BFS expansion superstep, exposed for plan-shape tests: grow the
+    * frontier one hop along `e`, then prune already-seen vertices. The
+    * frontier join is always broadcast (a frontier is one level's width);
+    * the seen-set anti-join is broadcast only while `seenCount` is under
+    * `broadcastSeenLimit` — past it, seen grows to O(|V|) and the plan
+    * flips to a sort-merge anti-join (shuffle on v), the formulation that
+    * spills instead of flooding the driver/exchange at 100×. */
+  private[graft] def expandOnce(e: DataFrame, f: DataFrame, seen: DataFrame,
+      level: Int, seenCount: Long, broadcastSeenLimit: Long): DataFrame = {
+    val grown = e.join(broadcast(f), f("v") === e("src"))
+      .select(e("dst").as("v")).distinct()
+    val pruned =
+      if (seenCount <= broadcastSeenLimit)
+        grown.join(broadcast(seen), Seq("v"), "left_anti")
+      else grown.join(seen.hint("merge"), Seq("v"), "left_anti")
+    pruned.withColumn("level", lit(level))
+  }
+
   /** BFS levels from `start` over `edges(src: long, dst: long)`.
     * Returns `(v: long, level: int)` for every reachable vertex.
     */
-  def bfsLevels(spark: SparkSession, edges: DataFrame, start: Long, maxIter: Int = 50): DataFrame = {
+  def bfsLevels(spark: SparkSession, edges: DataFrame, start: Long, maxIter: Int = 50,
+      broadcastSeenLimit: Long = BroadcastSeenLimit): DataFrame = {
     import spark.implicits._
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .persist()
     var levels = Seq((start, 0)).toDF("v", "level")
     var frontier = levels
+    var seenCount = 1L
     var i = 0
     var done = false
-    // The frontier and the seen-set are tiny relative to the edge table —
-    // broadcast them so each expansion is one scan of e with a broadcast
-    // hash join + broadcast anti-join, not three shuffles. (On a cluster
-    // this is exactly the frontier-broadcast BFS pattern; a frontier too
-    // big to broadcast would flip to the shuffle formulation.)
+    // Each expansion is one scan of e with a broadcast frontier join plus
+    // the size-gated seen-set prune of expandOnce. The count() below reads
+    // the just-checkpointed frontier (cached RDD, no recompute) — it is
+    // both the BSP termination check and the running seen-set size that
+    // drives the broadcast→shuffle flip.
     def expand(f: DataFrame, seen: DataFrame, level: Int): DataFrame =
-      e.join(broadcast(f), f("v") === e("src"))
-        .select(e("dst").as("v")).distinct()
-        .join(broadcast(seen), Seq("v"), "left_anti")
-        .withColumn("level", lit(level))
+      expandOnce(e, f, seen, level, seenCount, broadcastSeenLimit)
         .localCheckpoint(true)
     while (i < maxIter && !done) {
       // Two hops per iteration: in local mode the cost of a superstep is
@@ -57,17 +81,21 @@ object GraphOps {
       // barriers into one loop iteration halves wall time without changing
       // semantics (hop-2 vertices are anti-joined against hop-1's).
       val next1 = expand(frontier, levels, i + 1)
-      if (next1.isEmpty) done = true
+      val n1 = next1.count()
+      if (n1 == 0) done = true
       else {
+        seenCount += n1
         val seen1 = levels.union(next1)
         val next2 = expand(next1, seen1, i + 2)
+        val n2 = next2.count()
+        seenCount += n2
         // Checkpoint the accumulated level set only every few iterations —
         // an eager checkpoint per superstep re-materializes all levels each
         // time (quadratic in depth); the frontier checkpoints above already
         // bound lineage growth to a few unions.
         val u = seen1.union(next2)
         levels = if (i % 4 >= 2) u.localCheckpoint(true) else u
-        if (next2.isEmpty) done = true else frontier = next2
+        if (n2 == 0) done = true else frontier = next2
       }
       i += 2
     }

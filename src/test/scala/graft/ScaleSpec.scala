@@ -80,6 +80,23 @@ class ScaleSpec extends SparkSpec {
       s"expected final ≺ Exchange ≺ partial in:\n${plan.take(800)}")
   }
 
+  test("BFS seen-set anti-join flips broadcast -> shuffle past the size gate") {
+    import spark.implicits._
+    val e = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val f = Seq((0L, 0)).toDF("v", "level")
+    val seen = Seq((0L, 0)).toDF("v", "level")
+    def planOf(seenCount: Long): String =
+      graft.plans.GraphOps.expandOnce(e, f, seen, 1, seenCount, 1000L)
+        .queryExecution.executedPlan.toString
+    val small = planOf(10L)
+    assert(small.matches("(?s).*BroadcastHashJoin.*LeftAnti.*"),
+      s"below the gate the seen prune should broadcast:\n${small.take(600)}")
+    val big = planOf(10000L)
+    val antiLine = big.linesIterator.find(_.contains("LeftAnti")).getOrElse("")
+    assert(antiLine.nonEmpty && !antiLine.contains("Broadcast"),
+      s"past the gate the seen prune must not broadcast:\n${big.take(600)}")
+  }
+
   test("banded RANGE-window rewrite == direct RANGE window") {
     // The shipped q_win_range IS the banded plan; the naive 3-partition
     // spelling lives only here, as the equality baseline.
