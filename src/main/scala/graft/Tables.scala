@@ -79,9 +79,14 @@ object Tables {
     // Plain File handles relative and absolute local paths alike (a
     // file:// URI parse would swallow the first segment of a relative
     // path as the URI authority and silently disable the fan-out).
-    val bytes = try new java.io.File(path).length catch { case _: Throwable => 0L }
+    val bytes = try new java.io.File(path).length
+      catch { case scala.util.control.NonFatal(_) => 0L }
+    // pk.get, not pk(name): a table added to `all` without a pk entry must
+    // degrade to round-robin fan-out, not throw at query-build time.
+    val keys = pk.get(name).toSeq.flatten.map(org.apache.spark.sql.functions.col)
     if (bytes > 400 * 1024 && df.rdd.getNumPartitions * 2 < target)
-      df.repartition(target, pk(name).map(org.apache.spark.sql.functions.col): _*)
+      if (keys.nonEmpty) df.repartition(target, keys: _*)
+      else df.repartition(target)
     else df
   }
 }
@@ -94,4 +99,22 @@ trait QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame]
   /** DuckDB SQL keyed by the same names; omit a key for rows-only checks. */
   def oracles: Map[String, String]
+}
+
+/** Collision-free temp views for SQL-surface queries. `spark.sql` analyzes
+  * eagerly, so the views can be dropped as soon as the DataFrame is built —
+  * nothing session-global survives the call, making SQL queries safe under
+  * concurrent sessions/queries (fixed-name `createOrReplaceTempView` was a
+  * race: two callers would silently read each other's registrations).
+  */
+object SqlViews {
+  /** Register each (baseName → df) under `baseName_<uniqueTag>`, pass the
+    * resolved names to `build`, then drop the views. */
+  def withViews(s: SparkSession, dfs: (String, DataFrame)*)(
+      build: Map[String, String] => DataFrame): DataFrame = {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+    val names = dfs.map { case (base, _) => base -> s"${base}_$tag" }.toMap
+    dfs.foreach { case (base, df) => df.createOrReplaceTempView(names(base)) }
+    try build(names) finally names.values.foreach(s.catalog.dropTempView(_))
+  }
 }

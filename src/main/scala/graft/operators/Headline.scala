@@ -80,32 +80,33 @@ object Headline extends QueryModule {
     // Correlated scalar subquery: orders ≥ 1.5× their customer's average
     // order value. Catalyst decorrelates this into an aggregate + join —
     // the scalable plan — rather than a per-row re-scan.
-    "q_subquery_corr" -> ((s, dir) => {
-      tr(s, dir, "orders").createOrReplaceTempView("orders_sq")
-      s.sql("""
-        SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS tp
-        FROM orders_sq o
-        WHERE o_totalprice >= 1.5 * (SELECT AVG(o2.o_totalprice)
-                                     FROM orders_sq o2
-                                     WHERE o2.o_custkey = o.o_custkey)
-        ORDER BY o_orderkey""")
-    }),
+    "q_subquery_corr" -> ((s, dir) =>
+      graft.SqlViews.withViews(s, "orders_sq" -> tr(s, dir, "orders")) { v =>
+        s.sql(s"""
+          SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS tp
+          FROM ${v("orders_sq")} o
+          WHERE ROUND(o_totalprice, 2) >= ROUND(1.5 * (SELECT AVG(o2.o_totalprice)
+                                                       FROM ${v("orders_sq")} o2
+                                                       WHERE o2.o_custkey = o.o_custkey), 2)
+          ORDER BY o_orderkey""")
+      }),
 
     // IN / NOT IN subqueries (rewritten by Catalyst to semi/anti joins):
     // urgent-order customers with no error events.
-    "q_subquery_in" -> ((s, dir) => {
-      tr(s, dir, "customer").createOrReplaceTempView("customer_sq")
-      tr(s, dir, "orders").createOrReplaceTempView("orders_sq2")
-      t(s, dir, "events").createOrReplaceTempView("events_sq")
-      s.sql("""
-        SELECT c_custkey, c_mktsegment
-        FROM customer_sq
-        WHERE c_custkey IN (SELECT o_custkey FROM orders_sq2
-                            WHERE o_orderpriority = '1-URGENT')
-          AND c_custkey NOT IN (SELECT user_id FROM events_sq
-                                WHERE event_type = 'error')
-        ORDER BY c_custkey""")
-    })
+    "q_subquery_in" -> ((s, dir) =>
+      graft.SqlViews.withViews(s,
+        "customer_sq" -> tr(s, dir, "customer"),
+        "orders_sq2" -> tr(s, dir, "orders"),
+        "events_sq" -> t(s, dir, "events")) { v =>
+        s.sql(s"""
+          SELECT c_custkey, c_mktsegment
+          FROM ${v("customer_sq")}
+          WHERE c_custkey IN (SELECT o_custkey FROM ${v("orders_sq2")}
+                              WHERE o_orderpriority = '1-URGENT')
+            AND c_custkey NOT IN (SELECT user_id FROM ${v("events_sq")}
+                                  WHERE event_type = 'error')
+          ORDER BY c_custkey""")
+      })
   )
 
   def oracles: Map[String, String] = Map(
@@ -133,12 +134,15 @@ object Headline extends QueryModule {
            AND o_orderdate >= TIMESTAMP '1995-01-01'
            AND o_orderdate < TIMESTAMP '1997-01-01'
          GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    // Both sides of the threshold are ROUNDed to cents (in Spark too) so a
+    // boundary row can't flip on last-ulp differences of a partition-order-
+    // dependent double AVG — the engine-stable predicate form.
     "q_subquery_corr" ->
       """SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS tp
          FROM orders o
-         WHERE o_totalprice >= 1.5 * (SELECT AVG(o2.o_totalprice)
-                                      FROM orders o2
-                                      WHERE o2.o_custkey = o.o_custkey)
+         WHERE ROUND(o_totalprice, 2) >= ROUND(1.5 * (SELECT AVG(o2.o_totalprice)
+                                                      FROM orders o2
+                                                      WHERE o2.o_custkey = o.o_custkey), 2)
          ORDER BY o_orderkey""",
     "q_subquery_in" ->
       """SELECT c_custkey, c_mktsegment

@@ -227,14 +227,14 @@ object Relational extends QueryModule {
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     }),
 
-    "q_grouping_sets" -> ((s, dir) => {
-      tr(s, dir, "orders").createOrReplaceTempView("orders_gs")
-      s.sql("""
-        SELECT o_orderstatus, o_orderpriority, count(*) AS n
-        FROM orders_gs
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
-    }),
+    "q_grouping_sets" -> ((s, dir) =>
+      graft.SqlViews.withViews(s, "orders_gs" -> tr(s, dir, "orders")) { v =>
+        s.sql(s"""
+          SELECT o_orderstatus, o_orderpriority, count(*) AS n
+          FROM ${v("orders_gs")}
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+      }),
 
     "q_agg_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem")

@@ -20,8 +20,14 @@ import graft.{QueryModule, Tables}
   */
 object FileFormats extends QueryModule {
 
+  // Per-JVM unique staging root: two concurrent JVMs on the same fixture
+  // dir (sbt test while Verify runs) must not overwrite / partially read
+  // each other's staging writes.
+  private val jvmTag: String =
+    java.lang.ProcessHandle.current().pid().toString
+
   private def stage(dir: String, tag: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_stage_${tag}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    s"${sys.props("java.io.tmpdir")}/graft_stage_${jvmTag}_${tag}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // parquet → CSV (header) → explicit-schema read-back → aggregate.
