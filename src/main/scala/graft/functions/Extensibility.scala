@@ -75,13 +75,26 @@ object Extensibility extends QueryModule {
 
     // Custom UDTF (Catalyst Generator): word trigrams per document via the
     // native Generate operator; recurring trigrams per language.
+    // Heavy-hitter plan shape: counting groupBy's shuffle key is the
+    // 64-bit xxhash of (lang, ngram) — 16-byte rows at full n-gram
+    // cardinality, never raw trigram strings (which approach corpus size).
+    // Strings re-attach in a second Generate pass joined against the
+    // surviving (n >= 3) hash set, so the raw-string distinct touches only
+    // heavy hitters. At production scale the survivor threshold rises with
+    // corpus size, keeping the survivor set broadcastable; a hash
+    // collision would merge two n-grams and fail the oracle compare —
+    // 2^-64-scale risk, the standard heavy-hitter trade.
     "q_udtf_ngrams" -> ((s, dir) => {
       val toks = split(col("text"), " ")
-      t(s, dir, "documents")
+      def grams = t(s, dir, "documents")
         .select(col("lang"), NGramsGen.ngrams(toks, 3).as("ngram"))
-        .groupBy("lang", "ngram")
-        .agg(count(lit(1)).as("n"))
+      val survivors = grams
+        .select(xxhash64(col("lang"), col("ngram")).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("n"))
         .filter(col("n") >= 3)
+      grams.join(broadcast(survivors),
+          xxhash64(col("lang"), col("ngram")) === col("h"))
+        .select("lang", "ngram", "n").distinct()
         .orderBy("lang", "ngram")
     }),
 
