@@ -24,8 +24,24 @@ object Bench {
     // (region is 5 rows) to JIT the vectorized parquet reader, hash-agg
     // codegen, and the noop sink path the measured queries all use.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    try spark.read.parquet(s"$sfDir/region.parquet")
-      .groupBy("r_name").count().write.format("noop").mode("overwrite").save()
+    try {
+      val region = spark.read.parquet(s"$sfDir/region.parquet")
+      region.groupBy("r_name").count().write.format("noop").mode("overwrite").save()
+      // Touch the other operator classes the suite leans on — window,
+      // broadcast join, generate/HOF, sort — so their codegen/JIT cost
+      // isn't billed to whichever measured query runs them first
+      // (alphabetical order made q_agg_approx_* absorb it all in r3).
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      region.withColumn("rn",
+          row_number().over(Window.partitionBy("r_name").orderBy("r_regionkey")))
+        .write.format("noop").mode("overwrite").save()
+      region.as("a").join(broadcast(region.as("b")), "r_regionkey")
+        .write.format("noop").mode("overwrite").save()
+      region.select(explode(split(col("r_comment"), " ")).as("w"))
+        .select(xxhash64(col("w")).as("h")).orderBy("h")
+        .write.format("noop").mode("overwrite").save()
+    }
     catch { case scala.util.control.NonFatal(_) => () } // fail-visible bench: probes still run
     // Optional subset filter for local iteration: SPARK_GRAFT_ONLY=regex.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
@@ -77,9 +93,12 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(45)
     println(full)
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","queries_note":"slowest 45 of ${results.size}; full map in BENCH_FULL.json","queries":${qmap(slowest)}}""")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), full + "\n")
-    catch { case scala.util.control.NonFatal(_) => () } // stdout already has it
+    // Full runs only — a SPARK_GRAFT_ONLY subset would overwrite the
+    // repo copy with a misleading partial map.
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), full + "\n")
+      catch { case scala.util.control.NonFatal(_) => () } // stdout already has it
     spark.stop()
   }
 }

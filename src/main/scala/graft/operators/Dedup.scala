@@ -144,7 +144,9 @@ object Dedup extends QueryModule {
     // pipeline actually runs (pairs alone still leave both copies in the
     // corpus).
     "q_dedup_cluster" -> ((s, dir) => {
-      val pairs = minhashPairs(s, dir)
+      // pairs feeds both union branches below AND the component loop —
+      // materialize once or the whole verify stage re-executes per branch.
+      val pairs = minhashPairs(s, dir).localCheckpoint(true)
       val fwd = pairs.select(col("da").as("src"), col("db").as("dst"))
       val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       graft.plans.GraphOps.connectedComponents(s, edges)

@@ -208,6 +208,44 @@ object StreamingOps extends QueryModule {
         .orderBy("user_id")
     }),
 
+    // Multi-microbatch chunked replay — the missing "does state merge
+    // across batches" slice of the oracled set (r3 verdict): events are
+    // staged into 8 hash-partitioned chunk files and replayed with
+    // maxFilesPerTrigger=1, so AvailableNow runs >= 8 microbatches and the
+    // running per-type aggregate must carry state across every one. The
+    // update-mode memory sink keeps one row per (type, batch-that-changed-
+    // it): the final row per type must equal the batch aggregate (DuckDB-
+    // verified), and `multi_batch` pins that the type was actually updated
+    // across >= 2 microbatches — chunked execution, not one big batch.
+    "q_stream_microbatch" -> ((s, dir) => {
+      val tag = java.lang.ProcessHandle.current().pid().toString + "_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val chunks = s"${sys.props("java.io.tmpdir")}/graft_stream_chunks_$tag"
+      Tables.raw(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .repartition(8, col("event_id"))
+        .write.mode("overwrite").parquet(chunks)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+      val agg = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(chunks)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("val_sum"))
+      val run = runToMemory(s, agg, "t_stream_microbatch", "update")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("n").desc)
+      run
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_batches", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("n"), col("val_sum"),
+          (col("n_batches") >= 2).as("multi_batch"))
+        .orderBy("event_type")
+    }),
+
     // Session windows (30-minute gap) per user — batch session_window (the
     // streaming variant requires append mode + watermark, which withholds
     // the final unexpired sessions, so batch is the oracle-comparable form;
@@ -248,6 +286,14 @@ object StreamingOps extends QueryModule {
       """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS val_sum
          FROM events WHERE event_type IN ('purchase', 'signup')
          GROUP BY event_type ORDER BY event_type""",
+    // Totals are fully DuckDB-recomputable; multi_batch is the in-query
+    // self-check that >= 2 microbatches updated each type (the oracle pins
+    // TRUE — a single-batch execution would emit exactly one sink row per
+    // type and fail the hash).
+    "q_stream_microbatch" ->
+      """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS val_sum,
+         TRUE AS multi_batch
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_stream_join" ->
       """SELECT c.user_id, COUNT(*) AS n_pairs
          FROM events c JOIN events p
