@@ -52,9 +52,9 @@ object StreamingOps extends QueryModule {
     * restored after the run; microbatch planning reads it at execution).
     */
   private def runToMemory(s: SparkSession, agg: DataFrame, name: String,
-                          mode: String): DataFrame = {
+                          mode: String, partitions: Int = 8): DataFrame = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     try {
       val q = agg.writeStream.format("memory").queryName(name)
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
@@ -159,8 +159,12 @@ object StreamingOps extends QueryModule {
         col("cu") === col("pu") &&
         col("pts") >= col("cts") &&
         col("pts") <= col("cts") + expr("INTERVAL 30 MINUTES"))
+      // 4 shuffle partitions, not 8: a stream-stream join allocates FOUR
+      // state stores per partition — halving partitions halves store-init
+      // cost, the dominant term at this volume (sized to throughput on a
+      // real cluster).
       val run = runToMemory(s, joined.select(col("cu"), col("cts"), col("pts")),
-        "t_stream_join", "append")
+        "t_stream_join", "append", partitions = 4)
       run.groupBy(col("cu").as("user_id"))
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("user_id")
