@@ -23,6 +23,39 @@ class PropertySpec extends SparkSpec {
     } yield (s, d))
   } yield edges
 
+  test("HyperplaneBands: codegen and interpreted eval agree; nulls pass through") {
+    import spark.implicits._
+    import graft.functions.HyperplaneBands
+    val vecGen: Gen[Seq[Float]] =
+      Gen.listOfN(64, Gen.choose(-1.0f, 1.0f))
+    val vecs = samples(vecGen, 40).map(_.toArray) :+ Array.fill(64)(0.0f)
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "embedding")
+    // Codegen path: normal DataFrame execution (whole-stage codegen on).
+    val viaCodegen = df.select(col("id"),
+        HyperplaneBands.bands(col("embedding"), 8, 3).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // Interpreted path: nullSafeEval directly on the same data.
+    val expr = HyperplaneBands(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        null, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)), 8, 3)
+    for ((v, i) <- vecs.zipWithIndex) {
+      val interp = expr.nullSafeEval(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray()
+      assert(interp.toSeq == viaCodegen(i.toLong),
+        s"codegen/interpreted divergence for vector $i")
+    }
+    // null input → null output (posexplode upstream then drops the row)
+    val withNull = Seq((0L, Array(0.1f, -0.2f)), (1L, null))
+      .toDF("id", "embedding")
+      .select(col("id"), HyperplaneBands.bands(col("embedding"), 4, 2).as("b"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Int](1)))
+      .toMap
+    assert(withNull(1L) == null && withNull(0L).size == 4)
+  }
+
   test("BFS property: every edge between reachable vertices spans <= 1 level") {
     import spark.implicits._
     for (edges <- samples(graphGen, 8)) {
