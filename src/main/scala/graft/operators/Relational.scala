@@ -368,6 +368,54 @@ object Relational extends QueryModule {
         .agg(count(lit(1)))
         .na.fill(0)
         .orderBy("user_id")
+    }),
+
+    // Unpivot (melt): three lineitem measures stacked into (measure, value)
+    // rows — `stack` is a Generate-planned projection (no shuffle, no
+    // self-union scan ×3), then one hash agg.
+    "q_unpivot" -> ((s, dir) => {
+      tr(s, dir, "lineitem")
+        .select(expr(
+          """stack(3,
+               'discount', CAST(l_discount AS DOUBLE),
+               'extendedprice', CAST(l_extendedprice AS DOUBLE),
+               'quantity', CAST(l_quantity AS DOUBLE))
+             AS (measure, value)"""))
+        .groupBy("measure")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .orderBy("measure")
+    }),
+
+    // Bucketed co-located join: both sides written bucketBy(8) on the join
+    // key, so the sort-merge join reads pre-partitioned buckets — ZERO
+    // Exchange in the executed plan (asserted in ScaleSpec's bucketing
+    // test; here the broadcast threshold is disabled during the in-query
+    // materialization so the bucket-to-bucket SMJ path actually executes).
+    // At 100 TB this is the canonical repeated-join layout: bucket once,
+    // join shuffle-free forever.
+    "q_join_bucketed" -> ((s, dir) => {
+      val pid = java.lang.ProcessHandle.current().pid()
+      val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed_$pid"
+      val (to, tc) = (s"graft_bo_$pid", s"graft_bc_$pid")
+      def writeBucketed(df: DataFrame, tbl: String, key: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$base/$tbl"))
+        df.write.option("path", s"$base/$tbl")
+          .bucketBy(8, key).sortBy(key).mode("overwrite").saveAsTable(tbl)
+      }
+      writeBucketed(tr(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice"), to, "o_custkey")
+      writeBucketed(tr(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment"), tc, "c_custkey")
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val joined = try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s.table(to).join(s.table(tc), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+          .localCheckpoint(true) // materialize INSIDE the no-broadcast window
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      joined.orderBy("c_mktsegment")
     })
   )
 
@@ -539,6 +587,17 @@ object Relational extends QueryModule {
          COUNT(*) FILTER (WHERE event_type='purchase') AS purchase,
          COUNT(*) FILTER (WHERE event_type='signup') AS signup,
          COUNT(*) FILTER (WHERE event_type='error') AS error
-         FROM events GROUP BY user_id ORDER BY user_id"""
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q_unpivot" ->
+      """SELECT measure, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+         FROM (SELECT 'discount' AS measure, CAST(l_discount AS DOUBLE) AS value FROM lineitem
+               UNION ALL SELECT 'extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+               UNION ALL SELECT 'quantity', CAST(l_quantity AS DOUBLE) FROM lineitem)
+         GROUP BY measure ORDER BY measure""",
+    "q_join_bucketed" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+         ROUND(SUM(o_totalprice), 2) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment"""
   )
 }
