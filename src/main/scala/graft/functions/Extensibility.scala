@@ -98,6 +98,32 @@ object Extensibility extends QueryModule {
         .orderBy("lang", "ngram")
     }),
 
+    // Custom TypedImperativeAggregate: count-min sketch of event_type
+    // frequencies (4 rows x 256 buckets). Partial sketches build map-side
+    // and merge by elementwise add — one 8 KB row per partition reaches
+    // the final combine regardless of corpus size; the estimate for each
+    // probe key is the MIN of its 4 counters, read out of the sketch with
+    // element_at. Bucket hashing is the portable md5 family, so the DuckDB
+    // oracle recomputes every counter cell and the estimates match
+    // bit-for-bit (see CountMinSketch scaladoc).
+    "q_sketch_cms" -> ((s, dir) => {
+      val (d, wdt) = (4, 256)
+      val ev = tr(s, dir, "events")
+      val sk = ev
+        .select(CountMinSketch.buckets(col("event_type"), d, wdt).as("bk"))
+        .agg(CountMinSketch.sketch(col("bk"), d, wdt).as("sk"))
+      val probes = ev.select("event_type").distinct()
+        .select(col("event_type"),
+          CountMinSketch.buckets(col("event_type"), d, wdt).as("pk"))
+      val est = (0 until d).map(r =>
+          element_at(col("sk"),
+            (lit(r * wdt) + element_at(col("pk"), r + 1)).cast("int") + 1))
+        .reduce(least(_, _))
+      probes.join(broadcast(sk))
+        .select(col("event_type"), est.as("est"))
+        .orderBy("event_type")
+    }),
+
     // Native codegen Expression: same result contract as q_sim_topk but the
     // cosine runs in one fused loop (see CosineSimilarity scaladoc).
     "q_sim_expr" -> ((s, dir) => {
@@ -145,6 +171,21 @@ object Extensibility extends QueryModule {
          GROUP BY lang, ngram HAVING COUNT(*) >= 3
          ORDER BY lang, ngram""",
     // identical result contract to q_sim_topk → same oracle, by reference
-    "q_sim_expr" -> graft.operators.Similarity.cosineSql("vec_id < 10", "", 5)
+    "q_sim_expr" -> graft.operators.Similarity.cosineSql("vec_id < 10", "", 5),
+    // The oracle rebuilds the touched counter cells from first principles:
+    // cell(r, b) = COUNT of items hashing to bucket b in row r; estimate =
+    // MIN over rows of the probe's cell. Same portable bucket hash.
+    "q_sketch_cms" ->
+      s"""WITH r AS (SELECT unnest(range(0, 4)) AS r),
+         cells AS (SELECT r.r, ${CountMinSketch.bucketSql("e.event_type", "r.r", 256)} AS b,
+             COUNT(*) AS cnt
+           FROM events e CROSS JOIN r GROUP BY 1, 2),
+         p AS (SELECT DISTINCT event_type FROM events),
+         pb AS (SELECT p.event_type, r.r,
+             ${CountMinSketch.bucketSql("p.event_type", "r.r", 256)} AS b
+           FROM p CROSS JOIN r)
+         SELECT event_type, CAST(MIN(cells.cnt) AS BIGINT) AS est
+         FROM pb JOIN cells ON cells.r = pb.r AND cells.b = pb.b
+         GROUP BY event_type ORDER BY event_type"""
   )
 }

@@ -105,6 +105,37 @@ object Similarity extends QueryModule {
         .orderBy("qid", "rn")
     }),
 
+    // One Lloyd assignment step of k-means over the embedding corpus — the
+    // clustering operator a training pipeline runs beside dedup/ANN (IVF
+    // cell maps, diversity sampling). Seeds = vectors 0..k−1 (deterministic
+    // "first-k" init). All arithmetic is integer: vectors quantize to
+    // floor(x·32768) (exact, same family as HyperplaneBands), distances
+    // are exact 64-bit Σ(a−b)² — no float summation order anywhere, so the
+    // assignment (argmin with centroid-id tie-break) and the per-cluster
+    // sufficient statistics (Σ, Σ²: what the next Lloyd step consumes) are
+    // bit-replicable by the DuckDB oracle. Scale shape: k centroids
+    // broadcast, ONE corpus scan, agg shuffles k rows.
+    "q_sim_kmeans" -> ((s, dir) => {
+      val k = 8
+      val qv = transform(col("embedding"),
+        x => floor(x.cast("double") * 32768.0).cast("long"))
+      val base = t(s, dir, "embeddings").select(col("vec_id"), qv.as("qv"))
+      val cents = base.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("qv").as("cv"))
+      val dist = aggregate(
+        zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v)
+      val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+      val assigned = base.join(broadcast(cents))
+        .select(col("vec_id"), col("qv"), col("cid"), dist.as("dist"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      assigned.groupBy("cid")
+        .agg(count(lit(1)).as("n_members"),
+          sum(aggregate(col("qv"), lit(0L), (acc, x) => acc + x)).as("sum_q"),
+          sum(aggregate(col("qv"), lit(0L), (acc, x) => acc + x * x)).as("sum_sq"))
+        .orderBy("cid")
+    }),
+
     // Random-hyperplane LSH ANN: multi-table banded signatures (8 tables ×
     // 3 bits) computed by the codegen [[graft.functions.HyperplaneBands]]
     // expression — one fused integer loop per row, coefficients derived
@@ -197,6 +228,25 @@ object Similarity extends QueryModule {
            FROM cosined)
          SELECT qid, vec_id, cosine_q, rn FROM ranked WHERE rn <= 5
          ORDER BY qid, rn""",
+    // Same integer quantization, exact integer distances, same argmin
+    // tie-break, same sufficient statistics — bit-replicable end to end.
+    "q_sim_kmeans" ->
+      """WITH q AS (SELECT vec_id,
+             [CAST(floor(CAST(x AS DOUBLE) * 32768.0) AS BIGINT) for x in embedding] AS qv
+           FROM embeddings),
+         c AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 8),
+         d AS (SELECT q.vec_id, c.cid,
+             CAST(list_sum([(q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])
+                            for i in range(1, 65)]) AS BIGINT) AS dist
+           FROM q CROSS JOIN c),
+         a AS (SELECT vec_id, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           FROM d),
+         m AS (SELECT a.cid, q.qv FROM a JOIN q USING (vec_id) WHERE a.rn = 1)
+         SELECT cid, COUNT(*) AS n_members,
+           CAST(SUM(CAST(list_sum(qv) AS BIGINT)) AS BIGINT) AS sum_q,
+           CAST(SUM(CAST(list_sum([x * x for x in qv]) AS BIGINT)) AS BIGINT) AS sum_sq
+         FROM m GROUP BY cid ORDER BY cid""",
     // Full LSH replication: same integer hyperplane signatures
     // (HyperplaneBands.oracleSigsSql), same candidate join, same rounded
     // cosine re-rank — DuckDB reproduces every band bit.

@@ -56,6 +56,32 @@ class PropertySpec extends SparkSpec {
     assert(withNull(1L) == null && withNull(0L).size == 4)
   }
 
+  test("count-min sketch: row sums equal N across partition merges; estimates dominate exact") {
+    import spark.implicits._
+    import graft.functions.CountMinSketch
+    val keys = samples(Gen.oneOf("a", "b", "c", "dd", "ee", "ff", "g", "hh"), 400)
+    val (d, w) = (4, 16) // narrow width → collisions exercised
+    val sk = keys.toDF("k").repartition(7) // multi-partition → partial-sketch merges
+      .select(CountMinSketch.buckets(col("k"), d, w).as("bk"))
+      .agg(CountMinSketch.sketch(col("bk"), d, w))
+      .collect()(0).getSeq[Long](0)
+    // every row of a merged CMS must sum to the total item count
+    for (r <- 0 until d)
+      assert(sk.slice(r * w, (r + 1) * w).sum == keys.size,
+        s"row $r sums to ${sk.slice(r * w, (r + 1) * w).sum}, want ${keys.size}")
+    // same bucket math as CountMinSketch.buckets, in plain Scala
+    def h(r: Int, k: String): Int = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+      val hex = md5.digest(s"cms:$r:$k".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex.substring(0, 15), 16) % w).toInt
+    }
+    val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for ((k, n) <- exact) {
+      val est = (0 until d).map(r => sk(r * w + h(r, k))).min
+      assert(est >= n, s"CMS under-counted '$k': est=$est exact=$n")
+    }
+  }
+
   test("BFS property: every edge between reachable vertices spans <= 1 level") {
     import spark.implicits._
     for (edges <- samples(graphGen, 8)) {
