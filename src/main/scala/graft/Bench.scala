@@ -72,9 +72,14 @@ object Bench {
       // Short queries are the ones JIT/first-plan noise distorts the most
       // relative to their cost — re-measure once and report the min. Long
       // queries keep single-shot timing (a second run would double bench
-      // wall time for little variance gain).
-      val sec = if (ok1 && t1 < 1.5) math.min(t1, once()._1) else t1
-      (name, sec, ok1)
+      // wall time for little variance gain). A failed second run keeps the
+      // first measurement AND flips the query to failed — a fast-fail must
+      // never masquerade as a speedup.
+      val (sec, ok) = if (ok1 && t1 < 1.5) {
+        val (t2, ok2) = once()
+        if (ok2) (math.min(t1, t2), true) else (t1, false)
+      } else (t1, ok1)
+      (name, sec, ok)
     }
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
@@ -92,13 +97,21 @@ object Bench {
     // sources so nothing is lost to truncation.
     val slowest = results.sortBy(-_._2).take(45)
     println(full)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","queries_note":"slowest 45 of ${results.size}; full map in BENCH_FULL.json","queries":${qmap(slowest)}}""")
+    val note = if (only.isEmpty) s"slowest 45 of ${results.size}; full map in BENCH_FULL.json"
+      else s"slowest 45 of ${results.size} (subset run)"
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","queries_note":"$note","queries":${qmap(slowest)}}""")
     // Full runs only — a SPARK_GRAFT_ONLY subset would overwrite the
-    // repo copy with a misleading partial map.
-    if (only.isEmpty)
-      try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), full + "\n")
-      catch { case scala.util.control.NonFatal(_) => () } // stdout already has it
+    // repo copy with a misleading partial map. Target the repo checkout
+    // when it exists, else the working directory; a failed write is
+    // reported, not swallowed (stdout still has the full line).
+    if (only.isEmpty) {
+      val repo = java.nio.file.Paths.get("/root/repo")
+      val target = (if (java.nio.file.Files.isDirectory(repo)) repo
+        else java.nio.file.Paths.get(".")).resolve("BENCH_FULL.json")
+      try java.nio.file.Files.writeString(target, full + "\n")
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write $target: $e") }
+    }
     spark.stop()
   }
 }

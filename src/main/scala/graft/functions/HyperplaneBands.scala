@@ -149,9 +149,14 @@ object HyperplaneBands {
            ${PortableHash.sql("'hp:' || p.range || ':' || d.range")} % 1000000 - 500000 AS c
          FROM range(0, $nPlanes) p, range(0, $MaxDims) d),
        hp_quant AS (
+         -- NULL embeddings are excluded to mirror Spark exactly: the
+         -- null-propagating expression + posexplode drops those rows,
+         -- while a NULL projection here would CASE to sig=0 and invent
+         -- candidates the Spark side never generates.
          SELECT vec_id, d.range AS d,
            CAST(floor(CAST(embedding[CAST(d.range AS INT) + 1] AS DOUBLE) * 32768.0) AS BIGINT) AS xi
-         FROM embeddings, range(0, $MaxDims) d),
+         FROM embeddings, range(0, $MaxDims) d
+         WHERE embedding IS NOT NULL),
        hp_proj AS (
          SELECT q.vec_id, pl.p, SUM(q.xi * pl.c) AS pr
          FROM hp_quant q JOIN hp_planes pl ON pl.d = q.d

@@ -154,7 +154,12 @@ object GraphQueries extends QueryModule {
         .select((col("n_nationkey") + 5).cast("long").as("src"),
           col("n_regionkey").cast("long").as("dst"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
-      val base = java.nio.file.Files.createTempDirectory("graft_store_")
+      // Per-JVM tagged FIXED path (FileFormats.stage pattern): repeated
+      // invocations overwrite instead of leaking a fresh temp dir per run.
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_store_${java.lang.ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_"))
+      java.nio.file.Files.createDirectories(base)
       val txt = base.resolve("G30.txt")
       java.nio.file.Files.writeString(txt, AdjacencyCodec.format(edges, 30))
       val parsed = AdjacencyCodec.read(s, txt.toString)

@@ -394,27 +394,31 @@ object Relational extends QueryModule {
     // At 100 TB this is the canonical repeated-join layout: bucket once,
     // join shuffle-free forever.
     "q_join_bucketed" -> ((s, dir) => {
-      val pid = java.lang.ProcessHandle.current().pid()
-      val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed_$pid"
-      val (to, tc) = (s"graft_bo_$pid", s"graft_bc_$pid")
-      def writeBucketed(df: DataFrame, tbl: String, key: String): Unit = {
-        s.sql(s"DROP TABLE IF EXISTS $tbl")
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$base/$tbl"))
+      // Per-CALL unique tag (the SqlViews discipline): concurrent callers
+      // in one JVM must not collide on catalog names or bucket dirs; the
+      // tables and files are dropped as soon as the join is materialized.
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+      val base = s"${sys.props("java.io.tmpdir")}/graft_bucketed_$tag"
+      val (to, tc) = (s"graft_bo_$tag", s"graft_bc_$tag")
+      def writeBucketed(df: DataFrame, tbl: String, key: String): Unit =
         df.write.option("path", s"$base/$tbl")
           .bucketBy(8, key).sortBy(key).mode("overwrite").saveAsTable(tbl)
-      }
-      writeBucketed(tr(s, dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice"), to, "o_custkey")
-      writeBucketed(tr(s, dir, "customer")
-        .select("c_custkey", "c_mktsegment"), tc, "c_custkey")
       val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
       val joined = try {
+        writeBucketed(tr(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice"), to, "o_custkey")
+        writeBucketed(tr(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment"), tc, "c_custkey")
         s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         s.table(to).join(s.table(tc), col("o_custkey") === col("c_custkey"))
           .groupBy("c_mktsegment")
           .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
           .localCheckpoint(true) // materialize INSIDE the no-broadcast window
-      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        Seq(to, tc).foreach(tbl => s.sql(s"DROP TABLE IF EXISTS $tbl"))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      }
       joined.orderBy("c_mktsegment")
     })
   )

@@ -119,7 +119,11 @@ object Similarity extends QueryModule {
       val k = 8
       val qv = transform(col("embedding"),
         x => floor(x.cast("double") * 32768.0).cast("long"))
-      val base = t(s, dir, "embeddings").select(col("vec_id"), qv.as("qv"))
+      // Explicit null exclusion on BOTH sides (Spark sorts null distances
+      // first, DuckDB last — a null embedding would diverge silently).
+      val base = t(s, dir, "embeddings")
+        .filter(col("embedding").isNotNull)
+        .select(col("vec_id"), qv.as("qv"))
       val cents = base.filter(col("vec_id") < k)
         .select(col("vec_id").as("cid"), col("qv").as("cv"))
       val dist = aggregate(
@@ -143,12 +147,14 @@ object Similarity extends QueryModule {
     // Candidates = vectors sharing any table's band value; exact cosine
     // re-rank inside the candidate set. At scale the (band, sig) pair is
     // the shuffle key — candidate generation is linear in bucket sizes,
-    // never all-pairs — and the embedding join-backs below flip from
-    // broadcast to shuffle-on-vec_id when the corpus outgrows the
-    // broadcast threshold. The integer signature arithmetic is
-    // order-independent, so the DuckDB oracle replicates the FULL LSH
-    // (bands, candidates, re-rank) bit-for-bit; recall vs the exact top-3
-    // is pinned separately in PipelineSpec.
+    // never all-pairs. The probe-side joins carry an explicit broadcast()
+    // (10 vectors, always tiny); the CORPUS join-back is deliberately
+    // unhinted so Catalyst/AQE pick broadcast at bench scale and flip to a
+    // shuffle join on vec_id once the corpus outgrows the threshold — an
+    // explicit hint there would force an unbounded broadcast. The integer
+    // signature arithmetic is order-independent, so the DuckDB oracle
+    // replicates the FULL LSH (bands, candidates, re-rank) bit-for-bit;
+    // recall vs the exact top-3 is pinned separately in PipelineSpec.
     "q_sim_ann" -> ((s, dir) => {
       val nTables = 8; val bitsPerTable = 3
       val e = t(s, dir, "embeddings")
@@ -171,7 +177,7 @@ object Similarity extends QueryModule {
       val ce = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
       val cos = round(graft.functions.CosineSimilarity.cosineSim(col("ea"), col("eb")), 4)
       val w = Window.partitionBy("va").orderBy(col("cosine").desc, col("vb"))
-      cand.join(broadcast(qe), Seq("va")).join(broadcast(ce), Seq("vb"))
+      cand.join(broadcast(qe), Seq("va")).join(ce, Seq("vb"))
         .select(col("va"), col("vb"), cos.as("cosine"))
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
         .select(col("va").as("qid"), col("vb"), col("cosine"), col("rn"))
@@ -233,7 +239,7 @@ object Similarity extends QueryModule {
     "q_sim_kmeans" ->
       """WITH q AS (SELECT vec_id,
              [CAST(floor(CAST(x AS DOUBLE) * 32768.0) AS BIGINT) for x in embedding] AS qv
-           FROM embeddings),
+           FROM embeddings WHERE embedding IS NOT NULL),
          c AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 8),
          d AS (SELECT q.vec_id, c.cid,
              CAST(list_sum([(q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])
