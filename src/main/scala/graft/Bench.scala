@@ -41,6 +41,11 @@ object Bench {
       region.select(explode(split(col("r_comment"), " ")).as("w"))
         .select(xxhash64(col("w")).as("h")).orderBy("h")
         .write.format("noop").mode("overwrite").save()
+      // the approx-sketch aggregates (HLL++, percentile digest) run FIRST
+      // alphabetically and have their own heavy codegen/JIT footprint
+      region.select(approx_count_distinct("r_name").as("d"),
+          percentile_approx(col("r_regionkey"), lit(0.5), lit(100)).as("p"))
+        .write.format("noop").mode("overwrite").save()
     }
     catch { case scala.util.control.NonFatal(_) => () } // fail-visible bench: probes still run
     // Optional subset filter for local iteration: SPARK_GRAFT_ONLY=regex.
