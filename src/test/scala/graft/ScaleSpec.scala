@@ -80,6 +80,18 @@ class ScaleSpec extends SparkSpec {
       s"expected final ≺ Exchange ≺ partial in:\n${plan.take(800)}")
   }
 
+  test("count-min sketch builds partial sketches below the exchange") {
+    // The linear-sketch property in the plan: executor-local partial
+    // sketches (map side) merge through ONE exchange row per partition.
+    val plan = SparkEntry.queries("q_sketch_cms")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val iFinal = plan.indexOf("functions=[countminagg")
+    val iExchange = plan.indexOf("Exchange SinglePartition")
+    val iPartial = plan.indexOf("partial_countminagg")
+    assert(iFinal >= 0 && iExchange > iFinal && iPartial > iExchange,
+      s"expected final ≺ Exchange ≺ partial in:\n${plan.take(1500)}")
+  }
+
   test("BFS seen-set anti-join flips broadcast -> shuffle past the size gate") {
     import spark.implicits._
     val e = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
