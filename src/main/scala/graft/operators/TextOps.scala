@@ -25,6 +25,28 @@ object TextOps extends QueryModule {
   /** documents.text is single-space separated (verified in TESTDATA recon). */
   private val toks: Column = split(col("text"), " ")
 
+  /** Distinct winnowing fingerprints per document: k=8 char-gram hashes
+    * (portable md5 family), window-min over w=16 consecutive grams,
+    * deduplicated — `(doc_id, wh)`. Bounded slice (doc_id < 1000) like
+    * q_dedup_ngram; each stage is one projection + one window over
+    * (doc, position), so at scale it is a single shuffle on doc_id.
+    * The `length >= k` guard matters: sequence(1, len-k+1) would DESCEND
+    * for shorter docs (Spark steps -1 when start > stop) while the
+    * oracle's range() is empty — both sides must drop sub-k-length docs.
+    */
+  private def winnowFingerprints(s: SparkSession, dir: String): DataFrame = {
+    val k = 8; val w = 16
+    val grams = t(s, dir, "documents")
+      .filter(col("doc_id") < 1000 && length(col("text")) >= k)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - k + 1)).as("p"))
+      .select(col("doc_id"), col("p"),
+        graft.functions.PortableHash.hash60(expr(s"substring(text, p, $k)")).as("h"))
+    val win = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.currentRow, w - 1)
+    grams.select(col("doc_id"), min("h").over(win).as("wh")).distinct()
+  }
+
   private val stopList = Seq("the", "a", "and", "of", "to", "in", "is")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -103,24 +125,29 @@ object TextOps extends QueryModule {
     // density is guaranteed by the window size. Bounded slice (doc_id <
     // 1000) like q_dedup_ngram; each stage is one projection + one window
     // over (doc, position), so at scale it is a single shuffle on doc_id.
-    "q_text_winnow" -> ((s, dir) => {
-      val k = 8; val w = 16
-      // length >= k guard: sequence(1, len-k+1) would DESCEND for
-      // shorter docs (Spark steps -1 when start > stop) while the oracle's
-      // range() is empty — both sides must drop sub-k-length docs.
-      val grams = t(s, dir, "documents")
-        .filter(col("doc_id") < 1000 && length(col("text")) >= k)
-        .select(col("doc_id"), col("text"),
-          explode(sequence(lit(1), length(col("text")) - k + 1)).as("p"))
-        .select(col("doc_id"), col("p"),
-          graft.functions.PortableHash.hash60(expr(s"substring(text, p, $k)")).as("h"))
-      val win = Window.partitionBy("doc_id").orderBy("p")
-        .rowsBetween(Window.currentRow, w - 1)
-      grams.select(col("doc_id"), min("h").over(win).as("wh"))
-        .distinct()
+    "q_text_winnow" -> ((s, dir) =>
+      winnowFingerprints(s, dir)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_fp"), min("wh").as("min_fp"), max("wh").as("max_fp"))
-        .orderBy("doc_id")
+        .orderBy("doc_id")),
+
+    // The winnowing END-USE: cross-document overlap detection (the
+    // plagiarism/near-dup application the fingerprints exist for). Docs
+    // sharing >= 20 distinct window-min fingerprints become candidate
+    // pairs (the corpus shows a clean bimodal split: a 5-9 shared-
+    // fingerprint noise shelf from common substrings, then real overlaps
+    // from ~20 up); the self-join keys on the fingerprint value, so pair
+    // generation is linear in fingerprint-bucket sizes (never all-pairs) —
+    // the same collision-driven shape as MinHash-LSH and hyperplane ANN.
+    "q_text_winnow_pairs" -> ((s, dir) => {
+      // one materialization feeds both join sides
+      val fps = winnowFingerprints(s, dir).localCheckpoint(true)
+      fps.select(col("doc_id").as("da"), col("wh"))
+        .join(fps.select(col("doc_id").as("db"), col("wh")), Seq("wh"))
+        .filter(col("da") < col("db"))
+        .groupBy("da", "db").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 20)
+        .orderBy("da", "db")
     }),
 
     // Positional fingerprint: sum((i+1) * len(token_i)) mod 1000003, plus
@@ -200,6 +227,20 @@ object TextOps extends QueryModule {
          SELECT doc_id, COUNT(*) AS n_fp,
            CAST(MIN(wh) AS BIGINT) AS min_fp, CAST(MAX(wh) AS BIGINT) AS max_fp
          FROM fp GROUP BY doc_id ORDER BY doc_id""",
+    // Same fingerprint CTE, self-joined on the fingerprint value.
+    "q_text_winnow_pairs" ->
+      s"""WITH g AS (SELECT doc_id, p,
+             ${graft.functions.PortableHash.sql("substr(text, CAST(p AS INT), 8)")} AS h
+           FROM (SELECT doc_id, text, unnest(range(1, len(text) - 8 + 2)) AS p
+                 FROM documents WHERE doc_id < 1000 AND len(text) >= 8)),
+         wm AS (SELECT doc_id,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wh
+           FROM g),
+         fp AS (SELECT DISTINCT doc_id, wh FROM wm)
+         SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_shared
+         FROM fp a JOIN fp b ON a.wh = b.wh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING COUNT(*) >= 20 ORDER BY da, db""",
     "q_text_fingerprint" ->
       """SELECT doc_id,
          CAST(SUM(i * length(tok)) AS BIGINT) % 1000003 AS fp,
