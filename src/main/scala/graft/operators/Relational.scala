@@ -164,6 +164,32 @@ object Relational extends QueryModule {
         .orderBy("bucket")
     }),
 
+    // Large×large interval join with NO equi key — the shape that planners
+    // naively execute as a nested-loop cross product. Banded rewrite: each
+    // point carries its frame-width band floor(p/W); each interval explodes
+    // to the bands it spans (bounded fan-out: interval width == W ⇒ ≤ 2
+    // bands); the join becomes a plain EQUI join on band (shuffleable,
+    // AQE-skew-splittable) with the exact range predicate as a residual
+    // filter. A (point, interval) pair matches in exactly one band (the
+    // point's), so no post-dedup is needed. Same trick as the banded RANGE
+    // window, applied to joins.
+    "q_join_interval" -> ((s, dir) => {
+      val W = 1000.0
+      val ivs = tr(s, dir, "orders").filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey"), col("o_totalprice").as("lo"),
+          (col("o_totalprice") + W).as("hi"))
+        .withColumn("band", explode(sequence(
+          floor(col("lo") / W).cast("long"), floor(col("hi") / W).cast("long"))))
+      val pts = tr(s, dir, "lineitem")
+        .select(col("l_extendedprice").as("p"))
+        .withColumn("band", floor(col("p") / W).cast("long"))
+      pts.join(ivs, Seq("band"))
+        .filter(col("p") >= col("lo") && col("p") < col("hi"))
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_in_range"), round(sum("p"), 2).as("price_sum"))
+        .orderBy("o_orderkey")
+    }),
+
     // As-of join: for each event, the latest order of that customer at or
     // before the event time. Key-equi join + per-event row_number, which is
     // the shuffle-friendly as-of formulation (no sort-merge interleave op in
@@ -489,6 +515,16 @@ object Relational extends QueryModule {
            (30.0,40.0,'b3'),(40.0,50.5,'b4')) b(lo,hi,bucket)
            ON l_quantity >= lo AND l_quantity < hi
          GROUP BY bucket ORDER BY bucket""",
+    // The oracle states the PLAIN interval join — the banded rewrite must
+    // reproduce it exactly.
+    "q_join_interval" ->
+      """SELECT o_orderkey, COUNT(*) AS n_in_range,
+         ROUND(SUM(l_extendedprice), 2) AS price_sum
+         FROM orders JOIN lineitem
+           ON l_extendedprice >= o_totalprice
+          AND l_extendedprice < o_totalprice + 1000
+         WHERE o_orderkey < 2000
+         GROUP BY o_orderkey ORDER BY o_orderkey""",
     "q_join_asof" ->
       """SELECT event_id, user_id, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
          FROM (SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,

@@ -80,6 +80,13 @@ class ScaleSpec extends SparkSpec {
       s"expected final ≺ Exchange ≺ partial in:\n${plan.take(800)}")
   }
 
+  test("banded interval join is an equi join, never a nested loop") {
+    val plan = SparkEntry.queries("q_join_interval")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"banded rewrite must not fall back to a loop join:\n${plan.take(800)}")
+  }
+
   test("count-min sketch builds partial sketches below the exchange") {
     // The linear-sketch property in the plan: executor-local partial
     // sketches (map side) merge through ONE exchange row per partition.
