@@ -20,6 +20,7 @@ object SparkEntry {
     graft.operators.Dedup,
     graft.operators.Similarity,
     graft.operators.Multimodal,
+    graft.operators.TrainingPipeline,
     graft.operators.RefParity,
     graft.functions.Extensibility,
     graft.streaming.StreamingOps)

@@ -80,13 +80,14 @@ object Dedup extends QueryModule {
   private val numHashes = 64
   private val bandRows = 4 // 16 bands of 4 minhashes
 
-  /** The full MinHash→LSH→exact-verify pipeline (shared by q_dedup_minhash
-    * and q_dedup_cluster): verified near-dup pairs (da < db, J ≥ 0.85). */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+  /** The full MinHash→LSH→exact-verify pipeline (shared by q_dedup_minhash,
+    * q_dedup_cluster, and TrainingPipeline's end-to-end funnel): verified
+    * near-dup pairs (da < db, J ≥ 0.85) over any (doc_id, text) frame. */
+  private[operators] def minhashPairs(docs: DataFrame): DataFrame = {
     // ONE materialized copy of the shingle frame, shared by the minhash
     // pipeline and the verify stage (persist + a second checkpoint
     // inside jaccardPairs would double-buffer it in executor storage).
-    val sh = shingles(t(s, dir, "documents")).localCheckpoint(true)
+    val sh = shingles(docs).localCheckpoint(true)
     // 64 min-hashes per doc: h_i = min over shingles of xxhash64(i, s).
     val minhashAggs = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("s"))).as(s"h$i"))
@@ -135,7 +136,7 @@ object Dedup extends QueryModule {
 
     // MinHash + banded LSH near-dup detection, exact-verified at J >= 0.85
     // (inside the band guarantee zone — see object scaladoc).
-    "q_dedup_minhash" -> ((s, dir) => minhashPairs(s, dir)),
+    "q_dedup_minhash" -> ((s, dir) => minhashPairs(t(s, dir, "documents"))),
 
     // Near-dup CLUSTERING — the dedup endgame: the verified LSH pairs form
     // an undirected similarity graph; connected components group transitive
@@ -146,7 +147,7 @@ object Dedup extends QueryModule {
     "q_dedup_cluster" -> ((s, dir) => {
       // pairs feeds both union branches below AND the component loop —
       // materialize once or the whole verify stage re-executes per branch.
-      val pairs = minhashPairs(s, dir).localCheckpoint(true)
+      val pairs = minhashPairs(t(s, dir, "documents")).localCheckpoint(true)
       val fwd = pairs.select(col("da").as("src"), col("db").as("dst"))
       val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       graft.plans.GraphOps.connectedComponents(s, edges)

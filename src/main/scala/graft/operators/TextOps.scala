@@ -25,9 +25,11 @@ object TextOps extends QueryModule {
   /** documents.text is single-space separated (verified in TESTDATA recon). */
   private val toks: Column = split(col("text"), " ")
 
-  /** Distinct winnowing fingerprints per document: k=8 char-gram hashes
-    * (portable md5 family), window-min over w=16 consecutive grams,
-    * deduplicated — `(doc_id, wh)`. Bounded slice (doc_id < 1000) like
+  /** Distinct winnowing fingerprints per document (the MOSS scheme): k=8
+    * char-gram hashes (portable md5 family, same as q_dedup_simhash),
+    * window-min over w=16 consecutive grams, deduplicated — `(doc_id, wh)`.
+    * A position-robust signature whose density the window size guarantees.
+    * Bounded slice (doc_id < 1000) like
     * q_dedup_ngram; each stage is one projection + one window over
     * (doc, position), so at scale it is a single shuffle on doc_id.
     * The `length >= k` guard matters: sequence(1, len-k+1) would DESCEND
@@ -47,7 +49,10 @@ object TextOps extends QueryModule {
     grams.select(col("doc_id"), min("h").over(win).as("wh")).distinct()
   }
 
-  private val stopList = Seq("the", "a", "and", "of", "to", "in", "is")
+  // Shared with TrainingPipeline: the pipeline's lang/quality stages must
+  // score with the IDENTICAL stopword set or the funnel and the standalone
+  // q_text_* queries would disagree on the same corpus.
+  private[operators] val stopList = Seq("the", "a", "and", "of", "to", "in", "is")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A14 parity: corpus word count, per language.
@@ -118,13 +123,9 @@ object TextOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
-    // Winnowing fingerprints (the MOSS scheme): hash every char 8-gram
-    // (portable md5-derived 60-bit hash, same family as q_dedup_simhash),
-    // take the min hash of each sliding window of 16 consecutive grams,
-    // keep the distinct mins — a position-robust document signature whose
-    // density is guaranteed by the window size. Bounded slice (doc_id <
-    // 1000) like q_dedup_ngram; each stage is one projection + one window
-    // over (doc, position), so at scale it is a single shuffle on doc_id.
+    // Winnowing fingerprints (the MOSS scheme) — pipeline and scale notes
+    // on winnowFingerprints above; this query reports per-doc signature
+    // summaries, q_text_winnow_pairs below is the overlap-detection end-use.
     "q_text_winnow" -> ((s, dir) =>
       winnowFingerprints(s, dir)
         .groupBy("doc_id")
@@ -164,7 +165,7 @@ object TextOps extends QueryModule {
     })
   )
 
-  private val stopSql = "('the','a','and','of','to','in','is')"
+  private[operators] val stopSql = "('the','a','and','of','to','in','is')"
 
   def oracles: Map[String, String] = Map(
     "q_text_wordcount" ->

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+
+/** The end-to-end training-data preparation pipeline — the 100 TB use case
+  * every C-category operator exists FOR, composed into one job:
+  *
+  *   raw corpus → language filter → quality filter → exact dedup →
+  *   near-dup (MinHash-LSH) dedup → kept corpus
+  *
+  * Each stage reuses the exact scoring/dedup logic of its standalone query
+  * (stopword set, quality formula, LSH parameters are single-sourced from
+  * TextOps/Dedup), so the funnel's numbers are reproducible from the
+  * per-operator queries. Output is the funnel itself — documents and
+  * tokens surviving each stage — which is the report a data-curation run
+  * actually ships.
+  *
+  * Scale shape: stages 1–2 are one projection pass (no shuffle); exact
+  * dedup shuffles 32-byte content hashes; the near-dup stage is the banded
+  * LSH of q_dedup_minhash (candidates only from bucket collisions, never
+  * all-pairs) scoped to the filtered survivors — filtering BEFORE dedup is
+  * deliberate: at 100 TB the expensive stage must see the smallest corpus.
+  * Goes beyond the reference (its only text operator is word count,
+  * Assignment1/server.c:179-252); mandated by the rebuild brief.
+  */
+object TrainingPipeline extends QueryModule {
+
+  // Raw scan (no fan-out exchange): stage 1 is a projection pass, and the
+  // pipeline's first shuffle should be the dedup hash — same rationale as
+  // TextOps.
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.raw(s, dir, "documents")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The curation funnel: per-stage surviving doc/token counts.
+    "q_pipeline_e2e" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val nTok = size(toks)
+      val nStop = size(filter(toks, tk => TextOps.stopList.map(tk === _).reduce(_ || _)))
+      val stopRatio = nStop.cast("double") / nTok
+      val quality = round(
+        least(lit(1.0), nTok.cast("double") / 50.0) * (lit(1.0) - stopRatio), 4)
+
+      // Every stage frame below feeds TWO consumers (its funnel row + the
+      // next stage) — materialize each once or the whole prefix pipeline
+      // re-executes per consumer (the repo's standing multi-consumer rule).
+      val scored = docs(s, dir)
+        .select(col("doc_id"), col("text"), nTok.cast("long").as("n_tok"),
+          stopRatio.as("sr"), quality.as("q"))
+        .localCheckpoint(true)
+      // Stage 1 — language filter: keep predicted-English (the q_text_langid
+      // rule: stopword density ≥ 0.08).
+      val langKept = scored.filter(col("sr") >= 0.08).localCheckpoint(true)
+      // Stage 2 — quality filter on the ROUNDED score (round-before-compare
+      // keeps the boundary engine-stable, per the oracle discipline).
+      val qualKept = langKept.filter(col("q") >= 0.5).localCheckpoint(true)
+      // Stage 3 — exact dedup: keep the min doc_id per 256-bit content hash
+      // (shuffle keys are 32 bytes, never documents).
+      val wContent = Window.partitionBy(sha2(col("text"), 256)).orderBy("doc_id")
+      val exactKept = qualKept
+        .withColumn("rn", row_number().over(wContent))
+        .filter(col("rn") === 1).drop("rn")
+        .localCheckpoint(true)
+      // Stage 4 — near-dup dedup: verified LSH pairs among the survivors →
+      // connected components → drop every non-representative member.
+      val pairs = Dedup.minhashPairs(exactKept.select("doc_id", "text"))
+      val fwd = pairs.select(col("da").as("src"), col("db").as("dst"))
+      val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      val dropped = graft.plans.GraphOps.connectedComponents(s, edges)
+        .filter(col("v") =!= col("comp"))
+        .select(col("v").as("doc_id"))
+      val finalKept = exactKept.join(dropped, Seq("doc_id"), "left_anti")
+
+      def funnelRow(stage: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum("n_tok"), lit(0L)).as("n_tokens"))
+          .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"))
+
+      funnelRow("0_raw", scored)
+        .union(funnelRow("1_lang", langKept))
+        .union(funnelRow("2_quality", qualKept))
+        .union(funnelRow("3_exact", exactKept))
+        .union(funnelRow("4_neardup", finalKept))
+        .orderBy("stage")
+    }),
+
+    // Stratified (class-balanced) downsampling: every language class is cut
+    // to the size of the SMALLEST class, members chosen by a portable
+    // 60-bit hash of the doc id — deterministic, seedless, reproducible
+    // across engines and runs (the property a training-mix builder needs;
+    // rerunning on an appended corpus keeps previously sampled docs stable
+    // modulo rank). Uses the custom TopKPerKey operator, so rank pruning
+    // happens MAP-SIDE: each input partition forwards ≤ n_min rows per
+    // class instead of sorting the whole table inside k class-partitions —
+    // the scalable spelling of ROW_NUMBER() OVER (PARTITION BY class).
+    "q_sample_stratified" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("lang"),
+        graft.functions.PortableHash.hash60(col("doc_id").cast("string")).as("h"))
+      // The target size is a runtime scalar (one tiny agg over class
+      // counts, collected like any planner statistic), then frozen into
+      // the TopKPerKey plan as its literal k.
+      val nMin = d.groupBy("lang").count().agg(min("count")).head.getLong(0).toInt
+      graft.plans.TopK.perKey(d, nMin, Seq("lang"), Seq(("h", false), ("doc_id", false)))
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    })
+  )
+
+  private val stopSql = TextOps.stopSql
+
+  def oracles: Map[String, String] = Map(
+    "q_pipeline_e2e" ->
+      s"""WITH RECURSIVE f AS (
+           SELECT doc_id, text,
+             CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+             CAST(len(list_filter(string_split(text,' '), tk -> tk IN $stopSql)) AS DOUBLE)
+               / len(string_split(text,' ')) AS sr,
+             ROUND(least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE) / 50.0)
+               * (1.0 - CAST(len(list_filter(string_split(text,' '), tk -> tk IN $stopSql)) AS DOUBLE)
+                  / len(string_split(text,' '))), 4) AS q
+           FROM documents),
+         lang_kept AS (SELECT * FROM f WHERE sr >= 0.08),
+         qual_kept AS (SELECT * FROM lang_kept WHERE q >= 0.5),
+         exact_kept AS (SELECT doc_id, text, n_tok FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+             FROM qual_kept) WHERE rn = 1),
+         tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM exact_kept),
+         sh AS (SELECT DISTINCT doc_id, a || ' ' || b AS s FROM (
+           SELECT doc_id, unnest(list_slice(tk, 1, len(tk)-1)) AS a,
+                  unnest(list_slice(tk, 2, len(tk))) AS b FROM tk)),
+         sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         iv AS (SELECT x.doc_id AS da, y.doc_id AS db, COUNT(*) AS c
+                FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                GROUP BY 1, 2),
+         pairs AS (SELECT da, db
+           FROM iv JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+           WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.85),
+         e AS (SELECT da AS src, db AS dst FROM pairs
+               UNION ALL SELECT db, da FROM pairs),
+         reach(v, root) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.v),
+         comp AS (SELECT v, MIN(root) AS comp FROM reach GROUP BY v),
+         dropped AS (SELECT v AS doc_id FROM comp WHERE v <> comp),
+         final_kept AS (SELECT * FROM exact_kept
+           WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+         SELECT * FROM (
+           SELECT '0_raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS n_tokens FROM f
+           UNION ALL SELECT '1_lang', CAST(COUNT(*) AS BIGINT),
+                  CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM lang_kept
+           UNION ALL SELECT '2_quality', CAST(COUNT(*) AS BIGINT),
+                  CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM qual_kept
+           UNION ALL SELECT '3_exact', CAST(COUNT(*) AS BIGINT),
+                  CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM exact_kept
+           UNION ALL SELECT '4_neardup', CAST(COUNT(*) AS BIGINT),
+                  CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM final_kept)
+         ORDER BY stage""",
+    "q_sample_stratified" ->
+      s"""WITH h AS (SELECT doc_id, lang,
+             ${graft.functions.PortableHash.sql("CAST(doc_id AS VARCHAR)")} AS h
+           FROM documents),
+         r AS (SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+           FROM h),
+         m AS (SELECT MIN(n) AS mn FROM (
+             SELECT COUNT(*) AS n FROM documents GROUP BY lang))
+         SELECT doc_id, lang FROM r, m WHERE rn <= mn ORDER BY lang, doc_id"""
+  )
+}

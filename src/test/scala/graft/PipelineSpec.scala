@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity, TextOps, Multimodal, Relational}
+import graft.operators.{Dedup, Similarity, TextOps, Multimodal, Relational, TrainingPipeline}
 
 /** Specs for the LLM-pipeline operators at sf0.001 — each checks the Spark
   * result against an independent in-memory computation (not the DuckDB
@@ -191,6 +191,33 @@ class PipelineSpec extends SparkSpec {
     val m = a.unionByName(c, allowMissingColumns = true)
       .filter(col("id") === 3).collect()(0)
     assert(m.isNullAt(1))
+  }
+
+  test("e2e curation funnel is monotone and its stage rules match the standalone operators") {
+    val funnel = TrainingPipeline.queries("q_pipeline_e2e")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val stages = Seq("0_raw", "1_lang", "2_quality", "3_exact", "4_neardup")
+    assert(funnel.keySet == stages.toSet)
+    val nDocs = stages.map(funnel(_)._1)
+    val nToks = stages.map(funnel(_)._2)
+    assert(nDocs.zip(nDocs.tail).forall { case (a, b) => b <= a }, s"docs not monotone: $nDocs")
+    assert(nToks.zip(nToks.tail).forall { case (a, b) => b <= a }, s"tokens not monotone: $nToks")
+    assert(funnel("0_raw")._1 == docs.size)
+    // stage-1 count must equal the standalone langid query's predicted-en count
+    val en = TextOps.queries("q_text_langid")(spark, sfDir)
+      .filter(col("predicted") === "en").count()
+    assert(funnel("1_lang")._1 == en)
+  }
+
+  test("stratified sample cuts every class to exactly the min class size") {
+    val byLang = Tables(spark, sfDir, "documents").groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mn = byLang.values.min
+    val got = TrainingPipeline.queries("q_sample_stratified")(spark, sfDir)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == byLang.keySet)
+    assert(got.values.forall(_ == mn), s"expected $mn per class, got $got")
   }
 
   test("approx_count_distinct within rsd of exact") {

@@ -80,6 +80,20 @@ class ScaleSpec extends SparkSpec {
       s"expected final ≺ Exchange ≺ partial in:\n${plan.take(800)}")
   }
 
+  test("stratified sampler prunes rank map-side (TopKPerKey partial below its exchange)") {
+    val plan = SparkEntry.queries("q_sample_stratified")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan.take(500))
+    // the presentation orderBy adds a range exchange ABOVE the operator, so
+    // anchor the search at the final phase and walk down: final ≺ hash
+    // exchange ≺ partial
+    val idxFinal = plan.indexOf(", false")
+    val idxExchange = plan.indexOf("Exchange hashpartitioning", idxFinal)
+    val idxPartial = plan.indexOf(", true", idxExchange)
+    assert(idxFinal >= 0 && idxExchange > idxFinal && idxPartial > idxExchange,
+      s"expected final ≺ hash exchange ≺ partial in:\n${plan.take(800)}")
+  }
+
   test("banded interval join is an equi join, never a nested loop") {
     val plan = SparkEntry.queries("q_join_interval")(spark, sfDir)
       .queryExecution.executedPlan.toString
