@@ -446,8 +446,110 @@ object Relational extends QueryModule {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
       }
       joined.orderBy("c_mktsegment")
+    }),
+
+    // Snapshot diff (CDC reconciliation): classify every primary key across
+    // two table versions as insert / delete / update / unchanged — the
+    // change-capture job incremental pipelines run between loads. Both
+    // snapshots derive deterministically from orders (B inserts the
+    // keys ≡0 mod 4, drops ≡1 mod 4, and bumps ≡2 mod 10 by +1.0 — an
+    // EXACT IEEE op, so the update comparison is engine-stable with no
+    // rounding in play). Shape: one full-outer sort-merge join on the pk,
+    // classification is a projection, then a 4-group agg. At 100 TB both
+    // snapshots are bucketed on the pk and the join runs exchange-free —
+    // the cost is two scans, not a shuffle.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val o = tr(s, dir, "orders")
+      val snapA = o.filter(col("o_orderkey") % 4 =!= 0)
+        .select(col("o_orderkey").as("ka"), col("o_totalprice").as("va"))
+      val snapB = o.filter(col("o_orderkey") % 4 =!= 1)
+        .select(col("o_orderkey").as("kb"),
+          when(col("o_orderkey") % 10 === 2, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")).as("vb"))
+      snapA.join(snapB, col("ka") === col("kb"), "full_outer")
+        .select(
+          when(col("ka").isNull, "insert")
+            .when(col("kb").isNull, "delete")
+            .when(col("va") =!= col("vb"), "update")
+            .otherwise("unchanged").as("change_type"),
+          coalesce(col("ka"), col("kb")).as("k"))
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("key_sum"))
+        .orderBy("change_type")
+    }),
+
+    // Z-order layout (multi-dimensional clustering): rank-quantize two
+    // dimensions to 8 bits each, interleave the bits into one Morton code,
+    // and range-bucket on it — rows in a bucket are close in BOTH dims at
+    // once, so parquet zone maps (min/max) prune scans on either
+    // predicate. This is the layout job behind "OPTIMIZE ZORDER BY": at
+    // 100 TB it is one repartitionByRange(z) write whose quantiles come
+    // from range-partitioner sampling; here the quantization is an exact
+    // ntile (unique tie-break) so the DuckDB oracle replicates the layout
+    // bit-for-bit. The query reports per-bucket count + min/max of both
+    // quantized dims — exactly the zone-map the layout would produce
+    // (ScaleSpec asserts the locality property: per-bucket spans are a
+    // small fraction of the domain in both dims).
+    "q_layout_zorder" -> ((s, dir) => {
+      val wx = Window.orderBy("o_custkey", "o_orderkey")
+      val wy = Window.orderBy("o_orderdate", "o_orderkey")
+      val quantized = tr(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+        .withColumn("xq", (ntile(256).over(wx) - 1).cast("long"))
+        .withColumn("yq", (ntile(256).over(wy) - 1).cast("long"))
+      // 8-bit × 8-bit Morton interleave, one folded integer expression
+      // (codegen keeps it a single projection).
+      val z = (0 until 8).map { i =>
+        shiftleft(shiftright(col("xq"), i).bitwiseAND(1), 2 * i) +
+          shiftleft(shiftright(col("yq"), i).bitwiseAND(1), 2 * i + 1)
+      }.reduce(_ + _)
+      quantized.select(col("xq"), col("yq"), z.as("zv"))
+        .groupBy(shiftright(col("zv"), 10).as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min("xq").as("min_x"), max("xq").as("max_x"),
+          min("yq").as("min_y"), max("yq").as("max_y"))
+        .orderBy("zbucket")
+    }),
+
+    // Runtime bloom-filter join pruning: the selective dim predicate is
+    // turned into a bloom filter that prunes the fact side BEFORE its
+    // shuffle (`bloom_filter_might_contain` on the lineitem leg, asserted
+    // in ScaleSpec). At 100 TB this is the difference between shuffling
+    // the whole fact table and shuffling the ~matching rows; local fixture
+    // sizes are below the injection thresholds, so the thresholds are
+    // scoped down inside the query (same try/finally conf discipline as
+    // q_join_bucketed) — on a real cluster the defaults fire on their own.
+    "q_join_bloom" -> ((s, dir) => {
+      val out = withBloomConfs(s) {
+        bloomJoinFrame(s, dir).localCheckpoint(true) // materialize INSIDE the window
+      }
+      out.orderBy("o_orderpriority")
     })
   )
+
+  /** The q_join_bloom plan, pre-materialization (shared with the ScaleSpec
+    * plan assertion): selective orders predicate, shuffle join into
+    * lineitem. */
+  private[graft] def bloomJoinFrame(s: SparkSession, dir: String): DataFrame = {
+    val sel = tr(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+      .select("o_orderkey", "o_orderpriority")
+    tr(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      .join(sel, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity").cast("double")), 2).as("qty"))
+  }
+
+  /** Force the shuffle-join + runtime-bloom-filter path at local fixture
+    * sizes; restores every conf. */
+  private[graft] def withBloomConfs[T](s: SparkSession)(body: => T): T = {
+    val scoped = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1")
+    val prev = scoped.map { case (k, _) => k -> s.conf.get(k) }
+    scoped.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach { case (k, v) => s.conf.set(k, v) }
+  }
 
   def oracles: Map[String, String] = Map(
     "q_pricing_summary" ->
@@ -638,6 +740,43 @@ object Relational extends QueryModule {
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
          ROUND(SUM(o_totalprice), 2) AS total
          FROM orders JOIN customer ON o_custkey = c_custkey
-         GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_snapshot_diff" ->
+      """WITH a AS (SELECT o_orderkey AS ka, o_totalprice AS va
+           FROM orders WHERE o_orderkey % 4 <> 0),
+         b AS (SELECT o_orderkey AS kb,
+             CASE WHEN o_orderkey % 10 = 2 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS vb
+           FROM orders WHERE o_orderkey % 4 <> 1),
+         d AS (SELECT ka, kb, va, vb FROM a FULL OUTER JOIN b ON ka = kb)
+         SELECT CASE WHEN ka IS NULL THEN 'insert'
+                     WHEN kb IS NULL THEN 'delete'
+                     WHEN va <> vb THEN 'update'
+                     ELSE 'unchanged' END AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(COALESCE(ka, kb)) AS BIGINT) AS key_sum
+         FROM d GROUP BY 1 ORDER BY 1""",
+    // Same rank-quantize + 8×8-bit Morton interleave, the bit-fold
+    // unrolled as a list-comprehension sum.
+    "q_layout_zorder" ->
+      """WITH b AS (SELECT
+           CAST(NTILE(256) OVER (ORDER BY o_custkey, o_orderkey) - 1 AS BIGINT) AS xq,
+           CAST(NTILE(256) OVER (ORDER BY o_orderdate, o_orderkey) - 1 AS BIGINT) AS yq
+         FROM orders),
+         z AS (SELECT xq, yq,
+           CAST(list_sum([((xq >> i) & 1) * (1::BIGINT << (2*i))
+                   + ((yq >> i) & 1) * (1::BIGINT << (2*i+1)) for i in range(0, 8)]) AS BIGINT) AS zv
+         FROM b)
+         SELECT zv >> 10 AS zbucket, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(xq) AS min_x, MAX(xq) AS max_x,
+           MIN(yq) AS min_y, MAX(yq) AS max_y
+         FROM z GROUP BY 1 ORDER BY 1""",
+    // The bloom filter only prunes — results must equal the plain join.
+    "q_join_bloom" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+         ROUND(SUM(CAST(l_quantity AS DOUBLE)), 2) AS qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_totalprice > 400000.0
+         GROUP BY o_orderpriority ORDER BY o_orderpriority"""
   )
 }

@@ -80,6 +80,35 @@ class ScaleSpec extends SparkSpec {
       s"expected final ≺ Exchange ≺ partial in:\n${plan.take(800)}")
   }
 
+  test("z-order buckets are local in BOTH dims (the data-skipping property)") {
+    val rows = SparkEntry.queries("q_layout_zorder")(spark, sfDir).collect()
+    assert(rows.length > 8, s"expected many z-buckets, got ${rows.length}")
+    def avgSpan(lo: Int, hi: Int): Double =
+      rows.map(r => (r.getLong(hi) - r.getLong(lo)).toDouble).sum / rows.length
+    val (xSpan, ySpan) = (avgSpan(2, 3), avgSpan(4, 5))
+    // A single-dim sort would leave the OTHER dim spanning ~the full 256
+    // rank domain per bucket; Morton bucketing bounds both (each z>>10
+    // bucket pins the top 3 bits of each dim → span ≤ ~32).
+    assert(xSpan < 64.0, s"x span $xSpan not local")
+    assert(ySpan < 64.0, s"y span $ySpan not local")
+  }
+
+  test("runtime bloom filter prunes the fact side before its shuffle") {
+    import graft.operators.Relational
+    val (planStr, withBloom) = Relational.withBloomConfs(spark) {
+      val df = Relational.bloomJoinFrame(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save() // finalize AQE plan
+      (df.queryExecution.executedPlan.toString, df.collect().toSet)
+    }
+    // creation side plans bloom_filter_agg; the fact leg filters with
+    // might_contain (Spark's pretty names for the runtime filter pair)
+    assert(planStr.contains("might_contain") && planStr.contains("bloom_filter_agg"),
+      s"expected a runtime bloom filter on the application side:\n${planStr.take(1200)}")
+    // pruning only: must equal the un-filtered (broadcast) join result
+    val plain = Relational.bloomJoinFrame(spark, sfDir).collect().toSet
+    assert(withBloom == plain)
+  }
+
   test("stratified sampler prunes rank map-side (TopKPerKey partial below its exchange)") {
     val plan = SparkEntry.queries("q_sample_stratified")(spark, sfDir)
       .queryExecution.executedPlan.toString
