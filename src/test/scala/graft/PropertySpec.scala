@@ -131,6 +131,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Morton interleave is a bijection on random 8-bit pairs") {
+    import spark.implicits._
+    val pairGen = for {
+      x <- Gen.choose(0L, 255L); y <- Gen.choose(0L, 255L)
+    } yield (x, y)
+    val pairs = samples(pairGen, 200).distinct
+    val df = pairs.toDF("xq", "yq")
+    val z = (0 until 8).map { i =>
+      shiftleft(shiftright(col("xq"), i).bitwiseAND(1), 2 * i) +
+        shiftleft(shiftright(col("yq"), i).bitwiseAND(1), 2 * i + 1)
+    }.reduce(_ + _)
+    val got = df.select(col("xq"), col("yq"), z.as("zv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // reference interleave in plain Scala; injective over the sample
+    def ref(x: Long, y: Long): Long =
+      (0 until 8).map(i => (((x >> i) & 1) << (2 * i)) | (((y >> i) & 1) << (2 * i + 1))).sum
+    got.foreach { case (x, y, zv) => assert(zv == ref(x, y), s"($x,$y)") }
+    assert(got.map(_._3).distinct.length == pairs.length, "interleave must be injective")
+  }
+
+  test("snapshot diff partitions the key universe (counts are complete and disjoint)") {
+    val rows = SparkEntry.queries("q_snapshot_diff")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keys = Tables(spark, sfDir, "orders").select("o_orderkey")
+      .collect().map(_.getLong(0))
+    val nA = keys.count(_ % 4 != 0); val nB = keys.count(_ % 4 != 1)
+    assert(rows("insert") == keys.count(_ % 4 == 0))
+    assert(rows("delete") == keys.count(_ % 4 == 1))
+    assert(rows("update") == keys.count(k => k % 4 != 0 && k % 4 != 1 && k % 10 == 2))
+    // every key of A ∪ B is classified exactly once
+    assert(rows.values.sum == keys.length)
+    assert(rows("delete") + rows("update") + rows("unchanged") == nA)
+    assert(rows("insert") + rows("update") + rows("unchanged") == nB)
+  }
+
   test("driver contract: entry() flagship returns rows on sf0.001") {
     val rows = SparkEntry.entry(spark).collect()
     assert(rows.length == 6) // one per (returnflag, linestatus)
