@@ -77,6 +77,11 @@ object Dedup extends QueryModule {
       .orderBy("da", "db")
   }
 
+  /** LSH verify threshold — tuned together with the band parameters (see
+    * object scaladoc); every consumer (minhash query, cluster query, the
+    * TrainingPipeline funnel, and all their oracles) reads THIS value. */
+  private[operators] val lshThreshold = 0.85
+
   private val numHashes = 64
   private val bandRows = 4 // 16 bands of 4 minhashes
 
@@ -110,7 +115,16 @@ object Dedup extends QueryModule {
       .distinct().localCheckpoint(true)
     // Checkpointed blocks (sh, cand) are persistent RDDs — Bench/Verify
     // flush those between queries, so nothing leaks across entries.
-    jaccardPairs(sh, 0.85, Some(cand), preMaterialized = true)
+    jaccardPairs(sh, lshThreshold, Some(cand), preMaterialized = true)
+  }
+
+  /** Connected components (v, comp) of the undirected near-dup pair graph —
+    * the clustering step shared by q_dedup_cluster and TrainingPipeline's
+    * keep-one stage. `pairs` must have (da, db). */
+  private[operators] def pairComponents(s: SparkSession, pairs: DataFrame): DataFrame = {
+    val fwd = pairs.select(col("da").as("src"), col("db").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    graft.plans.GraphOps.connectedComponents(s, edges)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -148,9 +162,7 @@ object Dedup extends QueryModule {
       // pairs feeds both union branches below AND the component loop —
       // materialize once or the whole verify stage re-executes per branch.
       val pairs = minhashPairs(t(s, dir, "documents")).localCheckpoint(true)
-      val fwd = pairs.select(col("da").as("src"), col("db").as("dst"))
-      val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      graft.plans.GraphOps.connectedComponents(s, edges)
+      pairComponents(s, pairs)
         .groupBy(col("comp").as("keep_id"))
         .agg(count(lit(1)).as("n_members"))
         .orderBy("keep_id")
@@ -183,8 +195,13 @@ object Dedup extends QueryModule {
     })
   )
 
-  private val shingleCte =
-    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+  /** Shingle→sizes→intersection CTE chain over `src`(doc_id, text) — NO
+    * leading WITH, so callers (incl. TrainingPipeline's funnel oracle)
+    * splice it into their own WITH list. Single-sourced: the shingle
+    * scheme must never fork between the dedup oracles and the pipeline
+    * oracle. */
+  private[operators] def shingleCtes(src: String): String =
+    s"""tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $src),
        sh AS (SELECT DISTINCT doc_id, a || ' ' || b AS s FROM (
          SELECT doc_id, unnest(list_slice(tk, 1, len(tk)-1)) AS a,
                 unnest(list_slice(tk, 2, len(tk))) AS b FROM tk)),
@@ -192,6 +209,22 @@ object Dedup extends QueryModule {
        iv AS (SELECT x.doc_id AS da, y.doc_id AS db, COUNT(*) AS c
               FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
               GROUP BY 1, 2)"""
+
+  /** Verified pairs → undirected edges → min-label components, as CTEs
+    * (caller's WITH must be RECURSIVE). Output CTE `comp` is (v, comp). */
+  private[operators] def componentCtes(threshold: String): String =
+    s"""pairs AS (SELECT da, db
+         FROM iv JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+         WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $threshold),
+       e AS (SELECT da AS src, db AS dst FROM pairs
+             UNION ALL SELECT db, da FROM pairs),
+       reach(v, root) AS (
+         SELECT src, src FROM e
+         UNION
+         SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.v),
+       comp AS (SELECT v, MIN(root) AS comp FROM reach GROUP BY v)"""
+
+  private val shingleCte = "WITH " + shingleCtes("documents")
 
   private def jaccardSql(threshold: String) =
     s"""$shingleCte
@@ -211,21 +244,11 @@ object Dedup extends QueryModule {
                ORDER BY ts, event_id) AS rn
            FROM events) WHERE rn = 1
          ORDER BY user_id, event_type""",
-    "q_dedup_minhash" -> jaccardSql("0.85"),
+    "q_dedup_minhash" -> jaccardSql(lshThreshold.toString),
     // Same exact-Jaccard pair graph, then min-label components via a
     // recursive reachability CTE (the SQL spelling of label propagation).
     "q_dedup_cluster" ->
-      (shingleCte.replace("WITH tk", "WITH RECURSIVE tk") + """,
-       pairs AS (SELECT da, db
-         FROM iv JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
-         WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.85),
-       e AS (SELECT da AS src, db AS dst FROM pairs
-             UNION ALL SELECT db, da FROM pairs),
-       reach(v, root) AS (
-         SELECT src, src FROM e
-         UNION
-         SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.v),
-       comp AS (SELECT v, MIN(root) AS comp FROM reach GROUP BY v)
+      ("WITH RECURSIVE " + shingleCtes("documents") + ", " + componentCtes(lshThreshold.toString) + """
        SELECT comp AS keep_id, COUNT(*) AS n_members
        FROM comp GROUP BY comp ORDER BY keep_id"""),
     "q_dedup_ngram" -> jaccardSql("0.3")

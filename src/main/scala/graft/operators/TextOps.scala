@@ -54,6 +54,19 @@ object TextOps extends QueryModule {
   // q_text_* queries would disagree on the same corpus.
   private[operators] val stopList = Seq("the", "a", "and", "of", "to", "in", "is")
 
+  // Single-source scoring expressions — both the Spark Column and the
+  // DuckDB SQL spelling. q_text_quality/q_text_langid and the
+  // TrainingPipeline funnel all build from THESE; the formulas must
+  // never fork between the standalone queries and the pipeline stages.
+  private[operators] val nTokC: Column = size(toks)
+  private[operators] val stopRatioC: Column =
+    size(filter(toks, tk => stopList.map(tk === _).reduce(_ || _))).cast("double") / nTokC
+  private[operators] val qualityC: Column =
+    round(least(lit(1.0), nTokC.cast("double") / 50.0) * (lit(1.0) - stopRatioC), 4)
+  /** The q_text_langid 'en' rule (stopword density band). */
+  private[operators] val enThreshold = 0.08
+  private[operators] val predictsEnC: Column = stopRatioC >= enThreshold
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A14 parity: corpus word count, per language.
     "q_text_wordcount" -> ((s, dir) => {
@@ -75,18 +88,14 @@ object TextOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
-    // Quality scoring: stopword ratio + length-normalized score.
+    // Quality scoring: stopword ratio + length-normalized score (shared
+    // scoring expressions above).
     "q_text_quality" -> ((s, dir) => {
-      val nStop = size(filter(toks, tk =>
-        stopList.map(tk === _).reduce(_ || _)))
-      val nTok = size(toks)
-      val stopRatio = nStop.cast("double") / nTok
       t(s, dir, "documents").select(
         col("doc_id"),
-        nTok.as("n_tokens"),
-        round(stopRatio, 4).as("stop_ratio"),
-        round(least(lit(1.0), nTok.cast("double") / 50.0) * (lit(1.0) - stopRatio), 4)
-          .as("quality_score"))
+        nTokC.as("n_tokens"),
+        round(stopRatioC, 4).as("stop_ratio"),
+        qualityC.as("quality_score"))
         .orderBy("doc_id")
     }),
 
@@ -94,13 +103,10 @@ object TextOps extends QueryModule {
     // Deterministic rule shared with the oracle; accuracy is not the point —
     // the engine-side plumbing (single-pass scoring over 100 TB of text) is.
     "q_text_langid" -> ((s, dir) => {
-      val nTok = size(toks)
-      val nStop = size(filter(toks, tk => stopList.map(tk === _).reduce(_ || _)))
-      val stopRatio = nStop.cast("double") / nTok
-      val awl = (length(col("text")).cast("double") - nTok + 1) / nTok
+      val awl = (length(col("text")).cast("double") - nTokC + 1) / nTokC
       t(s, dir, "documents").select(
         col("doc_id"), col("lang"),
-        when(stopRatio >= 0.08, "en")
+        when(predictsEnC, "en")
           .when(awl >= 5.0, "de")
           .otherwise("other").as("predicted"))
         .withColumn("is_match", col("predicted") === col("lang"))
@@ -167,6 +173,13 @@ object TextOps extends QueryModule {
 
   private[operators] val stopSql = "('the','a','and','of','to','in','is')"
 
+  // DuckDB spellings of the shared scoring expressions above.
+  private[operators] val nTokSql = "len(string_split(text,' '))"
+  private[operators] val stopRatioSql =
+    s"(CAST(len(list_filter(string_split(text,' '), tk -> tk IN $stopSql)) AS DOUBLE) / $nTokSql)"
+  private[operators] val qualitySql =
+    s"ROUND(least(1.0, CAST($nTokSql AS DOUBLE) / 50.0) * (1.0 - $stopRatioSql), 4)"
+
   def oracles: Map[String, String] = Map(
     "q_text_wordcount" ->
       """SELECT lang, COUNT(*) AS n_words, COUNT(DISTINCT tok) AS n_distinct
@@ -181,25 +194,20 @@ object TextOps extends QueryModule {
          FROM documents ORDER BY doc_id""",
     "q_text_quality" ->
       s"""SELECT doc_id,
-         CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
-         ROUND(CAST(len(list_filter(string_split(text,' '), tk -> tk IN $stopSql)) AS DOUBLE)
-               / len(string_split(text,' ')), 4) AS stop_ratio,
-         ROUND(least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE) / 50.0)
-               * (1.0 - CAST(len(list_filter(string_split(text,' '), tk -> tk IN $stopSql)) AS DOUBLE)
-                  / len(string_split(text,' '))), 4) AS quality_score
+         CAST($nTokSql AS INT) AS n_tokens,
+         ROUND($stopRatioSql, 4) AS stop_ratio,
+         $qualitySql AS quality_score
          FROM documents ORDER BY doc_id""",
     "q_text_langid" ->
       s"""WITH f AS (SELECT doc_id, lang,
-           CAST(len(list_filter(string_split(text,' '), tk -> tk IN $stopSql)) AS DOUBLE)
-             / len(string_split(text,' ')) AS stop_ratio,
-           (CAST(length(text) AS DOUBLE) - len(string_split(text,' ')) + 1)
-             / len(string_split(text,' ')) AS awl
+           $stopRatioSql AS stop_ratio,
+           (CAST(length(text) AS DOUBLE) - $nTokSql + 1) / $nTokSql AS awl
            FROM documents)
          SELECT doc_id, lang,
-           CASE WHEN stop_ratio >= 0.08 THEN 'en'
+           CASE WHEN stop_ratio >= $enThreshold THEN 'en'
                 WHEN awl >= 5.0 THEN 'de'
                 ELSE 'other' END AS predicted,
-           (CASE WHEN stop_ratio >= 0.08 THEN 'en'
+           (CASE WHEN stop_ratio >= $enThreshold THEN 'en'
                  WHEN awl >= 5.0 THEN 'de'
                  ELSE 'other' END) = lang AS is_match
          FROM f ORDER BY doc_id""",

@@ -34,29 +34,28 @@ object TrainingPipeline extends QueryModule {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.raw(s, dir, "documents")
 
+  /** Stage-2 cut on the (rounded) TextOps quality score — the one constant
+    * this pipeline owns; used by the Spark filter AND the oracle. */
+  private val qualityCut = 0.5
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The curation funnel: per-stage surviving doc/token counts.
     "q_pipeline_e2e" -> ((s, dir) => {
-      val toks = split(col("text"), " ")
-      val nTok = size(toks)
-      val nStop = size(filter(toks, tk => TextOps.stopList.map(tk === _).reduce(_ || _)))
-      val stopRatio = nStop.cast("double") / nTok
-      val quality = round(
-        least(lit(1.0), nTok.cast("double") / 50.0) * (lit(1.0) - stopRatio), 4)
-
       // Every stage frame below feeds TWO consumers (its funnel row + the
       // next stage) — materialize each once or the whole prefix pipeline
       // re-executes per consumer (the repo's standing multi-consumer rule).
+      // Scoring expressions come from TextOps (the single source shared
+      // with q_text_quality / q_text_langid).
       val scored = docs(s, dir)
-        .select(col("doc_id"), col("text"), nTok.cast("long").as("n_tok"),
-          stopRatio.as("sr"), quality.as("q"))
+        .select(col("doc_id"), col("text"), TextOps.nTokC.cast("long").as("n_tok"),
+          TextOps.predictsEnC.as("is_en"), TextOps.qualityC.as("q"))
         .localCheckpoint(true)
-      // Stage 1 — language filter: keep predicted-English (the q_text_langid
-      // rule: stopword density ≥ 0.08).
-      val langKept = scored.filter(col("sr") >= 0.08).localCheckpoint(true)
+      // Stage 1 — language filter: keep predicted-English (the
+      // q_text_langid 'en' rule).
+      val langKept = scored.filter(col("is_en")).localCheckpoint(true)
       // Stage 2 — quality filter on the ROUNDED score (round-before-compare
       // keeps the boundary engine-stable, per the oracle discipline).
-      val qualKept = langKept.filter(col("q") >= 0.5).localCheckpoint(true)
+      val qualKept = langKept.filter(col("q") >= qualityCut).localCheckpoint(true)
       // Stage 3 — exact dedup: keep the min doc_id per 256-bit content hash
       // (shuffle keys are 32 bytes, never documents).
       val wContent = Window.partitionBy(sha2(col("text"), 256)).orderBy("doc_id")
@@ -65,11 +64,10 @@ object TrainingPipeline extends QueryModule {
         .filter(col("rn") === 1).drop("rn")
         .localCheckpoint(true)
       // Stage 4 — near-dup dedup: verified LSH pairs among the survivors →
-      // connected components → drop every non-representative member.
+      // connected components (Dedup's shared clustering step) → drop every
+      // non-representative member.
       val pairs = Dedup.minhashPairs(exactKept.select("doc_id", "text"))
-      val fwd = pairs.select(col("da").as("src"), col("db").as("dst"))
-      val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      val dropped = graft.plans.GraphOps.connectedComponents(s, edges)
+      val dropped = Dedup.pairComponents(s, pairs)
         .filter(col("v") =!= col("comp"))
         .select(col("v").as("doc_id"))
       val finalKept = exactKept.join(dropped, Seq("doc_id"), "left_anti")
@@ -109,42 +107,24 @@ object TrainingPipeline extends QueryModule {
     })
   )
 
-  private val stopSql = TextOps.stopSql
-
   def oracles: Map[String, String] = Map(
+    // Built FROM the shared fragments: TextOps scoring SQL for stages 1–2,
+    // Dedup's shingle + component CTEs for stage 4 — same single-sourcing
+    // as the Spark side.
     "q_pipeline_e2e" ->
       s"""WITH RECURSIVE f AS (
            SELECT doc_id, text,
-             CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
-             CAST(len(list_filter(string_split(text,' '), tk -> tk IN $stopSql)) AS DOUBLE)
-               / len(string_split(text,' ')) AS sr,
-             ROUND(least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE) / 50.0)
-               * (1.0 - CAST(len(list_filter(string_split(text,' '), tk -> tk IN $stopSql)) AS DOUBLE)
-                  / len(string_split(text,' '))), 4) AS q
+             CAST(${TextOps.nTokSql} AS BIGINT) AS n_tok,
+             ${TextOps.stopRatioSql} AS sr,
+             ${TextOps.qualitySql} AS q
            FROM documents),
-         lang_kept AS (SELECT * FROM f WHERE sr >= 0.08),
-         qual_kept AS (SELECT * FROM lang_kept WHERE q >= 0.5),
+         lang_kept AS (SELECT * FROM f WHERE sr >= ${TextOps.enThreshold}),
+         qual_kept AS (SELECT * FROM lang_kept WHERE q >= $qualityCut),
          exact_kept AS (SELECT doc_id, text, n_tok FROM (
              SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
              FROM qual_kept) WHERE rn = 1),
-         tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM exact_kept),
-         sh AS (SELECT DISTINCT doc_id, a || ' ' || b AS s FROM (
-           SELECT doc_id, unnest(list_slice(tk, 1, len(tk)-1)) AS a,
-                  unnest(list_slice(tk, 2, len(tk))) AS b FROM tk)),
-         sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-         iv AS (SELECT x.doc_id AS da, y.doc_id AS db, COUNT(*) AS c
-                FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
-                GROUP BY 1, 2),
-         pairs AS (SELECT da, db
-           FROM iv JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
-           WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.85),
-         e AS (SELECT da AS src, db AS dst FROM pairs
-               UNION ALL SELECT db, da FROM pairs),
-         reach(v, root) AS (
-           SELECT src, src FROM e
-           UNION
-           SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.v),
-         comp AS (SELECT v, MIN(root) AS comp FROM reach GROUP BY v),
+         ${Dedup.shingleCtes("exact_kept")},
+         ${Dedup.componentCtes(Dedup.lshThreshold.toString)},
          dropped AS (SELECT v AS doc_id FROM comp WHERE v <> comp),
          final_kept AS (SELECT * FROM exact_kept
            WHERE doc_id NOT IN (SELECT doc_id FROM dropped))

@@ -97,7 +97,8 @@ class ScaleSpec extends SparkSpec {
     import graft.operators.Relational
     val (planStr, withBloom) = Relational.withBloomConfs(spark) {
       val df = Relational.bloomJoinFrame(spark, sfDir)
-      df.write.format("noop").mode("overwrite").save() // finalize AQE plan
+      // InjectRuntimeFilter is a logical-optimizer rule, so the filter pair
+      // is already visible pre-execution — no need to run the plan twice.
       (df.queryExecution.executedPlan.toString, df.collect().toSet)
     }
     // creation side plans bloom_filter_agg; the fact leg filters with
