@@ -133,6 +133,29 @@ object Windows extends QueryModule {
         round(percent_rank().over(w), 6).as("pr"),
         round(cume_dist().over(w), 6).as("cd"))
         .orderBy("c_custkey")
+    }),
+
+    // SCD type-2 dimension build from a change log: collapse each user's
+    // consecutive runs of the same event_type into effective-dated
+    // versions (valid_from/valid_to, open version flagged current — the
+    // sentinel 2100-01-01 keeps the output NaT-free for comparison). The
+    // lag-filter and the lead/row_number run over the SAME (user_id,
+    // (ts, event_id)) window spec, so the whole history build is ONE
+    // shuffle + sort per the window-collapse rule; at 100 TB this is the
+    // standard log→dimension compaction job.
+    "q_scd2" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val sentinel = lit("2100-01-01 00:00:00").cast("timestamp")
+      val changes = t(s, dir, "events")
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      changes
+        .withColumn("version", row_number().over(w))
+        .withColumn("valid_to", coalesce(lead("ts", 1).over(w), sentinel))
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("ts").as("valid_from"), col("valid_to"),
+          (col("valid_to") === sentinel).as("is_current"))
+        .orderBy("user_id", "version")
     })
   )
 
@@ -204,6 +227,22 @@ object Windows extends QueryModule {
          ROUND(CUME_DIST() OVER w, 6) AS cd
          FROM customer
          WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
-         ORDER BY c_custkey"""
+         ORDER BY c_custkey""",
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+           FROM events),
+         c AS (SELECT *, LAG(event_type) OVER w AS prev_type FROM e
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         v AS (SELECT user_id, event_id, event_type, ts FROM c
+               WHERE prev_type IS NULL OR prev_type <> event_type)
+         SELECT user_id,
+           CAST(ROW_NUMBER() OVER w AS INT) AS version,
+           event_type, ts AS valid_from,
+           COALESCE(LEAD(ts) OVER w, TIMESTAMP '2100-01-01 00:00:00') AS valid_to,
+           COALESCE(LEAD(ts) OVER w, TIMESTAMP '2100-01-01 00:00:00')
+             = TIMESTAMP '2100-01-01 00:00:00' AS is_current
+         FROM v
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY user_id, version"""
   )
 }

@@ -169,6 +169,21 @@ class PropertySpec extends SparkSpec {
     assert(rows("insert") + rows("update") + rows("unchanged") == nB)
   }
 
+  test("SCD2 history chains: versions contiguous, intervals abut, one open version per user") {
+    val rows = SparkEntry.queries("q_scd2")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getTimestamp(3), r.getTimestamp(4), r.getBoolean(5)))
+    rows.groupBy(_._1).foreach { case (user, hist) =>
+      val sorted = hist.sortBy(_._2).toSeq
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length), s"user $user versions")
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4 == b._3, s"user $user: intervals must abut")
+        case _ =>
+      }
+      assert(sorted.count(_._5) == 1 && sorted.last._5, s"user $user current flag")
+    }
+  }
+
   test("driver contract: entry() flagship returns rows on sf0.001") {
     val rows = SparkEntry.entry(spark).collect()
     assert(rows.length == 6) // one per (returnflag, linestatus)
