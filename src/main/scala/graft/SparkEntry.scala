@@ -21,6 +21,7 @@ object SparkEntry {
     graft.operators.Similarity,
     graft.operators.Multimodal,
     graft.operators.TrainingPipeline,
+    graft.operators.EventAnalytics,
     graft.operators.RefParity,
     graft.functions.Extensibility,
     graft.streaming.StreamingOps)

@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+
+/** Event-log analytics over `events` — the session/funnel/time-series
+  * operators a product-analytics or feature-engineering pipeline runs on a
+  * clickstream. The reference has no event operators at all (its only
+  * stream-shaped structure is the request queue consumed in arrival order,
+  * `load_balancer.c:154-160`); these generalize the mandated pipeline
+  * surface to the event table the driver ships.
+  *
+  * Scale shape: everything here shuffles ONCE on `user_id` (sessionize,
+  * funnel) or `event_type` (gap-fill spine) and stays inside window/agg
+  * operators on that partitioning — the grouping keys extend the window
+  * partition key, so Catalyst reuses the exchange instead of re-shuffling.
+  */
+object EventAnalytics extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Session gap: a new session starts after > 6 h of user inactivity
+    * (chosen against the fixture's inter-event gap distribution — median
+    * per-user gap ≈ 7.3 h — so sessions are a real mix of 1..n events).
+    * Micros, not seconds: the comparison stays in exact integer space. */
+  private val gapUs: Long = 6L * 3600 * 1000000
+
+  /** The funnel's ordered stages; each stage counts users whose FIRST
+    * stage-event strictly follows their entry into the previous stage. */
+  private val funnelStages = Seq("signup", "view", "click", "purchase")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Batch sessionization: gap > 6 h ⇒ new session. The classic two-window
+    // spelling — lag to flag session starts, running sum of flags to number
+    // them — then per-session stats. One exchange total: the groupBy keys
+    // (user_id, session_id) extend the window partition key user_id, so the
+    // aggregation reuses the window's hash partitioning.
+    "q_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val flagged = e.withColumn("new_sess",
+        when(col("us") - lag("us", 1).over(w) > gapUs, 1)
+          .otherwise(when(lag("us", 1).over(w).isNull, 1).otherwise(0)))
+        .withColumn("session_id", sum("new_sess").over(w).cast("int"))
+      flagged.groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("session_start"),
+          max("ts").as("session_end"),
+          (max("us") - min("us")).as("duration_us"),
+          countDistinct("event_type").as("n_types"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // Conversion funnel: signup → view → click → purchase, each stage's
+    // entry time = first qualifying event STRICTLY AFTER the previous
+    // stage's entry. Stage frames are per-user scalar aggregates (one row
+    // per user), so every chain join is a broadcast at fixture scale and a
+    // user_id-partitioned hash join at 100 TB — never a theta join.
+    "q_funnel" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .localCheckpoint(true) // feeds one scan per funnel stage
+      // entry(stage0) = min ts of that event type per user
+      var entry = e.filter(col("event_type") === funnelStages.head)
+        .groupBy("user_id").agg(min("ts").as("t"))
+      val rows = Seq.newBuilder[DataFrame]
+      def stageRow(i: Int, frame: DataFrame): DataFrame =
+        frame.agg(count(lit(1)).as("n_users"))
+          .select(lit(s"${i + 1}_${funnelStages(i)}").as("stage"), col("n_users"))
+      rows += stageRow(0, entry)
+      for (i <- 1 until funnelStages.size) {
+        entry = e.filter(col("event_type") === funnelStages(i))
+          .join(entry.select(col("user_id"), col("t").as("prev_t")), Seq("user_id"))
+          .filter(col("ts") > col("prev_t"))
+          .groupBy("user_id").agg(min("ts").as("t"))
+        rows += stageRow(i, entry)
+      }
+      rows.result().reduce(_ union _).orderBy("stage")
+    }),
+
+    // Time-series gap-fill: dense hourly spine per event_type over the
+    // corpus's global [min, max] hour, left-joined to the observed hourly
+    // aggregate; missing hours get n=0 and the last observed mean value
+    // forward-filled (`last(_, ignoreNulls)` over an unbounded-preceding
+    // frame — the resample/ffill operator). The spine is generated
+    // DISTRIBUTED (types × sequence(), exploded), never driver-side; the
+    // bounds come in via a one-row cross join, the same shape as a planner
+    // statistic. The mean is FIXED-POINT (1e-4 units from exact integer
+    // cents): ROUND(AVG(double)) is partition-order- and engine-unstable at
+    // the .005 boundary, while cents-sum div count is exact everywhere.
+    "q_ts_gapfill" -> ((s, dir) => {
+      val cents = floor(col("value") * 100 + 0.5).cast("long")
+      val e = t(s, dir, "events")
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+          cents.as("cents"))
+        .localCheckpoint(true) // feeds hourly agg + bounds + the type list
+      val hourly = e.groupBy("event_type", "h")
+        .agg(count(lit(1)).as("n"),
+          expr("(sum(cents) * 100) div count(1)").as("avg_val_e4"))
+      val bounds = e.agg(min("h").as("h0"), max("h").as("h1"))
+      val spine = e.select("event_type").distinct()
+        .crossJoin(bounds)
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+      val wFill = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          col("n").isNull.as("is_gap"),
+          last("avg_val_e4", ignoreNulls = true).over(wFill).as("ffill_val_e4"))
+        .orderBy("event_type", "h")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_sessionize" ->
+      s"""WITH e AS (SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS us
+             FROM events),
+         f AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                     OR us - lag(us) OVER w > $gapUs THEN 1 ELSE 0 END AS nf
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT *, SUM(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+         SELECT user_id, CAST(sid AS INT) AS session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(MAX(us) - MIN(us) AS BIGINT) AS duration_us,
+           COUNT(DISTINCT event_type) AS n_types
+         FROM s GROUP BY user_id, sid ORDER BY user_id, session_id""",
+    "q_funnel" -> {
+      val stage1 =
+        s"""s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+             WHERE event_type = '${funnelStages.head}' GROUP BY user_id)"""
+      val chain = (1 until funnelStages.size).map { i =>
+        s"""s${i + 1} AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+             JOIN s$i p ON p.user_id = e.user_id
+             WHERE e.event_type = '${funnelStages(i)}' AND e.ts > p.t
+             GROUP BY e.user_id)"""
+      }
+      val unions = funnelStages.indices.map { i =>
+        s"""SELECT '${i + 1}_${funnelStages(i)}' AS stage,
+            COUNT(*) AS n_users FROM s${i + 1}"""
+      }
+      s"""WITH ${(stage1 +: chain).mkString(",\n")}
+         SELECT * FROM (${unions.mkString(" UNION ALL ")}) ORDER BY stage"""
+    },
+    "q_ts_gapfill" ->
+      """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+         hourly AS (SELECT event_type, h, COUNT(*) AS n,
+                      -- CAST: SUM(BIGINT) is HUGEINT in DuckDB, which
+                      -- pandas would load as float64 and fail the dtype gate
+                      CAST((CAST(SUM(cents) AS BIGINT) * 100) // COUNT(*) AS BIGINT)
+                        AS avg_val_e4
+                    FROM e GROUP BY event_type, h),
+         bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM e),
+         spine AS (SELECT t.event_type, unnest(generate_series(b.h0, b.h1,
+                     INTERVAL 1 HOUR)) AS h
+                   FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN bounds b)
+         SELECT s.event_type, s.h,
+           COALESCE(hourly.n, 0) AS n_events,
+           hourly.n IS NULL AS is_gap,
+           last_value(hourly.avg_val_e4 IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_val_e4
+         FROM spine s LEFT JOIN hourly ON hourly.event_type = s.event_type
+           AND hourly.h = s.h
+         ORDER BY s.event_type, s.h"""
+  )
+}
