@@ -22,6 +22,7 @@ object SparkEntry {
     graft.operators.Multimodal,
     graft.operators.TrainingPipeline,
     graft.operators.EventAnalytics,
+    graft.operators.QualityOps,
     graft.operators.RefParity,
     graft.functions.Extensibility,
     graft.streaming.StreamingOps)

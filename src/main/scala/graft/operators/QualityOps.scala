@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+
+/** Data-quality operators: fuzzy (edit-distance) entity matching and
+  * whole-table content checksums — the reconciliation/validation jobs a
+  * 100 TB ingestion pipeline runs beside its queries. The reference has no
+  * analog (its integrity story is the per-file write lock,
+  * `primary_server.c:110-146`); snapshot checksums are the Spark-world
+  * replacement for "did the write land intact".
+  */
+object QualityOps extends QueryModule {
+
+  /** Edit-distance cap for q_join_fuzzy — tuned to the fixture vocabulary
+    * (adjective+noun part names: lev 1–2 pairs exist, e.g. "cold plate" /
+    * "old plate"). Shared by the Spark filter and the oracle. */
+  private val maxLev = 2
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Fuzzy self-join: part-name pairs within levenshtein <= 2. Runs on the
+    // DISTINCT name dictionary (at 100 TB the dictionary is orders of
+    // magnitude smaller than the fact table), and the quadratic candidate
+    // space is cut by a provably-safe length band turned into an EQUI join:
+    // |len(a)-len(b)| <= lev(a,b), so the left side emits each name once at
+    // its own length and the right side at len..len+2 — every qualifying
+    // pair meets in exactly one band bucket (longer-left orientation; equal
+    // lengths meet twice and are deduplicated by least/greatest+distinct).
+    // No nested-loop join anywhere; levenshtein runs only on band-collision
+    // pairs.
+    "q_join_fuzzy" -> ((s, dir) => {
+      val names = Tables.raw(s, dir, "part")
+        .select("p_name").distinct()
+        .select(col("p_name"), length(col("p_name")).as("len"))
+        .localCheckpoint(true) // feeds both join sides
+      val left = names.select(col("p_name").as("na"), col("len").as("band"))
+      val right = names.select(col("p_name").as("nb"),
+        explode(array(col("len"), col("len") + 1, col("len") + 2)).as("band"))
+      left.join(right, Seq("band"))
+        .filter(col("na") =!= col("nb"))
+        .select(least(col("na"), col("nb")).as("name_a"),
+          greatest(col("na"), col("nb")).as("name_b"))
+        .distinct()
+        .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("lev") <= maxLev)
+        .orderBy("name_a", "name_b")
+    }),
+
+    // Whole-table content checksum: order-independent 60-bit signatures
+    // (XOR + modular sum of a portable per-row hash over a canonical row
+    // string) plus the row count — the "same data on both sides?" primitive
+    // for snapshot reconciliation, engine-portable by construction. One
+    // scan, map-side partial aggregation, a 1-row result: at 100 TB this
+    // costs exactly one pass and shuffles nothing but partial sums. Doubles
+    // enter the canonical string as exact integer cents (FLOOR(x*100+0.5)),
+    // timestamps as epoch micros — both bit-stable across engines, unlike
+    // any float-to-string formatting.
+    "q_checksum_table" -> ((s, dir) => {
+      val canon = concat_ws("|",
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long"),
+        // orders dates read as TIMESTAMP_NTZ; cast via the UTC session zone
+        // (identity mapping) — unix_micros only accepts TIMESTAMP.
+        unix_micros(col("o_orderdate").cast("timestamp")), col("o_orderpriority"))
+      Tables.raw(s, dir, "orders")
+        .select(graft.functions.PortableHash.hash60(canon).as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("xor_sig"),
+          (sum(col("h") % 1000000007L) % 1000000007L).as("sum_sig"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_join_fuzzy" ->
+      s"""WITH d AS (SELECT DISTINCT p_name FROM part)
+         SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev
+         FROM d a JOIN d b ON a.p_name < b.p_name
+         WHERE levenshtein(a.p_name, b.p_name) <= $maxLev
+         ORDER BY name_a, name_b""",
+    "q_checksum_table" ->
+      s"""WITH h AS (SELECT ${graft.functions.PortableHash.sql(
+             """concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+                CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT),
+                epoch_us(o_orderdate), o_orderpriority)""")} AS h
+           FROM orders)
+         SELECT COUNT(*) AS n_rows,
+           CAST(bit_xor(h) AS BIGINT) AS xor_sig,
+           CAST(CAST(SUM(h % 1000000007) AS BIGINT) % 1000000007 AS BIGINT) AS sum_sig
+         FROM h"""
+  )
+}
