@@ -157,6 +157,31 @@ object TextOps extends QueryModule {
         .orderBy("da", "db")
     }),
 
+    // TF-IDF: top-3 terms per document by tf * ln(N/df), ranked on the
+    // ROUNDED score (round-before-rank keeps the ordering engine-stable;
+    // ties break on the term). Two shuffles — (doc_id, tok) for tf and tok
+    // for df — plus a 1-row corpus-size cross join (a planner statistic,
+    // not a collect); the per-doc top-k is a window the same shape as
+    // q_topk_perkey's scalable spelling. The standard relevance/keyword
+    // signal a corpus-indexing pipeline derives per document.
+    "q_text_tfidf" -> ((s, dir) => {
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true) // feeds the df agg AND the score join
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+      tf.join(df, Seq("tok")).crossJoin(nDocs)
+        .withColumn("score",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "rank", "tok", "tf", "df", "score")
+        .orderBy("doc_id", "rank")
+    }),
+
     // Positional fingerprint: sum((i+1) * len(token_i)) mod 1000003, plus
     // boundary tokens — a cheap order-sensitive document signature.
     "q_text_fingerprint" -> ((s, dir) => {
@@ -250,6 +275,19 @@ object TextOps extends QueryModule {
          SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_shared
          FROM fp a JOIN fp b ON a.wh = b.wh AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING COUNT(*) >= 20 ORDER BY da, db""",
+    "q_text_tfidf" ->
+      """WITH tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+           GROUP BY doc_id, tok),
+         df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         sc AS (SELECT doc_id, tok, tf, df,
+             ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS score
+           FROM tf JOIN df USING (tok) CROSS JOIN n),
+         r AS (SELECT *, ROW_NUMBER() OVER (
+             PARTITION BY doc_id ORDER BY score DESC, tok) AS rn FROM sc)
+         SELECT doc_id, CAST(rn AS INT) AS rank, tok, tf, df, score
+         FROM r WHERE rn <= 3 ORDER BY doc_id, rank""",
     "q_text_fingerprint" ->
       """SELECT doc_id,
          CAST(SUM(i * length(tok)) AS BIGINT) % 1000003 AS fp,

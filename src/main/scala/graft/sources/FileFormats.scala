@@ -45,6 +45,24 @@ object FileFormats extends QueryModule {
         .orderBy("o_orderpriority")
     }),
 
+    // parquet → ORC → read-back → aggregate. ORC is the second columnar
+    // container Spark ships natively; unlike the text formats the schema
+    // rides in the file footer, so the read-back needs no explicit schema
+    // and predicate pushdown/column pruning work the same as parquet. The
+    // oracle aggregates the original parquet — the round-trip must be
+    // lossless.
+    "q_src_orc" -> ((s, dir) => {
+      val path = stage(dir, "orc")
+      Tables.raw(s, dir, "customer")
+        .select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), countDistinct("c_nationkey").as("n_nations"),
+          round(sum("c_acctbal"), 2).as("bal_total"))
+        .orderBy("c_mktsegment")
+    }),
+
     // parquet → JSON lines → explicit-schema read-back → aggregate. The
     // props column is a JSON *string inside* the JSON document — quoting
     // must survive the round-trip for the count to match.
@@ -70,6 +88,10 @@ object FileFormats extends QueryModule {
     "q_src_csv" ->
       """SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_src_orc" ->
+      """SELECT c_mktsegment, COUNT(*) AS n, COUNT(DISTINCT c_nationkey) AS n_nations,
+         ROUND(SUM(c_acctbal), 2) AS bal_total
+         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_src_json" ->
       """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS val_sum,
          COUNT(DISTINCT props) AS nd_props
