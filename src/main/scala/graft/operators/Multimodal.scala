@@ -43,6 +43,26 @@ object Multimodal extends QueryModule {
     StructField("height", IntegerType),
     StructField("feat", ArrayType(FloatType))))
 
+  /** STUB "luma plane" for the perceptual hash: 60 stripe sums (bytes at
+    * payload positions ≡ k mod 60) + the total — stands in for the
+    * downsampled grayscale grid an image aHash averages. Integer-exact,
+    * deterministic, bit-replicable by any engine that can index bytes. */
+  private[operators] def fakeStripes(payload: Array[Byte]): (Array[Long], Long) = {
+    val s = new Array[Long](60)
+    var tot = 0L
+    var i = 0
+    while (i < payload.length) {
+      val v = payload(i) & 0xff
+      s(i % 60) += v; tot += v; i += 1
+    }
+    (s, tot)
+  }
+
+  private val stripesSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("stripes", ArrayType(LongType)),
+    StructField("total", LongType)))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary payload + metadata struct, metadata-only projection (at scale:
     // reads ONLY the metadata columns — payload never deserialized).
@@ -90,6 +110,45 @@ object Multimodal extends QueryModule {
         floor(w.cast("double") * scale).cast("int").as("out_w"),
         floor(h.cast("double") * scale).cast("int").as("out_h"))
         .orderBy("doc_id")
+    }),
+
+    // Perceptual-hash near-dup over binary payloads — the image-dedup
+    // operator (aHash family): stub-decode each payload to 60 stripe sums
+    // (the "luma grid"), bit_k = stripe_k above the mean → a 60-bit
+    // signature; candidates come ONLY from 4×15-bit band-bucket collisions
+    // (the same LSH shape as MinHash/ANN — linear in docs, never
+    // all-pairs), then exact Hamming ≤ 8 verifies. Everything is integer
+    // arithmetic (stripe*60 > total avoids the mean division), so the
+    // DuckDB oracle replicates the full pipeline bit-for-bit.
+    "q_mm_phash" -> ((s, dir) => {
+      val src = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(stripesSchema)
+      val stripes = src.mapPartitions { rows =>
+        rows.map { r =>
+          val (st, tot) = fakeStripes(r.getAs[Array[Byte]]("payload"))
+          Row(r.getLong(0), st.toSeq, tot)
+        }
+      }(enc)
+      val phashExpr = (0 until 60).map(k =>
+        when(element_at(col("stripes"), k + 1) * 60 > col("total"), lit(1L << k))
+          .otherwise(0L)).reduce(_ + _)
+      val ph = stripes.select(col("doc_id"), phashExpr.as("phash"))
+      val bands = ph.select(col("doc_id"), col("phash"),
+        explode(array((0 until 4).map(j => struct(lit(j).as("j"),
+          shiftright(col("phash"), 15 * j).bitwiseAND(32767).as("bv"))): _*)).as("b"))
+        .select(col("doc_id"), col("phash"), col("b.j").as("j"), col("b.bv").as("bv"))
+        .localCheckpoint(true) // feeds both sides of the bucket self-join
+      bands.as("x").join(bands.as("y"),
+          col("x.j") === col("y.j") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+          col("x.phash").as("pa"), col("y.phash").as("pb"))
+        .distinct()
+        .withColumn("hamming", expr("CAST(bit_count(pa ^ pb) AS INT)"))
+        .filter(col("hamming") <= 8)
+        .select("da", "db", "hamming")
+        .orderBy("da", "db")
     }),
 
     // Partition-wise decode: binary → (width, height, feature vector).
@@ -140,6 +199,33 @@ object Multimodal extends QueryModule {
            CAST(FLOOR(w * sc) AS INT) AS out_w,
            CAST(FLOOR(h * sc) AS INT) AS out_h
          FROM s ORDER BY doc_id""",
+    // Byte-exact replica of the full phash pipeline: stripe sums via
+    // ascii() on char positions (== byte values — documents.text is
+    // ASCII), the same integer mean test, band buckets, and Hamming
+    // verify. Stripes with no bytes (docs shorter than 60) contribute bit
+    // 0 on both sides: the Spark stub sums them to 0 and 0*60 > total is
+    // false, while the SQL group-by simply has no row for that k.
+    "q_mm_phash" ->
+      """WITH pos AS (SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS p
+             FROM documents),
+         st AS (SELECT doc_id, (p - 1) % 60 AS k,
+               SUM(ascii(substr(text, CAST(p AS INT), 1))) AS sk
+             FROM pos GROUP BY doc_id, k),
+         tot AS (SELECT doc_id, CAST(SUM(sk) AS BIGINT) AS total
+             FROM st GROUP BY doc_id),
+         ph AS (SELECT st.doc_id,
+               CAST(SUM(CASE WHEN sk * 60 > total
+                 THEN (1::BIGINT << CAST(k AS INT)) ELSE 0 END) AS BIGINT) AS phash
+             FROM st JOIN tot USING (doc_id) GROUP BY st.doc_id),
+         bands AS (SELECT doc_id, phash, j, (phash >> (15 * j)) & 32767 AS bv
+             FROM ph CROSS JOIN (SELECT unnest(range(0, 4)) AS j)),
+         cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+               a.phash AS pa, b.phash AS pb
+             FROM bands a JOIN bands b
+               ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         SELECT da, db, CAST(bit_count(xor(pa, pb)) AS INT) AS hamming
+         FROM cand WHERE bit_count(xor(pa, pb)) <= 8
+         ORDER BY da, db""",
     // Byte-exact replica of fakeDecode: width/height from octet_length,
     // f0 = (sum of bytes at 0-based positions ≡ 0 mod 8) / 255. ascii() on
     // char positions equals byte indexing because documents.text is ASCII.
