@@ -214,14 +214,55 @@ object GraphOps {
     dist
   }
 
-  /** Connected components by iterative min-label propagation over an
-    * edge list that must already contain BOTH directions of every edge.
-    * Returns `(v: long, comp: long)` where comp = min vertex id in the
-    * component. Converges in O(diameter) supersteps.
+  /** Edge count up to which [[connectedComponents]] solves on the driver:
+    * 2M (long, long) edges ≈ 32 MB collected — comparable to a broadcast
+    * relation, and far below driver heap. The near-dup pair graphs this
+    * serves (verified LSH collisions) are orders of magnitude smaller than
+    * their corpus, so at 100 TB the gate usually still picks the driver
+    * solve; a genuinely huge edge set falls through to the BSP loop. */
+  private[graft] val DriverSolveEdgeLimit = 2L * 1000 * 1000
+
+  /** Connected components of an edge list that must already contain BOTH
+    * directions of every edge. Returns `(v: long, comp: long)` where
+    * comp = min vertex id in the component.
+    *
+    * Size-gated like the BFS seen-set broadcast: a small edge set (most
+    * post-filter similarity graphs) is collected and solved with one
+    * union-find pass — a distributed min-label loop costs 2–4 supersteps
+    * of join+shuffle+materialize FIXED overhead that dwarfs the work.
+    * Past `DriverSolveEdgeLimit` the BSP min-label propagation runs,
+    * converging in O(diameter) supersteps.
     */
-  def connectedComponents(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(spark: SparkSession, edges: DataFrame, maxIter: Int = 50,
+      driverSolveLimit: Long = DriverSolveEdgeLimit): DataFrame = {
     val e = edges.select(col("src").cast("long").as("esrc"),
       col("dst").cast("long").as("edst")).persist()
+    // The count doubles as the size gate and materializes the persist for
+    // whichever path runs.
+    val edgeCount = e.count()
+    if (edgeCount <= driverSolveLimit) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      val arr = e.collect()
+      arr.foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        // union by min root keeps comp = min vertex id deterministically
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      // vertex set from the edges themselves (covers self-loop-only nodes)
+      val verts = arr.iterator.flatMap(r => Iterator(r.getLong(0), r.getLong(1)))
+        .toSeq.distinct
+      val out = verts.sorted.map(v => (v, find(v)))
+      e.unpersist()
+      import spark.implicits._
+      return out.toDF("v", "comp")
+    }
     // localCheckpoint up front also severs lineage provenance so the
     // label⋈edge joins below aren't flagged as ambiguous self-joins.
     var labels = e.select(col("esrc").as("v")).union(e.select(col("edst").as("v")))

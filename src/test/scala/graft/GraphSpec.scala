@@ -110,6 +110,21 @@ class GraphSpec extends SparkSpec {
     assert(cc == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("connected components: driver union-find == distributed BSP loop") {
+    import spark.implicits._
+    // deterministic pseudo-random edge soup with several components
+    val edges = (0 until 200).map { i =>
+      val a = (i * 37) % 120; val b = (i * i * 13 + 5) % 120
+      (a.toLong, b.toLong)
+    }.filter { case (a, b) => a != b }
+    val sym = (edges ++ edges.map(_.swap)).toDF("src", "dst")
+    val viaDriver = GraphOps.connectedComponents(spark, sym)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaBsp = GraphOps.connectedComponents(spark, sym, driverSolveLimit = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDriver == viaBsp)
+  }
+
   test("sssp on a hand graph + dominance over BFS levels on the ring graph") {
     import spark.implicits._
     // 0→1 (w by rule 1+(s+d)%5), hand-check: 0→1 w=2, 1→2 w=4, 0→2 direct w=3.
