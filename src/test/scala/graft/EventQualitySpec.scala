@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{EventAnalytics, QualityOps, TextOps, Multimodal}
+
+/** In-memory cross-checks for the round-4 event-analytics and data-quality
+  * operators (the DuckDB oracle is the primary gate; these pin the
+  * semantics against independent driver-side recomputation and the
+  * invariants the oracle can't express, e.g. blocking completeness).
+  */
+class EventQualitySpec extends SparkSpec {
+
+  private val gapUs = 6L * 3600 * 1000000
+
+  test("sessionize: per-session gaps respect the 6h threshold and events are conserved") {
+    val events = Tables(spark, sfDir, "events")
+      .select("user_id", "event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime * 1000
+        + (r.getTimestamp(2).getNanos / 1000) % 1000))
+    val sessions = EventAnalytics.queries("q_sessionize")(spark, sfDir).collect()
+    assert(sessions.map(_.getAs[Long]("n_events")).sum == events.length,
+      "every event belongs to exactly one session")
+    // independent recomputation: session count per user from sorted gaps
+    val expected = events.groupBy(_._1).view.mapValues { es =>
+      val ts = es.sortBy(e => (e._3, e._2)).map(_._3)
+      1 + ts.sliding(2).count { case Array(a, b) => b - a > gapUs; case _ => false }
+    }.toMap
+    val got = sessions.groupBy(_.getAs[Long]("user_id")).view.mapValues(_.length).toMap
+    assert(got == expected)
+  }
+
+  test("funnel: stage counts are monotone non-increasing from a positive base") {
+    val rows = EventAnalytics.queries("q_funnel")(spark, sfDir).collect()
+      .sortBy(_.getAs[String]("stage"))
+    val counts = rows.map(_.getAs[Long]("n_users"))
+    assert(counts.head > 0, "some users sign up")
+    counts.sliding(2).foreach { case Array(a, b) => assert(b <= a); case _ => () }
+  }
+
+  test("gapfill: spine is dense and filled values come from the last observed hour") {
+    val out = EventAnalytics.queries("q_ts_gapfill")(spark, sfDir).collect()
+    val types = out.map(_.getAs[String]("event_type")).distinct
+    val hours = out.map(_.getAs[java.sql.Timestamp]("h")).distinct
+    assert(out.length == types.length * hours.length, "dense type x hour grid")
+    // forward fill: a gap row's value equals the previous row's value
+    out.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[java.sql.Timestamp]("h").getTime)
+      sorted.sliding(2).foreach {
+        case Array(prev, cur) if cur.getAs[Boolean]("is_gap") =>
+          assert(cur.getAs[Any]("ffill_val_e4") == prev.getAs[Any]("ffill_val_e4"))
+        case _ => ()
+      }
+    }
+  }
+
+  test("fuzzy join: banded candidates lose no pair vs brute force (blocking completeness)") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = Tables.raw(spark, sfDir, "part").select("p_name").distinct()
+      .collect().map(_.getString(0))
+    val brute = (for {
+      a <- names; b <- names if a < b && lev(a, b) <= 2
+    } yield (a, b, lev(a, b))).toSet
+    val got = QualityOps.queries("q_join_fuzzy")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == brute, "banded equi-join must equal unblocked brute force")
+    assert(brute.nonEmpty, "fixture vocabulary should contain close names")
+  }
+
+  test("checksum: invariant under repartition, sensitive to row changes") {
+    val base = QualityOps.queries("q_checksum_table")(spark, sfDir).collect().head
+    val again = QualityOps.queries("q_checksum_table")(spark, sfDir).collect().head
+    assert(base == again, "deterministic across runs/partitionings")
+    // dropping one row must change both signatures
+    val orders = Tables.raw(spark, sfDir, "orders")
+    val one = orders.limit(1).select("o_orderkey").collect().head.getLong(0)
+    val h = graft.functions.PortableHash.hash60(concat_ws("|",
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long"),
+      unix_micros(col("o_orderdate").cast("timestamp")), col("o_orderpriority")))
+    val dropped = orders.filter(col("o_orderkey") =!= one)
+      .select(h.as("h"))
+      .agg(count(lit(1)), expr("bit_xor(h)"), (sum(col("h") % 1000000007L) % 1000000007L))
+      .collect().head
+    assert(dropped != base)
+  }
+
+  test("tfidf: top-3 per doc matches in-memory computation") {
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val n = docs.length.toDouble
+    val df = docs.flatMap { case (_, ts) => ts.distinct }.groupBy(identity)
+      .view.mapValues(_.length).toMap
+    val expected = docs.map { case (id, ts) =>
+      val top = ts.groupBy(identity).view.mapValues(_.length).toSeq
+        .map { case (tok, tf) =>
+          (tok, BigDecimal(tf * math.log(n / df(tok)))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .sortBy { case (tok, sc) => (-sc, tok) }.take(3).map(_._1)
+      id -> top
+    }.toMap
+    val got = TextOps.queries("q_text_tfidf")(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("doc_id")).view.mapValues(
+        _.sortBy(_.getAs[Int]("rank")).map(_.getAs[String]("tok")).toSeq).toMap
+    assert(got == expected)
+  }
+
+  test("phash: reported pairs respect the hamming bound and include exact duplicates") {
+    val pairs = Multimodal.queries("q_mm_phash")(spark, sfDir).collect()
+    assert(pairs.forall(_.getAs[Int]("hamming") <= 8))
+    // exact duplicate texts have identical payloads -> hamming 0 pairs exist
+    val dups = Tables(spark, sfDir, "documents").groupBy("text")
+      .agg(min("doc_id").as("a"), max("doc_id").as("b"), count(lit(1)).as("n"))
+      .filter(col("n") > 1).select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val zero = pairs.filter(_.getAs[Int]("hamming") == 0)
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    dups.foreach { case (a, b) => assert(zero.contains((a, b)), s"dup pair ($a,$b)") }
+  }
+}

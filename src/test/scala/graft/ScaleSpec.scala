@@ -187,6 +187,26 @@ class ScaleSpec extends SparkSpec {
       "ngrams generator should plan as Generate")
   }
 
+  test("plan shapes: sessionize single exchange, fuzzy/phash no nested-loop join") {
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+    // ONE hash exchange (user_id) serves both windows and the session agg —
+    // the grouping keys extend the window partition key.
+    val sess = plan("q_sessionize")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(sess).size
+    assert(hashExchanges == 1, s"sessionize should shuffle once:\n$sess")
+    // banded equi-join blocking: no quadratic join operator anywhere
+    for (q <- Seq("q_join_fuzzy", "q_mm_phash")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q must not plan a nested-loop/cartesian join:\n$p")
+    }
+    // checksum aggregates map-side: single-partition exchange only
+    val ck = plan("q_checksum_table")
+    assert(!ck.contains("Exchange hashpartitioning"),
+      s"checksum needs no key shuffle:\n$ck")
+  }
+
   test("CollapseDoubleRound rule fires via extraOptimizations and preserves results") {
     import spark.implicits._
     GraftRules.install(spark)
