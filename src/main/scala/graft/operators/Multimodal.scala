@@ -112,6 +112,29 @@ object Multimodal extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Cross-modal star join: text metadata (documents) ⋈ vectors
+    // (embeddings) on the shared id, rolled up per embedding label — the
+    // "join the caption table to the image-embedding table" shape every
+    // multimodal corpus query starts from. Per-label means are exact fixed
+    // point (quality is the TextOps 4-decimal score ×1e4, the embedding's
+    // first component ×1e4) so the rollup is engine-stable. Equi join on
+    // the id — at 100 TB both sides bucket on it and the join is
+    // exchange-free.
+    "q_mm_crossmodal" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        floor(TextOps.qualityC * 10000 + 0.5).cast("long").as("q4"))
+      val vecs = t(s, dir, "embeddings").select(col("vec_id").as("doc_id"),
+        col("label"),
+        floor(element_at(col("embedding"), 1).cast("double") * 10000 + 0.5)
+          .cast("long").as("e0_4"))
+      docs.join(vecs, Seq("doc_id"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_docs"), countDistinct("lang").as("n_langs"),
+          expr("sum(q4) div count(1)").as("avg_quality_e4"),
+          sum("e0_4").as("sum_e0_e4"))
+        .orderBy("label")
+    }),
+
     // Perceptual-hash near-dup over binary payloads — the image-dedup
     // operator (aHash family): stub-decode each payload to 60 stripe sums
     // (the "luma grid"), bit_k = stripe_k above the mean → a 60-bit
@@ -172,6 +195,17 @@ object Multimodal extends QueryModule {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_mm_crossmodal" ->
+      s"""SELECT label,
+         COUNT(*) AS n_docs,
+         COUNT(DISTINCT lang) AS n_langs,
+         CAST(CAST(SUM(CAST(FLOOR(q * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+           // COUNT(*) AS BIGINT) AS avg_quality_e4,
+         CAST(SUM(CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 10000 + 0.5) AS BIGINT))
+           AS BIGINT) AS sum_e0_e4
+         FROM (SELECT doc_id, lang, ${TextOps.qualitySql} AS q FROM documents) d
+         JOIN embeddings e ON e.vec_id = d.doc_id
+         GROUP BY label ORDER BY label""",
     "q_mm_frames" ->
       """SELECT doc_id, CAST(frame_id AS INT) AS frame_id,
          CAST((octet_length(encode(text)) * 7 + frame_id * 13) % 255 AS INT) AS feat

@@ -47,6 +47,37 @@ object QualityOps extends QueryModule {
         .orderBy("name_a", "name_b")
     }),
 
+    // Incremental aggregation by partial-state merge: the base load (orders
+    // before 1998) and the delta load (1998 onward) are aggregated into
+    // MERGEABLE states (count/sum/min/max — sums in exact integer cents),
+    // then the states merge WITHOUT touching rows: count+count, sum+sum,
+    // least/greatest. This is the incremental-pipeline contract — at
+    // 100 TB the base state is yesterday's 5-row summary read back from
+    // storage, and today's job only scans the delta partition; the oracle
+    // aggregates the full table directly, so the compare IS the proof that
+    // merge(partial(A), partial(B)) == full(A ∪ B). The derived mean comes
+    // from the merged state in fixed point (never re-averaged from rows).
+    "q_agg_incremental" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      def partialState(df: DataFrame): DataFrame =
+        df.select(col("o_orderpriority"), cents.as("cents"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"),
+            min("cents").as("min_cents"), max("cents").as("max_cents"))
+      val orders = Tables.raw(s, dir, "orders")
+      val cut = lit("1998-01-01").cast("timestamp_ntz")
+      val base = partialState(orders.filter(col("o_orderdate") < cut))
+      val delta = partialState(orders.filter(col("o_orderdate") >= cut))
+      base.union(delta)
+        .groupBy("o_orderpriority")
+        .agg(sum("n_rows").as("n_rows"), sum("sum_cents").as("sum_cents"),
+          min("min_cents").as("min_cents"), max("max_cents").as("max_cents"))
+        .select(col("o_orderpriority"), col("n_rows"), col("sum_cents"),
+          col("min_cents"), col("max_cents"),
+          expr("(sum_cents * 100) div n_rows").as("avg_e4"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Whole-table content checksum: order-independent 60-bit signatures
     // (XOR + modular sum of a portable per-row hash over a canonical row
     // string) plus the row count — the "same data on both sides?" primitive
@@ -79,6 +110,17 @@ object QualityOps extends QueryModule {
          FROM d a JOIN d b ON a.p_name < b.p_name
          WHERE levenshtein(a.p_name, b.p_name) <= $maxLev
          ORDER BY name_a, name_b""",
+    // Direct full-table aggregation — equality with the Spark side's
+    // merged partial states is exactly the mergeability property.
+    "q_agg_incremental" ->
+      """SELECT o_orderpriority,
+         COUNT(*) AS n_rows,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+         CAST(MIN(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS min_cents,
+         CAST(MAX(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS max_cents,
+         CAST((CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) * 100)
+           // COUNT(*) AS BIGINT) AS avg_e4
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_checksum_table" ->
       s"""WITH h AS (SELECT ${graft.functions.PortableHash.sql(
              """concat_ws('|', o_orderkey, o_custkey, o_orderstatus,

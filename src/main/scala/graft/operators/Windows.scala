@@ -37,6 +37,25 @@ object Windows extends QueryModule {
         .orderBy("c_custkey")
     }),
 
+    // Running DISTINCT count over a window — an operator Spark does NOT
+    // support directly (COUNT(DISTINCT) OVER throws): re-expressed as the
+    // first-occurrence-flag trick, flag = row_number()==1 over
+    // (user, type), running sum of flags over (user, time). Two window
+    // specs → two exchanges, each a plain hash shuffle; state per row is
+    // one bit instead of the per-frame distinct set a naive engine keeps.
+    "q_win_distinct" -> ((s, dir) => {
+      val wFirst = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      val wRun = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("first_seen",
+          when(row_number().over(wFirst) === 1, 1).otherwise(0))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          sum("first_seen").over(wRun).cast("int").as("n_distinct_types"))
+        .orderBy("user_id", "event_id")
+    }),
+
     "q_win_lag" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
       t(s, dir, "orders").select(
@@ -175,6 +194,16 @@ object Windows extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    "q_win_distinct" ->
+      """WITH f AS (SELECT user_id, event_id, event_type,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS first_seen,
+             ts
+           FROM events)
+         SELECT user_id, event_id, event_type,
+           CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS INT) AS n_distinct_types
+         FROM f ORDER BY user_id, event_id""",
     "q_win_rank" ->
       """SELECT c_custkey, c_nationkey,
          CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn,

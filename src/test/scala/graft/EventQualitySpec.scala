@@ -110,6 +110,49 @@ class EventQualitySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("windowed distinct count: running value matches in-memory prefix sets") {
+    val events = Tables(spark, sfDir, "events")
+      .select("user_id", "event_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3)))
+    val expected = events.groupBy(_._1).iterator.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._3.getTime * 1000000 + e._3.getNanos / 1000, e._2))
+      val seen = scala.collection.mutable.Set.empty[String]
+      sorted.map { e => seen += e._4; e._2 -> seen.size }
+    }.toMap
+    val got = graft.operators.Windows.queries("q_win_distinct")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Int]("n_distinct_types")).toMap
+    assert(got == expected)
+  }
+
+  test("incremental merge: merged partial states equal a three-way re-split") {
+    // split differently than the query (by key parity rather than date):
+    // mergeability must hold for ANY disjoint partition of the rows
+    val q = QualityOps.queries("q_agg_incremental")(spark, sfDir).collect()
+    val orders = Tables.raw(spark, sfDir, "orders")
+    val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+    def partial(f: org.apache.spark.sql.Column) = orders.filter(f)
+      .select(col("o_orderpriority"), cents.as("c")).groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("c").as("s"), min("c").as("mn"), max("c").as("mx"))
+    val merged = partial(col("o_orderkey") % 3 === 0)
+      .union(partial(col("o_orderkey") % 3 === 1))
+      .union(partial(col("o_orderkey") % 3 === 2))
+      .groupBy("o_orderpriority")
+      .agg(sum("n").as("n"), sum("s").as("s"), min("mn").as("mn"), max("mx").as("mx"))
+      .withColumn("avg_e4", expr("(s * 100) div n"))
+      .orderBy("o_orderpriority").collect()
+    assert(q.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq ==
+      merged.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq)
+  }
+
+  test("cross-modal join covers every document exactly once") {
+    val rows = Multimodal.queries("q_mm_crossmodal")(spark, sfDir).collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == Tables(spark, sfDir, "documents").count(),
+      "1:1 id join must conserve the corpus")
+  }
+
   test("phash: reported pairs respect the hamming bound and include exact duplicates") {
     val pairs = Multimodal.queries("q_mm_phash")(spark, sfDir).collect()
     assert(pairs.forall(_.getAs[Int]("hamming") <= 8))
