@@ -78,6 +78,31 @@ object QualityOps extends QueryModule {
         .orderBy("o_orderpriority")
     }),
 
+    // Referential-integrity audit: orphan foreign keys across the star
+    // schema (lineitem→orders, orders→customer, events→customer), each an
+    // anti join on the key — the constraint check a lakehouse runs because
+    // nothing else enforces FKs. Anti joins shuffle only the key columns;
+    // per-check counts merge map-side. All-zero is the expected steady
+    // state — the query's value is that a bad load flips a row.
+    "q_fk_orphans" -> ((s, dir) => {
+      def audit(name: String, child: DataFrame, key: String,
+                parent: DataFrame, pkey: String): DataFrame =
+        child.select(col(key).as("k"))
+          .join(parent.select(col(pkey).as("k")), Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("n_orphan_rows"),
+            countDistinct("k").as("n_orphan_keys"))
+          .select(lit(name).as("fk"), col("n_orphan_rows"), col("n_orphan_keys"))
+      val orders = Tables.raw(s, dir, "orders")
+      val customer = Tables.raw(s, dir, "customer")
+      audit("1_lineitem_orders", Tables.raw(s, dir, "lineitem"), "l_orderkey",
+          orders, "o_orderkey")
+        .union(audit("2_orders_customer", orders, "o_custkey",
+          customer, "c_custkey"))
+        .union(audit("3_events_customer", Tables.raw(s, dir, "events"), "user_id",
+          customer, "c_custkey"))
+        .orderBy("fk")
+    }),
+
     // Whole-table content checksum: order-independent 60-bit signatures
     // (XOR + modular sum of a portable per-row hash over a canonical row
     // string) plus the row count — the "same data on both sides?" primitive
@@ -121,6 +146,20 @@ object QualityOps extends QueryModule {
          CAST((CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) * 100)
            // COUNT(*) AS BIGINT) AS avg_e4
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_fk_orphans" ->
+      """SELECT * FROM (
+           SELECT '1_lineitem_orders' AS fk, COUNT(*) AS n_orphan_rows,
+             COUNT(DISTINCT l_orderkey) AS n_orphan_keys
+           FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+           UNION ALL
+           SELECT '2_orders_customer', COUNT(*),
+             COUNT(DISTINCT o_custkey)
+           FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+           UNION ALL
+           SELECT '3_events_customer', COUNT(*),
+             COUNT(DISTINCT user_id)
+           FROM events WHERE user_id NOT IN (SELECT c_custkey FROM customer))
+         ORDER BY fk""",
     "q_checksum_table" ->
       s"""WITH h AS (SELECT ${graft.functions.PortableHash.sql(
              """concat_ws('|', o_orderkey, o_custkey, o_orderstatus,

@@ -157,6 +157,23 @@ object TextOps extends QueryModule {
         .orderBy("da", "db")
     }),
 
+    // Inverted-index build: token → sorted posting list — the operator a
+    // distributed search index is bootstrapped from. One shuffle on the
+    // token; posting lists stay bounded in the OUTPUT (head-20 + df +
+    // min/max) so a stop-word's million-document posting row can't blow up
+    // a reducer's output record. Lists serialize as comma-joined strings
+    // (array formatting differs between engines; strings hash-compare).
+    "q_text_invindex" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy("tok")
+        .agg(countDistinct("doc_id").as("df"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
+          array_join(slice(sort_array(collect_set(col("doc_id"))), 1, 20), ",")
+            .as("postings_head"))
+        .orderBy("tok")
+    }),
+
     // TF-IDF: top-3 terms per document by tf * ln(N/df), ranked on the
     // ROUNDED score (round-before-rank keeps the ordering engine-stable;
     // ties break on the term). Two shuffles — (doc_id, tok) for tf and tok
@@ -275,6 +292,13 @@ object TextOps extends QueryModule {
          SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_shared
          FROM fp a JOIN fp b ON a.wh = b.wh AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING COUNT(*) >= 20 ORDER BY da, db""",
+    "q_text_invindex" ->
+      """SELECT tok, COUNT(DISTINCT doc_id) AS df,
+         MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+         array_to_string(list_slice(list_sort(list(DISTINCT doc_id)), 1, 20), ',')
+           AS postings_head
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         GROUP BY tok ORDER BY tok""",
     "q_text_tfidf" ->
       """WITH tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM (
              SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)

@@ -153,6 +153,29 @@ class EventQualitySpec extends SparkSpec {
       "1:1 id join must conserve the corpus")
   }
 
+  test("inverted index: df and posting heads match in-memory postings") {
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ")))
+    val postings = docs.flatMap { case (id, ts) => ts.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+    val got = TextOps.queries("q_text_invindex")(spark, sfDir).collect()
+    assert(got.length == postings.size)
+    got.foreach { r =>
+      val exp = postings(r.getAs[String]("tok"))
+      assert(r.getAs[Long]("df") == exp.length)
+      assert(r.getAs[String]("postings_head") == exp.take(20).mkString(","))
+    }
+  }
+
+  test("fk audit: the clean fixture reports zero orphans on every edge") {
+    val rows = QualityOps.queries("q_fk_orphans")(spark, sfDir).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_orphan_rows") == 0 && r.getAs[Long]("n_orphan_keys") == 0,
+        s"unexpected orphans: $r")
+    }
+  }
+
   test("phash: reported pairs respect the hamming bound and include exact duplicates") {
     val pairs = Multimodal.queries("q_mm_phash")(spark, sfDir).collect()
     assert(pairs.forall(_.getAs[Int]("hamming") <= 8))
