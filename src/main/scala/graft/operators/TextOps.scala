@@ -158,20 +158,27 @@ object TextOps extends QueryModule {
     }),
 
     // Inverted-index build: token → sorted posting list — the operator a
-    // distributed search index is bootstrapped from. One shuffle on the
-    // token; posting lists stay bounded in the OUTPUT (head-20 + df +
-    // min/max) so a stop-word's million-document posting row can't blow up
-    // a reducer's output record. Lists serialize as comma-joined strings
+    // distributed search index is bootstrapped from. The head-20 posting
+    // preview goes through TopKPerKey so rank pruning happens MAP-SIDE:
+    // each input partition forwards ≤ 20 (tok, doc) rows, so a stop-word's
+    // million-document posting never materializes in any aggregation
+    // buffer (collect_set-then-slice would). df/min/max are plain partial
+    // aggregates beside it; lists serialize as comma-joined strings
     // (array formatting differs between engines; strings hash-compare).
     "q_text_invindex" -> ((s, dir) => {
-      t(s, dir, "documents")
+      val posting = t(s, dir, "documents")
         .select(col("doc_id"), explode(toks).as("tok"))
+        .distinct()
+        .localCheckpoint(true) // feeds the stats agg AND the head-20 prune
+      val stats = posting.groupBy("tok")
+        .agg(count(lit(1)).as("df"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      val heads = graft.plans.TopK
+        .perKey(posting, 20, Seq("tok"), Seq(("doc_id", false)))
         .groupBy("tok")
-        .agg(countDistinct("doc_id").as("df"),
-          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
-          array_join(slice(sort_array(collect_set(col("doc_id"))), 1, 20), ",")
-            .as("postings_head"))
-        .orderBy("tok")
+        .agg(array_join(sort_array(collect_list(col("doc_id"))), ",")
+          .as("postings_head"))
+      stats.join(heads, Seq("tok")).orderBy("tok")
     }),
 
     // TF-IDF: top-3 terms per document by tf * ln(N/df), ranked on the
