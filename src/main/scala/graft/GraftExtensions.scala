@@ -33,6 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.NGramsGen].getName, "ngrams_gen"),
       functions.NGramsGen.sqlBuilder))
     ext.injectOptimizerRule(_ => plans.GraftRules.CollapseDoubleRound)
+    ext.injectOptimizerRule(_ => plans.GraftRules.BlockFuzzyJoin)
     ext.injectPlannerStrategy(_ => plans.TopKPerKeyStrategy)
   }
 }

@@ -19,31 +19,24 @@ object QualityOps extends QueryModule {
   private val maxLev = 2
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Fuzzy self-join: part-name pairs within levenshtein <= 2. Runs on the
-    // DISTINCT name dictionary (at 100 TB the dictionary is orders of
-    // magnitude smaller than the fact table), and the quadratic candidate
-    // space is cut by a provably-safe length band turned into an EQUI join:
-    // |len(a)-len(b)| <= lev(a,b), so the left side emits each name once at
-    // its own length and the right side at len..len+2 — every qualifying
-    // pair meets in exactly one band bucket (longer-left orientation; equal
-    // lengths meet twice and are deduplicated by least/greatest+distinct).
-    // No nested-loop join anywhere; levenshtein runs only on band-collision
-    // pairs.
+    // Fuzzy self-join: part-name pairs within levenshtein <= 2, written the
+    // way a user would — a plain theta join — and rewritten BY THE ENGINE
+    // ([[graft.plans.GraftRules.BlockFuzzyJoin]]) into a banded equi join:
+    // |len(a)-len(b)| <= lev(a,b) makes the length a loss-free blocking
+    // key, so levenshtein runs only on band collisions and the join plans
+    // hash/sort-merge, never nested-loop (asserted in ScaleSpec, with
+    // brute-force equality). Runs on the DISTINCT name dictionary — at
+    // 100 TB that is orders of magnitude smaller than the fact table.
     "q_join_fuzzy" -> ((s, dir) => {
+      graft.plans.GraftRules.install(s)
       val names = Tables.raw(s, dir, "part")
         .select("p_name").distinct()
-        .select(col("p_name"), length(col("p_name")).as("len"))
         .localCheckpoint(true) // feeds both join sides
-      val left = names.select(col("p_name").as("na"), col("len").as("band"))
-      val right = names.select(col("p_name").as("nb"),
-        explode(array(col("len"), col("len") + 1, col("len") + 2)).as("band"))
-      left.join(right, Seq("band"))
-        .filter(col("na") =!= col("nb"))
-        .select(least(col("na"), col("nb")).as("name_a"),
-          greatest(col("na"), col("nb")).as("name_b"))
-        .distinct()
+      val a = names.select(col("p_name").as("name_a"))
+      val b = names.select(col("p_name").as("name_b"))
+      a.join(b, levenshtein(col("name_a"), col("name_b")) <= maxLev &&
+          col("name_a") < col("name_b"))
         .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
-        .filter(col("lev") <= maxLev)
         .orderBy("name_a", "name_b")
     }),
 

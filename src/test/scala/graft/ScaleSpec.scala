@@ -207,6 +207,33 @@ class ScaleSpec extends SparkSpec {
       s"checksum needs no key shuffle:\n$ck")
   }
 
+  test("BlockFuzzyJoin rule rewrites a levenshtein theta join to a banded equi join") {
+    import spark.implicits._
+    GraftRules.install(spark)
+    val names = Tables.raw(spark, sfDir, "part").select("p_name").distinct()
+    val a = names.select(col("p_name").as("na"))
+    val b = names.select(col("p_name").as("nb"))
+    // the naive spelling a user writes — Catalyst alone would plan BNLJ
+    val fuzzy = a.join(b, levenshtein(col("na"), col("nb")) <= 2 &&
+      col("na") < col("nb"))
+    val plan = fuzzy.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"lev theta join should be blocked into an equi join:\n$plan")
+    assert(plan.contains("__graft_lev_band"), s"band key should appear:\n$plan")
+    // results must equal unblocked brute force
+    def lev(x: String, y: String): Int = {
+      val d = Array.tabulate(x.length + 1, y.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+      d(x.length)(y.length)
+    }
+    val all = names.collect().map(_.getString(0))
+    val brute = (for { x <- all; y <- all if x < y && lev(x, y) <= 2 } yield (x, y)).toSet
+    val got = fuzzy.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == brute)
+  }
+
   test("CollapseDoubleRound rule fires via extraOptimizations and preserves results") {
     import spark.implicits._
     GraftRules.install(spark)
