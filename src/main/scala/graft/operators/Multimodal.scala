@@ -144,7 +144,12 @@ object Multimodal extends QueryModule {
     // arithmetic (stripe*60 > total avoids the mean division), so the
     // DuckDB oracle replicates the full pipeline bit-for-bit.
     "q_mm_phash" -> ((s, dir) => {
+      // length > 0 guard on BOTH sides: an empty/NULL payload has no
+      // stripes — the oracle's range() unnest drops such docs implicitly,
+      // so the Spark side must too (an all-zero signature would otherwise
+      // bucket every empty doc together at hamming 0).
       val src = t(s, dir, "documents")
+        .filter(length(col("text")) > 0)
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(stripesSchema)
       val stripes = src.mapPartitions { rows =>
@@ -241,7 +246,7 @@ object Multimodal extends QueryModule {
     // false, while the SQL group-by simply has no row for that k.
     "q_mm_phash" ->
       """WITH pos AS (SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS p
-             FROM documents),
+             FROM documents WHERE len(text) > 0),
          st AS (SELECT doc_id, (p - 1) % 60 AS k,
                SUM(ascii(substr(text, CAST(p AS INT), 1))) AS sk
              FROM pos GROUP BY doc_id, k),

@@ -18,6 +18,18 @@ object QualityOps extends QueryModule {
     * "old plate"). Shared by the Spark filter and the oracle. */
   private val maxLev = 2
 
+  /** The canonical orders row string q_checksum_table hashes — single-
+    * sourced (the checksum spec hashes with THIS expression too; a forked
+    * copy would silently keep testing an old canon). Doubles enter as
+    * exact integer cents, timestamps as epoch micros: both bit-stable
+    * across engines, unlike any float formatting. orders dates read as
+    * TIMESTAMP_NTZ; the cast to TIMESTAMP is identity under the UTC
+    * session zone (unix_micros accepts only TIMESTAMP). */
+  private[graft] val ordersCanon: org.apache.spark.sql.Column = concat_ws("|",
+    col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+    floor(col("o_totalprice") * 100 + 0.5).cast("long"),
+    unix_micros(col("o_orderdate").cast("timestamp")), col("o_orderpriority"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Fuzzy self-join: part-name pairs within levenshtein <= 2, written the
     // way a user would — a plain theta join — and rewritten BY THE ENGINE
@@ -106,14 +118,8 @@ object QualityOps extends QueryModule {
     // timestamps as epoch micros — both bit-stable across engines, unlike
     // any float-to-string formatting.
     "q_checksum_table" -> ((s, dir) => {
-      val canon = concat_ws("|",
-        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-        floor(col("o_totalprice") * 100 + 0.5).cast("long"),
-        // orders dates read as TIMESTAMP_NTZ; cast via the UTC session zone
-        // (identity mapping) — unix_micros only accepts TIMESTAMP.
-        unix_micros(col("o_orderdate").cast("timestamp")), col("o_orderpriority"))
       Tables.raw(s, dir, "orders")
-        .select(graft.functions.PortableHash.hash60(canon).as("h"))
+        .select(graft.functions.PortableHash.hash60(ordersCanon).as("h"))
         .agg(count(lit(1)).as("n_rows"),
           expr("bit_xor(h)").as("xor_sig"),
           (sum(col("h") % 1000000007L) % 1000000007L).as("sum_sig"))
@@ -139,19 +145,26 @@ object QualityOps extends QueryModule {
          CAST((CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) * 100)
            // COUNT(*) AS BIGINT) AS avg_e4
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // NOT EXISTS, not NOT IN: a NULL foreign key must COUNT as an orphan
+    // row (Spark's left_anti never matches NULL), whereas NOT IN evaluates
+    // to NULL for it and would silently drop the exact bad-load row the
+    // audit exists to catch.
     "q_fk_orphans" ->
       """SELECT * FROM (
            SELECT '1_lineitem_orders' AS fk, COUNT(*) AS n_orphan_rows,
              COUNT(DISTINCT l_orderkey) AS n_orphan_keys
-           FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+           FROM lineitem l WHERE NOT EXISTS (
+             SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
            UNION ALL
            SELECT '2_orders_customer', COUNT(*),
              COUNT(DISTINCT o_custkey)
-           FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+           FROM orders o WHERE NOT EXISTS (
+             SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
            UNION ALL
            SELECT '3_events_customer', COUNT(*),
              COUNT(DISTINCT user_id)
-           FROM events WHERE user_id NOT IN (SELECT c_custkey FROM customer))
+           FROM events e WHERE NOT EXISTS (
+             SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
          ORDER BY fk""",
     "q_checksum_table" ->
       s"""WITH h AS (SELECT ${graft.functions.PortableHash.sql(

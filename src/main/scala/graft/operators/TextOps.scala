@@ -182,12 +182,16 @@ object TextOps extends QueryModule {
     }),
 
     // TF-IDF: top-3 terms per document by tf * ln(N/df), ranked on the
-    // ROUNDED score (round-before-rank keeps the ordering engine-stable;
-    // ties break on the term). Two shuffles — (doc_id, tok) for tf and tok
-    // for df — plus a 1-row corpus-size cross join (a planner statistic,
-    // not a collect); the per-doc top-k is a window the same shape as
-    // q_topk_perkey's scalable spelling. The standard relevance/keyword
-    // signal a corpus-indexing pipeline derives per document.
+    // ROUNDED score (round-before-rank: rank can only flip if the rounded
+    // scores themselves differ, so the rank adds no failure mode beyond
+    // the score column). The score is the one oracled double that goes
+    // through libm ln — JVM and DuckDB logs are each ~1-ulp accurate, so a
+    // value must sit within an ulp of a .00005 boundary to round apart:
+    // ~2^-37 per value, ~1e-7 over this corpus. Fixed point would not
+    // help (the boundary moves, the ln dependence stays). Two shuffles —
+    // (doc_id, tok) for tf and tok for df — plus a 1-row corpus-size cross
+    // join (a planner statistic, not a collect); the per-doc top-k is a
+    // window the same shape as q_topk_perkey's scalable spelling.
     "q_text_tfidf" -> ((s, dir) => {
       val tf = t(s, dir, "documents")
         .select(col("doc_id"), explode(toks).as("tok"))

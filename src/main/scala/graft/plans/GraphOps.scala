@@ -215,12 +215,13 @@ object GraphOps {
   }
 
   /** Edge count up to which [[connectedComponents]] solves on the driver:
-    * 2M (long, long) edges ≈ 32 MB collected — comparable to a broadcast
-    * relation, and far below driver heap. The near-dup pair graphs this
-    * serves (verified LSH collisions) are orders of magnitude smaller than
-    * their corpus, so at 100 TB the gate usually still picks the driver
-    * solve; a genuinely huge edge set falls through to the BSP loop. */
-  private[graft] val DriverSolveEdgeLimit = 2L * 1000 * 1000
+    * 1M (long, long) edges collected as primitive pairs ≈ 50–100 MB of
+    * driver heap with tuple/array overhead — comparable to a broadcast
+    * relation. The near-dup pair graphs this serves (verified LSH
+    * collisions) are orders of magnitude smaller than their corpus, so at
+    * 100 TB the gate usually still picks the driver solve; a genuinely
+    * huge edge set falls through to the BSP loop. */
+  private[graft] val DriverSolveEdgeLimit = 1L * 1000 * 1000
 
   /** Connected components of an edge list that must already contain BOTH
     * directions of every edge. Returns `(v: long, comp: long)` where
@@ -249,16 +250,17 @@ object GraphOps {
         while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      val arr = e.collect()
-      arr.foreach { row =>
-        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+      // collect PRIMITIVE pairs via the RDD, not Rows (a GenericRow costs
+      // ~10x the two longs it carries — the gate's size math assumes pairs)
+      val arr = e.rdd.map(r => (r.getLong(0), r.getLong(1))).collect()
+      val verts = scala.collection.mutable.HashSet.empty[Long]
+      arr.foreach { case (a, b) =>
+        verts += a; verts += b
+        val (ra, rb) = (find(a), find(b))
         // union by min root keeps comp = min vertex id deterministically
         if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
       }
-      // vertex set from the edges themselves (covers self-loop-only nodes)
-      val verts = arr.iterator.flatMap(r => Iterator(r.getLong(0), r.getLong(1)))
-        .toSeq.distinct
-      val out = verts.sorted.map(v => (v, find(v)))
+      val out = verts.toArray.sorted.map(v => (v, find(v))).toSeq
       e.unpersist()
       import spark.implicits._
       return out.toDF("v", "comp")

@@ -4,7 +4,6 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
-import org.apache.spark.sql.catalyst.plans.logical.JoinHint
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
 
@@ -83,7 +82,7 @@ object GraftRules {
     }
 
     def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-      case j @ Join(left, right, Inner | Cross, Some(cond), _)
+      case j @ Join(left, right, Inner | Cross, Some(cond), hint)
           if !j.output.exists(_.name.startsWith(BandName)) => // idempotence
         val conjuncts = splitConjuncts(cond)
         val hasEquiKey = conjuncts.exists {
@@ -102,8 +101,9 @@ object GraftRules {
             val rightB = Generate(Explode(bands), Nil, outer = false, None,
               Seq(bandR), right)
             val newCond = And(EqualTo(bandL.toAttribute, bandR), cond)
+            // keep the user's join hint (e.g. an explicit broadcast)
             Project(j.output,
-              Join(leftB, rightB, Inner, Some(newCond), JoinHint.NONE))
+              Join(leftB, rightB, Inner, Some(newCond), hint))
           case _ => j
         }
     }

@@ -56,10 +56,12 @@ object FileFormats extends QueryModule {
       Tables.raw(s, dir, "customer")
         .select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
         .write.mode("overwrite").orc(path)
+      // exact integer cents, not ROUND(SUM(double)): a double sum is
+      // partition-order-dependent and the ORC read-back controls the split
       s.read.orc(path)
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"), countDistinct("c_nationkey").as("n_nations"),
-          round(sum("c_acctbal"), 2).as("bal_total"))
+          sum(floor(col("c_acctbal") * 100 + 0.5).cast("long")).as("bal_cents"))
         .orderBy("c_mktsegment")
     }),
 
@@ -90,7 +92,7 @@ object FileFormats extends QueryModule {
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_src_orc" ->
       """SELECT c_mktsegment, COUNT(*) AS n, COUNT(DISTINCT c_nationkey) AS n_nations,
-         ROUND(SUM(c_acctbal), 2) AS bal_total
+         CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_cents
          FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_src_json" ->
       """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS val_sum,

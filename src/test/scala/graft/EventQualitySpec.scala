@@ -54,13 +54,7 @@ class EventQualitySpec extends SparkSpec {
   }
 
   test("fuzzy join: banded candidates lose no pair vs brute force (blocking completeness)") {
-    def lev(a: String, b: String): Int = {
-      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
-      for (i <- 1 to a.length; j <- 1 to b.length)
-        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
-          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
-      d(a.length)(b.length)
-    }
+    import TestLev.lev
     val names = Tables.raw(spark, sfDir, "part").select("p_name").distinct()
       .collect().map(_.getString(0))
     val brute = (for {
@@ -76,13 +70,11 @@ class EventQualitySpec extends SparkSpec {
     val base = QualityOps.queries("q_checksum_table")(spark, sfDir).collect().head
     val again = QualityOps.queries("q_checksum_table")(spark, sfDir).collect().head
     assert(base == again, "deterministic across runs/partitionings")
-    // dropping one row must change both signatures
+    // dropping one row must change both signatures (hash with the SAME
+    // single-sourced canon the shipped query uses)
     val orders = Tables.raw(spark, sfDir, "orders")
     val one = orders.limit(1).select("o_orderkey").collect().head.getLong(0)
-    val h = graft.functions.PortableHash.hash60(concat_ws("|",
-      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-      floor(col("o_totalprice") * 100 + 0.5).cast("long"),
-      unix_micros(col("o_orderdate").cast("timestamp")), col("o_orderpriority")))
+    val h = graft.functions.PortableHash.hash60(QualityOps.ordersCanon)
     val dropped = orders.filter(col("o_orderkey") =!= one)
       .select(h.as("h"))
       .agg(count(lit(1)), expr("bit_xor(h)"), (sum(col("h") % 1000000007L) % 1000000007L))

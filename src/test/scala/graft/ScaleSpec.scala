@@ -221,13 +221,7 @@ class ScaleSpec extends SparkSpec {
       s"lev theta join should be blocked into an equi join:\n$plan")
     assert(plan.contains("__graft_lev_band"), s"band key should appear:\n$plan")
     // results must equal unblocked brute force
-    def lev(x: String, y: String): Int = {
-      val d = Array.tabulate(x.length + 1, y.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
-      for (i <- 1 to x.length; j <- 1 to y.length)
-        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
-          d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
-      d(x.length)(y.length)
-    }
+    import TestLev.lev
     val all = names.collect().map(_.getString(0))
     val brute = (for { x <- all; y <- all if x < y && lev(x, y) <= 2 } yield (x, y)).toSet
     val got = fuzzy.collect().map(r => (r.getString(0), r.getString(1))).toSet
