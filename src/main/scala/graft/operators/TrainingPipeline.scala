@@ -94,6 +94,28 @@ object TrainingPipeline extends QueryModule {
     // happens MAP-SIDE: each input partition forwards ≤ n_min rows per
     // class instead of sorting the whole table inside k class-partitions —
     // the scalable spelling of ROW_NUMBER() OVER (PARTITION BY class).
+    // Weighted sampling (Efraimidis–Spirakis A-ES): sample 100 documents
+    // with probability proportional to token count, deterministically —
+    // u = (hash60(doc_id)+1)/2^60 replaces the RNG, key = ln(u)/w, take
+    // the k largest keys (u^(1/w) ordering in log space). Embarrassingly
+    // parallel: one projection pass + a global top-k that plans as
+    // TakeOrderedAndProject — no prefix sums, no single-partition sort
+    // (the systematic-sampling alternative needs a global running total,
+    // the q_win_range trap). Output carries no float column: both engines
+    // compute the same key modulo last-ulp ln differences, which only
+    // matter if two keys straddle the k-boundary within one ulp (~1e-12).
+    "q_sample_weighted" -> ((s, dir) => {
+      val u = (graft.functions.PortableHash.hash60(col("doc_id").cast("string")) + 1)
+        .cast("double") / math.pow(2, 60)
+      docs(s, dir)
+        .select(col("doc_id"), TextOps.nTokC.cast("long").as("n_tok"),
+          (log(u) / TextOps.nTokC.cast("double")).as("k"))
+        .orderBy(col("k").desc, col("doc_id"))
+        .limit(100)
+        .select("doc_id", "n_tok")
+        .orderBy("doc_id")
+    }),
+
     "q_sample_stratified" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("lang"),
         graft.functions.PortableHash.hash60(col("doc_id").cast("string")).as("h"))
@@ -140,6 +162,14 @@ object TrainingPipeline extends QueryModule {
            UNION ALL SELECT '4_neardup', CAST(COUNT(*) AS BIGINT),
                   CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM final_kept)
          ORDER BY stage""",
+    "q_sample_weighted" ->
+      s"""WITH k AS (SELECT doc_id,
+             CAST(${TextOps.nTokSql} AS BIGINT) AS n_tok,
+             ln((${graft.functions.PortableHash.sql("CAST(doc_id AS VARCHAR)")} + 1)
+                / 1152921504606846976.0) / ${TextOps.nTokSql} AS k
+           FROM documents)
+         SELECT doc_id, n_tok FROM k
+         ORDER BY k DESC, doc_id LIMIT 100""",
     "q_sample_stratified" ->
       s"""WITH h AS (SELECT doc_id, lang,
              ${graft.functions.PortableHash.sql("CAST(doc_id AS VARCHAR)")} AS h

@@ -168,6 +168,23 @@ class EventQualitySpec extends SparkSpec {
     }
   }
 
+  test("weighted sampling: matches in-memory A-ES and biases toward heavy docs") {
+    val rows = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        graft.functions.PortableHash.hash60(col("doc_id").cast("string")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = rows.map { case (id, w, h) =>
+      (id, w, math.log((h + 1).toDouble / math.pow(2, 60)) / w)
+    }.sortBy { case (id, _, k) => (-k, id) }.take(100).map(_._1).toSet
+    val got = graft.operators.TrainingPipeline.queries("q_sample_weighted")(spark, sfDir)
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(got.toSet == expected)
+    val corpusAvg = rows.map(_._2).sum.toDouble / rows.length
+    val sampleAvg = rows.filter(r => expected(r._1)).map(_._2).sum.toDouble / 100
+    assert(sampleAvg > corpusAvg, s"weighting should favor heavy docs: $sampleAvg vs $corpusAvg")
+  }
+
   test("phash: reported pairs respect the hamming bound and include exact duplicates") {
     val pairs = Multimodal.queries("q_mm_phash")(spark, sfDir).collect()
     assert(pairs.forall(_.getAs[Int]("hamming") <= 8))
