@@ -131,6 +131,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("BlockFuzzyJoin rewrite equals brute force on random string sets and bounds") {
+    import spark.implicits._
+    graft.plans.GraftRules.install(spark)
+    val wordGen = for {
+      len <- Gen.choose(0, 6)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    for (k <- 0 to 3) {
+      val words = samples(wordGen, 40).distinct
+      val a = words.toDF("x")
+      val b = words.toDF("y")
+      val joined = a.join(b, levenshtein(col("x"), col("y")) <= k)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"k=$k should rewrite to a banded equi join:\n$plan")
+      val got = joined.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val brute = (for { x <- words; y <- words if TestLev.lev(x, y) <= k }
+        yield (x, y)).toSet
+      assert(got == brute, s"k=$k: rewrite must be loss-free and exact")
+    }
+  }
+
   test("Morton interleave is a bijection on random 8-bit pairs") {
     import spark.implicits._
     val pairGen = for {
