@@ -38,6 +38,18 @@ object GraphQueries extends QueryModule {
       .union(c.select(col("c_custkey").as("src"), ((col("c_custkey") * 16 + 3) % v).as("dst")))
   }
 
+  /** Label-propagation superstep count — fixed (not convergence-gated) so
+    * the oracle unrolls the identical recurrence. */
+  private val lpIters = 4
+
+  /** The hierarchy edge list as a DuckDB CTE body (both directions) —
+    * shared by the q_graph_cc and q_graph_labelprop oracles. */
+  private val hierEdgesSql =
+    """SELECT CAST(n_nationkey+10 AS BIGINT) AS src, CAST(n_regionkey AS BIGINT) AS dst FROM nation
+       UNION ALL SELECT CAST(n_regionkey AS BIGINT), CAST(n_nationkey+10 AS BIGINT) FROM nation
+       UNION ALL SELECT CAST(c_custkey+100 AS BIGINT), CAST(c_nationkey+10 AS BIGINT) FROM customer
+       UNION ALL SELECT CAST(c_nationkey+10 AS BIGINT), CAST(c_custkey+100 AS BIGINT) FROM customer"""
+
   /** Symmetrized hierarchy edges: nation↔region, customer↔nation. */
   private def hierEdges(s: SparkSession, dir: String): DataFrame = {
     val n = t(s, dir, "nation")
@@ -138,6 +150,34 @@ object GraphQueries extends QueryModule {
         .groupBy("comp")
         .agg(count(lit(1)).as("n_members"), min("v").as("min_v"), max("v").as("max_v"))
         .orderBy("comp")),
+
+    // Label propagation communities (synchronous, deterministic): every
+    // vertex starts as its own label; each superstep it adopts the most
+    // frequent label among its neighbors, ties broken by MIN label — the
+    // frequency-based community algorithm, distinct from q_graph_cc's
+    // min-label reachability. Fixed 4 supersteps (not run-to-convergence)
+    // so the DuckDB oracle can unroll the same recurrence exactly; each
+    // superstep is one edge⋈label join + a (v, lbl) count + one
+    // row_number window — all partitioned on v, the BSP shape.
+    "q_graph_labelprop" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = hierEdges(s, dir).localCheckpoint(true)
+      var labels = e.select(col("src").as("v")).distinct()
+        .withColumn("lbl", col("v")).localCheckpoint(true)
+      for (_ <- 1 to lpIters) {
+        val nbr = e.join(labels, e("src") === labels("v"))
+          .select(e("dst").as("nv"), col("lbl"))
+        val cnt = nbr.groupBy(col("nv"), col("lbl")).agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("nv").orderBy(col("c").desc, col("lbl"))
+        labels = cnt.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("nv").as("v"), col("lbl"))
+          .localCheckpoint(true)
+      }
+      labels.groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_members"), min("v").as("min_v"), max("v").as("max_v"))
+        .orderBy("community")
+    }),
 
     // A1–A4 end-to-end: the nation→region hierarchy (30 vertices: regions
     // 0–4, nations 5–29 — inside the codec's 100-vertex reference cap,
@@ -251,12 +291,25 @@ object GraphQueries extends QueryModule {
            WHERE w.d + we.w <= 60),
          best AS (SELECT v, MIN(d) AS dist FROM walk GROUP BY v)
          SELECT v, dist FROM best ORDER BY v""",
+    // The identical 4-step recurrence, unrolled: each block is one
+    // neighbor-label count + most-frequent-with-min-tie-break selection.
+    "q_graph_labelprop" -> {
+      val steps = (1 to lpIters).map { i =>
+        s"""c$i AS (SELECT e.dst AS v, l${i - 1}.lbl, COUNT(*) AS c
+             FROM e JOIN l${i - 1} ON l${i - 1}.v = e.src GROUP BY e.dst, l${i - 1}.lbl),
+           l$i AS (SELECT v, lbl FROM (
+             SELECT v, lbl, ROW_NUMBER() OVER (
+               PARTITION BY v ORDER BY c DESC, lbl) AS rn FROM c$i) WHERE rn = 1)"""
+      }.mkString(",\n")
+      s"""WITH e AS ($hierEdgesSql),
+         l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM e),
+         $steps
+         SELECT lbl AS community, COUNT(*) AS n_members,
+           MIN(v) AS min_v, MAX(v) AS max_v
+         FROM l$lpIters GROUP BY lbl ORDER BY community"""
+    },
     "q_graph_cc" ->
-      """WITH RECURSIVE e AS (
-           SELECT CAST(n_nationkey+10 AS BIGINT) AS src, CAST(n_regionkey AS BIGINT) AS dst FROM nation
-           UNION ALL SELECT CAST(n_regionkey AS BIGINT), CAST(n_nationkey+10 AS BIGINT) FROM nation
-           UNION ALL SELECT CAST(c_custkey+100 AS BIGINT), CAST(c_nationkey+10 AS BIGINT) FROM customer
-           UNION ALL SELECT CAST(c_nationkey+10 AS BIGINT), CAST(c_custkey+100 AS BIGINT) FROM customer),
+      s"""WITH RECURSIVE e AS ($hierEdgesSql),
          reach(v, root) AS (
            SELECT src, src FROM e
            UNION
