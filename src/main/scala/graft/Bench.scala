@@ -46,10 +46,30 @@ object Bench {
       region.select(approx_count_distinct("r_name").as("d"),
           percentile_approx(col("r_regionkey"), lit(0.5), lit(100)).as("p"))
         .write.format("noop").mode("overwrite").save()
+      // multi-countDistinct → Expand ×3 + two-phase distinct agg: the
+      // exact plan shape of q_agg_distinct, whose 8× driver-run outlier in
+      // r4 pointed at cold Expand/distinct codegen paths (the other warmed
+      // families all stayed near their builder-run times).
+      region.groupBy("r_name")
+        .agg(countDistinct("r_regionkey").as("d1"),
+          countDistinct("r_comment").as("d2"), count(lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
     }
     catch { case scala.util.control.NonFatal(_) => () } // fail-visible bench: probes still run
     // Optional subset filter for local iteration: SPARK_GRAFT_ONLY=regex.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    // JVM environment probes — the r4 driver run was a uniform ~1.4× over
+    // the builder's same-commit run with one 8× outlier, and nothing in the
+    // artifact could attribute it. Emit per-query GC time and the
+    // end-of-run code-cache fill so cross-run spreads are explainable from
+    // the bench JSON alone.
+    import scala.jdk.CollectionConverters._
+    def gcMs(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+    def codeCacheUsedMb(): Long = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.startsWith("CodeHeap") || p.getName == "Code Cache")
+      .map(_.getUsage.getUsed).sum / (1024 * 1024)
     def flush(): Unit = {
       // Don't let one query's leaked state skew its successors: clearCache
       // drops table caches, but localCheckpoint blocks live as persistent
@@ -61,38 +81,51 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
       .map { case (name, fn) =>
-      def once(): (Double, Boolean) = {
+      def once(): (Double, Boolean, Long) = {
+        val gc0 = gcMs()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
+          catch { case scala.util.control.NonFatal(e) =>
+            // NonFatal only: an OOM/LinkageError means the JVM is no longer
+            // trustworthy — let it crash loudly rather than record timings
+            // from a broken process.
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
             false
           }
         val sec = (System.nanoTime() - t0) / 1e9
-        flush()
-        (sec, ok)
+        val gc = gcMs() - gc0 // measured run only — the flush's System.gc
+        flush()               // below is bench hygiene, not query cost
+        (sec, ok, gc)
       }
-      val (t1, ok1) = once()
-      // Short queries are the ones JIT/first-plan noise distorts the most
-      // relative to their cost — re-measure once and report the min. Long
-      // queries keep single-shot timing (a second run would double bench
-      // wall time for little variance gain). A failed second run keeps the
-      // first measurement AND flips the query to failed — a fast-fail must
-      // never masquerade as a speedup.
-      val (sec, ok) = if (ok1 && t1 < 1.5) {
-        val (t2, ok2) = once()
-        if (ok2) (math.min(t1, t2), true) else (t1, false)
-      } else (t1, ok1)
-      (name, sec, ok)
+      val (t1, ok1, gc1) = once()
+      // Queries under ~5 s are the ones JIT/first-plan/GC noise distorts
+      // the most relative to their cost (the r4 driver run put a 12.8 s
+      // outlier on a 1.6 s query) — re-measure once and report the min.
+      // Genuinely long queries keep single-shot timing (their plan cost
+      // dominates noise and a second run would double bench wall time). A
+      // failed second run keeps the first measurement AND flips the query
+      // to failed — a fast-fail must never masquerade as a speedup.
+      val (sec, ok, gc) = if (ok1 && t1 < 5.0) {
+        val (t2, ok2, gc2) = once()
+        if (ok2) (math.min(t1, t2), true, if (t2 < t1) gc2 else gc1)
+        else (t1, false, gc1)
+      } else (t1, ok1, gc1)
+      (name, sec, ok, gc)
     }
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    def qmap(rs: Seq[(String, Double, Boolean)]): String =
-      rs.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    def qmap(rs: Seq[(String, Double, Boolean, Long)]): String =
+      rs.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(results)},"failed":$failed,"n_queries":${results.size},"sf":"$sfDir"}"""
+    // Environment attribution: per-query GC ms (for the run whose time is
+    // reported), total GC, and the code-cache fill at end of run — a
+    // saturated code cache after 120+ codegen'd plans disables further JIT
+    // and was the prime suspect for r4's late-run slowdowns.
+    val gcmap = results.map { case (k, _, _, g) => "\"" + k + "\":" + g }.mkString("{", ",", "}")
+    val jvm = s""""jvm_gc_total_ms":${gcMs()},"code_cache_used_mb":${codeCacheUsedMb()},"jvm_gc_ms":$gcmap"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(results)},"failed":$failed,"n_queries":${results.size},"sf":"$sfDir",$jvm}"""
     // The driver keeps only the last ~2KB of stdout (BENCH_r3 lost the
     // head of the single JSON line — and the total with it). So: the full
     // line first for humans/greppers, then a LAST line compact enough to
@@ -104,7 +137,7 @@ object Bench {
     println(full)
     val note = if (only.isEmpty) s"slowest 45 of ${results.size}; full map in BENCH_FULL.json"
       else s"slowest 45 of ${results.size} (subset run)"
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","queries_note":"$note","queries":${qmap(slowest)}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","jvm_gc_total_ms":${gcMs()},"code_cache_used_mb":${codeCacheUsedMb()},"queries_note":"$note","queries":${qmap(slowest)}}""")
     // Full runs only — a SPARK_GRAFT_ONLY subset would overwrite the
     // repo copy with a misleading partial map. Target the repo checkout
     // when it exists, else the working directory; a failed write is

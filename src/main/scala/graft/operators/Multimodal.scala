@@ -123,9 +123,13 @@ object Multimodal extends QueryModule {
     "q_mm_crossmodal" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"),
         floor(TextOps.qualityC * 10000 + 0.5).cast("long").as("q4"))
+      // try_element_at, not element_at: under Spark 4's ANSI default a
+      // short/empty vector would throw INVALID_ARRAY_INDEX while the
+      // oracle's embedding[1] yields NULL and skips the row — degrade to
+      // NULL on both sides instead of diverging on a malformed fixture.
       val vecs = t(s, dir, "embeddings").select(col("vec_id").as("doc_id"),
         col("label"),
-        floor(element_at(col("embedding"), 1).cast("double") * 10000 + 0.5)
+        floor(try_element_at(col("embedding"), lit(1)).cast("double") * 10000 + 0.5)
           .cast("long").as("e0_4"))
       docs.join(vecs, Seq("doc_id"))
         .groupBy("label")

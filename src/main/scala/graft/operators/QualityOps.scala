@@ -118,11 +118,16 @@ object QualityOps extends QueryModule {
     // timestamps as epoch micros — both bit-stable across engines, unlike
     // any float-to-string formatting.
     "q_checksum_table" -> ((s, dir) => {
+      // sum_sig accumulates in DECIMAL(38,0): a LongType sum of ~1e9-sized
+      // residues overflows (ANSI runtime error) past ~9.2e9 rows — inside
+      // the 100 TB envelope this checksum exists for. The decimal partial
+      // still merges map-side; the final mod brings it back to a long.
       Tables.raw(s, dir, "orders")
         .select(graft.functions.PortableHash.hash60(ordersCanon).as("h"))
         .agg(count(lit(1)).as("n_rows"),
           expr("bit_xor(h)").as("xor_sig"),
-          (sum(col("h") % 1000000007L) % 1000000007L).as("sum_sig"))
+          (sum((col("h") % 1000000007L).cast("decimal(38,0)")) % 1000000007L)
+            .cast("long").as("sum_sig"))
     })
   )
 
@@ -174,7 +179,10 @@ object QualityOps extends QueryModule {
            FROM orders)
          SELECT COUNT(*) AS n_rows,
            CAST(bit_xor(h) AS BIGINT) AS xor_sig,
-           CAST(CAST(SUM(h % 1000000007) AS BIGINT) % 1000000007 AS BIGINT) AS sum_sig
+           -- mod BEFORE the BIGINT cast: DuckDB's SUM(BIGINT) is HUGEINT,
+           -- so the sum itself never overflows — casting it down first
+           -- reintroduced the same ~9.2e9-row ceiling the Spark side fixed
+           CAST(SUM(h % 1000000007) % 1000000007 AS BIGINT) AS sum_sig
          FROM h"""
   )
 }

@@ -10,11 +10,11 @@ import graft.{QueryModule, Tables}
   *  - `q_sim_topk`: brute-force cosine top-k — the correctness baseline.
   *    The query set is broadcast; the corpus side streams, so at 100 TB
   *    this is one scan with a broadcast-nested-loop, no corpus shuffle.
-  *  - `q_sim_ivf`: IVF-style ANN — the corpus is partitioned into cells
-  *    (here the pre-assigned `label` column is the cell id, standing in for
-  *    a k-means assignment) and each query probes only its own cell. At
+  *  - `q_sim_ivf`: IVF ANN — the corpus is partitioned into cells LEARNED
+  *    by the k-means loop below (`kmeansAssign`, the same assignment
+  *    `q_sim_kmeans` reports) and each query probes only its own cell. At
   *    scale the cell id becomes the shuffle/bucket key, cutting the scan
-  *    by the cell fan-out.
+  *    by the cell fan-out; the centroid table stays k rows — broadcast.
   *
   * Floats are cast to double BEFORE multiplication (the oracle's double
   * math must agree bit-for-bit modulo final rounding), and ranking is done
@@ -33,6 +33,68 @@ object Similarity extends QueryModule {
 
   private def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** k and Lloyd-iteration count shared by q_sim_kmeans, q_sim_ivf, and
+    * their oracles (which unroll the identical recurrence). 3 assignment
+    * steps = 2 full Lloyd updates — a real iterated loop, not one step. */
+  private val kmeansK = 8
+  private val kmeansIters = 3
+
+  /** Integer-quantized vectors: qv = floor(x · 32768) per component —
+    * exact, so every downstream distance/mean is engine-replicable. */
+  private def quantized(e: DataFrame): DataFrame = {
+    val qv = transform(col("embedding"),
+      x => floor(x.cast("double") * 32768.0).cast("long"))
+    // Explicit null exclusion on BOTH sides (Spark sorts null distances
+    // first, DuckDB last — a null embedding would diverge silently).
+    e.filter(col("embedding").isNotNull).select(col("vec_id"), qv.as("qv"))
+  }
+
+  /** `iters` Lloyd assignment steps (so `iters − 1` centroid updates) of
+    * k-means over the quantized corpus; seeds = vectors 0..k−1. Returns the
+    * FINAL assignment `(vec_id, qv, cid)`.
+    *
+    * All arithmetic is integer: distances are exact 64-bit Σ(a−b)², and the
+    * centroid update is a component-wise FLOOR-DIVISION mean written as
+    * `(s − pmod(s, n)) div n` — s − pmod(s, n) is exactly divisible by n,
+    * so every engine's integer-division convention (floor vs truncate)
+    * yields the same value and the whole recurrence is bit-replicable by
+    * the DuckDB oracle. Seeds own their seed vector at distance 0, so no
+    * cluster can empty out (n ≥ 1 always).
+    *
+    * Scale shape per iteration: k centroids broadcast against ONE corpus
+    * scan; the update shuffles (cid, pos) partial sums — k·64 rows. */
+  private def kmeansAssign(s: SparkSession, dir: String, k: Int, iters: Int): DataFrame = {
+    // base feeds every assignment step AND the centroid update — one
+    // materialization, not one scan+quantize per consumer.
+    val base = quantized(t(s, dir, "embeddings")).localCheckpoint(true)
+    val dist = aggregate(
+      zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, v) => acc + v)
+    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+    def assign(cents: DataFrame): DataFrame =
+      base.join(broadcast(cents))
+        .select(col("vec_id"), col("qv"), col("cid"), dist.as("dist"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("vec_id", "qv", "cid")
+    var cents = base.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+    var assigned = assign(cents)
+    for (_ <- 2 to iters) {
+      val comps = assigned
+        .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "val")))
+        .groupBy("cid", "pos")
+        .agg(sum("val").as("sv"), count(lit(1)).as("n"))
+        .withColumn("comp", expr("(sv - pmod(sv, n)) div n"))
+      // array_sort on (pos, comp) structs orders by pos — a deterministic
+      // rebuild of the centroid vector from the per-component shuffle.
+      cents = comps.groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
+          x => x.getField("comp")).as("cv"))
+      assigned = assign(cents)
+    }
+    assigned
+  }
 
   /** Shared plan: cosine top-k of `corpus` for each row of `queries`,
     * joined under `joinCond` (plus self-exclusion), k per query. */
@@ -56,8 +118,15 @@ object Similarity extends QueryModule {
       val e = t(s, dir, "embeddings")
       topk(e.filter(col("vec_id") < 10), e, 5, lit(true))
     }),
+    // IVF probe against the LEARNED k-means cells (same assignment as
+    // q_sim_kmeans): each query vector searches only the corpus rows whose
+    // final Lloyd assignment matches its own — the inverted-file contract.
     "q_sim_ivf" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      // the cell map feeds both the probe side and the corpus side
+      val cells = kmeansAssign(s, dir, kmeansK, kmeansIters)
+        .select("vec_id", "cid").localCheckpoint(true)
+      val e = t(s, dir, "embeddings").join(cells, Seq("vec_id"))
+        .select(col("vec_id"), col("embedding"), col("cid").as("label"))
       topk(e.filter(col("vec_id") < 20), e, 3, col("qlabel") === col("label"))
     }),
 
@@ -105,35 +174,17 @@ object Similarity extends QueryModule {
         .orderBy("qid", "rn")
     }),
 
-    // One Lloyd assignment step of k-means over the embedding corpus — the
-    // clustering operator a training pipeline runs beside dedup/ANN (IVF
-    // cell maps, diversity sampling). Seeds = vectors 0..k−1 (deterministic
-    // "first-k" init). All arithmetic is integer: vectors quantize to
-    // floor(x·32768) (exact, same family as HyperplaneBands), distances
-    // are exact 64-bit Σ(a−b)² — no float summation order anywhere, so the
-    // assignment (argmin with centroid-id tie-break) and the per-cluster
-    // sufficient statistics (Σ, Σ²: what the next Lloyd step consumes) are
-    // bit-replicable by the DuckDB oracle. Scale shape: k centroids
-    // broadcast, ONE corpus scan, agg shuffles k rows.
+    // Iterated Lloyd k-means over the embedding corpus — the clustering
+    // operator a training pipeline runs beside dedup/ANN (IVF cell maps,
+    // diversity sampling). Seeds = vectors 0..k−1 (deterministic
+    // "first-k" init); kmeansIters assignment steps with full integer
+    // centroid updates between them (see [[kmeansAssign]]) — no float
+    // summation order anywhere, so the final assignment (argmin with
+    // centroid-id tie-break) and the per-cluster sufficient statistics
+    // (Σ, Σ²: what a further Lloyd step would consume) are bit-replicable
+    // by the DuckDB oracle, which unrolls the identical recurrence.
     "q_sim_kmeans" -> ((s, dir) => {
-      val k = 8
-      val qv = transform(col("embedding"),
-        x => floor(x.cast("double") * 32768.0).cast("long"))
-      // Explicit null exclusion on BOTH sides (Spark sorts null distances
-      // first, DuckDB last — a null embedding would diverge silently).
-      val base = t(s, dir, "embeddings")
-        .filter(col("embedding").isNotNull)
-        .select(col("vec_id"), qv.as("qv"))
-      val cents = base.filter(col("vec_id") < k)
-        .select(col("vec_id").as("cid"), col("qv").as("cv"))
-      val dist = aggregate(
-        zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, v) => acc + v)
-      val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
-      val assigned = base.join(broadcast(cents))
-        .select(col("vec_id"), col("qv"), col("cid"), dist.as("dist"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      assigned.groupBy("cid")
+      kmeansAssign(s, dir, kmeansK, kmeansIters).groupBy("cid")
         .agg(count(lit(1)).as("n_members"),
           sum(aggregate(col("qv"), lit(0L), (acc, x) => acc + x)).as("sum_q"),
           sum(aggregate(col("qv"), lit(0L), (acc, x) => acc + x * x)).as("sum_sq"))
@@ -206,6 +257,38 @@ object Similarity extends QueryModule {
          FROM cosined)
        SELECT qid, vec_id, cosine, rn FROM ranked WHERE rn <= $k ORDER BY qid, rn"""
 
+  /** Unrolled k-means recurrence as a DuckDB CTE chain (no leading WITH):
+    * q0 = quantized corpus, c0 = seeds, then per assignment step i an
+    * optional centroid update (m/c blocks, floor-division mean in the same
+    * exactly-divisible form as the Spark side) and the argmin assignment
+    * a_i. The final assignment CTE is `a<iters>`. */
+  private def kmeansCtes(k: Int, iters: Int): String = {
+    val init =
+      s"""q0 AS (SELECT vec_id,
+             [CAST(floor(CAST(x AS DOUBLE) * 32768.0) AS BIGINT) for x in embedding] AS qv
+           FROM embeddings WHERE embedding IS NOT NULL),
+         c0 AS (SELECT vec_id AS cid, qv AS cv FROM q0 WHERE vec_id < $k)"""
+    val steps = (1 to iters).map { i =>
+      val upd = if (i == 1) "" else
+        s"""m${i - 1} AS (SELECT a${i - 1}.cid, t.i AS pos,
+               CAST(SUM(q0.qv[t.i]) AS BIGINT) AS s, COUNT(*) AS n
+             FROM a${i - 1} JOIN q0 USING (vec_id) CROSS JOIN range(1, 65) t(i)
+             GROUP BY a${i - 1}.cid, t.i),
+           c${i - 1} AS (SELECT cid,
+               list((s - ((s % n + n) % n)) // n ORDER BY pos) AS cv
+             FROM m${i - 1} GROUP BY cid),
+           """
+      s"""${upd}d$i AS (SELECT q0.vec_id, c${i - 1}.cid,
+             CAST(list_sum([(q0.qv[j] - c${i - 1}.cv[j]) * (q0.qv[j] - c${i - 1}.cv[j])
+                            for j in range(1, 65)]) AS BIGINT) AS dist
+           FROM q0 CROSS JOIN c${i - 1}),
+         a$i AS (SELECT vec_id, cid FROM (
+           SELECT vec_id, cid, ROW_NUMBER() OVER (
+             PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d$i) WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"$init,\n$steps"
+  }
+
   def oracles: Map[String, String] = Map(
     // Same per-vector affine quantization (floor(x+0.5) to the 255-level
     // grid) then the standard zipped-unnest cosine machinery.
@@ -234,25 +317,16 @@ object Similarity extends QueryModule {
            FROM cosined)
          SELECT qid, vec_id, cosine_q, rn FROM ranked WHERE rn <= 5
          ORDER BY qid, rn""",
-    // Same integer quantization, exact integer distances, same argmin
-    // tie-break, same sufficient statistics — bit-replicable end to end.
+    // Same integer quantization, exact integer distances and floor-division
+    // centroid means, same argmin tie-break, same sufficient statistics —
+    // the full iterated recurrence unrolled, bit-replicable end to end.
     "q_sim_kmeans" ->
-      """WITH q AS (SELECT vec_id,
-             [CAST(floor(CAST(x AS DOUBLE) * 32768.0) AS BIGINT) for x in embedding] AS qv
-           FROM embeddings WHERE embedding IS NOT NULL),
-         c AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 8),
-         d AS (SELECT q.vec_id, c.cid,
-             CAST(list_sum([(q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])
-                            for i in range(1, 65)]) AS BIGINT) AS dist
-           FROM q CROSS JOIN c),
-         a AS (SELECT vec_id, cid,
-             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-           FROM d),
-         m AS (SELECT a.cid, q.qv FROM a JOIN q USING (vec_id) WHERE a.rn = 1)
+      s"""WITH ${kmeansCtes(kmeansK, kmeansIters)}
          SELECT cid, COUNT(*) AS n_members,
            CAST(SUM(CAST(list_sum(qv) AS BIGINT)) AS BIGINT) AS sum_q,
            CAST(SUM(CAST(list_sum([x * x for x in qv]) AS BIGINT)) AS BIGINT) AS sum_sq
-         FROM m GROUP BY cid ORDER BY cid""",
+         FROM a$kmeansIters JOIN q0 USING (vec_id)
+         GROUP BY cid ORDER BY cid""",
     // Full LSH replication: same integer hyperplane signatures
     // (HyperplaneBands.oracleSigsSql), same candidate join, same rounded
     // cosine re-rank — DuckDB reproduces every band bit.
@@ -278,7 +352,33 @@ object Similarity extends QueryModule {
            FROM cosined)
          SELECT va AS qid, vb, cosine, rn FROM ranked WHERE rn <= 3 ORDER BY qid, rn""",
     "q_sim_topk" -> cosineSql("vec_id < 10", "", 5),
-    "q_sim_ivf" -> cosineSql("vec_id < 20", "AND q.qlabel = e.label", 3),
+    // Learned-cell IVF: the same unrolled k-means chain supplies the cell
+    // map; the probe join restricts the cosine machinery to same-cell rows.
+    "q_sim_ivf" ->
+      s"""WITH ${kmeansCtes(kmeansK, kmeansIters)},
+         q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+               WHERE vec_id < 20),
+         nrm AS (SELECT vec_id, SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nv
+                 FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+                 GROUP BY vec_id),
+         dots AS (SELECT qid, vec_id, SUM(qx*ex) AS dp FROM (
+             SELECT q.qid, e.vec_id,
+                    CAST(unnest(q.qe) AS DOUBLE) AS qx,
+                    CAST(unnest(e.embedding) AS DOUBLE) AS ex
+             FROM q JOIN a$kmeansIters aq ON aq.vec_id = q.qid
+                    JOIN a$kmeansIters ac ON ac.cid = aq.cid
+                    JOIN embeddings e ON e.vec_id = ac.vec_id
+                                     AND e.vec_id <> q.qid)
+           GROUP BY qid, vec_id),
+         cosined AS (SELECT qid, d.vec_id, ROUND(dp / (nq.nv * nc.nv), 4) AS cosine
+           FROM dots d JOIN nrm nq ON nq.vec_id = d.qid
+                       JOIN nrm nc ON nc.vec_id = d.vec_id),
+         ranked AS (SELECT qid, vec_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY cosine DESC, vec_id) AS INT) AS rn
+           FROM cosined)
+         SELECT qid, vec_id, cosine, rn FROM ranked WHERE rn <= 3
+         ORDER BY qid, rn""",
     "q_sim_neardup" ->
       """WITH nrm AS (SELECT vec_id, SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nv
                FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY vec_id),

@@ -86,7 +86,12 @@ object GraftRules {
           if !j.output.exists(_.name.startsWith(BandName)) => // idempotence
         val conjuncts = splitConjuncts(cond)
         val hasEquiKey = conjuncts.exists {
-          case EqualTo(a, b) =>
+          // Both sides must actually REFERENCE a side: a constant-side
+          // EqualTo (e.g. `a.x = 'foo'`) has an empty reference set, which
+          // is trivially a subset of both outputSets — counting it as an
+          // equi key would suppress the rewrite and leave the join a
+          // nested loop.
+          case EqualTo(a, b) if a.references.nonEmpty && b.references.nonEmpty =>
             (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet)) ||
             (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet))
           case _ => false
