@@ -42,6 +42,13 @@ object GraphQueries extends QueryModule {
     * the oracle unrolls the identical recurrence. */
   private val lpIters = 4
 
+  /** k-core parameters — fixed peel-round count for the same reason as
+    * lpIters (the oracle unrolls the identical recurrence; rounds past the
+    * fixpoint are no-ops, and GraphSpec asserts the fixpoint IS reached at
+    * test scale so the bounded peel equals the true k-core). */
+  private val kcoreK = 4 // k=3 never cascades on this graph; k=4 peels 5 rounds at sf0.1
+  private val kcoreRounds = 8
+
   /** The hierarchy edge list as a DuckDB CTE body (both directions) —
     * shared by the q_graph_cc and q_graph_labelprop oracles. */
   private val hierEdgesSql =
@@ -150,6 +157,54 @@ object GraphQueries extends QueryModule {
         .groupBy("comp")
         .agg(count(lit(1)).as("n_members"), min("v").as("min_v"), max("v").as("max_v"))
         .orderBy("comp")),
+
+    // The same components computed with the size gate FORCED to the
+    // distributed BSP min-label loop (driverSolveLimit = 0) — the path a
+    // genuinely huge pair graph takes at 100 TB. Kept as a first-class
+    // oracled query so the BSP loop's cost shows up in every bench run
+    // (the r4 bench only ever measured the driver union-find side of the
+    // gate) and its equality with the driver solve is re-proven on real
+    // data each round, not just in GraphSpec.
+    "q_graph_cc_bsp" -> ((s, dir) =>
+      GraphOps.connectedComponents(s, hierEdges(s, dir), driverSolveLimit = 0L)
+        .groupBy("comp")
+        .agg(count(lit(1)).as("n_members"), min("v").as("min_v"), max("v").as("max_v"))
+        .orderBy("comp")),
+
+    // k-core decomposition (k=4) of the undirected ring graph by
+    // synchronous peeling: each round recomputes every surviving vertex's
+    // degree among surviving vertices and drops those below k. Fixed
+    // 8 rounds (not peel-to-convergence) so the DuckDB oracle unrolls the
+    // identical recurrence; rounds after the fixpoint are no-ops and the
+    // fixpoint itself is asserted in GraphSpec (the cascade needs 5 rounds
+    // at sf0.1, 3 at sf0.01). Output = the core's
+    // vertices with their in-core degree. Scale shape: one symmetric edge
+    // list materialized once; each round is two semi-join prunes + one
+    // count shuffle on vertex id — the BSP peel, never a driver collect.
+    "q_graph_kcore" -> ((s, dir) => {
+      val e = ringEdges(s, dir)
+      val und = e.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val sym = und.select(col("a").as("src"), col("b").as("dst"))
+        .union(und.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint(true) // feeds every peel round
+      // act appears TWICE per round (src prune + dst prune) — materialize
+      // each round's survivor set or the plan doubles per round.
+      var deg = sym.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= kcoreK).localCheckpoint(true)
+      for (_ <- 2 to kcoreRounds) {
+        val act = deg.select("v")
+        deg = sym
+          .join(act.select(col("v").as("sv")), col("src") === col("sv"), "left_semi")
+          .join(act.select(col("v").as("dv")), col("dst") === col("dv"), "left_semi")
+          .groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= kcoreK)
+          .localCheckpoint(true)
+      }
+      deg.orderBy("v")
+    }),
 
     // Label propagation communities (synchronous, deterministic): every
     // vertex starts as its own label; each superstep it adopts the most
@@ -291,6 +346,31 @@ object GraphQueries extends QueryModule {
            WHERE w.d + we.w <= 60),
          best AS (SELECT v, MIN(d) AS dist FROM walk GROUP BY v)
          SELECT v, dist FROM best ORDER BY v""",
+    // The identical 6-round peel, unrolled: d_i = degrees among round-i
+    // survivors, a_i = {v : d_i(v) >= k}; round 1 runs over all vertices.
+    "q_graph_kcore" -> {
+      val steps = (2 to kcoreRounds).map { i =>
+        s"""d$i AS (SELECT s.src AS v, COUNT(*) AS deg
+             FROM sym s
+             WHERE s.src IN (SELECT v FROM a${i - 1})
+               AND s.dst IN (SELECT v FROM a${i - 1})
+             GROUP BY s.src HAVING COUNT(*) >= $kcoreK),
+           a$i AS (SELECT v FROM d$i)"""
+      }.mkString(",\n")
+      s"""WITH e AS (
+           SELECT c_custkey AS src, (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst FROM customer
+           UNION ALL SELECT c_custkey, (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer
+           UNION ALL SELECT c_custkey, (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer),
+         und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                 FROM e WHERE src <> dst),
+         sym AS (SELECT a AS src, b AS dst FROM und
+                 UNION ALL SELECT b, a FROM und),
+         d1 AS (SELECT src AS v, COUNT(*) AS deg FROM sym
+                GROUP BY src HAVING COUNT(*) >= $kcoreK),
+         a1 AS (SELECT v FROM d1),
+         $steps
+         SELECT v, deg FROM d$kcoreRounds ORDER BY v"""
+    },
     // The identical 4-step recurrence, unrolled: each block is one
     // neighbor-label count + most-frequent-with-min-tie-break selection.
     "q_graph_labelprop" -> {
@@ -308,6 +388,15 @@ object GraphQueries extends QueryModule {
            MIN(v) AS min_v, MAX(v) AS max_v
          FROM l$lpIters GROUP BY lbl ORDER BY community"""
     },
+    "q_graph_cc_bsp" ->
+      s"""WITH RECURSIVE e AS ($hierEdgesSql),
+         reach(v, root) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.v),
+         comp AS (SELECT v, MIN(root) AS comp FROM reach GROUP BY v)
+         SELECT comp, COUNT(*) AS n_members, MIN(v) AS min_v, MAX(v) AS max_v
+         FROM comp GROUP BY comp ORDER BY comp""",
     "q_graph_cc" ->
       s"""WITH RECURSIVE e AS ($hierEdgesSql),
          reach(v, root) AS (

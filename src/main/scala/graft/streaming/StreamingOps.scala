@@ -269,6 +269,55 @@ object StreamingOps extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // Real processing-time trigger — the family AvailableNow doesn't cover
+    // (r4 verdict): the query runs on Trigger.ProcessingTime, firing on a
+    // wall-clock cadence like a production continuous job, bounded by an
+    // explicit drain condition instead of AvailableNow's built-in stop.
+    // Events are staged into 4 chunk files replayed 1 file/trigger, so the
+    // run spans >= 4 real timed microbatches; the driver loop polls
+    // progress until the source has drained (cumulative numInputRows ==
+    // staged count — progress events are emitted AFTER a batch commits,
+    // so the sink table is final the moment the sum closes; waiting for a
+    // trailing empty batch would burn one extra trigger cycle for
+    // nothing), then stops the query — deadline-bounded, fail-visible on
+    // timeout.
+    // Complete-mode memory sink: the final table is the full aggregate,
+    // so the batch SQL oracle applies regardless of batch boundaries.
+    "q_stream_proctime" -> ((s, dir) => {
+      val tag = java.lang.ProcessHandle.current().pid().toString + "_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val chunks = s"${sys.props("java.io.tmpdir")}/graft_stream_pt_$tag"
+      val src = Tables.raw(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      src.repartition(4, col("event_id")).write.mode("overwrite").parquet(chunks)
+      val totalRows = s.read.parquet(chunks).count() // drain target (scalar)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+      val agg = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(chunks)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("val_sum"))
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = agg.writeStream.format("memory").queryName("t_stream_proctime")
+          .outputMode("complete")
+          .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        var drained = false
+        while (!drained && System.nanoTime() < deadline) {
+          Thread.sleep(100)
+          drained = q.recentProgress.map(_.numInputRows).sum >= totalRows
+        }
+        q.stop()
+        q.awaitTermination()
+        require(drained, s"processing-time stream did not drain $totalRows rows in 120s")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table("t_stream_proctime").orderBy("event_type")
+    }),
+
     // Session windows (30-minute gap) per user — batch session_window (the
     // streaming variant requires append mode + watermark, which withholds
     // the final unexpired sessions, so batch is the oracle-comparable form;
@@ -321,6 +370,10 @@ object StreamingOps extends QueryModule {
     "q_stream_microbatch" ->
       """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS val_sum,
          TRUE AS multi_batch
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // Complete-mode sink over timed microbatches == the batch aggregate.
+    "q_stream_proctime" ->
+      """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS val_sum
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q_stream_join" ->
       """SELECT c.user_id, COUNT(*) AS n_pairs

@@ -155,6 +155,35 @@ class GraphSpec extends SparkSpec {
     assert(GraphStore.load(spark, dir).count() == 2) // full replace, not append
   }
 
+  test("bounded k-core peel reaches the true k-core fixpoint (sf0.001 + sf0.01)") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      // Independent in-memory oracle: synchronous peel to CONVERGENCE over
+      // the same ring graph — proves the query's fixed 8 rounds reach the
+      // true fixpoint, which the unrolled DuckDB oracle alone cannot show
+      // (both sides being bounded, they'd agree even short of the core).
+      val ks = spark.read.parquet(s"$dir/customer.parquet")
+        .select("c_custkey").collect().map(_.getLong(0))
+      val v = ks.length
+      val und = ks.flatMap(c => Seq((2 * c + 1) % v, (5 * c + 7) % v, (16 * c + 3) % v)
+        .filter(_ != c).map(d => (math.min(c, d), math.max(c, d)))).distinct
+      val adj = mutable.Map.empty[Long, mutable.Set[Long]]
+      und.foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, mutable.Set.empty) += b
+        adj.getOrElseUpdate(b, mutable.Set.empty) += a
+      }
+      var changed = true
+      while (changed) {
+        val drop = adj.collect { case (x, ns) if ns.size < 4 => x }.toSeq
+        changed = drop.nonEmpty
+        drop.foreach { x => adj(x).foreach(u => adj.get(u).foreach(_ -= x)); adj -= x }
+      }
+      val expect = adj.map { case (x, ns) => x -> ns.size.toLong }.toMap
+      val got = SparkEntry.queries("q_graph_kcore")(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"at $dir")
+    }
+  }
+
   test("adjacency codec round-trip") {
     val edges = AdjacencyCodec.read(spark, s"$fixtures/G9.txt")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq

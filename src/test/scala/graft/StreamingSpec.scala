@@ -46,6 +46,17 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("processing-time trigger drains to the batch aggregate over timed microbatches") {
+    val streamed = StreamingOps.queries("q_stream_proctime")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = Tables(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("val_sum"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("watermark drops late data (checkpoint-restored watermark, with control)") {
     import org.apache.spark.sql.streaming.Trigger
     import java.nio.file.Files
