@@ -151,6 +151,15 @@ object GraphQueries extends QueryModule {
       GraphOps.sssp(s, e, 0L).orderBy("v")
     }),
 
+    // Single-source Brandes dependency from vertex 0 — the per-source
+    // slice of betweenness centrality (full betweenness = this pass summed
+    // over sources, one independent pass each at scale). Forward σ sweep +
+    // backward δ sweep down/up the BFS DAG ([[GraphOps.brandesDependency]]);
+    // the oracle unrolls both sweeps over a fixed 16-level cap (diameter
+    // is 8–12 here; empty levels are no-ops on both sides).
+    "q_graph_betweenness" -> ((s, dir) =>
+      GraphOps.brandesDependency(s, ringEdges(s, dir), 0L).orderBy("v")),
+
     // Connected components over the hierarchy graph: 1 per region.
     "q_graph_cc" -> ((s, dir) =>
       GraphOps.connectedComponents(s, hierEdges(s, dir))
@@ -387,6 +396,48 @@ object GraphQueries extends QueryModule {
          SELECT lbl AS community, COUNT(*) AS n_members,
            MIN(v) AS min_v, MAX(v) AS max_v
          FROM l$lpIters GROUP BY lbl ORDER BY community"""
+    },
+    // Both Brandes sweeps unrolled over lv (the shared BFS-level CTE):
+    // sg_l = path counts at level l (sum of predecessor counts), dl_l =
+    // dependencies at level l (σ-weighted 1+δ of level-l+1 successors).
+    "q_graph_betweenness" -> {
+      val cap = 16
+      val sgs = (1 to cap).map { l =>
+        s"""sg$l AS (SELECT lv.v, CAST(SUM(p.sigma) AS BIGINT) AS sigma
+             FROM lv JOIN ed ON ed.dst = lv.v JOIN sg${l - 1} p ON p.v = ed.src
+             WHERE lv.level = $l GROUP BY lv.v)"""
+      }.mkString(",\n")
+      val dls = ((cap - 1) to 0 by -1).map { l =>
+        s"""dl$l AS (SELECT lv.v,
+             SUM(CAST(sx.sigma AS DOUBLE) / CAST(sw.sigma AS DOUBLE)
+                 * (1 + COALESCE(d.delta, 0))) AS delta
+             FROM lv JOIN ed ON ed.src = lv.v
+                  JOIN lv wl ON wl.v = ed.dst AND wl.level = ${l + 1}
+                  JOIN sgall sx ON sx.v = lv.v
+                  JOIN sgall sw ON sw.v = ed.dst
+                  LEFT JOIN dl${l + 1} d ON d.v = ed.dst
+             WHERE lv.level = $l GROUP BY lv.v)"""
+      }.mkString(",\n")
+      val sgallUnion = (0 to cap).map(l => s"SELECT * FROM sg$l").mkString(" UNION ALL ")
+      val dallUnion = (0 until cap).map(l => s"SELECT * FROM dl$l").mkString(" UNION ALL ")
+      // 32+ unrolled blocks referencing ed/lv: without MATERIALIZED DuckDB
+      // inlines each reference down to the parquet scan and runs out of
+      // file handles ("Too many open files") — materialize the shared
+      // frames once, exactly like the Spark side's localCheckpoints.
+      ringWalkCte.replace("lv AS (", "lv AS MATERIALIZED (") + s""",
+         ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM e),
+         sg0 AS (SELECT CAST(0 AS BIGINT) AS v, CAST(1 AS BIGINT) AS sigma),
+         $sgs,
+         sgall AS MATERIALIZED ($sgallUnion),
+         dl$cap AS (SELECT CAST(NULL AS BIGINT) AS v, CAST(NULL AS DOUBLE) AS delta
+                    WHERE FALSE),
+         $dls,
+         dall AS ($dallUnion)
+         SELECT lv.v, CAST(lv.level AS INT) AS level, sg.sigma,
+           ROUND(COALESCE(d.delta, 0), 6) AS dep
+         FROM lv JOIN sgall sg ON sg.v = lv.v
+         LEFT JOIN dall d ON d.v = lv.v
+         ORDER BY lv.v"""
     },
     "q_graph_cc_bsp" ->
       s"""WITH RECURSIVE e AS ($hierEdgesSql),

@@ -227,6 +227,74 @@ object GraphOps {
     dist
   }
 
+  /** Single-source Brandes dependency (the per-source slice of betweenness
+    * centrality) over unweighted DISTINCT edges: σ(v) = number of shortest
+    * s→v paths, accumulated level by level down the BFS DAG; δ(v) =
+    * Σ_{w: succ} σ(v)/σ(w) · (1 + δ(w)), accumulated level by level back
+    * up. Full betweenness sums δ over all sources — one such pass per
+    * source, embarrassingly parallel at scale; a single deterministic pass
+    * is the oracle-friendly unit (the DuckDB oracle unrolls both sweeps
+    * over the same fixed level cap).
+    *
+    * Returns `(v, level, sigma, dep)` for every vertex reachable from
+    * `start`, dep rounded to 6 dp (δ sums doubles — last-ulp summation
+    * order must not leak into the compare).
+    *
+    * Scale shape: both sweeps are per-level joins keyed on vertex id —
+    * each superstep touches one BFS level, never the whole graph; σ/δ
+    * frames stay distributed. maxLevel is a scalar planner statistic.
+    */
+  def brandesDependency(spark: SparkSession, edges: DataFrame, start: Long,
+      maxIter: Int = 50): DataFrame = {
+    import spark.implicits._
+    val levels = bfsLevels(spark, edges, start, maxIter).localCheckpoint(true)
+    val ed = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().localCheckpoint(true)
+    val maxL = levels.agg(max("level")).collect()(0).getInt(0)
+    // forward sweep: path counts per level
+    var sigs = List(Seq((start, 0, 1L)).toDF("v", "level", "sigma"))
+    for (l <- 1 to maxL) {
+      val prev = sigs.head.select(col("v").as("pv"), col("sigma").as("psigma"))
+      // prev holds EXACTLY level l−1's σ rows, so joining it already
+      // restricts src to the DAG predecessors — no extra level filter.
+      val cur = levels.filter(col("level") === l)
+        .join(ed, col("dst") === col("v"))
+        .join(prev, col("src") === col("pv"))
+        .groupBy(col("v"), col("level"))
+        .agg(sum(col("psigma")).as("sigma"))
+      sigs ::= cur
+    }
+    val sigAll = sigs.reduce(_ union _).localCheckpoint(true)
+    // backward sweep: dependency accumulation up the DAG
+    var delPrev = Seq.empty[(Long, Double)].toDF("dv", "delta") // level maxL has no successors
+    var dels = List.empty[DataFrame]
+    for (l <- (maxL - 1) to 0 by -1) {
+      val sv = sigAll.select(col("v").as("xv"), col("sigma").as("xsigma"))
+      val sw = sigAll.select(col("v").as("wv"), col("sigma").as("wsigma"),
+        col("level").as("wlevel"))
+      val cur = levels.filter(col("level") === l)
+        .join(ed, col("src") === col("v"))
+        .join(sw, col("dst") === col("wv") && col("wlevel") === l + 1)
+        .join(sv, col("v") === col("xv"))
+        .join(delPrev, col("dst") === col("dv"), "left")
+        .groupBy(col("v"))
+        .agg(sum(col("xsigma").cast("double") / col("wsigma").cast("double") *
+          (lit(1.0) + coalesce(col("delta"), lit(0.0)))).as("delta"))
+        .select(col("v").as("dv"), col("delta"))
+        .localCheckpoint(true) // consumed twice: next level + final union
+      dels ::= cur
+      delPrev = cur
+    }
+    val delAll = dels match {
+      case Nil => delPrev
+      case ds  => ds.reduce(_ union _)
+    }
+    levels.join(sigAll.select(col("v").as("gv"), col("sigma")), col("v") === col("gv"))
+      .join(delAll, col("v") === col("dv"), "left")
+      .select(col("v"), col("level"), col("sigma"),
+        round(coalesce(col("delta"), lit(0.0)), 6).as("dep"))
+  }
+
   /** Edge count up to which [[connectedComponents]] solves on the driver:
     * 1M (long, long) edges collected as primitive pairs ≈ 50–100 MB of
     * driver heap with tuple/array overhead — comparable to a broadcast

@@ -155,6 +155,48 @@ class GraphSpec extends SparkSpec {
     assert(GraphStore.load(spark, dir).count() == 2) // full replace, not append
   }
 
+  test("Brandes dependency matches sequential textbook Brandes on the ring graph") {
+    val dir = "/root/testdata/sf0.001"
+    val ks = spark.read.parquet(s"$dir/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0))
+    val v = ks.length
+    val ed = ks.flatMap(c => Seq((2 * c + 1) % v, (5 * c + 7) % v, (16 * c + 3) % v)
+      .map(d => (c, d))).distinct
+    val adj = ed.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // sequential Brandes (single source 0): BFS with σ, then reverse sweep
+    val lvl = mutable.Map(0L -> 0)
+    val sigma = mutable.Map(0L -> 1.0)
+    var frontier = Seq(0L)
+    val order = mutable.ArrayBuffer(0L)
+    while (frontier.nonEmpty) {
+      val next = mutable.ArrayBuffer.empty[Long]
+      for (u <- frontier; w <- adj.getOrElse(u, Array.empty[Long])) {
+        if (!lvl.contains(w) && !frontier.contains(w)) {
+          if (!next.contains(w)) { next += w; order += w }
+          lvl(w) = lvl(u) + 1
+        }
+        if (lvl.get(w).contains(lvl(u) + 1))
+          sigma(w) = sigma.getOrElse(w, 0.0) + sigma(u)
+      }
+      frontier = next.toSeq
+    }
+    val delta = mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+    for (u <- order.reverse; w <- adj.getOrElse(u, Array.empty[Long])
+         if lvl.get(w).contains(lvl(u) + 1))
+      delta(u) += sigma(u) / sigma(w) * (1.0 + delta(w))
+    val expect = lvl.keys.map(x => x ->
+      ((lvl(x), sigma(x).toLong,
+        BigDecimal(delta(x)).setScale(6, BigDecimal.RoundingMode.HALF_UP)))).toMap
+    val got = SparkEntry.queries("q_graph_betweenness")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), BigDecimal(r.getDouble(3))))).toMap
+    assert(got.keySet == expect.keySet)
+    for ((k, (l, s, d)) <- expect) {
+      assert(got(k)._1 == l && got(k)._2 == s, s"level/sigma at $k")
+      assert((got(k)._3 - d).abs <= BigDecimal("0.000001"), s"delta at $k: ${got(k)._3} vs $d")
+    }
+  }
+
   test("bounded k-core peel reaches the true k-core fixpoint (sf0.001 + sf0.01)") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       // Independent in-memory oracle: synchronous peel to CONVERGENCE over
