@@ -32,6 +32,11 @@ object EventAnalytics extends QueryModule {
     * stage-event strictly follows their entry into the previous stage. */
   private val funnelStages = Seq("signup", "view", "click", "purchase")
 
+  /** CDC split point — mid-span of the fixture's fixed Jan-2024 event
+    * window at every scale factor, so base and changelog are both real. */
+  private val cdcCutoffLit = "2024-01-16 00:00:00"
+  private def cdcCutoff = lit(cdcCutoffLit).cast("timestamp")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Batch sessionization: gap > 6 h ⇒ new session. The classic two-window
     // spelling — lag to flag session starts, running sum of flags to number
@@ -81,6 +86,36 @@ object EventAnalytics extends QueryModule {
         rows += stageRow(i, entry)
       }
       rows.result().reduce(_ union _).orderBy("stage")
+    }),
+
+    // CDC latest-wins upsert — the MERGE INTO shape without a table format:
+    // events before the cutoff collapse to a per-user base snapshot (latest
+    // value), events after form the changelog batch; the merge is one
+    // full-outer join tagging each key insert/update/keep. Both "latest"
+    // compactions window on user_id and the join key IS user_id, so the
+    // join reuses the windows' hash partitioning — the whole merge is two
+    // scans + one exchange per side. At 100 TB this is the standard
+    // log-compaction + snapshot-merge job (the delta side is usually tiny
+    // relative to the base and AQE broadcast-flips the join).
+    "q_cdc_upsert" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      def latest(df: DataFrame): DataFrame = {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("ts"), col("value"))
+      }
+      val base = latest(e.filter(col("ts") < cdcCutoff))
+      val delta = latest(e.filter(col("ts") >= cdcCutoff))
+      base.as("b").join(delta.as("d"), Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          when(col("b.ts").isNull, lit("insert"))
+            .when(col("d.ts").isNull, lit("keep"))
+            .otherwise(lit("update")).as("op"),
+          coalesce(col("d.value"), col("b.value")).as("value"),
+          coalesce(col("d.ts"), col("b.ts")).as("updated_at"))
+        .orderBy("user_id")
     }),
 
     // Time-series gap-fill: dense hourly spine per event_type over the
@@ -149,6 +184,23 @@ object EventAnalytics extends QueryModule {
       s"""WITH ${(stage1 +: chain).mkString(",\n")}
          SELECT * FROM (${unions.mkString(" UNION ALL ")}) ORDER BY stage"""
     },
+    "q_cdc_upsert" ->
+      s"""WITH base AS (SELECT user_id, ts, value FROM (
+             SELECT user_id, ts, value, ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events WHERE ts < TIMESTAMP '$cdcCutoffLit') WHERE rn = 1),
+         delta AS (SELECT user_id, ts, value FROM (
+             SELECT user_id, ts, value, ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events WHERE ts >= TIMESTAMP '$cdcCutoffLit') WHERE rn = 1)
+         SELECT COALESCE(b.user_id, d.user_id) AS user_id,
+           CASE WHEN b.user_id IS NULL THEN 'insert'
+                WHEN d.user_id IS NULL THEN 'keep'
+                ELSE 'update' END AS op,
+           COALESCE(d.value, b.value) AS value,
+           COALESCE(d.ts, b.ts) AS updated_at
+         FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id
+         ORDER BY user_id""",
     "q_ts_gapfill" ->
       """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS h,
              CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents FROM events),

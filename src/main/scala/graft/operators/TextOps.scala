@@ -210,6 +210,57 @@ object TextOps extends QueryModule {
         .orderBy("doc_id", "rank")
     }),
 
+    // RAG-style chunking: fixed token windows (width 32, stride 24 → 8
+    // tokens of overlap) per document. The chunk table is what an
+    // embedding/indexing stage consumes downstream; here it is built as
+    // pure narrow ops — split once, explode the window starts, slice the
+    // shared token array — so the whole operator is one projection
+    // pipeline with no shuffle at all (ordering is for the oracle only).
+    // At 100 TB chunking is embarrassingly parallel and stays that way.
+    "q_text_chunk" -> ((s, dir) => {
+      val (width, stride) = (chunkWidth, chunkStride)
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), col("tk"),
+          explode(sequence(lit(0), greatest(size(col("tk")) - 1, lit(0)),
+            lit(stride))).as("chunk_start"))
+        .select(col("doc_id"), col("chunk_start"),
+          least(lit(width), size(col("tk")) - col("chunk_start")).as("n_tokens"),
+          array_join(slice(col("tk"), col("chunk_start") + 1, lit(width)), " ")
+            .as("chunk"))
+        .orderBy("doc_id", "chunk_start")
+    }),
+
+    // Vocabulary pruning / OOV masking — the classic LM preprocessing op:
+    // tokens rarer than 1% of the corpus token count become `<unk>`, and
+    // documents are reassembled IN ORDER. Shape: posexplode → global vocab
+    // count (tiny: one row per distinct token, broadcast back) → left join
+    // marks keeps → order-preserving reassembly via array_sort over
+    // (pos, token) structs inside a doc_id agg. Two shuffles total (vocab
+    // count + the doc_id re-group); the corpus total rides in as a one-row
+    // cross join, the planner-statistic shape. At 100 TB the vocab frame
+    // stays small (it is the distinct-token set) so the mask join is
+    // always a broadcast.
+    "q_text_vocab_prune" -> ((s, dir) => {
+      val pos = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .localCheckpoint(true) // feeds vocab count, corpus total, and the mask join
+      val total = pos.agg(count(lit(1)).as("total"))
+      val kept = pos.groupBy("tok").agg(count(lit(1)).as("n"))
+        .crossJoin(total).filter(col("n") * 100 >= col("total"))
+        .select(col("tok"), lit(true).as("kept"))
+      pos.join(broadcast(kept), Seq("tok"), "left")
+        .select(col("doc_id"), col("pos"),
+          when(col("kept"), col("tok")).otherwise(lit("<unk>")).as("m"))
+        .groupBy("doc_id")
+        .agg(
+          array_join(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            x => x.getField("m")), " ").as("pruned"),
+          sum(when(col("m") === "<unk>", 1L).otherwise(0L)).as("n_unk"),
+          count(lit(1)).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // Positional fingerprint: sum((i+1) * len(token_i)) mod 1000003, plus
     // boundary tokens — a cheap order-sensitive document signature.
     "q_text_fingerprint" -> ((s, dir) => {
@@ -223,6 +274,10 @@ object TextOps extends QueryModule {
         .orderBy("doc_id")
     })
   )
+
+  /** Chunking geometry shared by the Spark query and its oracle. */
+  private val chunkWidth = 32
+  private val chunkStride = 24
 
   private[operators] val stopSql = "('the','a','and','of','to','in','is')"
 
@@ -323,6 +378,33 @@ object TextOps extends QueryModule {
              PARTITION BY doc_id ORDER BY score DESC, tok) AS rn FROM sc)
          SELECT doc_id, CAST(rn AS INT) AS rank, tok, tf, df, score
          FROM r WHERE rn <= 3 ORDER BY doc_id, rank""",
+    // Same geometry: generate_series/sequence are both inclusive of the
+    // end bound; DuckDB list slices are 1-based inclusive like Spark's.
+    "q_text_chunk" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         x AS (SELECT doc_id, tk,
+                 unnest(generate_series(0, len(tk) - 1, $chunkStride)) AS cs
+               FROM d)
+         SELECT doc_id, CAST(cs AS INT) AS chunk_start,
+           CAST(least($chunkWidth, len(tk) - cs) AS INT) AS n_tokens,
+           array_to_string(tk[cs + 1 : cs + $chunkWidth], ' ') AS chunk
+         FROM x ORDER BY doc_id, chunk_start""",
+    "q_text_vocab_prune" ->
+      """WITH pos AS (SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+             unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         total AS (SELECT COUNT(*) AS total FROM pos),
+         kept AS (SELECT tok FROM (SELECT tok, COUNT(*) AS n FROM pos GROUP BY tok)
+                  CROSS JOIN total WHERE n * 100 >= total),
+         m AS (SELECT p.doc_id, p.pos,
+                 CASE WHEN k.tok IS NULL THEN '<unk>' ELSE p.tok END AS m
+               FROM pos p LEFT JOIN kept k ON p.tok = k.tok)
+         SELECT doc_id,
+           array_to_string(list(m ORDER BY pos), ' ') AS pruned,
+           CAST(SUM(CASE WHEN m = '<unk>' THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+           COUNT(*) AS n_tokens
+         FROM m GROUP BY doc_id ORDER BY doc_id""",
     "q_text_fingerprint" ->
       """SELECT doc_id,
          CAST(SUM(i * length(tok)) AS BIGINT) % 1000003 AS fp,

@@ -257,11 +257,16 @@ object GraphOps {
       val prev = sigs.head.select(col("v").as("pv"), col("sigma").as("psigma"))
       // prev holds EXACTLY level l−1's σ rows, so joining it already
       // restricts src to the DAG predecessors — no extra level filter.
-      val cur = levels.filter(col("level") === l)
+      val cur0 = levels.filter(col("level") === l)
         .join(ed, col("dst") === col("v"))
         .join(prev, col("src") === col("pv"))
         .groupBy(col("v"), col("level"))
         .agg(sum(col("psigma")).as("sigma"))
+      // Checkpoint every 3rd level, not every one (the pagerank treatment):
+      // per-level barriers cost ~0.3 s of fixed job overhead each at local
+      // scale, while a ≤3-level lazy chain re-runs at most two tiny joins
+      // when the final union (or the next level) evaluates it.
+      val cur = if (l % 3 == 0 || l == maxL) cur0.localCheckpoint(true) else cur0
       sigs ::= cur
     }
     val sigAll = sigs.reduce(_ union _).localCheckpoint(true)
@@ -272,7 +277,7 @@ object GraphOps {
       val sv = sigAll.select(col("v").as("xv"), col("sigma").as("xsigma"))
       val sw = sigAll.select(col("v").as("wv"), col("sigma").as("wsigma"),
         col("level").as("wlevel"))
-      val cur = levels.filter(col("level") === l)
+      val cur0 = levels.filter(col("level") === l)
         .join(ed, col("src") === col("v"))
         .join(sw, col("dst") === col("wv") && col("wlevel") === l + 1)
         .join(sv, col("v") === col("xv"))
@@ -281,7 +286,9 @@ object GraphOps {
         .agg(sum(col("xsigma").cast("double") / col("wsigma").cast("double") *
           (lit(1.0) + coalesce(col("delta"), lit(0.0)))).as("delta"))
         .select(col("v").as("dv"), col("delta"))
-        .localCheckpoint(true) // consumed twice: next level + final union
+      // Same every-3rd-barrier policy as the forward sweep; cur is consumed
+      // twice (next level + final union) so the lazy window stays ≤3 deep.
+      val cur = if (l % 3 == 0 || l == 0) cur0.localCheckpoint(true) else cur0
       dels ::= cur
       delPrev = cur
     }

@@ -185,6 +185,72 @@ class EventQualitySpec extends SparkSpec {
     assert(sampleAvg > corpusAvg, s"weighting should favor heavy docs: $sampleAvg vs $corpusAvg")
   }
 
+  test("chunking: stride-drop reassembly reproduces every document exactly") {
+    val texts = Tables(spark, sfDir, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val chunks = TextOps.queries("q_text_chunk")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_start"),
+        r.getAs[Int]("n_tokens"), r.getAs[String]("chunk")))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(chunks.keySet == texts.keySet)
+    val overlap = 32 - 24
+    chunks.foreach { case (id, cs) =>
+      // starts are 0, stride, 2*stride, ...; widths = min(32, remaining)
+      val total = texts(id).split(" ").length
+      assert(cs.map(_._2).toSeq == cs.indices.map(_ * 24))
+      cs.foreach { case (_, s, n, c) =>
+        assert(n == math.min(32, total - s) && c.split(" ").length == n)
+      }
+      // chunk 0 + each later chunk minus its 8-token overlap == the doc
+      val rebuilt = (cs.head._4.split(" ") ++
+        cs.tail.flatMap(_._4.split(" ").drop(overlap))).mkString(" ")
+      assert(rebuilt == texts(id), s"doc $id reassembly")
+    }
+  }
+
+  test("vocab prune: order preserved, only sub-1% tokens masked, counts consistent") {
+    val docsTok = Tables(spark, sfDir, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val freq = docsTok.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val total = freq.values.sum
+    val got = TextOps.queries("q_text_vocab_prune")(spark, sfDir).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSet == docsTok.keySet)
+    got.foreach { r =>
+      val (id, pruned) = (r.getAs[Long]("doc_id"), r.getAs[String]("pruned").split(" ").toSeq)
+      val orig = docsTok(id)
+      assert(r.getAs[Long]("n_tokens") == orig.size && pruned.size == orig.size)
+      orig.zip(pruned).foreach { case (o, p) =>
+        if (freq(o) * 100 >= total) assert(p == o, s"doc $id kept token changed")
+        else assert(p == "<unk>", s"doc $id rare token '$o' unmasked")
+      }
+      assert(r.getAs[Long]("n_unk") == pruned.count(_ == "<unk>"))
+    }
+  }
+
+  test("cdc upsert: op tags and values match a driver-side latest-wins merge") {
+    val cutoffUs = java.sql.Timestamp.valueOf("2024-01-16 00:00:00").getTime * 1000
+    val evs = Tables(spark, sfDir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def latest(side: Array[(Long, Long, Long, Double)]) =
+      side.groupBy(_._1).view.mapValues(_.maxBy(e => (e._2, e._3))).toMap
+    val base = latest(evs.filter(_._2 < cutoffUs))
+    val delta = latest(evs.filter(_._2 >= cutoffUs))
+    val got = EventAnalytics.queries("q_cdc_upsert")(spark, sfDir).collect()
+    assert(got.map(_.getAs[Long]("user_id")).toSet == base.keySet ++ delta.keySet)
+    got.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val expOp = (base.contains(u), delta.contains(u)) match {
+        case (false, _) => "insert"
+        case (_, false) => "keep"
+        case _          => "update"
+      }
+      assert(r.getAs[String]("op") == expOp, s"user $u")
+      val exp = delta.getOrElse(u, base(u))
+      assert(r.getAs[Double]("value") == exp._4, s"user $u value")
+    }
+  }
+
   test("phash: reported pairs respect the hamming bound and include exact duplicates") {
     val pairs = Multimodal.queries("q_mm_phash")(spark, sfDir).collect()
     assert(pairs.forall(_.getAs[Int]("hamming") <= 8))
