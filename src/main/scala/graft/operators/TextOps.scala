@@ -231,6 +231,33 @@ object TextOps extends QueryModule {
         .orderBy("doc_id", "chunk_start")
     }),
 
+    // Benchmark decontamination — flag training docs that share winnowing
+    // fingerprints with a held-out evaluation set (here: doc_id % 50 == 0
+    // stands in for the benchmark corpus). THE test-set-leakage guard every
+    // LLM data pipeline runs before training. Shape: the benchmark's
+    // distinct fingerprint set is tiny relative to the corpus (it is the
+    // eval suite), so the contamination probe is a broadcast join on the
+    // fingerprint value — at 100 TB the corpus side streams through
+    // map-side, no shuffle until the per-doc count. Every surviving corpus
+    // doc is reported with its shared-fingerprint count and verdict.
+    "q_text_decontam" -> ((s, dir) => {
+      val fps = winnowFingerprints(s, dir).localCheckpoint(true) // feeds both sides
+      val benchFp = fps.filter(col("doc_id") % 50 === 0).select("wh").distinct()
+      // fps is (doc_id, wh)-distinct, so post-join count == distinct share.
+      val hits = fps.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(benchFp), Seq("wh"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 1000 && length(col("text")) >= 8 &&
+          col("doc_id") % 50 =!= 0)
+        .select("doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)) >= decontamThreshold).as("contaminated"))
+        .orderBy("doc_id")
+    }),
+
     // Vocabulary pruning / OOV masking — the classic LM preprocessing op:
     // tokens rarer than 1% of the corpus token count become `<unk>`, and
     // documents are reassembled IN ORDER. Shape: posexplode → global vocab
@@ -278,6 +305,24 @@ object TextOps extends QueryModule {
   /** Chunking geometry shared by the Spark query and its oracle. */
   private val chunkWidth = 32
   private val chunkStride = 24
+
+  /** Decontamination verdict: ≥ this many shared window-min fingerprints
+    * with the benchmark set (same bar as q_text_winnow_pairs' real-overlap
+    * shelf — the 5–9 noise band sits well below it). */
+  private val decontamThreshold = 20
+
+  /** DuckDB spelling of [[winnowFingerprints]] — the shared `fp(doc_id,
+    * wh)` CTE behind the winnow, winnow_pairs, and decontam oracles. */
+  private val winnowFpCte =
+    s"""WITH g AS (SELECT doc_id, p,
+           ${graft.functions.PortableHash.sql("substr(text, CAST(p AS INT), 8)")} AS h
+         FROM (SELECT doc_id, text, unnest(range(1, len(text) - 8 + 2)) AS p
+               FROM documents WHERE doc_id < 1000 AND len(text) >= 8)),
+       wm AS (SELECT doc_id,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+             ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wh
+         FROM g),
+       fp AS (SELECT DISTINCT doc_id, wh FROM wm)"""
 
   private[operators] val stopSql = "('the','a','and','of','to','in','is')"
 
@@ -332,32 +377,30 @@ object TextOps extends QueryModule {
     // Same md5-derived 60-bit gram hash as the Spark side (hex parse via
     // strpos), same 16-gram sliding-window min, distinct mins per doc.
     "q_text_winnow" ->
-      s"""WITH g AS (SELECT doc_id, p,
-             ${graft.functions.PortableHash.sql("substr(text, CAST(p AS INT), 8)")} AS h
-           FROM (SELECT doc_id, text, unnest(range(1, len(text) - 8 + 2)) AS p
-                 FROM documents WHERE doc_id < 1000 AND len(text) >= 8)),
-         wm AS (SELECT doc_id,
-             MIN(h) OVER (PARTITION BY doc_id ORDER BY p
-               ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wh
-           FROM g),
-         fp AS (SELECT DISTINCT doc_id, wh FROM wm)
+      s"""$winnowFpCte
          SELECT doc_id, COUNT(*) AS n_fp,
            CAST(MIN(wh) AS BIGINT) AS min_fp, CAST(MAX(wh) AS BIGINT) AS max_fp
          FROM fp GROUP BY doc_id ORDER BY doc_id""",
     // Same fingerprint CTE, self-joined on the fingerprint value.
     "q_text_winnow_pairs" ->
-      s"""WITH g AS (SELECT doc_id, p,
-             ${graft.functions.PortableHash.sql("substr(text, CAST(p AS INT), 8)")} AS h
-           FROM (SELECT doc_id, text, unnest(range(1, len(text) - 8 + 2)) AS p
-                 FROM documents WHERE doc_id < 1000 AND len(text) >= 8)),
-         wm AS (SELECT doc_id,
-             MIN(h) OVER (PARTITION BY doc_id ORDER BY p
-               ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wh
-           FROM g),
-         fp AS (SELECT DISTINCT doc_id, wh FROM wm)
+      s"""$winnowFpCte
          SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS n_shared
          FROM fp a JOIN fp b ON a.wh = b.wh AND a.doc_id < b.doc_id
          GROUP BY 1, 2 HAVING COUNT(*) >= 20 ORDER BY da, db""",
+    // Same fingerprint CTE; fp rows are (doc_id, wh)-distinct so the hit
+    // count after the benchmark-signature join IS the distinct-share count.
+    "q_text_decontam" ->
+      s"""$winnowFpCte,
+         bfp AS (SELECT DISTINCT wh FROM fp WHERE doc_id % 50 = 0),
+         hits AS (SELECT f.doc_id, COUNT(*) AS n_shared
+                  FROM fp f JOIN bfp ON f.wh = bfp.wh
+                  WHERE f.doc_id % 50 <> 0 GROUP BY f.doc_id)
+         SELECT d.doc_id,
+           CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+           COALESCE(h.n_shared, 0) >= $decontamThreshold AS contaminated
+         FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         WHERE d.doc_id < 1000 AND len(d.text) >= 8 AND d.doc_id % 50 <> 0
+         ORDER BY d.doc_id""",
     "q_text_invindex" ->
       """SELECT tok, COUNT(DISTINCT doc_id) AS df,
          MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,

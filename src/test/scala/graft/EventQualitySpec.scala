@@ -227,6 +227,26 @@ class EventQualitySpec extends SparkSpec {
     }
   }
 
+  test("decontam: benchmark excluded, verdict == threshold, benchmark dups flagged") {
+    val out = TextOps.queries("q_text_decontam")(spark, sfDir).collect()
+    assert(out.forall(_.getAs[Long]("doc_id") % 50 != 0))
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("contaminated") == (r.getAs[Long]("n_shared") >= 20))
+    }
+    // a corpus doc whose text EQUALS a benchmark doc's shares every
+    // fingerprint, so if it has >= 20 fingerprints it must be flagged
+    val texts = Tables(spark, sfDir, "documents")
+      .filter("doc_id < 1000 AND length(text) >= 8")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val benchTexts = texts.filter(_._1 % 50 == 0).map(_._2).toSet
+    val nFp = TextOps.queries("q_text_winnow")(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_fp")).toMap
+    val contaminated = out.filter(_.getAs[Boolean]("contaminated"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    texts.filter(t => t._1 % 50 != 0 && benchTexts(t._2) && nFp(t._1) >= 20)
+      .foreach { case (id, _) => assert(contaminated(id), s"benchmark dup $id") }
+  }
+
   test("cdc upsert: op tags and values match a driver-side latest-wins merge") {
     val cutoffUs = java.sql.Timestamp.valueOf("2024-01-16 00:00:00").getTime * 1000
     val evs = Tables(spark, sfDir, "events")
