@@ -288,6 +288,29 @@ object TextOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Sequence packing — the pack-and-split step that turns a curated
+    // corpus into fixed-width training rows: documents are concatenated in
+    // a deterministic order and cut into 128-token bins, docs straddling a
+    // cut marked (a real loader would split them). One running sum per
+    // source stream gives every doc its bin id and offset — packing is
+    // inherently sequential WITHIN a stream, so the stream is the unit of
+    // parallelism: 20 sources here, (source, shard) at 100 TB, exactly how
+    // production packers shard. One window shuffle total.
+    "q_text_pack" -> ((s, dir) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).as("n_tokens"))
+        .withColumn("cum", sum("n_tokens").over(w))
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          expr(s"CAST((cum - n_tokens) div $packCapacity AS INT)").as("bin_id"),
+          expr(s"CAST((cum - n_tokens) % $packCapacity AS INT)").as("bin_offset"),
+          expr(s"(cum - n_tokens) % $packCapacity + n_tokens > $packCapacity")
+            .as("straddles"))
+        .orderBy("source", "doc_id")
+    }),
+
     // Positional fingerprint: sum((i+1) * len(token_i)) mod 1000003, plus
     // boundary tokens — a cheap order-sensitive document signature.
     "q_text_fingerprint" -> ((s, dir) => {
@@ -305,6 +328,9 @@ object TextOps extends QueryModule {
   /** Chunking geometry shared by the Spark query and its oracle. */
   private val chunkWidth = 32
   private val chunkStride = 24
+
+  /** Packing bin width in tokens (the training sequence length). */
+  private val packCapacity = 128
 
   /** Decontamination verdict: ≥ this many shared window-min fingerprints
     * with the benchmark set (same bar as q_text_winnow_pairs' real-overlap
@@ -448,6 +474,16 @@ object TextOps extends QueryModule {
            CAST(SUM(CASE WHEN m = '<unk>' THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
            COUNT(*) AS n_tokens
          FROM m GROUP BY doc_id ORDER BY doc_id""",
+    "q_text_pack" ->
+      s"""WITH tdoc AS (SELECT source, doc_id,
+             len(string_split(text, ' ')) AS n_tokens FROM documents),
+         c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum FROM tdoc)
+         SELECT source, doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           CAST((cum - n_tokens) // $packCapacity AS INT) AS bin_id,
+           CAST((cum - n_tokens) % $packCapacity AS INT) AS bin_offset,
+           (cum - n_tokens) % $packCapacity + n_tokens > $packCapacity AS straddles
+         FROM c ORDER BY source, doc_id""",
     "q_text_fingerprint" ->
       """SELECT doc_id,
          CAST(SUM(i * length(tok)) AS BIGINT) % 1000003 AS fp,

@@ -247,6 +247,27 @@ class EventQualitySpec extends SparkSpec {
       .foreach { case (id, _) => assert(contaminated(id), s"benchmark dup $id") }
   }
 
+  test("sequence packing: bin assignment matches a sequential per-source pack") {
+    val docs = Tables(spark, sfDir, "documents").select("source", "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2).split(" ").length))
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (src, ds) =>
+      var cum = 0L
+      ds.sortBy(_._2).toSeq.map { case (_, id, n) =>
+        val (bin, off) = (cum / 128, cum % 128)
+        cum += n
+        (src, id) -> ((bin.toInt, off.toInt, off + n > 128))
+      }
+    }.toMap
+    val got = TextOps.queries("q_text_pack")(spark, sfDir).collect()
+    assert(got.length == docs.length)
+    got.foreach { r =>
+      val k = (r.getAs[String]("source"), r.getAs[Long]("doc_id"))
+      val v = (r.getAs[Int]("bin_id"), r.getAs[Int]("bin_offset"),
+        r.getAs[Boolean]("straddles"))
+      assert(v == expected(k), s"doc $k")
+    }
+  }
+
   test("cdc upsert: op tags and values match a driver-side latest-wins merge") {
     val cutoffUs = java.sql.Timestamp.valueOf("2024-01-16 00:00:00").getTime * 1000
     val evs = Tables(spark, sfDir, "events")
