@@ -116,6 +116,34 @@ object TrainingPipeline extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Domain-mixture re-weighting — the data-mixing op: downsample to half
+    // the corpus with per-source doc quotas proportional to √(source token
+    // mass), the sub-linear weighting that keeps heavy domains from
+    // swamping the mixture while still favoring them. All quota arithmetic
+    // is exact-integer (isqrt via floor∘sqrt — correctly-rounded IEEE on
+    // both engines — then integer div), so quotas can never flicker across
+    // engines; membership per source = smallest portable-hash ranks, the
+    // stratified sampler's discipline. Scale shape: quotas are a 20-row
+    // broadcast; the rank window is the only data shuffle.
+    "q_sample_mixture" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        graft.functions.PortableHash.hash60(col("doc_id").cast("string")).as("h"),
+        TextOps.nTokC.cast("long").as("n_tok"))
+      val counts = d.groupBy("source")
+        .agg(count(lit(1)).as("nd"), sum("n_tok").as("ntok"))
+        .withColumn("isq", floor(sqrt(col("ntok"))).cast("long"))
+      val tot = counts.agg(sum(col("nd")).as("dtot"), sum(col("isq")).as("sumisq"))
+      val quota = counts.crossJoin(tot)
+        .select(col("source"),
+          least(col("nd"), expr("(dtot div 2) * isq div sumisq")).as("k"))
+      val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      d.withColumn("rk", row_number().over(w))
+        .join(broadcast(quota), Seq("source"))
+        .filter(col("rk") <= col("k"))
+        .select(col("source"), col("doc_id"))
+        .orderBy("source", "doc_id")
+    }),
+
     "q_sample_stratified" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("lang"),
         graft.functions.PortableHash.hash60(col("doc_id").cast("string")).as("h"))
@@ -170,6 +198,23 @@ object TrainingPipeline extends QueryModule {
            FROM documents)
          SELECT doc_id, n_tok FROM k
          ORDER BY k DESC, doc_id LIMIT 100""",
+    "q_sample_mixture" ->
+      s"""WITH d AS (SELECT doc_id, source,
+             ${graft.functions.PortableHash.sql("CAST(doc_id AS VARCHAR)")} AS h,
+             CAST(${TextOps.nTokSql} AS BIGINT) AS n_tok
+           FROM documents),
+         c AS (SELECT source, COUNT(*) AS nd,
+                 CAST(FLOOR(SQRT(CAST(SUM(n_tok) AS BIGINT))) AS BIGINT) AS isq
+               FROM d GROUP BY source),
+         t AS (SELECT CAST(SUM(nd) AS BIGINT) AS dtot,
+                 CAST(SUM(isq) AS BIGINT) AS sumisq FROM c),
+         q AS (SELECT source, LEAST(nd, (dtot // 2) * isq // sumisq) AS k
+               FROM c CROSS JOIN t),
+         r AS (SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+           FROM d)
+         SELECT r.source, r.doc_id FROM r JOIN q ON r.source = q.source
+         WHERE rk <= k ORDER BY r.source, r.doc_id""",
     "q_sample_stratified" ->
       s"""WITH h AS (SELECT doc_id, lang,
              ${graft.functions.PortableHash.sql("CAST(doc_id AS VARCHAR)")} AS h

@@ -209,6 +209,27 @@ class PipelineSpec extends SparkSpec {
     assert(funnel("1_lang")._1 == en)
   }
 
+  test("mixture sampling: sqrt-token quotas, capped, smallest-hash membership") {
+    val rows = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        graft.functions.PortableHash.hash60(col("doc_id").cast("string")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val bySrc = rows.groupBy(_._2)
+    val isq = bySrc.view.mapValues(ds => math.sqrt(ds.map(_._3).sum.toDouble).toLong).toMap
+    val (dtot, sumisq) = (rows.length.toLong, isq.values.sum)
+    val quota = bySrc.map { case (src, ds) =>
+      src -> math.min(ds.length.toLong, (dtot / 2) * isq(src) / sumisq)
+    }
+    val expected = bySrc.toSeq.flatMap { case (src, ds) =>
+      ds.sortBy(d => (d._4, d._1)).toSeq.take(quota(src).toInt).map(d => (src, d._1))
+    }.toSet
+    val got = TrainingPipeline.queries("q_sample_mixture")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(got.size < rows.length, "quotas should actually downsample")
+  }
+
   test("stratified sample cuts every class to exactly the min class size") {
     val byLang = Tables(spark, sfDir, "documents").groupBy("lang").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

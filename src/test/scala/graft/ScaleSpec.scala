@@ -207,6 +207,27 @@ class ScaleSpec extends SparkSpec {
       s"checksum needs no key shuffle:\n$ck")
   }
 
+  test("plan shapes: chunking shuffle-free, pack single exchange, broadcast probes") {
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+    // chunking is pure narrow ops — its only exchange is the oracle's
+    // final orderBy (range partitioning), never a hash shuffle
+    val chunk = plan("q_text_chunk")
+    assert(!chunk.contains("Exchange hashpartitioning"),
+      s"chunking must not hash-shuffle:\n$chunk")
+    // packing = one running-sum window per source stream: exactly one
+    // hash exchange feeds it
+    val pack = plan("q_text_pack")
+    assert("Exchange hashpartitioning".r.findAllIn(pack).size == 1,
+      s"packing should shuffle once:\n$pack")
+    // the tiny signature/vocab sides broadcast; the corpus side streams
+    for (q <- Seq("q_text_decontam", "q_text_vocab_prune")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q's probe join should broadcast:\n$p")
+    }
+  }
+
   test("BlockFuzzyJoin rule rewrites a levenshtein theta join to a banded equi join") {
     import spark.implicits._
     GraftRules.install(spark)
