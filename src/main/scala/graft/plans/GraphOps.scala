@@ -251,17 +251,24 @@ object GraphOps {
     val ed = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct().localCheckpoint(true)
     val maxL = levels.agg(max("level")).collect()(0).getInt(0)
-    // forward sweep: path counts per level
+    // forward sweep: path counts per level. Edges are annotated with their
+    // destination's BFS level ONCE (the per-level loop then only filters
+    // and joins the previous level's σ — one join per superstep).
+    val fwdEdges = ed
+      .join(levels.select(col("v").as("fv"), col("level").as("dlevel")),
+        col("dst") === col("fv"))
+      .select(col("src"), col("dst"), col("dlevel"))
+      .localCheckpoint(true)
     var sigs = List(Seq((start, 0, 1L)).toDF("v", "level", "sigma"))
     for (l <- 1 to maxL) {
       val prev = sigs.head.select(col("v").as("pv"), col("sigma").as("psigma"))
       // prev holds EXACTLY level l−1's σ rows, so joining it already
       // restricts src to the DAG predecessors — no extra level filter.
-      val cur0 = levels.filter(col("level") === l)
-        .join(ed, col("dst") === col("v"))
+      val cur0 = fwdEdges.filter(col("dlevel") === l)
         .join(prev, col("src") === col("pv"))
-        .groupBy(col("v"), col("level"))
+        .groupBy(col("dst").as("v"))
         .agg(sum(col("psigma")).as("sigma"))
+        .select(col("v"), lit(l).as("level"), col("sigma"))
       // Checkpoint every 3rd level, not every one (the pagerank treatment):
       // per-level barriers cost ~0.3 s of fixed job overhead each at local
       // scale, while a ≤3-level lazy chain re-runs at most two tiny joins
@@ -270,19 +277,26 @@ object GraphOps {
       sigs ::= cur
     }
     val sigAll = sigs.reduce(_ union _).localCheckpoint(true)
-    // backward sweep: dependency accumulation up the DAG
+    // backward sweep: dependency accumulation up the DAG. The σ context is
+    // joined ONCE up front — DAG edges (wlevel == srclevel + 1) annotated
+    // with both endpoint σs and the source level — so each level of the
+    // sweep is a single join against the previous level's δ instead of
+    // re-joining levels/edges/σ/σ every superstep (4 joins → 1 per level;
+    // the annotated edge set is exactly the Brandes DAG, nothing larger).
+    val dagEdges = ed
+      .join(sigAll.select(col("v").as("xv"), col("level").as("xlevel"),
+        col("sigma").as("xsigma")), col("src") === col("xv"))
+      .join(sigAll.select(col("v").as("wv"), col("level").as("wlevel"),
+        col("sigma").as("wsigma")), col("dst") === col("wv") &&
+        col("wlevel") === col("xlevel") + 1)
+      .select(col("src"), col("dst"), col("xlevel"), col("xsigma"), col("wsigma"))
+      .localCheckpoint(true)
     var delPrev = Seq.empty[(Long, Double)].toDF("dv", "delta") // level maxL has no successors
     var dels = List.empty[DataFrame]
     for (l <- (maxL - 1) to 0 by -1) {
-      val sv = sigAll.select(col("v").as("xv"), col("sigma").as("xsigma"))
-      val sw = sigAll.select(col("v").as("wv"), col("sigma").as("wsigma"),
-        col("level").as("wlevel"))
-      val cur0 = levels.filter(col("level") === l)
-        .join(ed, col("src") === col("v"))
-        .join(sw, col("dst") === col("wv") && col("wlevel") === l + 1)
-        .join(sv, col("v") === col("xv"))
+      val cur0 = dagEdges.filter(col("xlevel") === l)
         .join(delPrev, col("dst") === col("dv"), "left")
-        .groupBy(col("v"))
+        .groupBy(col("src").as("v"))
         .agg(sum(col("xsigma").cast("double") / col("wsigma").cast("double") *
           (lit(1.0) + coalesce(col("delta"), lit(0.0)))).as("delta"))
         .select(col("v").as("dv"), col("delta"))
