@@ -126,18 +126,22 @@ object TrainingPipeline extends QueryModule {
     // stratified sampler's discipline. Scale shape: quotas are a 20-row
     // broadcast; the rank window is the only data shuffle.
     "q_sample_mixture" -> ((s, dir) => {
-      val d = docs(s, dir).select(col("doc_id"), col("source"),
-        graft.functions.PortableHash.hash60(col("doc_id").cast("string")).as("h"),
-        TextOps.nTokC.cast("long").as("n_tok"))
-      val counts = d.groupBy("source")
+      // counts is 20 rows but feeds BOTH the per-source quota and the
+      // global totals — materialize once or the token-sum scan runs twice.
+      val counts = docs(s, dir)
+        .select(col("source"), TextOps.nTokC.cast("long").as("n_tok"))
+        .groupBy("source")
         .agg(count(lit(1)).as("nd"), sum("n_tok").as("ntok"))
         .withColumn("isq", floor(sqrt(col("ntok"))).cast("long"))
+        .localCheckpoint(true)
       val tot = counts.agg(sum(col("nd")).as("dtot"), sum(col("isq")).as("sumisq"))
       val quota = counts.crossJoin(tot)
         .select(col("source"),
           least(col("nd"), expr("(dtot div 2) * isq div sumisq")).as("k"))
       val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
-      d.withColumn("rk", row_number().over(w))
+      docs(s, dir).select(col("doc_id"), col("source"),
+          graft.functions.PortableHash.hash60(col("doc_id").cast("string")).as("h"))
+        .withColumn("rk", row_number().over(w))
         .join(broadcast(quota), Seq("source"))
         .filter(col("rk") <= col("k"))
         .select(col("source"), col("doc_id"))
