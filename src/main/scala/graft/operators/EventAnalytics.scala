@@ -98,16 +98,24 @@ object EventAnalytics extends QueryModule {
     // log-compaction + snapshot-merge job (the delta side is usually tiny
     // relative to the base and AQE broadcast-flips the join).
     "q_cdc_upsert" -> ((s, dir) => {
-      val e = t(s, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-      def latest(df: DataFrame): DataFrame = {
-        val w = Window.partitionBy("user_id")
-          .orderBy(col("ts").desc, col("event_id").desc)
-        df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select(col("user_id"), col("ts"), col("value"))
-      }
-      val base = latest(e.filter(col("ts") < cdcCutoff))
-      val delta = latest(e.filter(col("ts") >= cdcCutoff))
+      // ONE scan + ONE (user_id, side) window shuffle compacts both the
+      // snapshot and the changelog (two filtered scans would read the
+      // whole table twice — the ns-timestamp workaround means the ts
+      // predicate can't prune at the parquet level). The compacted frame
+      // is per-user-per-side tiny; checkpoint it and the merge join's two
+      // sides are in-memory reads.
+      val w = Window.partitionBy("user_id", "is_delta")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val latest = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+          (col("ts") >= cdcCutoff).as("is_delta"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("is_delta"), col("ts"), col("value"))
+        .localCheckpoint(true)
+      val base = latest.filter(!col("is_delta"))
+        .select(col("user_id"), col("ts"), col("value"))
+      val delta = latest.filter(col("is_delta"))
+        .select(col("user_id"), col("ts"), col("value"))
       base.as("b").join(delta.as("d"), Seq("user_id"), "full_outer")
         .select(col("user_id"),
           when(col("b.ts").isNull, lit("insert"))
