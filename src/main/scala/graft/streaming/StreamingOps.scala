@@ -318,6 +318,62 @@ object StreamingOps extends QueryModule {
       s.table("t_stream_proctime").orderBy("event_type")
     }),
 
+    // foreachBatch incremental upsert — the streaming MERGE sink: events
+    // replay as >= 8 real microbatches (hash-chunked files, 1 per trigger,
+    // so batches arrive in NO time order) and each batch's latest-per-user
+    // rows merge into a parquet state directory, latest (ts, event_id)
+    // winning. The merge is commutative across batch order, so the final
+    // state must equal the batch latest-per-user compaction — which is
+    // exactly the oracle. This is the API surface (foreachBatch + an
+    // external idempotent sink) a production pipeline uses when the target
+    // is a table format or KV store rather than a streaming-native sink;
+    // at scale the overwrite becomes the store's transactional MERGE and
+    // per-batch work stays proportional to the batch, not the state.
+    "q_stream_upsert" -> ((s, dir) => {
+      val tag = java.lang.ProcessHandle.current().pid().toString + "_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"${sys.props("java.io.tmpdir")}/graft_stream_upsert_$tag"
+      val (chunks, state, ck) = (base + "_chunks", base + "_state", base + "_ck")
+      val stateFile = new java.io.File(state)
+      Seq(state, ck).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+      Tables.raw(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .repartition(8, col("event_id"))
+        .write.mode("overwrite").parquet(chunks)
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("ts", TimestampType), StructField("value", DoubleType)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      def latest(df: DataFrame): DataFrame =
+        df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select("user_id", "ts", "event_id", "value")
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(chunks)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // compact the batch first so the state merge unions K rows per
+          // user, then re-rank: per-batch cost ∝ batch + state size
+          val merged = latest(
+            if (stateFile.exists) batch.sparkSession.read.parquet(state)
+              .unionByName(latest(batch))
+            else latest(batch))
+          val next = state + "_next"
+          merged.write.mode("overwrite").parquet(next)
+          org.apache.commons.io.FileUtils.deleteQuietly(stateFile)
+          org.apache.commons.io.FileUtils.moveDirectory(
+            new java.io.File(next), stateFile)
+          ()
+        }.start()
+      q.awaitTermination()
+      s.read.parquet(state)
+        .select(col("user_id"), col("value"), col("ts").as("updated_at"))
+        .orderBy("user_id")
+    }),
+
     // Session windows (30-minute gap) per user — batch session_window (the
     // streaming variant requires append mode + watermark, which withholds
     // the final unexpired sessions, so batch is the oracle-comparable form;
@@ -371,6 +427,12 @@ object StreamingOps extends QueryModule {
       """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS val_sum,
          TRUE AS multi_batch
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // Batch-order-independent merge => final state == batch compaction.
+    "q_stream_upsert" ->
+      """SELECT user_id, value, ts AS updated_at FROM (
+           SELECT user_id, value, ts, ROW_NUMBER() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1 ORDER BY user_id""",
     // Complete-mode sink over timed microbatches == the batch aggregate.
     "q_stream_proctime" ->
       """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS val_sum

@@ -105,6 +105,21 @@ class StreamingSpec extends SparkSpec {
     assert(control.exists(_._1.contains("09:00")), s"control missing 09:00: $control")
   }
 
+  test("foreachBatch upsert: final state equals the batch latest-per-user compaction") {
+    val got = StreamingOps.queries("q_stream_upsert")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getTimestamp(2)))
+    val expected = Tables(spark, sfDir, "events")
+      .select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).view
+      .mapValues(_.maxBy(e => (e._2.getTime, e._3))).toMap
+    assert(got.length == expected.size)
+    got.foreach { case (u, v, ts) =>
+      val e = expected(u)
+      assert(v == e._4 && ts == e._2, s"user $u state mismatch")
+    }
+  }
+
   test("session windows: gap property holds (no intra-session gap >= 30 min)") {
     val sessions = StreamingOps.queries("q_session_window")(spark, sfDir).collect()
     val events = Tables(spark, sfDir, "events")
