@@ -108,6 +108,37 @@ object QualityOps extends QueryModule {
         .orderBy("fk")
     }),
 
+    // Column profiling — the dataset-card statistics pass (null counts,
+    // distinct cardinality, min/max per column) a curation pipeline runs
+    // before training on a new source. Shape: melt columns to
+    // (col_name, value-as-string) rows with ONE generate over ONE scan,
+    // then a standard two-phase distinct aggregate per column — no
+    // Expand-multiplied scan (the multi-countDistinct alternative rewrites
+    // the whole input N_cols times), map-side partials throughout. At
+    // 100 TB the explode multiplies rows 5x but each melted row is a short
+    // string, and the shuffle carries (col_name, value) pairs only.
+    "q_profile" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      val melted = Tables.raw(s, dir, "orders").select(explode(array(
+          struct(lit("1_orderstatus").as("col_name"),
+            col("o_orderstatus").cast("string").as("v")),
+          struct(lit("2_orderpriority").as("col_name"),
+            col("o_orderpriority").cast("string").as("v")),
+          struct(lit("3_custkey").as("col_name"),
+            col("o_custkey").cast("string").as("v")),
+          struct(lit("4_totalprice_cents").as("col_name"),
+            cents.cast("string").as("v")),
+          struct(lit("5_orderdate").as("col_name"),
+            col("o_orderdate").cast("string").as("v")))).as("m"))
+        .select(col("m.col_name"), col("m.v"))
+      melted.groupBy("col_name")
+        .agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col("v"))).as("n_nulls"),
+          countDistinct("v").as("n_distinct"),
+          min("v").as("min_v"), max("v").as("max_v"))
+        .orderBy("col_name")
+    }),
+
     // Whole-table content checksum: order-independent 60-bit signatures
     // (XOR + modular sum of a portable per-row hash over a canonical row
     // string) plus the row count — the "same data on both sides?" primitive
@@ -171,6 +202,22 @@ object QualityOps extends QueryModule {
            FROM events e WHERE NOT EXISTS (
              SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id))
          ORDER BY fk""",
+    // Min/max compare lexicographically on the string form on BOTH sides —
+    // the uniform-schema contract of a melted profile (numeric min/max per
+    // column would need per-type output rows).
+    "q_profile" ->
+      """WITH m AS (
+           SELECT '1_orderstatus' AS col_name, CAST(o_orderstatus AS VARCHAR) AS v FROM orders
+           UNION ALL SELECT '2_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders
+           UNION ALL SELECT '3_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+           UNION ALL SELECT '4_totalprice_cents',
+             CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR) FROM orders
+           UNION ALL SELECT '5_orderdate', CAST(o_orderdate AS VARCHAR) FROM orders)
+         SELECT col_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(v) AS n_nulls,
+           COUNT(DISTINCT v) AS n_distinct,
+           MIN(v) AS min_v, MAX(v) AS max_v
+         FROM m GROUP BY col_name ORDER BY col_name""",
     "q_checksum_table" ->
       s"""WITH h AS (SELECT ${graft.functions.PortableHash.sql(
              """concat_ws('|', o_orderkey, o_custkey, o_orderstatus,

@@ -344,6 +344,33 @@ object Relational extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    // Exact weighted median per group (price weighted by quantity) — the
+    // exact counterpart of q_agg_approx_pct. Scale shape: pre-aggregate
+    // weights by (group, value) FIRST (hash agg, map-side combine — the
+    // 600k-row scan compacts to |distinct values| rows), then one window
+    // pass over the compact frame computes the running weight, and the
+    // median is the least value whose running weight reaches half the
+    // total. The default RANGE window frame makes the running sum
+    // deterministic under value ties on both engines. At 100 TB the window
+    // sees only the value dictionary, not the rows; low group cardinality
+    // makes the window partition wide, but it is |dictionary|-sized, not
+    // |table|-sized.
+    "q_agg_wmedian" -> ((s, dir) => {
+      val byVal = tr(s, dir, "lineitem")
+        .select(col("l_returnflag").as("rf"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"),
+          col("l_quantity").cast("long").as("qty"))
+        .groupBy("rf", "cents").agg(sum("qty").as("w"))
+      byVal
+        .withColumn("cw", sum("w").over(
+          Window.partitionBy("rf").orderBy("cents")))
+        .withColumn("tot", sum("w").over(Window.partitionBy("rf")))
+        .filter(col("cw") * 2 >= col("tot"))
+        .groupBy("rf")
+        .agg(min("cents").as("wmedian_cents"), max("tot").as("total_weight"))
+        .orderBy("rf")
+    }),
+
     // Salted skew join as an oracled query: lineitem (probe, suppkey-
     // skew-prone at scale) ⋈ supplier, salted 8 ways — the hot-key
     // countermeasure when the build side is replicable. Result must equal
@@ -707,6 +734,23 @@ object Relational extends QueryModule {
                    ORDER BY COUNT(*) DESC, l_quantity) AS rn
                FROM lineitem GROUP BY l_returnflag, l_quantity)
          WHERE rn = 1 ORDER BY l_returnflag""",
+    // Same pre-aggregate-then-running-weight recurrence; DuckDB's default
+    // RANGE frame gives tied values the block-end cumulative weight exactly
+    // like Spark's.
+    "q_agg_wmedian" ->
+      """WITH byval AS (
+           SELECT l_returnflag AS rf,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+           FROM lineitem GROUP BY 1, 2),
+         c AS (
+           SELECT rf, cents,
+             SUM(w) OVER (PARTITION BY rf ORDER BY cents) AS cw,
+             SUM(w) OVER (PARTITION BY rf) AS tot
+           FROM byval)
+         SELECT rf, CAST(MIN(cents) AS BIGINT) AS wmedian_cents,
+           CAST(MAX(tot) AS BIGINT) AS total_weight
+         FROM c WHERE cw * 2 >= tot GROUP BY rf ORDER BY rf""",
     "q_join_salted" ->
       """SELECT s_nationkey, COUNT(*) AS n_lines,
          ROUND(SUM(l_extendedprice), 2) AS total

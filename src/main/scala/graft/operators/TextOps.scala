@@ -54,6 +54,11 @@ object TextOps extends QueryModule {
   // q_text_* queries would disagree on the same corpus.
   private[operators] val stopList = Seq("the", "a", "and", "of", "to", "in", "is")
 
+  /** q_text_scrub's deny list — fixture stand-in for PII patterns; shared
+    * with the oracle via [[denySql]]. */
+  private val denyList = Seq("customer", "spark", "big")
+  private val denySql = denyList.mkString("('", "', '", "')")
+
   // Single-source scoring expressions — both the Spark Column and the
   // DuckDB SQL spelling. q_text_quality/q_text_langid and the
   // TrainingPipeline funnel all build from THESE; the formulas must
@@ -110,6 +115,23 @@ object TextOps extends QueryModule {
           .when(awl >= 5.0, "de")
           .otherwise("other").as("predicted"))
         .withColumn("is_match", col("predicted") === col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // Deny-list redaction — the PII/toxicity-scrub shape: every token on a
+    // deny list is replaced with a [X] placeholder and the replacement count
+    // reported per document. The fixture corpus has no natural PII, so the
+    // deny list stands in for the email/phone/SSN patterns a production
+    // scrub would match; the plumbing is identical — one transform/filter
+    // projection per row, no shuffle until the final orderBy, so at 100 TB
+    // this is a single codegen'd pass over the text column.
+    "q_text_scrub" -> ((s, dir) => {
+      val hit = (tk: Column) => denyList.map(tk === _).reduce(_ || _)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(filter(toks, hit)).as("n_redacted"),
+        array_join(transform(toks,
+          tk => when(hit(tk), lit("[X]")).otherwise(tk)), " ").as("scrubbed"))
         .orderBy("doc_id")
     }),
 
@@ -390,6 +412,14 @@ object TextOps extends QueryModule {
                  WHEN awl >= 5.0 THEN 'de'
                  ELSE 'other' END) = lang AS is_match
          FROM f ORDER BY doc_id""",
+    "q_text_scrub" ->
+      s"""SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '),
+           tk -> tk IN $denySql)) AS INT) AS n_redacted,
+         array_to_string(list_transform(string_split(text, ' '),
+           tk -> CASE WHEN tk IN $denySql THEN '[X]' ELSE tk END), ' ')
+           AS scrubbed
+         FROM documents ORDER BY doc_id""",
     "q_text_tokens_bpe" ->
       """WITH p AS (SELECT doc_id,
              regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]') AS pieces

@@ -304,4 +304,54 @@ class EventQualitySpec extends SparkSpec {
       .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
     dups.foreach { case (a, b) => assert(zero.contains((a, b)), s"dup pair ($a,$b)") }
   }
+
+  test("profile: per-column row counts, nulls, and custkey cardinality match the table") {
+    val orders = Tables.raw(spark, sfDir, "orders")
+    val nRows = orders.count()
+    val rows = QualityOps.queries("q_profile")(spark, sfDir).collect()
+    assert(rows.length == 5, "five profiled columns")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == nRows, r.getAs[String]("col_name"))
+      assert(r.getAs[Long]("n_nulls") == 0L, "clean fixture has no nulls")
+    }
+    val ck = rows.find(_.getAs[String]("col_name") == "3_custkey").get
+    val expDistinct = orders.select("o_custkey").distinct().count()
+    assert(ck.getAs[Long]("n_distinct") == expDistinct)
+  }
+
+  test("weighted median: matches in-memory weighted-median recomputation per flag") {
+    import graft.operators.Relational
+    val li = Tables.raw(spark, sfDir, "lineitem")
+      .select("l_returnflag", "l_extendedprice", "l_quantity").collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong,
+        r.getDouble(2).toLong))
+    val expected = li.groupBy(_._1).view.mapValues { rs =>
+      val byVal = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+      val tot = byVal.map(_._2).sum
+      var cum = 0L
+      (byVal.collectFirst { case (c, w) if { cum += w; cum * 2 >= tot } => c }.get, tot)
+    }.toMap
+    val got = Relational.queries("q_agg_wmedian")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+  }
+
+  test("scrub: deny tokens gone, token count conserved, redaction count exact") {
+    val deny = Set("customer", "spark", "big")
+    val got = TextOps.queries("q_text_scrub")(spark, sfDir).collect()
+    val texts = Tables(spark, sfDir, "documents").select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.length == texts.size)
+    got.foreach { r =>
+      val orig = texts(r.getAs[Long]("doc_id")).split(" ", -1)
+      val scrub = r.getAs[String]("scrubbed").split(" ", -1)
+      assert(scrub.length == orig.length, "token count conserved")
+      assert(!scrub.exists(deny), "no deny token survives")
+      assert(r.getAs[Int]("n_redacted") == orig.count(deny),
+        s"doc ${r.getAs[Long]("doc_id")}")
+      orig.zip(scrub).foreach { case (o, sc) =>
+        assert(if (deny(o)) sc == "[X]" else sc == o)
+      }
+    }
+  }
 }
