@@ -69,6 +69,9 @@ object GraphQueries extends QueryModule {
     fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
   }
 
+  /** Seed sample for q_graph_closeness — shared with its oracle. */
+  private val closenessSeeds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
+
   /** Shared recursive-CTE prelude for the ring graph (DuckDB dialect). */
   private val ringWalkCte =
     """WITH RECURSIVE e AS (
@@ -159,6 +162,21 @@ object GraphQueries extends QueryModule {
     // is 8–12 here; empty levels are no-ops on both sides).
     "q_graph_betweenness" -> ((s, dir) =>
       GraphOps.brandesDependency(s, ringEdges(s, dir), 0L).orderBy("v")),
+
+    // Closeness centrality for a 5-seed sample via ONE multi-source BFS
+    // loop ([[GraphOps.multiSourceBfs]]): all seeds' frontiers advance in
+    // the same superstep, keyed (seed, v) — the batching that makes
+    // per-source centrality scale (s sources = one loop, not s loops; at
+    // 100 TB the seed sample rides a single traversal's shuffles).
+    // closeness = (reached − 1) / Σ dist, in exact e6 fixed point (integer
+    // division is engine-portable where ROUND(double) is not).
+    "q_graph_closeness" -> ((s, dir) =>
+      GraphOps.multiSourceBfs(s, ringEdges(s, dir), closenessSeeds)
+        .groupBy("seed")
+        .agg(count(lit(1)).as("n_reached"), sum("level").as("total_dist"))
+        .withColumn("closeness_e6",
+          expr("((n_reached - 1) * 1000000) div total_dist"))
+        .orderBy("seed")),
 
     // Connected components over the hierarchy graph: 1 per region.
     "q_graph_cc" -> ((s, dir) =>
@@ -438,6 +456,28 @@ object GraphQueries extends QueryModule {
          FROM lv JOIN sgall sg ON sg.v = lv.v
          LEFT JOIN dall d ON d.v = lv.v
          ORDER BY lv.v"""
+    },
+    // Multi-seed walk: same ring CTE seeded from the whole sample; the
+    // UNION-dedup recursion and MIN(lvl) per (seed, v) mirror the Spark
+    // loop's (seed, v)-keyed seen set.
+    "q_graph_closeness" -> {
+      val seedsSql = closenessSeeds.mkString(", ")
+      s"""WITH RECURSIVE e AS (
+           SELECT c_custkey AS src, (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst FROM customer
+           UNION ALL
+           SELECT c_custkey, (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer
+           UNION ALL
+           SELECT c_custkey, (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer),
+         walk(seed, v, lvl) AS (
+           SELECT CAST(s AS BIGINT), CAST(s AS BIGINT), 0
+           FROM (SELECT UNNEST([$seedsSql]) AS s)
+           UNION
+           SELECT w.seed, e.dst, w.lvl+1 FROM walk w JOIN e ON e.src = w.v WHERE w.lvl < 40),
+         lv AS (SELECT seed, v, MIN(lvl) AS level FROM walk GROUP BY seed, v)
+         SELECT seed, COUNT(*) AS n_reached, CAST(SUM(level) AS BIGINT) AS total_dist,
+           CAST(((COUNT(*) - 1) * 1000000) // CAST(SUM(level) AS BIGINT) AS BIGINT)
+             AS closeness_e6
+         FROM lv GROUP BY seed ORDER BY seed"""
     },
     "q_graph_cc_bsp" ->
       s"""WITH RECURSIVE e AS ($hierEdgesSql),

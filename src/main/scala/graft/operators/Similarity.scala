@@ -34,6 +34,17 @@ object Similarity extends QueryModule {
   private def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
+  /** Output dimensionality and ±1 sign matrix for q_sim_rp. sign(j)(i) for
+    * output dim j, input component i — a fixed LCG bit, so the "random"
+    * matrix is identical everywhere it is spelled (Spark expression and
+    * generated oracle SQL both read THIS table). */
+  private val rpDims = 8
+  private[graft] val rpSigns: Array[Array[Int]] = Array.tabulate(rpDims, 64) {
+    (j, i) =>
+      val x = 1103515245L * (j * 64 + i + 1) + 12345L
+      if (((x >> 16) & 1L) == 0L) 1 else -1
+  }
+
   /** k and Lloyd-iteration count shared by q_sim_kmeans, q_sim_ivf, and
     * their oracles (which unroll the identical recurrence). 3 assignment
     * steps = 2 full Lloyd updates — a real iterated loop, not one step. */
@@ -174,6 +185,27 @@ object Similarity extends QueryModule {
         .orderBy("qid", "rn")
     }),
 
+    // Random-projection (Johnson–Lindenstrauss) dimensionality reduction
+    // 64 → 8 with a dense ±1 (Achlioptas) matrix — the preprocessing that
+    // makes downstream ANN/clustering cheaper at 100 TB (8× less vector
+    // I/O and distance arithmetic at bounded distortion). The matrix is a
+    // fixed LCG-derived sign table shared with the oracle BY CONSTRUCTION
+    // (both sides are generated from [[rpSigns]]); inputs are the exact
+    // integer-quantized components, so every projection is a 64-term
+    // integer sum — summation-order-free and engine-portable. Plan shape:
+    // one projection over one scan, no shuffle except the presentation
+    // sort; the 512-term expression stays inside whole-stage codegen.
+    "q_sim_rp" -> ((s, dir) => {
+      val projCols = (0 until rpDims).map { j =>
+        (0 until 64).map(i =>
+          element_at(col("qv"), i + 1) * lit(rpSigns(j)(i).toLong))
+          .reduce(_ + _).as(s"p$j")
+      }
+      quantized(t(s, dir, "embeddings"))
+        .select(col("vec_id") +: projCols: _*)
+        .orderBy("vec_id")
+    }),
+
     // Iterated Lloyd k-means over the embedding corpus — the clustering
     // operator a training pipeline runs beside dedup/ANN (IVF cell maps,
     // diversity sampling). Seeds = vectors 0..k−1 (deterministic
@@ -290,6 +322,20 @@ object Similarity extends QueryModule {
   }
 
   def oracles: Map[String, String] = Map(
+    // Generated from the same rpSigns table as the Spark expression: eight
+    // explicit 64-term integer sums over the quantized components.
+    "q_sim_rp" -> {
+      def terms(j: Int) = (0 until 64)
+        .map(i => s"(${rpSigns(j)(i)})*qv[${i + 1}]").mkString(" + ")
+      val cols = (0 until rpDims)
+        .map(j => s"CAST(${terms(j)} AS BIGINT) AS p$j").mkString(",\n           ")
+      s"""WITH q AS (SELECT vec_id,
+             [CAST(floor(CAST(x AS DOUBLE) * 32768.0) AS BIGINT) for x in embedding] AS qv
+           FROM embeddings WHERE embedding IS NOT NULL)
+         SELECT vec_id,
+           $cols
+         FROM q ORDER BY vec_id"""
+    },
     // Same per-vector affine quantization (floor(x+0.5) to the 255-level
     // grid) then the standard zipped-unnest cosine machinery.
     "q_sim_quantized" ->

@@ -103,6 +103,55 @@ object GraphOps {
     levels
   }
 
+  /** Multi-source BFS: levels from EVERY seed in one iterative loop, state
+    * keyed `(seed, v)`. This is the batching that makes per-source graph
+    * analytics (closeness/betweenness centrality over a seed sample) scale:
+    * one superstep advances ALL sources' frontiers with a single
+    * frontier⋈edges join — s sources cost one loop of depth max-diameter,
+    * not s sequential loops — and the (seed, v) key spreads the shuffle
+    * across sources so no single-source hotspot forms. Same two-hops-per-
+    * materialization and broadcast→shuffle seen-set gate as [[bfsLevels]].
+    * Returns `(seed, v, level)` for every vertex reachable from each seed.
+    */
+  def multiSourceBfs(spark: SparkSession, edges: DataFrame, seeds: Seq[Long],
+      maxIter: Int = 50, broadcastSeenLimit: Long = BroadcastSeenLimit): DataFrame = {
+    import spark.implicits._
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .persist()
+    var levels = seeds.map(s => (s, s, 0)).toDF("seed", "v", "level")
+    var frontier = levels
+    var seenCount = seeds.size.toLong
+    def expand(f: DataFrame, seen: DataFrame, level: Int): DataFrame = {
+      val grown = e.join(broadcast(f), f("v") === e("src"))
+        .select(col("seed"), e("dst").as("v")).distinct()
+      val pruned =
+        if (seenCount <= broadcastSeenLimit)
+          grown.join(broadcast(seen.select("seed", "v")), Seq("seed", "v"), "left_anti")
+        else grown.join(seen.select("seed", "v").hint("merge"), Seq("seed", "v"), "left_anti")
+      pruned.withColumn("level", lit(level)).localCheckpoint(true)
+    }
+    var i = 0
+    var done = false
+    while (i < maxIter && !done) {
+      val next1 = expand(frontier, levels, i + 1)
+      val n1 = next1.count()
+      if (n1 == 0) done = true
+      else {
+        seenCount += n1
+        val seen1 = levels.union(next1)
+        val next2 = expand(next1, seen1, i + 2)
+        val n2 = next2.count()
+        seenCount += n2
+        val u = seen1.union(next2)
+        levels = if (i % 4 >= 2) u.localCheckpoint(true) else u
+        if (n2 == 0) done = true else frontier = next2
+      }
+      i += 2
+    }
+    e.unpersist()
+    levels
+  }
+
   /** BFS levels via GraphX Pregel — the alternate formulation of
     * [[bfsLevels]] (identical output). Pregel's superstep barrier is the
     * exact Spark-native analog of the reference's per-level `pthread_join`

@@ -226,6 +226,23 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("multi-source BFS equals per-seed single-source BFS") {
+    import graft.plans.GraphOps
+    val edges = Tables(spark, sfDir, "customer").select(col("c_custkey"))
+      .limit(200)
+      .select(col("c_custkey").as("src"), ((col("c_custkey") * 3 + 1) % 200).as("dst"))
+    val e = edges.localCheckpoint(true)
+    val seeds = Seq(0L, 7L, 13L)
+    val multi = GraphOps.multiSourceBfs(spark, e, seeds).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    seeds.foreach { s =>
+      val single = GraphOps.bfsLevels(spark, e, s).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val slice = multi.collect { case ((`s`, v), l) => v -> l }
+      assert(slice == single, s"seed $s")
+    }
+  }
+
   test("adjacency codec round-trip") {
     val edges = AdjacencyCodec.read(spark, s"$fixtures/G9.txt")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq

@@ -122,6 +122,33 @@ class PipelineSpec extends SparkSpec {
     assert(viaSql.sameElements(viaGen))
   }
 
+  test("random projection: matches in-memory sign-matrix multiply and bounds distortion") {
+    val emb = Tables(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val qv = emb.map { case (id, e) =>
+      id -> e.map(x => math.floor(x.toDouble * 32768.0).toLong)
+    }.toMap
+    val signs = Similarity.rpSigns
+    val got = Similarity.queries("q_sim_rp")(spark, sfDir).collect()
+    assert(got.length == qv.size)
+    got.foreach { r =>
+      val q = qv(r.getLong(0))
+      (0 until 8).foreach { j =>
+        val exp = (0 until 64).map(i => signs(j)(i) * q(i)).sum
+        assert(r.getLong(j + 1) == exp, s"vec ${r.getLong(0)} p$j")
+      }
+    }
+    // JL sanity: mean of E[p_j^2]/||q||^2 across dims concentrates near 1
+    val ratios = got.map { r =>
+      val q = qv(r.getLong(0))
+      val n2 = q.map(x => x.toDouble * x).sum
+      (0 until 8).map(j => r.getLong(j + 1).toDouble).map(p => p * p).sum / (8 * n2)
+    }
+    val mean = ratios.sum / ratios.length
+    assert(mean > 0.5 && mean < 2.0, s"JL energy ratio off: $mean")
+  }
+
   test("int8-quantized cosine stays close to exact (top-1 preserved mostly)") {
     val exact = graft.operators.Similarity.queries("q_sim_topk")(spark, sfDir).collect()
       .filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
