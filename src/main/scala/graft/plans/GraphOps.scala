@@ -276,6 +276,64 @@ object GraphOps {
     dist
   }
 
+  /** BFS that carries Brandes path counts: one loop computes both the
+    * level sets AND σ(v) = number of shortest start→v paths, because every
+    * shortest-path predecessor of a level-l vertex is exactly a level-(l−1)
+    * vertex — i.e. the whole frontier. So the frontier⋈edges join that BFS
+    * already pays yields σ for free as `sum(predecessor σ)` grouped by
+    * destination, and the separate forward sweep Brandes would otherwise
+    * run (maxL more per-level joins + barriers) disappears. Same two-hop
+    * batching and broadcast→shuffle seen-set gate as [[bfsLevels]].
+    * Requires DISTINCT edges (parallel edges would double-count paths).
+    * Returns `(v, level, sigma)` for every reachable vertex.
+    */
+  private[graft] def bfsSigma(spark: SparkSession, edges: DataFrame, start: Long,
+      maxIter: Int = 50, broadcastSeenLimit: Long = BroadcastSeenLimit): DataFrame = {
+    import spark.implicits._
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .persist()
+    var levels = Seq((start, 0, 1L)).toDF("v", "level", "sigma")
+    var frontier = levels
+    var seenCount = 1L
+    // Each frontier is eagerly localCheckpoint'ed, exactly like
+    // [[bfsLevels]]. persist() alone is NOT enough here: a cached plan keeps
+    // its full logical lineage, and because each frontier's anti-join embeds
+    // the whole accumulated `levels` union, the un-truncated plan tree grows
+    // geometrically with depth until AQE's plan stringification alone OOMs
+    // (observed at sf0.1). The checkpoint cuts the plan at every superstep,
+    // so `levels` stays a flat union of checkpointed frontiers.
+    def expand(f: DataFrame, seen: DataFrame, level: Int): DataFrame = {
+      val grown = e.join(broadcast(f), f("v") === e("src"))
+        .groupBy(e("dst").as("v")).agg(sum(f("sigma")).as("sigma"))
+      val pruned =
+        if (seenCount <= broadcastSeenLimit)
+          grown.join(broadcast(seen.select("v")), Seq("v"), "left_anti")
+        else grown.join(seen.select("v").hint("merge"), Seq("v"), "left_anti")
+      pruned.select(col("v"), lit(level).as("level"), col("sigma"))
+        .localCheckpoint(true)
+    }
+    var i = 0
+    var done = false
+    while (i < maxIter && !done) {
+      val next1 = expand(frontier, levels, i + 1)
+      val n1 = next1.count()
+      if (n1 == 0) done = true
+      else {
+        seenCount += n1
+        val seen1 = levels.union(next1)
+        val next2 = expand(next1, seen1, i + 2)
+        val n2 = next2.count()
+        seenCount += n2
+        val u = seen1.union(next2)
+        levels = if (i % 4 >= 2) u.localCheckpoint(true) else u
+        if (n2 == 0) done = true else frontier = next2
+      }
+      i += 2
+    }
+    e.unpersist()
+    levels
+  }
+
   /** Single-source Brandes dependency (the per-source slice of betweenness
     * centrality) over unweighted DISTINCT edges: σ(v) = number of shortest
     * s→v paths, accumulated level by level down the BFS DAG; δ(v) =
@@ -296,36 +354,13 @@ object GraphOps {
   def brandesDependency(spark: SparkSession, edges: DataFrame, start: Long,
       maxIter: Int = 50): DataFrame = {
     import spark.implicits._
-    val levels = bfsLevels(spark, edges, start, maxIter).localCheckpoint(true)
     val ed = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct().localCheckpoint(true)
-    val maxL = levels.agg(max("level")).collect()(0).getInt(0)
-    // forward sweep: path counts per level. Edges are annotated with their
-    // destination's BFS level ONCE (the per-level loop then only filters
-    // and joins the previous level's σ — one join per superstep).
-    val fwdEdges = ed
-      .join(levels.select(col("v").as("fv"), col("level").as("dlevel")),
-        col("dst") === col("fv"))
-      .select(col("src"), col("dst"), col("dlevel"))
-      .localCheckpoint(true)
-    var sigs = List(Seq((start, 0, 1L)).toDF("v", "level", "sigma"))
-    for (l <- 1 to maxL) {
-      val prev = sigs.head.select(col("v").as("pv"), col("sigma").as("psigma"))
-      // prev holds EXACTLY level l−1's σ rows, so joining it already
-      // restricts src to the DAG predecessors — no extra level filter.
-      val cur0 = fwdEdges.filter(col("dlevel") === l)
-        .join(prev, col("src") === col("pv"))
-        .groupBy(col("dst").as("v"))
-        .agg(sum(col("psigma")).as("sigma"))
-        .select(col("v"), lit(l).as("level"), col("sigma"))
-      // Checkpoint every 3rd level, not every one (the pagerank treatment):
-      // per-level barriers cost ~0.3 s of fixed job overhead each at local
-      // scale, while a ≤3-level lazy chain re-runs at most two tiny joins
-      // when the final union (or the next level) evaluates it.
-      val cur = if (l % 3 == 0 || l == maxL) cur0.localCheckpoint(true) else cur0
-      sigs ::= cur
-    }
-    val sigAll = sigs.reduce(_ union _).localCheckpoint(true)
+    // Levels AND path counts from ONE BFS loop ([[bfsSigma]]): σ falls out
+    // of the frontier⋈edges join BFS already pays, so the classic separate
+    // forward sweep (maxL more per-level joins and their barriers) is gone.
+    val sigAll = bfsSigma(spark, ed, start, maxIter).localCheckpoint(true)
+    val maxL = sigAll.agg(max("level")).collect()(0).getInt(0)
     // backward sweep: dependency accumulation up the DAG. The σ context is
     // joined ONCE up front — DAG edges (wlevel == srclevel + 1) annotated
     // with both endpoint σs and the source level — so each level of the
@@ -359,8 +394,7 @@ object GraphOps {
       case Nil => delPrev
       case ds  => ds.reduce(_ union _)
     }
-    levels.join(sigAll.select(col("v").as("gv"), col("sigma")), col("v") === col("gv"))
-      .join(delAll, col("v") === col("dv"), "left")
+    sigAll.join(delAll, col("v") === col("dv"), "left")
       .select(col("v"), col("level"), col("sigma"),
         round(coalesce(col("delta"), lit(0.0)), 6).as("dep"))
   }
