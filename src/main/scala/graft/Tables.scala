@@ -18,14 +18,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** events schema as read with nanosAsLong (ts: raw nanosecond long) —
-    * needed by the streaming file source, which requires an explicit schema. */
-  val rawEventsSchema: org.apache.spark.sql.types.StructType = {
-    import org.apache.spark.sql.types._
-    StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+  /** events.ts has shipped in two parquet encodings across fixture
+    * generations: INT64 TIMESTAMP(NANOS) (Spark rejects it natively —
+    * [PARQUET_TYPE_ILLEGAL] — so it is read as a raw nanosecond long under
+    * `nanosAsLong` and floor-divided to microseconds; integer div, a double
+    * division would lose precision at 1.7e18) and plain TIMESTAMP(MICROS)
+    * (read as TIMESTAMP_NTZ, cast to an instant — value-preserving because
+    * every session here pins UTC). Normalize either to native
+    * TimestampType so downstream queries and oracles see one encoding.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
@@ -49,14 +58,9 @@ object Tables {
   def raw(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(all.contains(name), s"unknown table: $name")
     if (name == "events") {
-      // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark's reader
-      // rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and floor-divide
-      // to microseconds (integer div — a double division would lose precision
-      // at 1.7e18) to rebuild a native TimestampType column.
+      // nanosAsLong is inert for non-NANOS encodings; see normalizeEventTs.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      normalizeEventTs(spark.read.parquet(s"$sfDir/$name.parquet"))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

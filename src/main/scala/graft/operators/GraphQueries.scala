@@ -114,6 +114,18 @@ object GraphQueries extends QueryModule {
         .select(col("v"), round(col("pr"), 6).as("pr"))
         .orderBy("v")),
 
+    // Personalized PageRank from seed 0, 10 iterations: the random walk
+    // restarts at the seed, so rank mass measures proximity to it (the
+    // recommendation / local-clustering primitive). Same plan shape as
+    // q_graph_pagerank — only the teleport vector differs; ranks below the
+    // e6 rounding floor are cut so the output is the seed's neighborhood,
+    // not |V| rows of zeros (at scale the filter prunes before the sort).
+    "q_graph_ppr" -> ((s, dir) =>
+      GraphOps.personalizedPageRank(s, ringEdges(s, dir), 0L, 10)
+        .select(col("v"), round(col("pr"), 6).as("pr"))
+        .filter(col("pr") >= 0.000001)
+        .orderBy("v")),
+
     // Triangle counting on the undirected ring graph: canonicalize edges to
     // a<b, enumerate wedges a<b<c, close them with a semi-join. Each
     // triangle is counted exactly once; at scale this is the standard
@@ -339,6 +351,31 @@ object GraphQueries extends QueryModule {
           pr0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS pr FROM verts),
           $steps
           SELECT v, ROUND(pr, 6) AS pr FROM pr10 ORDER BY v"""
+    },
+    "q_graph_ppr" -> {
+      // Same unrolled recurrence as q_graph_pagerank with the teleport
+      // vector concentrated at seed 0: pr0 = 1[v=0], step adds 0.15·1[v=0].
+      val ringE =
+        """SELECT c_custkey AS src, (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst FROM customer
+           UNION ALL SELECT c_custkey, (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer
+           UNION ALL SELECT c_custkey, (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer"""
+      val steps = (1 to 10).map { i =>
+        s"""pr$i AS (
+             SELECT t.v, CASE WHEN t.v = 0 THEN CAST(0.15 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+               + CAST(0.85 AS DOUBLE)
+               * COALESCE(SUM(p.pr / dg.d), CAST(0 AS DOUBLE)) AS pr
+             FROM verts t
+             LEFT JOIN e ON e.dst = t.v
+             LEFT JOIN pr${i - 1} p ON p.v = e.src
+             LEFT JOIN deg dg ON dg.v = e.src
+             GROUP BY t.v)"""
+      }.mkString(",\n")
+      s"""WITH e AS ($ringE),
+          verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+          deg AS (SELECT src AS v, COUNT(*) AS d FROM e GROUP BY src),
+          pr0 AS (SELECT v, CASE WHEN v = 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS pr FROM verts),
+          $steps
+          SELECT v, ROUND(pr, 6) AS pr FROM pr10 WHERE ROUND(pr, 6) >= 0.000001 ORDER BY v"""
     },
     "q_graph_triangles" ->
       """WITH e AS (

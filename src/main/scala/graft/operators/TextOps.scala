@@ -25,6 +25,22 @@ object TextOps extends QueryModule {
   /** documents.text is single-space separated (verified in TESTDATA recon). */
   private val toks: Column = split(col("text"), " ")
 
+  private val docOrder = Window.partitionBy("doc_id").orderBy("pos")
+
+  /** `(doc_id, pos, tok, w2, chg)` — ONE posexplode + ONE (doc_id, pos)
+    * window provides every sequence-aware signal: `w2` is the next token
+    * (bigram partner), `chg` flags a run boundary (current ≠ previous).
+    * Documents under 2 tokens carry no bigram and are excluded — the
+    * oracles filter identically (`len >= 2`).
+    */
+  private def tokenSequence(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(size(toks) >= 2)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos"), col("tok"),
+        lead("tok", 1).over(docOrder).as("w2"),
+        when(lag("tok", 1).over(docOrder) === col("tok"), lit(0L))
+          .otherwise(lit(1L)).as("chg"))
+
   /** Distinct winnowing fingerprints per document (the MOSS scheme): k=8
     * char-gram hashes (portable md5 family, same as q_dedup_simhash),
     * window-min over w=16 consecutive grams, deduplicated — `(doc_id, wh)`.
@@ -132,6 +148,53 @@ object TextOps extends QueryModule {
         size(filter(toks, hit)).as("n_redacted"),
         array_join(transform(toks,
           tk => when(hit(tk), lit("[X]")).otherwise(tk)), " ").as("scrubbed"))
+        .orderBy("doc_id")
+    }),
+
+    // Repetition-quality signals (the Gopher-rule family): per document,
+    // the most-frequent-bigram share (permille, exact integer division) and
+    // the longest run of identical consecutive tokens. Both are standard
+    // repeated-content filters for LLM corpora. ONE posexplode feeds ONE
+    // (doc_id, pos) window whose lag/lead serve both signals, then two
+    // aggregations over the checkpointed sequence — at 100 TB this is one
+    // pass over text, one sort-shuffle on doc_id, and doc_id-local aggs.
+    "q_text_repetition" -> ((s, dir) => {
+      // checkpointed once: the run aggregation and the bigram aggregation
+      // both consume the windowed sequence.
+      val seq = tokenSequence(s, dir).localCheckpoint(true)
+      val runs = seq
+        .withColumn("rid", sum("chg").over(docOrder))
+        .groupBy("doc_id", "rid").agg(count(lit(1)).as("rl"))
+        .groupBy("doc_id").agg(max("rl").as("max_run"))
+      val bigrams = seq.filter(col("w2").isNotNull)
+        .groupBy("doc_id", "tok", "w2").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(expr("max(c) * 1000 div sum(c)").as("top_bigram_permille"))
+      runs.join(bigrams, Seq("doc_id"))
+        .select(col("doc_id"), col("top_bigram_permille"), col("max_run"),
+          (col("top_bigram_permille") >= 60 || col("max_run") >= 3)
+            .as("is_repetitive"))
+        .orderBy("doc_id")
+    }),
+
+    // Corpus-commonness scoring — the KenLM-perplexity-filter shape without
+    // the float log: pass 1 builds the bigram language model (count per
+    // distinct bigram over the whole corpus), pass 2 scores every document
+    // by the mean and minimum corpus frequency of its bigrams (exact e2
+    // fixed point). Low mean/min ⇒ text unlike the corpus (the quality
+    // signal a perplexity filter thresholds). The doc-bigram frame is
+    // checkpointed once and serves both the model build and the scoring
+    // join; at 100 TB both sides shuffle on the bigram key.
+    "q_text_commonness" -> ((s, dir) => {
+      val b2 = tokenSequence(s, dir).filter(col("w2").isNotNull)
+        .select(col("doc_id"), col("tok").as("w1"), col("w2"))
+        .localCheckpoint(true)
+      val lm = b2.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      b2.join(lm, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum(c) * 100 div count(*)").as("mean_count_e2"),
+          min("c").as("min_count"))
         .orderBy("doc_id")
     }),
 
@@ -420,6 +483,46 @@ object TextOps extends QueryModule {
            tk -> CASE WHEN tk IN $denySql THEN '[X]' ELSE tk END), ' ')
            AS scrubbed
          FROM documents ORDER BY doc_id""",
+    "q_text_repetition" ->
+      s"""WITH tk AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+           FROM documents WHERE len(string_split(text, ' ')) >= 2),
+         seq AS (
+           SELECT doc_id, pos, tok,
+             LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+             CASE WHEN LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) = tok
+                  THEN 0 ELSE 1 END AS chg
+           FROM tk),
+         rid AS (SELECT doc_id, pos,
+                   SUM(chg) OVER (PARTITION BY doc_id ORDER BY pos) AS rid
+                 FROM seq),
+         rl AS (SELECT doc_id, rid, COUNT(*) AS rl FROM rid GROUP BY doc_id, rid),
+         mr AS (SELECT doc_id, CAST(MAX(rl) AS BIGINT) AS max_run FROM rl GROUP BY doc_id),
+         bgc AS (SELECT doc_id, tok, w2, COUNT(*) AS c FROM seq
+                 WHERE w2 IS NOT NULL GROUP BY doc_id, tok, w2),
+         bga AS (SELECT doc_id,
+                   CAST(MAX(c) * 1000 // SUM(c) AS BIGINT) AS top_bigram_permille
+                 FROM bgc GROUP BY doc_id)
+         SELECT mr.doc_id, top_bigram_permille, max_run,
+           (top_bigram_permille >= 60 OR max_run >= 3) AS is_repetitive
+         FROM mr JOIN bga ON mr.doc_id = bga.doc_id
+         ORDER BY mr.doc_id""",
+    "q_text_commonness" ->
+      s"""WITH tk AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+           FROM documents WHERE len(string_split(text, ' ')) >= 2),
+         bg AS (SELECT doc_id, tok AS w1,
+                  LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+                FROM tk),
+         b2 AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+         lm AS (SELECT w1, w2, COUNT(*) AS c FROM b2 GROUP BY w1, w2)
+         SELECT b2.doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(c) * 100 // COUNT(*) AS BIGINT) AS mean_count_e2,
+           CAST(MIN(c) AS BIGINT) AS min_count
+         FROM b2 JOIN lm USING (w1, w2)
+         GROUP BY b2.doc_id ORDER BY b2.doc_id""",
     "q_text_tokens_bpe" ->
       """WITH p AS (SELECT doc_id,
              regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]') AS pieces

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph computation on DataFrames.
@@ -204,7 +204,28 @@ object GraphOps {
     * dangling-mass redistribution. One shuffle per iteration (contribution
     * aggregation on dst); ranks/degrees are broadcastable at moderate |V|.
     */
-  def pageRank(spark: SparkSession, edges: DataFrame, iterations: Int = 10): DataFrame = {
+  def pageRank(spark: SparkSession, edges: DataFrame, iterations: Int = 10): DataFrame =
+    rankLoop(spark, edges, iterations, init = lit(1.0), teleport = lit(0.15))
+
+  /** Personalized PageRank from a single seed: the random walk restarts at
+    * `seed` instead of teleporting uniformly — `pr_0(v) = 1[v=seed]`,
+    * `pr_{t+1}(v) = 0.15·1[v=seed] + 0.85 · Σ pr_t(u)/outdeg(u)`. The
+    * standard single-seed proximity measure (recommendation / local-cluster
+    * seedsets); identical plan shape and cost to [[pageRank]].
+    */
+  def personalizedPageRank(spark: SparkSession, edges: DataFrame, seed: Long,
+      iterations: Int = 10): DataFrame = {
+    val isSeed = (v: Column) => when(v === seed, lit(1.0)).otherwise(lit(0.0))
+    rankLoop(spark, edges, iterations,
+      init = isSeed(col("v")), teleport = lit(0.15) * isSeed(col("v")))
+  }
+
+  /** Shared power-iteration loop: `init`/`teleport` are expressions over the
+    * vertex column `v`, so uniform PageRank and seed-personalized PageRank
+    * are the same plan with different teleport vectors.
+    */
+  private def rankLoop(spark: SparkSession, edges: DataFrame, iterations: Int,
+      init: Column, teleport: Column): DataFrame = {
     val e = edges.select(col("src").cast("long").as("esrc"),
       col("dst").cast("long").as("edst")).persist()
     // ONE materialization serves both verts and deg: at 10 iterations the
@@ -218,8 +239,7 @@ object GraphOps {
         col("v") === col("dv"), "left")
       .select(col("v"), col("outdeg"))
       .localCheckpoint(true)
-    val verts = vdeg.select("v")
-    var ranks = vdeg.select(col("v"), lit(1.0).as("pr"), col("outdeg"))
+    var ranks = vdeg.select(col("v"), init.as("pr"), col("outdeg"))
     for (i <- 0 until iterations) {
       val contribs = ranks.filter(col("outdeg").isNotNull)
         .join(e, col("v") === col("esrc"))
@@ -227,7 +247,7 @@ object GraphOps {
         .agg(sum(col("pr") / col("outdeg")).as("contrib"))
       val next = vdeg.join(contribs, vdeg("v") === col("cv"), "left")
         .select(vdeg("v"),
-          (lit(0.15) + lit(0.85) * coalesce(col("contrib"), lit(0.0))).as("pr"),
+          (teleport + lit(0.85) * coalesce(col("contrib"), lit(0.0))).as("pr"),
           col("outdeg"))
       // Checkpoint every 3rd superstep, not every one: each eager
       // localCheckpoint is a full materialization barrier whose fixed cost

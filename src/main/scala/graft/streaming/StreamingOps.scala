@@ -33,12 +33,16 @@ object StreamingOps extends QueryModule {
     require(src.getFileSystem(s.sparkContext.hadoopConfiguration).exists(src),
       s"streaming source missing: $src")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables.rawEventsSchema
+    // The streaming file source needs an explicit schema; sniff the footer
+    // with a batch read so either fixture encoding of ts (nanos-as-long or
+    // TIMESTAMP(MICROS) → NTZ) is declared as-is, then normalize exactly
+    // like the batch path (Tables.normalizeEventTs).
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
     // events.parquet is a single file; for a non-glob path the streaming
     // file source forces basePath = that file and then rejects it ("must be
     // a directory"), so feed it a glob that resolves to the same file.
-    s.readStream.schema(schema).parquet(s"$dir/*events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Tables.normalizeEventTs(
+      s.readStream.schema(schema).parquet(s"$dir/*events.parquet"))
   }
 
   /** Run a streaming aggregation to completion on a memory sink, return

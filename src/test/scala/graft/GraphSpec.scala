@@ -101,6 +101,29 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("personalized PageRank matches GraphX staticPersonalizedPageRank") {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val edges = AdjacencyCodec.read(spark, s"$fixtures/G6.txt")
+    val raw = GraphOps.personalizedPageRank(spark, edges, 17L, 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // GraphX normalizes personalized ranks to sum 1 (normalizeRankSum);
+    // our recurrence (and its DuckDB oracle) keeps raw teleport mass —
+    // compare the normalized distributions.
+    val total = raw.values.sum
+    val ours = raw.map { case (v, pr) => v -> pr / total }
+    val edgeRdd = edges.collect().map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val gx = Graph.fromEdges(spark.sparkContext.parallelize(edgeRdd.toSeq), ())
+      .staticPersonalizedPageRank(17L, 20).vertices.collect().toMap
+    for ((v, pr) <- gx) {
+      assert(math.abs(ours(v) - pr) < 1e-3, s"vertex $v: ours=${ours(v)} graphx=$pr")
+    }
+    // the teleport term alone guarantees the seed at least its restart mass
+    // (a high-in-degree neighbor may legitimately out-rank the seed, so
+    // max-at-seed is NOT an invariant)
+    assert(raw(17L) >= 0.15)
+    assert(raw.values.forall(_ >= 0.0))
+  }
+
   test("connected components on two disjoint triangles") {
     import spark.implicits._
     val tri = Seq((0L, 1L), (1L, 2L), (2L, 0L), (10L, 11L), (11L, 12L), (12L, 10L))

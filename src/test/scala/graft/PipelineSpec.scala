@@ -85,6 +85,38 @@ class PipelineSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("repetition signals match in-memory computation") {
+    val expected = docs.collect { case (id, text) if text.split(" ").length >= 2 =>
+      val tk = text.split(" ")
+      val bg = tk.sliding(2).map(a => (a(0), a(1))).toSeq
+      val permille = bg.groupBy(identity).map(_._2.size).max.toLong * 1000 / bg.size
+      var maxRun = 1L; var run = 1L
+      for (i <- 1 until tk.length) {
+        run = if (tk(i) == tk(i - 1)) run + 1 else 1L
+        maxRun = math.max(maxRun, run)
+      }
+      id -> ((permille, maxRun, permille >= 60 || maxRun >= 3))
+    }
+    val got = TextOps.queries("q_text_repetition")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got == expected)
+  }
+
+  test("commonness: corpus bigram LM scoring matches in-memory computation") {
+    val allBg = docs.toSeq.flatMap { case (id, text) =>
+      val tk = text.split(" ")
+      if (tk.length < 2) Nil else tk.sliding(2).map(a => (id, (a(0), a(1)))).toSeq
+    }
+    val lm = allBg.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val expected = allBg.groupBy(_._1).map { case (id, bgs) =>
+      val cs = bgs.map(b => lm(b._2))
+      id -> ((cs.size.toLong, cs.sum * 100 / cs.size, cs.min))
+    }
+    val got = TextOps.queries("q_text_commonness")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+  }
+
   test("multimodal decode stub is deterministic and schema-stable") {
     val df = Multimodal.queries("q_mm_decode")(spark, sfDir)
     assert(df.columns.toSeq == Seq("doc_id", "width", "height", "f0"))
