@@ -126,6 +126,21 @@ object GraphQueries extends QueryModule {
         .filter(col("pr") >= 0.000001)
         .orderBy("v")),
 
+    // HITS hubs & authorities, 5 max-normalized iterations over the
+    // directed ring graph ([[GraphOps.hits]] — max, not L2, normalization:
+    // order-independent, so the oracle reproduces it bit-for-bit where a
+    // distributed L2 sum would drift in the last ulp).
+    "q_graph_hits" -> ((s, dir) =>
+      GraphOps.hits(s, ringEdges(s, dir), 5)
+        .select(col("v"), round(col("auth"), 6).as("auth"),
+          round(col("hub"), 6).as("hub"))
+        .orderBy("v")),
+
+    // Per-edge Jaccard vertex similarity over the undirected ring graph —
+    // see [[GraphOps.jaccardEdges]] (wedge self-join, exact e6 fixed point).
+    "q_graph_jaccard" -> ((s, dir) =>
+      GraphOps.jaccardEdges(s, ringEdges(s, dir)).orderBy("a", "b")),
+
     // Triangle counting on the undirected ring graph: canonicalize edges to
     // a<b, enumerate wedges a<b<c, close them with a semi-join. Each
     // triangle is counted exactly once; at scale this is the standard
@@ -174,6 +189,16 @@ object GraphQueries extends QueryModule {
     // is 8–12 here; empty levels are no-ops on both sides).
     "q_graph_betweenness" -> ((s, dir) =>
       GraphOps.brandesDependency(s, ringEdges(s, dir), 0L).orderBy("v")),
+
+    // Sampled betweenness centrality (Brandes–Pich): Brandes' σ sweep and
+    // dependency sweep run for the whole 5-seed sample in ONE batched
+    // loop each, state keyed (seed, v) ([[GraphOps.multiSourceBrandes]]).
+    // The per-vertex score sums δ_s(v) over the sample — s seeds cost one
+    // forward + one backward pass, the batching that makes betweenness
+    // sampling feasible on a big graph.
+    "q_graph_betweenness_multi" -> ((s, dir) =>
+      GraphOps.multiSourceBrandes(s, ringEdges(s, dir), closenessSeeds)
+        .orderBy("v")),
 
     // Closeness centrality for a 5-seed sample via ONE multi-source BFS
     // loop ([[GraphOps.multiSourceBfs]]): all seeds' frontiers advance in
@@ -377,6 +402,59 @@ object GraphQueries extends QueryModule {
           $steps
           SELECT v, ROUND(pr, 6) AS pr FROM pr10 WHERE ROUND(pr, 6) >= 0.000001 ORDER BY v"""
     },
+    "q_graph_hits" -> {
+      // 5 unrolled HITS iterations: auth raw-sum from the previous hubs,
+      // max-normalize, hub raw-sum from the NEW auths, max-normalize —
+      // the exact order the Spark loop runs.
+      val ringE =
+        """SELECT c_custkey AS src, (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst FROM customer
+           UNION ALL SELECT c_custkey, (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer
+           UNION ALL SELECT c_custkey, (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer"""
+      // every block MATERIALIZED: ar/hr are each referenced twice (the
+      // normalize divide + the MAX scalar), so inlining doubles the
+      // evaluated plan per half-step — 2^10 re-evaluations by iteration 5
+      val steps = (1 to 5).map { i =>
+        s"""ar$i AS MATERIALIZED (
+             SELECT t.v, COALESCE(SUM(h.hub), CAST(0 AS DOUBLE)) AS raw
+             FROM verts t LEFT JOIN e ON e.dst = t.v LEFT JOIN s${i - 1}h h ON h.v = e.src
+             GROUP BY t.v),
+           a$i AS MATERIALIZED (SELECT v, raw / (SELECT MAX(raw) FROM ar$i) AS auth FROM ar$i),
+           hr$i AS MATERIALIZED (
+             SELECT t.v, COALESCE(SUM(a.auth), CAST(0 AS DOUBLE)) AS raw
+             FROM verts t LEFT JOIN e ON e.src = t.v LEFT JOIN a$i a ON a.v = e.dst
+             GROUP BY t.v),
+           s${i}h AS MATERIALIZED (SELECT v, raw / (SELECT MAX(raw) FROM hr$i) AS hub FROM hr$i)"""
+      }.mkString(",\n")
+      // MATERIALIZED like the betweenness oracle: 20 unrolled blocks each
+      // referencing e/verts would otherwise inline down to the parquet
+      // scan and exhaust file handles.
+      s"""WITH e AS MATERIALIZED ($ringE),
+          verts AS MATERIALIZED (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+          s0h AS (SELECT v, CAST(1.0 AS DOUBLE) AS hub FROM verts),
+          $steps
+          SELECT a5.v, ROUND(a5.auth, 6) AS auth, ROUND(s5h.hub, 6) AS hub
+          FROM a5 JOIN s5h ON a5.v = s5h.v ORDER BY a5.v"""
+    },
+    "q_graph_jaccard" ->
+      """WITH e AS (
+           SELECT c_custkey AS src, (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst FROM customer
+           UNION ALL SELECT c_custkey, (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer
+           UNION ALL SELECT c_custkey, (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer),
+         und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                 FROM e WHERE src <> dst),
+         nbr AS (SELECT a AS v, b AS w FROM und UNION SELECT b AS v, a AS w FROM und),
+         deg AS (SELECT v, COUNT(*) AS d FROM nbr GROUP BY v),
+         inter AS (SELECT u.a, u.b, COUNT(*) AS c
+                   FROM und u JOIN nbr x ON x.v = u.a JOIN nbr y ON y.v = u.b AND y.w = x.w
+                   GROUP BY u.a, u.b)
+         SELECT u.a, u.b,
+           CAST(COALESCE(i.c, 0) * 1000000 // (da.d + db.d - COALESCE(i.c, 0)) AS BIGINT)
+             AS jaccard_e6
+         FROM und u
+         LEFT JOIN inter i ON i.a = u.a AND i.b = u.b
+         JOIN deg da ON da.v = u.a
+         JOIN deg db ON db.v = u.b
+         ORDER BY u.a, u.b""",
     "q_graph_triangles" ->
       """WITH e AS (
            SELECT c_custkey AS src, (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst FROM customer
@@ -493,6 +571,60 @@ object GraphQueries extends QueryModule {
          FROM lv JOIN sgall sg ON sg.v = lv.v
          LEFT JOIN dall d ON d.v = lv.v
          ORDER BY lv.v"""
+    },
+    // The single-source betweenness oracle with a seed dimension threaded
+    // through every block: lv/sg/dl all key (seed, v), the final agg sums
+    // δ over seeds excluding each seed's own row. Same 16-level unroll cap
+    // (diameter 8–12; levels past the real depth are empty no-ops).
+    "q_graph_betweenness_multi" -> {
+      val cap = 16
+      val seedsSql = closenessSeeds.mkString(", ")
+      val sgs = (1 to cap).map { l =>
+        s"""sg$l AS (SELECT lv.seed, lv.v, CAST(SUM(p.sigma) AS BIGINT) AS sigma
+             FROM lv JOIN ed ON ed.dst = lv.v
+                  JOIN sg${l - 1} p ON p.seed = lv.seed AND p.v = ed.src
+             WHERE lv.level = $l GROUP BY lv.seed, lv.v)"""
+      }.mkString(",\n")
+      val dls = ((cap - 1) to 0 by -1).map { l =>
+        s"""dl$l AS (SELECT lv.seed, lv.v,
+             SUM(CAST(sx.sigma AS DOUBLE) / CAST(sw.sigma AS DOUBLE)
+                 * (1 + COALESCE(d.delta, 0))) AS delta
+             FROM lv JOIN ed ON ed.src = lv.v
+                  JOIN lv wl ON wl.seed = lv.seed AND wl.v = ed.dst AND wl.level = ${l + 1}
+                  JOIN sgall sx ON sx.seed = lv.seed AND sx.v = lv.v
+                  JOIN sgall sw ON sw.seed = lv.seed AND sw.v = ed.dst
+                  LEFT JOIN dl${l + 1} d ON d.seed = lv.seed AND d.v = ed.dst
+             WHERE lv.level = $l GROUP BY lv.seed, lv.v)"""
+      }.mkString(",\n")
+      val sgallUnion = (0 to cap).map(l => s"SELECT * FROM sg$l").mkString(" UNION ALL ")
+      val dallUnion = (0 until cap).map(l => s"SELECT * FROM dl$l").mkString(" UNION ALL ")
+      s"""WITH RECURSIVE e AS (
+           SELECT c_custkey AS src, (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst FROM customer
+           UNION ALL
+           SELECT c_custkey, (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer
+           UNION ALL
+           SELECT c_custkey, (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer),
+         walk(seed, v, lvl) AS (
+           SELECT CAST(s AS BIGINT), CAST(s AS BIGINT), 0
+           FROM (SELECT UNNEST([$seedsSql]) AS s)
+           UNION
+           SELECT w.seed, e.dst, w.lvl+1 FROM walk w JOIN e ON e.src = w.v WHERE w.lvl < 40),
+         lv AS MATERIALIZED (SELECT seed, v, MIN(lvl) AS level FROM walk GROUP BY seed, v),
+         ed AS MATERIALIZED (SELECT DISTINCT src, dst FROM e),
+         sg0 AS (SELECT CAST(s AS BIGINT) AS seed, CAST(s AS BIGINT) AS v,
+                   CAST(1 AS BIGINT) AS sigma
+                 FROM (SELECT UNNEST([$seedsSql]) AS s)),
+         $sgs,
+         sgall AS MATERIALIZED ($sgallUnion),
+         dl$cap AS (SELECT CAST(NULL AS BIGINT) AS seed, CAST(NULL AS BIGINT) AS v,
+                      CAST(NULL AS DOUBLE) AS delta WHERE FALSE),
+         $dls,
+         dall AS ($dallUnion),
+         verts AS (SELECT DISTINCT v FROM lv),
+         agg AS (SELECT v, SUM(delta) AS bc FROM dall WHERE v <> seed GROUP BY v)
+         SELECT verts.v, ROUND(COALESCE(agg.bc, 0), 6) AS bc
+         FROM verts LEFT JOIN agg ON agg.v = verts.v
+         ORDER BY verts.v"""
     },
     // Multi-seed walk: same ring CTE seeded from the whole sample; the
     // UNION-dedup recursion and MIN(lvl) per (seed, v) mirror the Spark

@@ -198,6 +198,32 @@ object TextOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Frequent-pair co-occurrence mining — the 2-itemset slice of
+    // market-basket/Apriori: pass 1 keeps tokens whose document frequency
+    // clears 10% of the corpus (the support prune that keeps the pair join
+    // from exploding — pairs of rare tokens can never be frequent), pass 2
+    // self-joins each document's distinct frequent tokens (a < b) and
+    // counts co-occurring documents. The pair join shuffles on doc_id and
+    // is quadratic only in FREQUENT tokens per doc; the frequent-token
+    // list broadcasts. Top-20 by (count, a, b) — a total order, so the
+    // limit is deterministic; plans as TakeOrderedAndProject.
+    "q_text_cooccur" -> ((s, dir) => {
+      val dt = t(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
+      val thr = t(s, dir, "documents")
+        .agg((count(lit(1)) / 10).cast("long").as("thr"))
+      val freq = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(thr)).filter(col("df") >= col("thr"))
+        .select("tok")
+      val ft = dt.join(broadcast(freq), "tok").select("doc_id", "tok")
+      ft.as("x").join(ft.as("y"),
+          col("x.doc_id") === col("y.doc_id") && col("x.tok") < col("y.tok"))
+        .groupBy(col("x.tok").as("a"), col("y.tok").as("b"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("a"), col("b"))
+        .limit(20)
+    }),
+
     // BPE-ish regex tokenization: lowercase, then split into word pieces /
     // digit runs / single punctuation marks — the pre-tokenization pass a
     // byte-pair tokenizer runs before merges. Counts per class per doc;
@@ -523,6 +549,18 @@ object TextOps extends QueryModule {
            CAST(MIN(c) AS BIGINT) AS min_count
          FROM b2 JOIN lm USING (w1, w2)
          GROUP BY b2.doc_id ORDER BY b2.doc_id""",
+    "q_text_cooccur" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+         thr AS (SELECT COUNT(*) // 10 AS t FROM documents),
+         freq AS (SELECT tok FROM dt GROUP BY tok
+                  HAVING COUNT(*) >= (SELECT t FROM thr)),
+         ft AS (SELECT doc_id, tok FROM dt WHERE tok IN (SELECT tok FROM freq)),
+         p AS (SELECT x.tok AS a, y.tok AS b, COUNT(*) AS n_docs
+               FROM ft x JOIN ft y ON x.doc_id = y.doc_id AND x.tok < y.tok
+               GROUP BY x.tok, y.tok)
+         SELECT a, b, n_docs FROM p
+         ORDER BY n_docs DESC, a, b LIMIT 20""",
     "q_text_tokens_bpe" ->
       """WITH p AS (SELECT doc_id,
              regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]') AS pieces

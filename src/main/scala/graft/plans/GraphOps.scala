@@ -259,6 +259,181 @@ object GraphOps {
     ranks.select("v", "pr")
   }
 
+  /** [[bfsSigma]] with every seed advancing in the same superstep, state
+    * keyed `(seed, v)` — the same batching as [[multiSourceBfs]], carrying
+    * shortest-path counts: `(seed, v, level, sigma)`. s seeds cost ONE
+    * loop's worth of supersteps, not s loops — the precondition for
+    * sampled (multi-source) betweenness at scale.
+    */
+  private[graft] def multiSourceBfsSigma(spark: SparkSession, edges: DataFrame,
+      seeds: Seq[Long], maxIter: Int = 50,
+      broadcastSeenLimit: Long = BroadcastSeenLimit): DataFrame = {
+    import spark.implicits._
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .persist()
+    var levels = seeds.map(s => (s, s, 0, 1L)).toDF("seed", "v", "level", "sigma")
+    var frontier = levels
+    var seenCount = seeds.size.toLong
+    def expand(f: DataFrame, seen: DataFrame, level: Int): DataFrame = {
+      val grown = e.join(broadcast(f), f("v") === e("src"))
+        .groupBy(col("seed"), e("dst").as("v")).agg(sum(f("sigma")).as("sigma"))
+      val pruned =
+        if (seenCount <= broadcastSeenLimit)
+          grown.join(broadcast(seen.select("seed", "v")), Seq("seed", "v"), "left_anti")
+        else grown.join(seen.select("seed", "v").hint("merge"), Seq("seed", "v"), "left_anti")
+      pruned.select(col("seed"), col("v"), lit(level).as("level"), col("sigma"))
+        .localCheckpoint(true)
+    }
+    var i = 0
+    var done = false
+    while (i < maxIter && !done) {
+      val next1 = expand(frontier, levels, i + 1)
+      val n1 = next1.count()
+      if (n1 == 0) done = true
+      else {
+        seenCount += n1
+        val seen1 = levels.union(next1)
+        val next2 = expand(next1, seen1, i + 2)
+        val n2 = next2.count()
+        seenCount += n2
+        val u = seen1.union(next2)
+        levels = if (i % 4 >= 2) u.localCheckpoint(true) else u
+        if (n2 == 0) done = true else frontier = next2
+      }
+      i += 2
+    }
+    e.unpersist()
+    levels
+  }
+
+  /** Sampled betweenness centrality: Brandes' dependency accumulation run
+    * for a SAMPLE of sources in one batched computation — the standard
+    * estimator (Brandes–Pich) whose per-vertex score is the sum of
+    * per-source dependencies δ_s(v), s ≠ v. Both sweeps are batched the
+    * way [[multiSourceBfs]] batches closeness: σ BFS advances all seeds
+    * per superstep keyed (seed, v), and the backward sweep processes level
+    * l of EVERY seed's DAG in the same per-level join (seeds at different
+    * depths simply contribute no rows at levels they don't have). s seeds
+    * therefore cost one forward + one backward loop — not s independent
+    * Brandes passes — which is what makes sampling viable on a big graph.
+    * Returns `(v, bc)` for every vertex reached by any seed.
+    */
+  def multiSourceBrandes(spark: SparkSession, edges: DataFrame, seeds: Seq[Long],
+      maxIter: Int = 50): DataFrame = {
+    import spark.implicits._
+    val ed = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().localCheckpoint(true)
+    val sigAll = multiSourceBfsSigma(spark, ed, seeds, maxIter).localCheckpoint(true)
+    val maxL = sigAll.agg(max("level")).collect()(0).getInt(0)
+    // Annotate each seed's Brandes DAG once (edge (x,w) with level(w) =
+    // level(x)+1 under that seed), exactly like the single-source sweep.
+    val dagEdges = ed
+      .join(sigAll.select(col("seed"), col("v").as("xv"),
+        col("level").as("xlevel"), col("sigma").as("xsigma")), col("src") === col("xv"))
+      .join(sigAll.select(col("seed").as("wseed"), col("v").as("wv"),
+        col("level").as("wlevel"), col("sigma").as("wsigma")),
+        col("seed") === col("wseed") && col("dst") === col("wv") &&
+          col("wlevel") === col("xlevel") + 1)
+      .select(col("seed"), col("src"), col("dst"), col("xlevel"),
+        col("xsigma"), col("wsigma"))
+      .localCheckpoint(true)
+    var delPrev = Seq.empty[(Long, Long, Double)].toDF("dseed", "dv", "delta")
+    var dels = List.empty[DataFrame]
+    for (l <- (maxL - 1) to 0 by -1) {
+      val cur0 = dagEdges.filter(col("xlevel") === l)
+        .join(delPrev, col("seed") === col("dseed") && col("dst") === col("dv"), "left")
+        .groupBy(col("seed"), col("src"))
+        .agg(sum(col("xsigma").cast("double") / col("wsigma").cast("double") *
+          (lit(1.0) + coalesce(col("delta"), lit(0.0)))).as("delta"))
+        .select(col("seed").as("dseed"), col("src").as("dv"), col("delta"))
+      val cur = if (l % 3 == 0 || l == 0) cur0.localCheckpoint(true) else cur0
+      dels ::= cur
+      delPrev = cur
+    }
+    val delAll = dels match {
+      case Nil => delPrev
+      case ds  => ds.reduce(_ union _)
+    }
+    // betweenness excludes each source's own dependency row
+    sigAll.select("v").distinct()
+      .join(delAll.filter(col("dv") =!= col("dseed"))
+        .groupBy(col("dv")).agg(sum("delta").as("bc")),
+        col("v") === col("dv"), "left")
+      .select(col("v"), round(coalesce(col("bc"), lit(0.0)), 6).as("bc"))
+  }
+
+  /** HITS (hubs & authorities), Kleinberg's mutual-reinforcement power
+    * iteration: `auth(v) = Σ_{(u,v)∈E} hub(u)` then `hub(u) = Σ_{(u,v)∈E}
+    * auth(v)`, each pass renormalized. Normalization divides by the MAX
+    * score, not the L2/L1 norm: max over doubles is order-independent and
+    * therefore exactly reproducible across engines and shuffle orders,
+    * while a distributed 15k-term double sum is not — the converged
+    * direction is the same principal eigenvector either way. Per
+    * iteration: two vertex-keyed shuffle aggs + two single-row max
+    * broadcasts, the same cost class as one PageRank superstep (×2).
+    * Requires at least one edge (max of an empty score set is undefined).
+    */
+  def hits(spark: SparkSession, edges: DataFrame, iterations: Int = 5): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("esrc"),
+      col("dst").cast("long").as("edst")).persist()
+    val verts = e.select(col("esrc").as("v")).union(e.select(col("edst").as("v")))
+      .distinct().localCheckpoint(true)
+    // one step: aggregate `from` over the joined edge end into raw scores,
+    // left-join under verts (sinks/sources score 0), divide by the max
+    def halfStep(scores: DataFrame, from: String, joinKey: String,
+        groupKey: String, out: String): DataFrame = {
+      // checkpointed: consumed twice (max scalar + the division), and a
+      // |V|-row materialization is far cheaper than re-running the join
+      val raw = verts.join(
+          scores.join(e, col("v") === col(joinKey))
+            .groupBy(col(groupKey).as("gv")).agg(sum(from).as("raw")),
+          col("v") === col("gv"), "left")
+        .select(col("v"), coalesce(col("raw"), lit(0.0)).as("raw"))
+        .localCheckpoint(true)
+      raw.crossJoin(broadcast(raw.agg(max("raw").as("mx"))))
+        .select(col("v"), (col("raw") / col("mx")).as(out))
+    }
+    var scores = verts.select(col("v"), lit(1.0).as("auth"), lit(1.0).as("hub"))
+      .localCheckpoint(true)
+    for (i <- 1 to iterations) {
+      val auth = halfStep(scores, "hub", "esrc", "edst", "auth")
+      val hub = halfStep(auth, "auth", "edst", "esrc", "hub")
+      val next = auth.join(hub, "v")
+      scores = if (i % 2 == 0 || i == iterations) next.localCheckpoint(true) else next
+    }
+    e.unpersist()
+    scores.select("v", "auth", "hub")
+  }
+
+  /** Per-edge Jaccard vertex similarity |N(a)∩N(b)| / |N(a)∪N(b)| over the
+    * undirected view of `edges` — the link-prediction / graph-cleaning
+    * primitive. Common neighbors come from ONE wedge self-join on the
+    * symmetric neighbor list (shuffle keys = vertex ids, never all-pairs);
+    * the score is exact e6 fixed point (integer division), so no float
+    * drift between engines. Returns `(a, b, jaccard_e6)` with a < b.
+    */
+  def jaccardEdges(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .distinct()
+    // symmetric neighbor list, checkpointed: consumed by the degree agg
+    // and both legs of the wedge join
+    val nbr = und.select(col("a").as("v"), col("b").as("w"))
+      .union(und.select(col("b").as("v"), col("a").as("w")))
+      .distinct().localCheckpoint(true)
+    val deg = nbr.groupBy("v").agg(count(lit(1)).as("d"))
+    val inter = und
+      .join(nbr.select(col("v").as("a"), col("w")), "a")
+      .join(nbr.select(col("v").as("b"), col("w")), Seq("b", "w"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    und.join(inter, Seq("a", "b"), "left").na.fill(0L, Seq("inter"))
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(col("a"), col("b"),
+        expr("inter * 1000000 div (da + db - inter)").as("jaccard_e6"))
+  }
+
   /** Single-source shortest paths over weighted edges
     * `(src: long, dst: long, w: long)`, positive weights — delta-stepping-
     * style Bellman-Ford: only vertices whose distance improved last round

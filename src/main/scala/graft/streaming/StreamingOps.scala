@@ -174,6 +174,63 @@ object StreamingOps extends QueryModule {
         .orderBy("user_id")
     }),
 
+    // Stream-stream LEFT OUTER join — the state-eviction semantics the
+    // inner join doesn't exercise: an unmatched click is held in the state
+    // store until the watermark passes its join bound, THEN emitted with
+    // nulls. Events are staged into 4 ts-range chunks replayed one
+    // file/trigger (sequential writes → monotone file mod-times → monotone
+    // watermark; a hash chunking would replay out of time order and the
+    // watermark would drop whole chunks as late). Rows whose bound the
+    // final watermark never passes (cts > max(ts) − 2h: 1h delay + 30min
+    // bound + margin) can never emit as unmatched, so both the query and
+    // the oracle exclude them — the remaining surface is batch-equivalent.
+    "q_stream_join_outer" -> ((s, dir) => {
+      val tag = java.lang.ProcessHandle.current().pid().toString + "_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val chunks = s"${sys.props("java.io.tmpdir")}/graft_stream_ojoin_$tag"
+      val ev = Tables.raw(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      // staging harness, not the measured operator: the global ntile
+      // window is the chunker, written sequentially so mod-times order
+      val w = org.apache.spark.sql.expressions.Window.orderBy("ts")
+      val bucketed = ev.withColumn("bucket", ntile(4).over(w)).localCheckpoint(true)
+      (1 to 4).foreach { b =>
+        bucketed.filter(col("bucket") === b).drop("bucket").coalesce(1)
+          .write.mode(if (b == 1) "overwrite" else "append").parquet(chunks)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+      def src = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(chunks)
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("cts"))
+        .withWatermark("cts", "1 hour")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("pts"))
+        .withWatermark("pts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("cu") === col("pu") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      val run = runToMemory(s, joined.select(col("cu"), col("cts"), col("pts")),
+        "t_stream_join_outer", "append", partitions = 4)
+      // Watermarks are per-SIDE maxima of the filtered streams (not the
+      // global event max — the last click itself can't age out under a
+      // watermark defined by clicks), and eviction uses their min.
+      val mx = Tables.raw(s, dir, "events")
+        .agg(least(
+          max(when(col("event_type") === "click", col("ts"))),
+          max(when(col("event_type") === "purchase", col("ts")))).as("m"))
+      run.crossJoin(broadcast(mx))
+        .filter(col("cts") <= col("m") - expr("INTERVAL 2 HOURS"))
+        .groupBy(col("cu").as("user_id"))
+        .agg(count(lit(1)).as("n_rows"), count(col("pts")).as("n_matched"))
+        .orderBy("user_id")
+    }),
+
     // Custom stateful streaming: flatMapGroupsWithState tracking per-user
     // (event count, first/last event time in µs, 30-min-gap session count).
     // State merges correctly across microbatches (the session counter keeps
@@ -448,6 +505,20 @@ object StreamingOps extends QueryModule {
           AND c.event_type = 'click' AND p.event_type = 'purchase'
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
          GROUP BY c.user_id ORDER BY c.user_id""",
+    "q_stream_join_outer" ->
+      """WITH mx AS (SELECT LEAST(
+             MAX(CASE WHEN event_type = 'click' THEN ts END),
+             MAX(CASE WHEN event_type = 'purchase' THEN ts END)) AS m
+           FROM events),
+         c AS (SELECT user_id AS cu, ts AS cts FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id AS pu, ts AS pts FROM events WHERE event_type = 'purchase'),
+         j AS (SELECT c.cu, c.cts, p.pts
+               FROM c LEFT JOIN p ON p.pu = c.cu AND p.pts >= c.cts
+                 AND p.pts <= c.cts + INTERVAL 30 MINUTE)
+         SELECT cu AS user_id, COUNT(*) AS n_rows,
+           CAST(COUNT(pts) AS BIGINT) AS n_matched
+         FROM j WHERE cts <= (SELECT m - INTERVAL 2 HOUR FROM mx)
+         GROUP BY cu ORDER BY cu""",
     "q_stream_stateful" ->
       """WITH x AS (SELECT user_id, ts,
            CASE WHEN lag(ts) OVER w IS NULL

@@ -124,6 +124,63 @@ class GraphSpec extends SparkSpec {
     assert(raw.values.forall(_ >= 0.0))
   }
 
+  test("multi-source Brandes equals the sum of single-source dependency passes") {
+    val edges = AdjacencyCodec.read(spark, s"$fixtures/G6.txt")
+    val vs = edges.collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct.sorted
+    val seeds = vs.take(3).toSeq
+    val perSeed = seeds.map { s =>
+      s -> GraphOps.brandesDependency(spark, edges, s)
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    }
+    val expected = vs.map { v =>
+      v -> perSeed.collect { case (s, dep) if s != v => dep.getOrElse(v, 0.0) }.sum
+    }.toMap
+    val got = GraphOps.multiSourceBrandes(spark, edges, seeds)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (v <- vs) {
+      // per-seed deps are rounded at 1e-6 before summing in the reference
+      assert(math.abs(got(v) - expected(v)) < 1e-4, s"vertex $v")
+    }
+  }
+
+  test("HITS matches an in-memory max-normalized power iteration") {
+    val edges = AdjacencyCodec.read(spark, s"$fixtures/G6.txt")
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val vs = es.flatMap(e => Seq(e._1, e._2)).distinct
+    var auth = vs.map(_ -> 1.0).toMap
+    var hub = vs.map(_ -> 1.0).toMap
+    for (_ <- 1 to 5) {
+      val ar = vs.map(v => v -> es.filter(_._2 == v).map(e => hub(e._1)).sum).toMap
+      val am = ar.values.max
+      auth = ar.map { case (v, x) => v -> x / am }
+      val hr = vs.map(v => v -> es.filter(_._1 == v).map(e => auth(e._2)).sum).toMap
+      val hm = hr.values.max
+      hub = hr.map { case (v, x) => v -> x / hm }
+    }
+    val got = GraphOps.hits(spark, edges, 5)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    for (v <- vs) {
+      assert(math.abs(got(v)._1 - auth(v)) < 1e-9, s"auth $v")
+      assert(math.abs(got(v)._2 - hub(v)) < 1e-9, s"hub $v")
+    }
+  }
+
+  test("Jaccard vertex similarity matches in-memory neighbor sets") {
+    val edges = AdjacencyCodec.read(spark, s"$fixtures/G6.txt")
+    val und = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val nbr = (und ++ und.map(_.swap)).groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    val expected = und.map { case (a, b) =>
+      val inter = nbr(a).intersect(nbr(b)).size.toLong
+      (a, b) -> inter * 1000000L / (nbr(a).size + nbr(b).size - inter)
+    }.toMap
+    val got = GraphOps.jaccardEdges(spark, edges)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == expected)
+    assert(got.values.forall(j => j >= 0L && j <= 1000000L))
+  }
+
   test("connected components on two disjoint triangles") {
     import spark.implicits._
     val tri = Seq((0L, 1L), (1L, 2L), (2L, 0L), (10L, 11L), (11L, 12L), (12L, 10L))

@@ -117,6 +117,23 @@ class PipelineSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("co-occurrence mining matches in-memory Apriori 2-itemsets") {
+    val docToks = docs.map { case (id, text) => id -> text.split(" ").distinct.toSet }
+    val thr = docs.size / 10
+    val freq = docToks.values.flatten.groupBy(identity)
+      .collect { case (t, occ) if occ.size >= thr => t }.toSet
+    val pairCounts = docToks.values.toSeq.flatMap { tks =>
+      val f = tks.intersect(freq).toSeq.sorted
+      for (i <- f.indices; j <- (i + 1) until f.size) yield (f(i), f(j))
+    }.groupBy(identity).map { case (p, v) => p -> v.size.toLong }
+    val expected = pairCounts.toSeq
+      .sortBy { case ((a, b), n) => (-n, a, b) }.take(20)
+    val got = TextOps.queries("q_text_cooccur")(spark, sfDir)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("multimodal decode stub is deterministic and schema-stable") {
     val df = Multimodal.queries("q_mm_decode")(spark, sfDir)
     assert(df.columns.toSeq == Seq("doc_id", "width", "height", "f0"))

@@ -195,8 +195,10 @@ class ScaleSpec extends SparkSpec {
     val sess = plan("q_sessionize")
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(sess).size
     assert(hashExchanges == 1, s"sessionize should shuffle once:\n$sess")
-    // banded equi-join blocking: no quadratic join operator anywhere
-    for (q <- Seq("q_join_fuzzy", "q_mm_phash")) {
+    // banded equi-join blocking: no quadratic join operator anywhere.
+    // q_graph_jaccard rides along: its wedge self-join must stay key-based
+    // (vertex-id equi joins), never degrade to an all-pairs comparison.
+    for (q <- Seq("q_join_fuzzy", "q_mm_phash", "q_graph_jaccard")) {
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$q must not plan a nested-loop/cartesian join:\n$p")

@@ -46,6 +46,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-stream LEFT OUTER join == batch left join on the watermark-closed surface") {
+    val streamed = StreamingOps.queries("q_stream_join_outer")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ev = Tables(spark, sfDir, "events")
+    val mx = ev.agg(least(
+        max(when(col("event_type") === "click", col("ts"))),
+        max(when(col("event_type") === "purchase", col("ts")))))
+      .collect()(0).getTimestamp(0)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val batch = c.join(p, col("cu") === col("pu") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr("INTERVAL 30 MINUTES"), "left_outer")
+      .filter(col("cts") <= lit(mx) - expr("INTERVAL 2 HOURS"))
+      .groupBy(col("cu"))
+      .agg(count(lit(1)).as("n_rows"), count(col("pts")).as("n_matched"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(streamed == batch)
+    // outer semantics actually exercised: some click rows must be unmatched
+    assert(streamed.values.exists { case (rows, matched) => matched < rows })
+  }
+
   test("processing-time trigger drains to the batch aggregate over timed microbatches") {
     val streamed = StreamingOps.queries("q_stream_proctime")(spark, sfDir)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
