@@ -126,6 +126,14 @@ object GraphQueries extends QueryModule {
         .filter(col("pr") >= 0.000001)
         .orderBy("v")),
 
+    // Longest-path DAG layering over the increasing-id orientation of the
+    // ring graph (src < dst keeps it acyclic) — the topological-depth
+    // assignment a DAG scheduler computes ([[GraphOps.dagLayers]]). Layer
+    // counts + depth fall out of the same (v, layer) output.
+    "q_graph_dag_layers" -> ((s, dir) =>
+      GraphOps.dagLayers(s, ringEdges(s, dir).filter(col("src") < col("dst")))
+        .orderBy("v")),
+
     // HITS hubs & authorities, 5 max-normalized iterations over the
     // directed ring graph ([[GraphOps.hits]] — max, not L2, normalization:
     // order-independent, so the oracle reproduces it bit-for-bit where a
@@ -402,6 +410,18 @@ object GraphQueries extends QueryModule {
           $steps
           SELECT v, ROUND(pr, 6) AS pr FROM pr10 WHERE ROUND(pr, 6) >= 0.000001 ORDER BY v"""
     },
+    "q_graph_dag_layers" ->
+      """WITH RECURSIVE e AS (
+           SELECT src, dst FROM (
+             SELECT c_custkey AS src, (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst FROM customer
+             UNION ALL SELECT c_custkey, (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer
+             UNION ALL SELECT c_custkey, (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer)
+           WHERE src < dst),
+         walk(v, d) AS (
+           SELECT DISTINCT src, 0 FROM e WHERE src NOT IN (SELECT dst FROM e)
+           UNION
+           SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.v WHERE w.d < 100)
+         SELECT v, CAST(MAX(d) AS BIGINT) AS layer FROM walk GROUP BY v ORDER BY v""",
     "q_graph_hits" -> {
       // 5 unrolled HITS iterations: auth raw-sum from the previous hubs,
       // max-normalize, hub raw-sum from the NEW auths, max-normalize —

@@ -223,6 +223,38 @@ object Similarity extends QueryModule {
         .orderBy("cid")
     }),
 
+    // Cluster-quality audit (simplified-silhouette family, all integer):
+    // rebuild the centroids from the FINAL k-means assignment, then per
+    // vector compare a = squared distance to own centroid against
+    // b = min squared distance to any other centroid. n_separated counts
+    // members with b > a (would not switch clusters); sum_margin = Σ(b−a)
+    // is the aggregate separation. Exact integer arithmetic end-to-end —
+    // the same portability discipline as q_sim_kmeans — and one broadcast
+    // of k centroid vectors against one pass over the corpus.
+    "q_sim_silhouette" -> ((s, dir) => {
+      val assigned = kmeansAssign(s, dir, kmeansK, kmeansIters).localCheckpoint(true)
+      val comps = assigned
+        .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "val")))
+        .groupBy("cid", "pos").agg(sum("val").as("sv"), count(lit(1)).as("n"))
+        .withColumn("comp", expr("(sv - pmod(sv, n)) div n"))
+      val cents = comps.groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
+          x => x.getField("comp")).as("cv"))
+        .withColumnRenamed("cid", "ccid")
+      val d = aggregate(zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v)
+      assigned.join(broadcast(cents))
+        .select(col("vec_id"), col("cid"), col("ccid"), d.as("d"))
+        .groupBy("vec_id", "cid")
+        .agg(min(when(col("ccid") === col("cid"), col("d"))).as("a_d"),
+          min(when(col("ccid") =!= col("cid"), col("d"))).as("b_d"))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(col("b_d") > col("a_d"), 1L).otherwise(0L)).as("n_separated"),
+          sum(col("b_d") - col("a_d")).as("sum_margin"))
+        .orderBy("cid")
+    }),
+
     // Random-hyperplane LSH ANN: multi-table banded signatures (8 tables ×
     // 3 bits) computed by the codegen [[graft.functions.HyperplaneBands]]
     // expression — one fused integer loop per row, coefficients derived
@@ -373,6 +405,31 @@ object Similarity extends QueryModule {
            CAST(SUM(CAST(list_sum([x * x for x in qv]) AS BIGINT)) AS BIGINT) AS sum_sq
          FROM a$kmeansIters JOIN q0 USING (vec_id)
          GROUP BY cid ORDER BY cid""",
+    // The same unrolled k-means chain, extended by one centroid rebuild
+    // from the FINAL assignment, then the own-vs-nearest-other integer
+    // distance compare per vector.
+    "q_sim_silhouette" ->
+      s"""WITH ${kmeansCtes(kmeansK, kmeansIters)},
+         mf AS (SELECT a$kmeansIters.cid, t.i AS pos,
+               CAST(SUM(q0.qv[t.i]) AS BIGINT) AS s, COUNT(*) AS n
+             FROM a$kmeansIters JOIN q0 USING (vec_id) CROSS JOIN range(1, 65) t(i)
+             GROUP BY a$kmeansIters.cid, t.i),
+         cf AS (SELECT cid,
+               list((s - ((s % n + n) % n)) // n ORDER BY pos) AS cv
+             FROM mf GROUP BY cid),
+         df AS (SELECT q0.vec_id, cf.cid AS ccid,
+               CAST(list_sum([(q0.qv[j] - cf.cv[j]) * (q0.qv[j] - cf.cv[j])
+                              for j in range(1, 65)]) AS BIGINT) AS d
+             FROM q0 CROSS JOIN cf),
+         ab AS (SELECT df.vec_id, a.cid,
+               MIN(CASE WHEN df.ccid = a.cid THEN d END) AS a_d,
+               MIN(CASE WHEN df.ccid <> a.cid THEN d END) AS b_d
+             FROM df JOIN a$kmeansIters a USING (vec_id)
+             GROUP BY df.vec_id, a.cid)
+         SELECT cid, COUNT(*) AS n_members,
+           CAST(SUM(CASE WHEN b_d > a_d THEN 1 ELSE 0 END) AS BIGINT) AS n_separated,
+           CAST(SUM(b_d - a_d) AS BIGINT) AS sum_margin
+         FROM ab GROUP BY cid ORDER BY cid""",
     // Full LSH replication: same integer hyperplane signatures
     // (HyperplaneBands.oracleSigsSql), same candidate join, same rounded
     // cosine re-rank — DuckDB reproduces every band bit.

@@ -215,7 +215,10 @@ object TextOps extends QueryModule {
       val freq = dt.groupBy("tok").agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(thr)).filter(col("df") >= col("thr"))
         .select("tok")
+      // checkpointed: both legs of the pair self-join consume it — without
+      // the cut, each leg re-runs the corpus scan + explode + prune
       val ft = dt.join(broadcast(freq), "tok").select("doc_id", "tok")
+        .localCheckpoint(true)
       ft.as("x").join(ft.as("y"),
           col("x.doc_id") === col("y.doc_id") && col("x.tok") < col("y.tok"))
         .groupBy(col("x.tok").as("a"), col("y.tok").as("b"))

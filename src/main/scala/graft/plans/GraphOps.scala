@@ -362,6 +362,46 @@ object GraphOps {
       .select(col("v"), round(coalesce(col("bc"), lit(0.0)), 6).as("bc"))
   }
 
+  /** Longest-path layering of a DAG — the topological-depth assignment a
+    * DAG scheduler (build system, lineage planner, workflow engine) uses:
+    * sources sit at layer 0, every other vertex at 1 + max over in-edges.
+    * Bellman-Ford-with-max shape: only vertices whose best-known layer
+    * IMPROVED last round propagate, so each superstep is one
+    * frontier⋈edges join + max-merge and the loop runs exactly
+    * longest-path-length supersteps. Requires an acyclic input (a cycle
+    * would improve forever; the maxIter cap fails loudly via the count
+    * rather than looping silently). Returns `(v, layer)` for every vertex.
+    */
+  def dagLayers(spark: SparkSession, edges: DataFrame, maxIter: Int = 100): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .persist()
+    val sources = e.select(col("src").as("v")).distinct()
+      .join(e.select(col("dst").as("v")).distinct(), Seq("v"), "left_anti")
+    var best = sources.select(col("v"), lit(0L).as("layer")).localCheckpoint(true)
+    var frontier = best
+    var i = 0
+    var done = false
+    while (i < maxIter && !done) {
+      val improved = frontier.join(e, col("v") === col("src"))
+        .groupBy(col("dst").as("w")).agg((max("layer") + 1).as("cand"))
+        .join(best, col("w") === best("v"), "left")
+        .filter(col("layer").isNull || col("cand") > col("layer"))
+        .select(col("w").as("v"), col("cand").as("layer"))
+        .localCheckpoint(true)
+      if (improved.count() == 0) done = true
+      else {
+        best = best.join(improved.select(col("v").as("iv")),
+            col("v") === col("iv"), "left_anti")
+          .select(col("v"), col("layer"))
+          .union(improved).localCheckpoint(true)
+        frontier = improved
+      }
+      i += 1
+    }
+    e.unpersist()
+    best
+  }
+
   /** HITS (hubs & authorities), Kleinberg's mutual-reinforcement power
     * iteration: `auth(v) = Σ_{(u,v)∈E} hub(u)` then `hub(u) = Σ_{(u,v)∈E}
     * auth(v)`, each pass renormalized. Normalization divides by the MAX

@@ -143,6 +143,25 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("DAG layering matches in-memory longest-path DP over topological order") {
+    val edges = AdjacencyCodec.read(spark, s"$fixtures/G6.txt")
+      .filter(col("src") < col("dst"))
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val vs = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val dsts = es.map(_._2).toSet
+    val layer = scala.collection.mutable.Map[Long, Long]()
+    for (v <- vs if !dsts.contains(v)) layer(v) = 0L
+    // ascending id IS a topological order (every edge goes small -> large)
+    for (v <- vs; (s2, d) <- es if s2 == v) {
+      val cand = layer(v) + 1
+      if (!layer.contains(d) || layer(d) < cand) layer(d) = cand
+    }
+    val got = GraphOps.dagLayers(spark, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == layer.toMap)
+    assert(got.values.max >= 2, "fixture DAG should be at least 3 layers deep")
+  }
+
   test("HITS matches an in-memory max-normalized power iteration") {
     val edges = AdjacencyCodec.read(spark, s"$fixtures/G6.txt")
     val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -134,6 +134,14 @@ class PipelineSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("silhouette audit conserves the corpus and bounds separation counts") {
+    val rows = Similarity.queries("q_sim_silhouette")(spark, sfDir).collect()
+    val nVecs = Tables(spark, sfDir, "embeddings").count()
+    assert(rows.map(_.getLong(1)).sum == nVecs, "every vector audited exactly once")
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(1)), "separated <= members")
+    assert(rows.nonEmpty)
+  }
+
   test("multimodal decode stub is deterministic and schema-stable") {
     val df = Multimodal.queries("q_mm_decode")(spark, sfDir)
     assert(df.columns.toSeq == Seq("doc_id", "width", "height", "f0"))
