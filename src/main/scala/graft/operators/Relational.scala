@@ -505,6 +505,27 @@ object Relational extends QueryModule {
         .orderBy("change_type")
     }),
 
+    // Hive-partitioned layout write + partition-pruned read — the
+    // partitionBy companion to q_layout_zorder: events land partitioned by
+    // event_type, and the read-back predicate prunes at the LISTING level
+    // (PartitionFilters — non-matching directories are never opened, the
+    // difference between scanning 2/7 of the data and all of it at 100 TB;
+    // ScaleSpec asserts the filter sits in PartitionFilters, not the row
+    // scan). The rollup proves the round-trip lost nothing.
+    "q_layout_partitioned" -> ((s, dir) => {
+      val tag = java.lang.ProcessHandle.current().pid().toString + "_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val out = s"${sys.props("java.io.tmpdir")}/graft_partlayout_$tag"
+      Tables.raw(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(out)
+      s.read.parquet(out)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("val_sum"))
+        .orderBy("event_type")
+    }),
+
     // Z-order layout (multi-dimensional clustering): rank-quantize two
     // dimensions to 8 bits each, interleave the bits into one Morton code,
     // and range-bucket on it — rows in a bucket are close in BOTH dims at
@@ -800,6 +821,10 @@ object Relational extends QueryModule {
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(COALESCE(ka, kb)) AS BIGINT) AS key_sum
          FROM d GROUP BY 1 ORDER BY 1""",
+    "q_layout_partitioned" ->
+      """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS val_sum
+         FROM events WHERE event_type IN ('click', 'purchase')
+         GROUP BY event_type ORDER BY event_type""",
     // Same rank-quantize + 8×8-bit Morton interleave, the bit-fold
     // unrolled as a list-comprehension sum.
     "q_layout_zorder" ->

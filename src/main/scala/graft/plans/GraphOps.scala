@@ -372,28 +372,41 @@ object GraphOps {
     * would improve forever; the maxIter cap fails loudly via the count
     * rather than looping silently). Returns `(v, layer)` for every vertex.
     */
-  def dagLayers(spark: SparkSession, edges: DataFrame, maxIter: Int = 100): DataFrame = {
+  def dagLayers(spark: SparkSession, edges: DataFrame, maxIter: Int = 100,
+      broadcastSeenLimit: Long = BroadcastSeenLimit): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .persist()
     val sources = e.select(col("src").as("v")).distinct()
       .join(e.select(col("dst").as("v")).distinct(), Seq("v"), "left_anti")
     var best = sources.select(col("v"), lit(0L).as("layer")).localCheckpoint(true)
+    var seenCount = best.count()
     var frontier = best
     var i = 0
     var done = false
     while (i < maxIter && !done) {
-      val improved = frontier.join(e, col("v") === col("src"))
+      // frontier broadcasts into the edge join (same shape as bfsLevels);
+      // the improvement check joins against `best`, broadcast while it
+      // fits, merge-join past the gate — the seen-set discipline of the
+      // BFS family applied to the layer table.
+      val cand = e.join(broadcast(frontier), col("v") === col("src"))
         .groupBy(col("dst").as("w")).agg((max("layer") + 1).as("cand"))
-        .join(best, col("w") === best("v"), "left")
+      val improved = (if (seenCount <= broadcastSeenLimit)
+          cand.join(broadcast(best), cand("w") === best("v"), "left")
+        else cand.join(best.hint("merge"), cand("w") === best("v"), "left"))
         .filter(col("layer").isNull || col("cand") > col("layer"))
         .select(col("w").as("v"), col("cand").as("layer"))
         .localCheckpoint(true)
-      if (improved.count() == 0) done = true
+      val n = improved.count()
+      if (n == 0) done = true
       else {
-        best = best.join(improved.select(col("v").as("iv")),
+        seenCount += n
+        val merged = best.join(broadcast(improved.select(col("v").as("iv"))),
             col("v") === col("iv"), "left_anti")
           .select(col("v"), col("layer"))
-          .union(improved).localCheckpoint(true)
+          .union(improved)
+        // every-2nd-barrier policy: the improved frontier above is already
+        // checkpointed, so two rounds of anti-join+union lineage is shallow
+        best = if (i % 2 == 1) merged.localCheckpoint(true) else merged
         frontier = improved
       }
       i += 1

@@ -45,6 +45,15 @@ class ScaleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q_layout_partitioned: event_type prunes via PartitionFilters, not row pushdown") {
+    val plan = SparkEntry.queries("q_layout_partitioned")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*event_type".r.findFirstIn(plan).isDefined,
+      s"event_type must prune at the listing level:\n${plan.take(900)}")
+    assert("PushedFilters: \\[[^\\]]*event_type".r.findFirstIn(plan).isEmpty,
+      s"event_type must not also burn a row-level pushdown:\n${plan.take(900)}")
+  }
+
   test("partitioned write + partition pruning reaches the scan") {
     import spark.implicits._
     val dir = "/tmp/graft-partitioned-orders"
