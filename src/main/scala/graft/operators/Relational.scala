@@ -505,6 +505,32 @@ object Relational extends QueryModule {
         .orderBy("change_type")
     }),
 
+    // Skyline (Pareto frontier): parts where no other part is cheaper AND
+    // bigger (minimize p_retailprice, maximize p_size, one strict). The
+    // scale-safe formulation compresses ties first — max size per distinct
+    // price (a key-parallel agg that shrinks |table| to |price domain|) —
+    // then one running-max window over the compressed domain keeps prices
+    // whose size beats every strictly-cheaper price, and a join fans the
+    // surviving (price, size) pairs back to part keys. The naive
+    // formulation is a quadratic NOT-EXISTS self-join — which is exactly
+    // what the DuckDB oracle runs, so the two independent algorithms
+    // check each other. The global window runs over the compressed
+    // domain, not the table (same discipline as q_win_range's bands).
+    "q_skyline" -> ((s, dir) => {
+      val p = tr(s, dir, "part")
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      val cand = p.groupBy("p_retailprice").agg(max("p_size").as("msize"))
+      val w = Window.orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val sky = cand.withColumn("prevmax", max("msize").over(w))
+        .filter(col("prevmax").isNull || col("msize") > col("prevmax"))
+        .select(col("p_retailprice").as("sprice"), col("msize"))
+      p.join(sky, col("p_retailprice") === col("sprice") &&
+          col("p_size") === col("msize"))
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        .orderBy("p_partkey")
+    }),
+
     // Hive-partitioned layout write + partition-pruned read — the
     // partitionBy companion to q_layout_zorder: events land partitioned by
     // event_type, and the read-back predicate prunes at the LISTING level
@@ -825,6 +851,16 @@ object Relational extends QueryModule {
       """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS val_sum
          FROM events WHERE event_type IN ('click', 'purchase')
          GROUP BY event_type ORDER BY event_type""",
+    // Deliberately the NAIVE dominance formulation — an independent
+    // algorithm from the Spark side's compress+running-max plan.
+    "q_skyline" ->
+      """SELECT p.p_partkey, p.p_retailprice, p.p_size
+         FROM part p
+         WHERE NOT EXISTS (
+           SELECT 1 FROM part q
+           WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+             AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+         ORDER BY p.p_partkey""",
     // Same rank-quantize + 8×8-bit Morton interleave, the bit-fold
     // unrolled as a list-comprehension sum.
     "q_layout_zorder" ->

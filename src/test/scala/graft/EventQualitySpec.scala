@@ -12,6 +12,23 @@ class EventQualitySpec extends SparkSpec {
 
   private val gapUs = 6L * 3600 * 1000000
 
+  test("skyline: mutually non-dominated and maximal against the full table") {
+    def dominates(a: (Double, Int), b: (Double, Int)): Boolean =
+      a._1 <= b._1 && a._2 >= b._2 && (a._1 < b._1 || a._2 > b._2)
+    val all = Tables(spark, sfDir, "part")
+      .select("p_partkey", "p_retailprice", "p_size").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2)))).toMap
+    val sky = graft.operators.Relational.queries("q_skyline")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2)))).toMap
+    assert(sky.nonEmpty && sky.size < all.size)
+    // no skyline row dominates another
+    for ((ka, a) <- sky; (kb, b) <- sky if ka != kb)
+      assert(!dominates(a, b), s"$ka dominates $kb inside the skyline")
+    // every excluded row is dominated by some skyline row
+    for ((k, v) <- all if !sky.contains(k))
+      assert(sky.values.exists(s2 => dominates(s2, v)), s"$k wrongly excluded")
+  }
+
   test("sessionize: per-session gaps respect the 6h threshold and events are conserved") {
     val events = Tables(spark, sfDir, "events")
       .select("user_id", "event_id", "ts").collect()
