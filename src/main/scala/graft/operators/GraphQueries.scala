@@ -166,6 +166,34 @@ object GraphQueries extends QueryModule {
         .agg(count(lit(1)).as("n_triangles"))
     }),
 
+    // Local clustering coefficient: per-vertex triangle membership over
+    // possible neighbor pairs, lcc = 2·tri(v) / (deg·(deg−1)) in exact e6
+    // fixed point. Reuses the canonical a<b<c triangle enumeration (inner
+    // join instead of semi so each triangle yields its 3 member vertices);
+    // all shuffle keys are vertex ids. The standard local-density signal
+    // (spam/bot neighborhoods cluster; organic ones don't).
+    "q_graph_lcc" -> ((s, dir) => {
+      val e = ringEdges(s, dir)
+      val und = e.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct().localCheckpoint(true)
+      val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val wedges = und.as("x").join(und.as("y"), col("x.b") === col("y.a"))
+        .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))
+      val tris = wedges.join(und.select(col("a").as("ca"), col("b").as("cb")),
+          col("a") === col("ca") && col("c") === col("cb"), "inner")
+        .select("a", "b", "c")
+      val perVertex = tris.select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("tri"))
+      deg.join(perVertex, Seq("v"), "left").na.fill(0L, Seq("tri"))
+        .select(col("v"), col("deg"), col("tri"),
+          when(col("deg") >= 2,
+            expr("tri * 2000000 div (deg * (deg - 1))")).otherwise(0L).as("lcc_e6"))
+        .orderBy("v")
+    }),
+
     // Degree distribution (in + out): the first profiling query a graph
     // planner runs — the histogram that decides broadcast vs shuffle and
     // flags skewed hubs. Two shuffles on vertex id, then a tiny agg.
@@ -484,6 +512,29 @@ object GraphQueries extends QueryModule {
                  FROM e WHERE src <> dst)
          SELECT COUNT(*) AS n_triangles
          FROM und x JOIN und y ON x.b = y.a JOIN und z ON z.a = x.a AND z.b = y.b""",
+    "q_graph_lcc" ->
+      """WITH e AS (
+           SELECT c_custkey AS src, (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst FROM customer
+           UNION ALL SELECT c_custkey, (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer
+           UNION ALL SELECT c_custkey, (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer),
+         und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                 FROM e WHERE src <> dst),
+         deg AS (SELECT v, COUNT(*) AS deg FROM
+                   (SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+                 GROUP BY v),
+         tri AS (SELECT x.a, x.b, y.b AS c
+                 FROM und x JOIN und y ON x.b = y.a
+                      JOIN und z ON z.a = x.a AND z.b = y.b),
+         pv AS (SELECT v, COUNT(*) AS tri FROM
+                  (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+                   UNION ALL SELECT c FROM tri)
+                GROUP BY v)
+         SELECT deg.v, deg.deg, COALESCE(pv.tri, 0) AS tri,
+           CASE WHEN deg.deg >= 2
+                THEN CAST(COALESCE(pv.tri, 0) * 2000000 // (deg.deg * (deg.deg - 1)) AS BIGINT)
+                ELSE 0 END AS lcc_e6
+         FROM deg LEFT JOIN pv ON pv.v = deg.v
+         ORDER BY deg.v""",
     "q_graph_degrees" ->
       """WITH e AS (
            SELECT c_custkey AS src, (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst FROM customer

@@ -505,6 +505,25 @@ object Relational extends QueryModule {
         .orderBy("change_type")
     }),
 
+    // Bitmap presence aggregate — the bitmap-index trick: each group ORs a
+    // one-hot 64-bit mask (customer bucket = custkey mod 62), so "which
+    // buckets are present" needs ONE long of mergeable state per group
+    // instead of a distinct set. bit_count reads the distinct-bucket count
+    // straight off the mask. At 100 TB this is the fixed-width alternative
+    // to COUNT(DISTINCT) when the domain is bucketable — map-side partials
+    // OR together losslessly. High-value-order slice keeps the mask sparse
+    // enough to be informative (not all-ones).
+    "q_agg_bitmap" -> ((s, dir) =>
+      tr(s, dir, "orders")
+        .filter(col("o_totalprice") >= 450000.0)
+        .groupBy("o_orderpriority")
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(o_custkey % 62 AS INT)))")
+            .as("bitmap"),
+          count(lit(1)).as("n_orders"))
+        .select(col("o_orderpriority"), col("bitmap"),
+          expr("bit_count(bitmap)").as("n_buckets"), col("n_orders"))
+        .orderBy("o_orderpriority")),
+
     // Skyline (Pareto frontier): parts where no other part is cheaper AND
     // bigger (minimize p_retailprice, maximize p_size, one strict). The
     // scale-safe formulation compresses ties first — max size per distinct
@@ -851,6 +870,14 @@ object Relational extends QueryModule {
       """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS val_sum
          FROM events WHERE event_type IN ('click', 'purchase')
          GROUP BY event_type ORDER BY event_type""",
+    "q_agg_bitmap" ->
+      """SELECT o_orderpriority,
+           bit_or(1::BIGINT << CAST(o_custkey % 62 AS INT)) AS bitmap,
+           CAST(bit_count(bit_or(1::BIGINT << CAST(o_custkey % 62 AS INT))) AS INT)
+             AS n_buckets,
+           COUNT(*) AS n_orders
+         FROM orders WHERE o_totalprice >= 450000
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     // Deliberately the NAIVE dominance formulation — an independent
     // algorithm from the Spark side's compress+running-max plan.
     "q_skyline" ->

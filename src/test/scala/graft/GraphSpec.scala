@@ -162,6 +162,26 @@ class GraphSpec extends SparkSpec {
     assert(got.values.max >= 2, "fixture DAG should be at least 3 layers deep")
   }
 
+  test("local clustering coefficient matches in-memory neighbor-pair counting") {
+    val got = graft.operators.GraphQueries.queries("q_graph_lcc")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // rebuild the ring graph in memory exactly as ringEdges does
+    val n = Tables(spark, sfDir, "customer").count()
+    val und = (0L until n).flatMap(v => Seq((v * 2 + 1) % n, (v * 5 + 7) % n, (v * 16 + 3) % n)
+      .filter(_ != v).map(d => (math.min(v, d), math.max(v, d)))).distinct
+    val nbr = (und ++ und.map(_.swap)).groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSet }
+    for ((v, (deg, tri, lcc)) <- got) {
+      assert(deg == nbr(v).size.toLong, s"deg $v")
+      val ns = nbr(v).toSeq
+      val expectTri = (for (i <- ns.indices; j <- (i + 1) until ns.size
+        if nbr(ns(i)).contains(ns(j))) yield 1).size.toLong
+      assert(tri == expectTri, s"tri $v")
+      val expectLcc = if (deg >= 2) tri * 2000000L / (deg * (deg - 1)) else 0L
+      assert(lcc == expectLcc, s"lcc $v")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("HITS matches an in-memory max-normalized power iteration") {
     val edges = AdjacencyCodec.read(spark, s"$fixtures/G6.txt")
     val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
