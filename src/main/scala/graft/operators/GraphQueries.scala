@@ -72,6 +72,28 @@ object GraphQueries extends QueryModule {
   /** Seed sample for q_graph_closeness — shared with its oracle. */
   private val closenessSeeds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
 
+  /** lpIters rounds of synchronous label propagation over `edges`
+    * (deterministic ties: highest count, then smallest label). Shared by
+    * q_graph_labelprop and q_graph_modularity so both score the SAME
+    * community assignment.
+    */
+  private def lpLabels(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var labels = e.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v")).localCheckpoint(true)
+    for (_ <- 1 to lpIters) {
+      val nbr = e.join(labels, e("src") === labels("v"))
+        .select(e("dst").as("nv"), col("lbl"))
+      val cnt = nbr.groupBy(col("nv"), col("lbl")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("nv").orderBy(col("c").desc, col("lbl"))
+      labels = cnt.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("nv").as("v"), col("lbl"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
   /** Shared recursive-CTE prelude for the ring graph (DuckDB dialect). */
   private val ringWalkCte =
     """WITH RECURSIVE e AS (
@@ -314,23 +336,37 @@ object GraphQueries extends QueryModule {
     // so the DuckDB oracle can unroll the same recurrence exactly; each
     // superstep is one edge⋈label join + a (v, lbl) count + one
     // row_number window — all partitioned on v, the BSP shape.
-    "q_graph_labelprop" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val e = hierEdges(s, dir).localCheckpoint(true)
-      var labels = e.select(col("src").as("v")).distinct()
-        .withColumn("lbl", col("v")).localCheckpoint(true)
-      for (_ <- 1 to lpIters) {
-        val nbr = e.join(labels, e("src") === labels("v"))
-          .select(e("dst").as("nv"), col("lbl"))
-        val cnt = nbr.groupBy(col("nv"), col("lbl")).agg(count(lit(1)).as("c"))
-        val w = Window.partitionBy("nv").orderBy(col("c").desc, col("lbl"))
-        labels = cnt.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("nv").as("v"), col("lbl"))
-          .localCheckpoint(true)
-      }
-      labels.groupBy(col("lbl").as("community"))
+    "q_graph_labelprop" -> ((s, dir) =>
+      lpLabels(hierEdges(s, dir).localCheckpoint(true))
+        .groupBy(col("lbl").as("community"))
         .agg(count(lit(1)).as("n_members"), min("v").as("min_v"), max("v").as("max_v"))
+        .orderBy("community")),
+
+    // Modularity decomposition of the label-propagation communities —
+    // the quality metric community detection is graded by, in EXACT
+    // integer arithmetic: with M = directed-edge count (= 2m), community
+    // contribution to Q·4m² is M·E_dir(c) − d_c² (E_dir = intra-community
+    // directed edges, d_c = summed member degree). No float division
+    // anywhere, so the oracle matches bit-for-bit; a positive contribution
+    // means the community is denser than the null model expects. Two
+    // label joins + two key-parallel aggs over the final assignment.
+    "q_graph_modularity" -> ((s, dir) => {
+      val e = hierEdges(s, dir).localCheckpoint(true)
+      val lab = lpLabels(e)
+      val intra = e
+        .join(lab.select(col("v").as("sv"), col("lbl").as("slbl")), col("src") === col("sv"))
+        .join(lab.select(col("v").as("dv"), col("lbl").as("dlbl")), col("dst") === col("dv"))
+        .filter(col("slbl") === col("dlbl"))
+        .groupBy(col("slbl").as("community")).agg(count(lit(1)).as("e_dir"))
+      val degc = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .join(lab, col("src") === col("v"))
+        .groupBy(col("lbl").as("community")).agg(sum("deg").as("d_c"))
+      val mrow = e.agg(count(lit(1)).as("m_dir"))
+      degc.join(intra, Seq("community"), "left").na.fill(0L, Seq("e_dir"))
+        .crossJoin(broadcast(mrow))
+        .select(col("community"), expr("e_dir div 2").as("e_intra"), col("d_c"),
+          (col("m_dir") * col("e_dir") - col("d_c") * col("d_c"))
+            .as("q_contrib_scaled"))
         .orderBy("community")
     }),
 
@@ -600,6 +636,35 @@ object GraphQueries extends QueryModule {
          SELECT lbl AS community, COUNT(*) AS n_members,
            MIN(v) AS min_v, MAX(v) AS max_v
          FROM l$lpIters GROUP BY lbl ORDER BY community"""
+    },
+    // The identical l0..l4 propagation chain, scored: Q·4m² decomposed per
+    // community in exact integers (M·E_dir − d_c²).
+    "q_graph_modularity" -> {
+      val steps = (1 to lpIters).map { i =>
+        s"""c$i AS (SELECT e.dst AS v, l${i - 1}.lbl, COUNT(*) AS c
+             FROM e JOIN l${i - 1} ON l${i - 1}.v = e.src GROUP BY e.dst, l${i - 1}.lbl),
+           l$i AS (SELECT v, lbl FROM (
+             SELECT v, lbl, ROW_NUMBER() OVER (
+               PARTITION BY v ORDER BY c DESC, lbl) AS rn FROM c$i) WHERE rn = 1)"""
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED ($hierEdgesSql),
+         l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM e),
+         $steps,
+         lab AS MATERIALIZED (SELECT v, lbl FROM l$lpIters),
+         m AS (SELECT COUNT(*) AS m_dir FROM e),
+         intra AS (SELECT ls.lbl AS community, COUNT(*) AS e_dir
+                   FROM e JOIN lab ls ON ls.v = e.src JOIN lab ld ON ld.v = e.dst
+                   WHERE ls.lbl = ld.lbl GROUP BY ls.lbl),
+         degc AS (SELECT lab.lbl AS community, CAST(SUM(d.deg) AS BIGINT) AS d_c
+                  FROM (SELECT src, COUNT(*) AS deg FROM e GROUP BY src) d
+                  JOIN lab ON lab.v = d.src GROUP BY lab.lbl)
+         SELECT degc.community,
+           CAST(COALESCE(intra.e_dir, 0) // 2 AS BIGINT) AS e_intra,
+           degc.d_c,
+           CAST((SELECT m_dir FROM m) * COALESCE(intra.e_dir, 0)
+                - degc.d_c * degc.d_c AS BIGINT) AS q_contrib_scaled
+         FROM degc LEFT JOIN intra ON intra.community = degc.community
+         ORDER BY degc.community"""
     },
     // Both Brandes sweeps unrolled over lv (the shared BFS-level CTE):
     // sg_l = path counts at level l (sum of predecessor counts), dl_l =

@@ -182,6 +182,21 @@ class GraphSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("modularity decomposition: degree mass conserved, total Q positive") {
+    val rows = graft.operators.GraphQueries.queries("q_graph_modularity")(spark, sfDir)
+      .collect()
+    val n = Tables(spark, sfDir, "nation").count()
+    val c = Tables(spark, sfDir, "customer").count()
+    val m_dir = 2 * (n + c) // hierEdges: nation<->region + customer<->nation
+    assert(rows.map(_.getLong(2)).sum == m_dir, "sum of community degrees = 2m")
+    assert(rows.map(_.getLong(1)).sum <= m_dir / 2, "intra edges bounded by m")
+    // Q ∈ (−1, 1): the scaled total must stay inside ±(2m)². (On this tiny
+    // star-shaped hierarchy labelprop does NOT beat the null model — hub
+    // topologies have weak modularity — so positivity is not an invariant.)
+    val q = rows.map(_.getLong(3)).sum
+    assert(q.abs < m_dir * m_dir, "Q bounded in (-1, 1)")
+  }
+
   test("HITS matches an in-memory max-normalized power iteration") {
     val edges = AdjacencyCodec.read(spark, s"$fixtures/G6.txt")
     val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
