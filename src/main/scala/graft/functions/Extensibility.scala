@@ -80,8 +80,11 @@ object Extensibility extends QueryModule {
     // cardinality, never raw trigram strings (which approach corpus size).
     // Strings re-attach in a second Generate pass joined against the
     // surviving (n >= 3) hash set, so the raw-string distinct touches only
-    // heavy hitters. At production scale the survivor threshold rises with
-    // corpus size, keeping the survivor set broadcastable; a hash
+    // heavy hitters. The survivor join is deliberately UNHINTED: the
+    // survivor set's cardinality grows with the corpus (at a fixed
+    // threshold), so a forced broadcast would eventually exceed any
+    // broadcast budget — AQE broadcasts it while it is genuinely small and
+    // flips to a shuffle join on the 8-byte hash key once it isn't. A hash
     // collision would merge two n-grams and fail the oracle compare —
     // 2^-64-scale risk, the standard heavy-hitter trade.
     "q_udtf_ngrams" -> ((s, dir) => {
@@ -92,7 +95,7 @@ object Extensibility extends QueryModule {
         .select(xxhash64(col("lang"), col("ngram")).as("h"))
         .groupBy("h").agg(count(lit(1)).as("n"))
         .filter(col("n") >= 3)
-      grams.join(broadcast(survivors),
+      grams.join(survivors,
           xxhash64(col("lang"), col("ngram")) === col("h"))
         .select("lang", "ngram", "n").distinct()
         .orderBy("lang", "ngram")

@@ -141,18 +141,23 @@ object Similarity extends QueryModule {
       topk(e.filter(col("vec_id") < 20), e, 3, col("qlabel") === col("label"))
     }),
 
-    // Embedding-cosine near-dup: same-cell (label) pairs above a high
-    // cosine threshold, via the native CosineSimilarity expression. The
-    // cell-equi join keeps candidate generation linear in cell size — the
-    // 100 TB shape (shuffle on cell id), not an all-pairs cross join.
+    // Embedding-cosine near-dup: same-cell (label) pairs above a cosine
+    // threshold, via the native CosineSimilarity expression. The cell-equi
+    // join is deliberately UNHINTED — both sides are the full corpus, so a
+    // forced broadcast would grow linearly with it (the r5 scale-killer);
+    // the shuffle join on the cell id keeps candidate generation linear in
+    // cell size — the 100 TB shape, not an all-pairs cross join. The 0.35
+    // threshold is calibrated to the fixture's embedding distribution
+    // (max same-label cosine ≈ 0.47): the output is non-empty at every SF,
+    // so the oracle actually checks the pair/threshold logic.
     "q_sim_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"), col("label"))
       val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("label"))
       val cos = round(graft.functions.CosineSimilarity.cosineSim(col("ea"), col("eb")), 4)
-      a.join(broadcast(b), Seq("label")).filter(col("va") < col("vb"))
+      a.join(b, Seq("label")).filter(col("va") < col("vb"))
         .select(col("va"), col("vb"), cos.as("cosine"))
-        .filter(col("cosine") >= 0.95)
+        .filter(col("cosine") >= 0.35)
         .orderBy("va", "vb")
     }),
 
@@ -494,7 +499,7 @@ object Similarity extends QueryModule {
          GROUP BY va, vb)
        SELECT va, vb, ROUND(dp/(na.nv*nb.nv), 4) AS cosine
        FROM dots JOIN nrm na ON na.vec_id = va JOIN nrm nb ON nb.vec_id = vb
-       WHERE ROUND(dp/(na.nv*nb.nv), 4) >= 0.95
+       WHERE ROUND(dp/(na.nv*nb.nv), 4) >= 0.35
        ORDER BY va, vb"""
   )
 }

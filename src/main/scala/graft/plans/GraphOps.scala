@@ -37,15 +37,22 @@ object GraphOps {
   val BroadcastSeenLimit: Long = 1000000L
 
   /** One BFS expansion superstep, exposed for plan-shape tests: grow the
-    * frontier one hop along `e`, then prune already-seen vertices. The
-    * frontier join is always broadcast (a frontier is one level's width);
-    * the seen-set anti-join is broadcast only while `seenCount` is under
-    * `broadcastSeenLimit` — past it, seen grows to O(|V|) and the plan
-    * flips to a sort-merge anti-join (shuffle on v), the formulation that
-    * spills instead of flooding the driver/exchange at 100×. */
+    * frontier one hop along `e`, then prune already-seen vertices. BOTH
+    * joins are size-gated on the row counts the loop already tracks:
+    *  - the frontier join broadcasts only while `frontierCount` is under
+    *    the gate — on a low-diameter scale-free graph the middle BFS level
+    *    is O(|V|), which at billions of vertices would be a multi-GB
+    *    forced broadcast; past the gate it flips to a sort-merge join on
+    *    src, the formulation that spills instead of flooding every
+    *    executor.
+    *  - the seen-set anti-join is broadcast only while `seenCount` is under
+    *    `broadcastSeenLimit` — past it, seen grows to O(|V|) and the plan
+    *    flips to a sort-merge anti-join (shuffle on v). */
   private[graft] def expandOnce(e: DataFrame, f: DataFrame, seen: DataFrame,
-      level: Int, seenCount: Long, broadcastSeenLimit: Long): DataFrame = {
-    val grown = e.join(broadcast(f), f("v") === e("src"))
+      level: Int, seenCount: Long, broadcastSeenLimit: Long,
+      frontierCount: Long = 0L): DataFrame = {
+    val fj = if (frontierCount <= broadcastSeenLimit) broadcast(f) else f.hint("merge")
+    val grown = e.join(fj, f("v") === e("src"))
       .select(e("dst").as("v")).distinct()
     val pruned =
       if (seenCount <= broadcastSeenLimit)
@@ -65,15 +72,16 @@ object GraphOps {
     var levels = Seq((start, 0)).toDF("v", "level")
     var frontier = levels
     var seenCount = 1L
+    var frontierCount = 1L
     var i = 0
     var done = false
-    // Each expansion is one scan of e with a broadcast frontier join plus
+    // Each expansion is one scan of e with a size-gated frontier join plus
     // the size-gated seen-set prune of expandOnce. The count() below reads
     // the just-checkpointed frontier (cached RDD, no recompute) — it is
-    // both the BSP termination check and the running seen-set size that
-    // drives the broadcast→shuffle flip.
+    // the BSP termination check, the running seen-set size, AND the
+    // frontier size that drive the broadcast→shuffle flips.
     def expand(f: DataFrame, seen: DataFrame, level: Int): DataFrame =
-      expandOnce(e, f, seen, level, seenCount, broadcastSeenLimit)
+      expandOnce(e, f, seen, level, seenCount, broadcastSeenLimit, frontierCount)
         .localCheckpoint(true)
     while (i < maxIter && !done) {
       // Two hops per iteration: in local mode the cost of a superstep is
@@ -85,10 +93,12 @@ object GraphOps {
       if (n1 == 0) done = true
       else {
         seenCount += n1
+        frontierCount = n1
         val seen1 = levels.union(next1)
         val next2 = expand(next1, seen1, i + 2)
         val n2 = next2.count()
         seenCount += n2
+        frontierCount = n2
         // Checkpoint the accumulated level set only every few iterations —
         // an eager checkpoint per superstep re-materializes all levels each
         // time (quadratic in depth); the frontier checkpoints above already
@@ -121,8 +131,10 @@ object GraphOps {
     var levels = seeds.map(s => (s, s, 0)).toDF("seed", "v", "level")
     var frontier = levels
     var seenCount = seeds.size.toLong
+    var frontierCount = seeds.size.toLong
     def expand(f: DataFrame, seen: DataFrame, level: Int): DataFrame = {
-      val grown = e.join(broadcast(f), f("v") === e("src"))
+      val fj = if (frontierCount <= broadcastSeenLimit) broadcast(f) else f.hint("merge")
+      val grown = e.join(fj, f("v") === e("src"))
         .select(col("seed"), e("dst").as("v")).distinct()
       val pruned =
         if (seenCount <= broadcastSeenLimit)
@@ -138,10 +150,12 @@ object GraphOps {
       if (n1 == 0) done = true
       else {
         seenCount += n1
+        frontierCount = n1
         val seen1 = levels.union(next1)
         val next2 = expand(next1, seen1, i + 2)
         val n2 = next2.count()
         seenCount += n2
+        frontierCount = n2
         val u = seen1.union(next2)
         levels = if (i % 4 >= 2) u.localCheckpoint(true) else u
         if (n2 == 0) done = true else frontier = next2
@@ -274,8 +288,10 @@ object GraphOps {
     var levels = seeds.map(s => (s, s, 0, 1L)).toDF("seed", "v", "level", "sigma")
     var frontier = levels
     var seenCount = seeds.size.toLong
+    var frontierCount = seeds.size.toLong
     def expand(f: DataFrame, seen: DataFrame, level: Int): DataFrame = {
-      val grown = e.join(broadcast(f), f("v") === e("src"))
+      val fj = if (frontierCount <= broadcastSeenLimit) broadcast(f) else f.hint("merge")
+      val grown = e.join(fj, f("v") === e("src"))
         .groupBy(col("seed"), e("dst").as("v")).agg(sum(f("sigma")).as("sigma"))
       val pruned =
         if (seenCount <= broadcastSeenLimit)
@@ -292,10 +308,12 @@ object GraphOps {
       if (n1 == 0) done = true
       else {
         seenCount += n1
+        frontierCount = n1
         val seen1 = levels.union(next1)
         val next2 = expand(next1, seen1, i + 2)
         val n2 = next2.count()
         seenCount += n2
+        frontierCount = n2
         val u = seen1.union(next2)
         levels = if (i % 4 >= 2) u.localCheckpoint(true) else u
         if (n2 == 0) done = true else frontier = next2
@@ -380,15 +398,18 @@ object GraphOps {
       .join(e.select(col("dst").as("v")).distinct(), Seq("v"), "left_anti")
     var best = sources.select(col("v"), lit(0L).as("layer")).localCheckpoint(true)
     var seenCount = best.count()
+    var frontierCount = seenCount
     var frontier = best
     var i = 0
     var done = false
     while (i < maxIter && !done) {
-      // frontier broadcasts into the edge join (same shape as bfsLevels);
+      // the frontier join broadcasts only under the size gate (same
+      // discipline as expandOnce — an improved set can be O(|V|) wide);
       // the improvement check joins against `best`, broadcast while it
       // fits, merge-join past the gate — the seen-set discipline of the
       // BFS family applied to the layer table.
-      val cand = e.join(broadcast(frontier), col("v") === col("src"))
+      val fj = if (frontierCount <= broadcastSeenLimit) broadcast(frontier) else frontier.hint("merge")
+      val cand = e.join(fj, col("v") === col("src"))
         .groupBy(col("dst").as("w")).agg((max("layer") + 1).as("cand"))
       val improved = (if (seenCount <= broadcastSeenLimit)
           cand.join(broadcast(best), cand("w") === best("v"), "left")
@@ -400,7 +421,10 @@ object GraphOps {
       if (n == 0) done = true
       else {
         seenCount += n
-        val merged = best.join(broadcast(improved.select(col("v").as("iv"))),
+        frontierCount = n
+        val iv = improved.select(col("v").as("iv"))
+        val merged = best.join(
+            if (n <= broadcastSeenLimit) broadcast(iv) else iv.hint("merge"),
             col("v") === col("iv"), "left_anti")
           .select(col("v"), col("layer"))
           .union(improved)
@@ -494,19 +518,25 @@ object GraphOps {
     * one frontier⋈edges join + a min-merge, not a full |V| relaxation.
     * Returns `(v, dist)` for every vertex reachable from `start`.
     */
-  def sssp(spark: SparkSession, edges: DataFrame, start: Long, maxIter: Int = 100): DataFrame = {
+  def sssp(spark: SparkSession, edges: DataFrame, start: Long, maxIter: Int = 100,
+      broadcastSeenLimit: Long = BroadcastSeenLimit): DataFrame = {
     import spark.implicits._
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
       col("w").cast("long")).persist()
     var dist = Seq((start, 0L)).toDF("v", "dist").localCheckpoint(true)
     var frontier = dist
+    var frontierCount = 1L
     var i = 0
-    while (i < maxIter && !frontier.isEmpty) {
-      // Candidate relaxations from the improved set only. ONE
+    while (i < maxIter && frontierCount > 0) {
+      // Candidate relaxations from the improved set only, broadcast only
+      // under the size gate (the improved set can be O(|V|) mid-run). ONE
       // materialization per superstep: `merged` — cand feeds it exactly
       // once (no checkpoint), and frontier/dist are trivial projections of
-      // the materialized merged frame (lineage stays rooted there).
-      val cand = e.join(broadcast(frontier), frontier("v") === e("src"))
+      // the materialized merged frame (lineage stays rooted there). The
+      // frontier count doubles as the termination check (it replaces the
+      // isEmpty probe — same action count per superstep).
+      val fj = if (frontierCount <= broadcastSeenLimit) broadcast(frontier) else frontier.hint("merge")
+      val cand = e.join(fj, frontier("v") === e("src"))
         .select(e("dst").as("v"), (col("dist") + col("w")).as("nd"))
         .groupBy("v").agg(min("nd").as("nd"))
       val merged = dist.as("d").join(cand.as("c"), Seq("v"), "full_outer")
@@ -517,6 +547,7 @@ object GraphOps {
            coalesce(col("d.dist"), lit(Long.MaxValue))).as("improved"))
         .localCheckpoint(true)
       frontier = merged.filter(col("improved")).select("v", "dist")
+      frontierCount = merged.filter(col("improved")).count()
       dist = merged.select("v", "dist")
       i += 1
     }
@@ -543,6 +574,7 @@ object GraphOps {
     var levels = Seq((start, 0, 1L)).toDF("v", "level", "sigma")
     var frontier = levels
     var seenCount = 1L
+    var frontierCount = 1L
     // Each frontier is eagerly localCheckpoint'ed, exactly like
     // [[bfsLevels]]. persist() alone is NOT enough here: a cached plan keeps
     // its full logical lineage, and because each frontier's anti-join embeds
@@ -551,7 +583,8 @@ object GraphOps {
     // (observed at sf0.1). The checkpoint cuts the plan at every superstep,
     // so `levels` stays a flat union of checkpointed frontiers.
     def expand(f: DataFrame, seen: DataFrame, level: Int): DataFrame = {
-      val grown = e.join(broadcast(f), f("v") === e("src"))
+      val fj = if (frontierCount <= broadcastSeenLimit) broadcast(f) else f.hint("merge")
+      val grown = e.join(fj, f("v") === e("src"))
         .groupBy(e("dst").as("v")).agg(sum(f("sigma")).as("sigma"))
       val pruned =
         if (seenCount <= broadcastSeenLimit)
@@ -568,10 +601,12 @@ object GraphOps {
       if (n1 == 0) done = true
       else {
         seenCount += n1
+        frontierCount = n1
         val seen1 = levels.union(next1)
         val next2 = expand(next1, seen1, i + 2)
         val n2 = next2.count()
         seenCount += n2
+        frontierCount = n2
         val u = seen1.union(next2)
         levels = if (i % 4 >= 2) u.localCheckpoint(true) else u
         if (n2 == 0) done = true else frontier = next2

@@ -169,6 +169,33 @@ class ScaleSpec extends SparkSpec {
       s"past the gate the seen prune must not broadcast:\n${big.take(600)}")
   }
 
+  test("BFS frontier join flips broadcast -> shuffle past the size gate") {
+    import spark.implicits._
+    // On a scale-free graph a middle BFS level is O(|V|): the frontier must
+    // obey the same size gate as the seen set or it becomes a multi-GB
+    // forced broadcast at 10^9 vertices.
+    val e = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val f = Seq((0L, 0)).toDF("v", "level")
+    val seen = Seq((0L, 0)).toDF("v", "level")
+    def planOf(frontierCount: Long): String =
+      graft.plans.GraphOps.expandOnce(e, f, seen, 1, 10L, 1000L, frontierCount)
+        .queryExecution.executedPlan.toString
+    // below the gate: the frontier Inner join broadcasts
+    val small = planOf(10L)
+    val innerSmall = small.linesIterator.find(l =>
+      l.contains("Join") && l.contains("Inner")).getOrElse("")
+    assert(innerSmall.contains("Broadcast"),
+      s"below the gate the frontier join should broadcast:\n${small.take(600)}")
+    // past the gate: the frontier join flips to a sort-merge join (seen
+    // stays gated separately — seenCount 10 keeps its broadcast, proving
+    // the two gates are independent)
+    val big = planOf(10000L)
+    val innerBig = big.linesIterator.find(l =>
+      l.contains("Join") && l.contains("Inner")).getOrElse("")
+    assert(innerBig.contains("SortMergeJoin"),
+      s"past the gate the frontier join must merge-join:\n${big.take(600)}")
+  }
+
   test("banded RANGE-window rewrite == direct RANGE window") {
     // The shipped q_win_range IS the banded plan; the naive 3-partition
     // spelling lives only here, as the equality baseline.
