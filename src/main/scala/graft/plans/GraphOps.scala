@@ -338,10 +338,22 @@ object GraphOps {
     */
   def multiSourceBrandes(spark: SparkSession, edges: DataFrame, seeds: Seq[Long],
       maxIter: Int = 50): DataFrame = {
-    import spark.implicits._
     val ed = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct().localCheckpoint(true)
     val sigAll = multiSourceBfsSigma(spark, ed, seeds, maxIter).localCheckpoint(true)
+    multiBrandesBackward(spark, ed, sigAll)
+  }
+
+  /** The backward (dependency-accumulation) half of [[multiSourceBrandes]],
+    * callable with a PRECOMPUTED `(seed, v, level, sigma)` frame — the
+    * forward σ-BFS is the expensive shared half, so a caller that already
+    * has it (e.g. a process-level cache shared with the single-source
+    * query, whose σ frame is the seed-0 slice of this one) pays only the
+    * per-level sweep here. `ed` must be the DISTINCT long-cast edges the
+    * σ frame was computed over. */
+  private[graft] def multiBrandesBackward(spark: SparkSession, ed: DataFrame,
+      sigAll: DataFrame): DataFrame = {
+    import spark.implicits._
     val maxL = sigAll.agg(max("level")).collect()(0).getInt(0)
     // Annotate each seed's Brandes DAG once (edge (x,w) with level(w) =
     // level(x)+1 under that seed), exactly like the single-source sweep.
@@ -636,13 +648,20 @@ object GraphOps {
     */
   def brandesDependency(spark: SparkSession, edges: DataFrame, start: Long,
       maxIter: Int = 50): DataFrame = {
-    import spark.implicits._
     val ed = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct().localCheckpoint(true)
     // Levels AND path counts from ONE BFS loop ([[bfsSigma]]): σ falls out
     // of the frontier⋈edges join BFS already pays, so the classic separate
     // forward sweep (maxL more per-level joins and their barriers) is gone.
     val sigAll = bfsSigma(spark, ed, start, maxIter).localCheckpoint(true)
+    brandesBackward(spark, ed, sigAll)
+  }
+
+  /** Single-source backward sweep over a precomputed `(v, level, sigma)`
+    * frame — see [[multiBrandesBackward]] for why this is split out. */
+  private[graft] def brandesBackward(spark: SparkSession, ed: DataFrame,
+      sigAll: DataFrame): DataFrame = {
+    import spark.implicits._
     val maxL = sigAll.agg(max("level")).collect()(0).getInt(0)
     // backward sweep: dependency accumulation up the DAG. The σ context is
     // joined ONCE up front — DAG edges (wlevel == srclevel + 1) annotated
