@@ -51,6 +51,12 @@ object Similarity extends QueryModule {
   private val kmeansK = 8
   private val kmeansIters = 3
 
+  /** Cells probed per IVF query — real IVF probes the nearest p centroids,
+    * not just the assigned one (nprobe=1 loses recall exactly at cell
+    * boundaries, where a query's true neighbors sit in the adjacent cell).
+    * Shared with the oracle's top-p cell ranking. */
+  private val ivfNProbe = 2
+
   /** Integer-quantized vectors: qv = floor(x · 32768) per component —
     * exact, so every downstream distance/mean is engine-replicable. */
   private def quantized(e: DataFrame): DataFrame = {
@@ -75,7 +81,14 @@ object Similarity extends QueryModule {
     *
     * Scale shape per iteration: k centroids broadcast against ONE corpus
     * scan; the update shuffles (cid, pos) partial sums — k·64 rows. */
-  private def kmeansAssign(s: SparkSession, dir: String, k: Int, iters: Int): DataFrame = {
+  private def kmeansAssign(s: SparkSession, dir: String, k: Int, iters: Int): DataFrame =
+    kmeansFinal(s, dir, k, iters)._1
+
+  /** [[kmeansAssign]] plus the FINAL centroid table `(cid, cv)` — the one
+    * the last assignment step ranked against, which is what IVF probing
+    * must rank against too. */
+  private def kmeansFinal(s: SparkSession, dir: String, k: Int,
+      iters: Int): (DataFrame, DataFrame) = {
     // base feeds every assignment step AND the centroid update — one
     // materialization, not one scan+quantize per consumer.
     val base = quantized(t(s, dir, "embeddings")).localCheckpoint(true)
@@ -104,7 +117,7 @@ object Similarity extends QueryModule {
           x => x.getField("comp")).as("cv"))
       assigned = assign(cents)
     }
-    assigned
+    (assigned, cents)
   }
 
   /** Shared plan: cosine top-k of `corpus` for each row of `queries`,
@@ -130,15 +143,42 @@ object Similarity extends QueryModule {
       topk(e.filter(col("vec_id") < 10), e, 5, lit(true))
     }),
     // IVF probe against the LEARNED k-means cells (same assignment as
-    // q_sim_kmeans): each query vector searches only the corpus rows whose
-    // final Lloyd assignment matches its own — the inverted-file contract.
+    // q_sim_kmeans), nprobe = 2: each query ranks the FINAL centroids by
+    // the same exact integer distance and searches the corpus rows whose
+    // final Lloyd assignment lands in its 2 nearest cells — the
+    // inverted-file contract with boundary-recall probing. Plan shape at
+    // scale: centroids (k rows) broadcast against the ≤20-row probe set;
+    // candidates are (qid, vec_id) id pairs generated by an equi join on
+    // the cell id (shuffle key = cid, ids-only rows); embeddings
+    // re-attach afterwards, so no 256-byte vectors move through the
+    // candidate shuffle.
     "q_sim_ivf" -> ((s, dir) => {
-      // the cell map feeds both the probe side and the corpus side
-      val cells = kmeansAssign(s, dir, kmeansK, kmeansIters)
-        .select("vec_id", "cid").localCheckpoint(true)
-      val e = t(s, dir, "embeddings").join(cells, Seq("vec_id"))
-        .select(col("vec_id"), col("embedding"), col("cid").as("label"))
-      topk(e.filter(col("vec_id") < 20), e, 3, col("qlabel") === col("label"))
+      val (assigned, cents) = kmeansFinal(s, dir, kmeansK, kmeansIters)
+      val cells = assigned.select("vec_id", "cid").localCheckpoint(true)
+      val cdist = aggregate(
+        zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v)
+      val wp = Window.partitionBy("qid").orderBy(col("dist"), col("cid"))
+      val probes = assigned.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("qv"))
+        .join(broadcast(cents))
+        .select(col("qid"), col("cid"), cdist.as("dist"))
+        .withColumn("rn", row_number().over(wp)).filter(col("rn") <= ivfNProbe)
+        .select("qid", "cid")
+      val cand = broadcast(probes).join(cells, Seq("cid"))
+        .filter(col("qid") =!= col("vec_id"))
+        .select("qid", "vec_id")
+      val e = t(s, dir, "embeddings")
+      val qe = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val cos = round(dot(col("qe"), col("embedding")) /
+        (norm(col("qe")) * norm(col("embedding"))), 4)
+      val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+      cand.join(broadcast(qe), Seq("qid")).join(e, Seq("vec_id"))
+        .select(col("qid"), col("vec_id"), cos.as("cosine"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("qid"), col("vec_id"), col("cosine"), col("rn"))
+        .orderBy("qid", "rn")
     }),
 
     // Embedding-cosine near-dup: same-cell (label) pairs above a cosine
@@ -347,7 +387,7 @@ object Similarity extends QueryModule {
                list((s - ((s % n + n) % n)) // n ORDER BY pos) AS cv
              FROM m${i - 1} GROUP BY cid),
            """
-      s"""${upd}d$i AS (SELECT q0.vec_id, c${i - 1}.cid,
+      s"""${upd}d$i AS MATERIALIZED (SELECT q0.vec_id, c${i - 1}.cid,
              CAST(list_sum([(q0.qv[j] - c${i - 1}.cv[j]) * (q0.qv[j] - c${i - 1}.cv[j])
                             for j in range(1, 65)]) AS BIGINT) AS dist
            FROM q0 CROSS JOIN c${i - 1}),
@@ -460,12 +500,17 @@ object Similarity extends QueryModule {
            FROM cosined)
          SELECT va AS qid, vb, cosine, rn FROM ranked WHERE rn <= 3 ORDER BY qid, rn""",
     "q_sim_topk" -> cosineSql("vec_id < 10", "", 5),
-    // Learned-cell IVF: the same unrolled k-means chain supplies the cell
-    // map; the probe join restricts the cosine machinery to same-cell rows.
+    // Learned-cell IVF, nprobe = 2: the same unrolled k-means chain
+    // supplies both the cell map (a$iters) and the final-centroid
+    // distances (d$iters), whose top-2 per query vector is the probe set.
     "q_sim_ivf" ->
       s"""WITH ${kmeansCtes(kmeansK, kmeansIters)},
          q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
                WHERE vec_id < 20),
+         probes AS (SELECT vec_id AS qid, cid FROM (
+             SELECT vec_id, cid, ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             FROM d$kmeansIters WHERE vec_id < 20) WHERE rn <= $ivfNProbe),
          nrm AS (SELECT vec_id, SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nv
                  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
                  GROUP BY vec_id),
@@ -473,8 +518,8 @@ object Similarity extends QueryModule {
              SELECT q.qid, e.vec_id,
                     CAST(unnest(q.qe) AS DOUBLE) AS qx,
                     CAST(unnest(e.embedding) AS DOUBLE) AS ex
-             FROM q JOIN a$kmeansIters aq ON aq.vec_id = q.qid
-                    JOIN a$kmeansIters ac ON ac.cid = aq.cid
+             FROM q JOIN probes p ON p.qid = q.qid
+                    JOIN a$kmeansIters ac ON ac.cid = p.cid
                     JOIN embeddings e ON e.vec_id = ac.vec_id
                                      AND e.vec_id <> q.qid)
            GROUP BY qid, vec_id),

@@ -250,6 +250,32 @@ class PipelineSpec extends SparkSpec {
     assert(hits >= 9, s"ANN top-3 overlaps exact top-3 for $hits/10 probes")
   }
 
+  test("IVF (nprobe=2) recall vs brute-force top-3 pinned") {
+    // Measured recall@3: 0.75 at sf0.001, 0.65 at sf0.01, with 19/20
+    // probes overlapping the exact top-3 at both scales — pinned with
+    // margin (a broken probe set collapses recall toward the 2/8-cells
+    // random baseline ~0.25).
+    val ivf = Similarity.queries("q_sim_ivf")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (q, vs) => q -> vs.map(_._2).toSet }
+    val emb = Tables(spark, sfDir, "embeddings").select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val perQuery = (0L until 20L).map { q =>
+      val top3 = emb.keys.filter(_ != q).toSeq
+        .sortBy(v => (-cos(emb(q), emb(v)), v)).take(3).toSet
+      ivf.getOrElse(q, Set.empty).intersect(top3).size
+    }
+    val recall = perQuery.sum.toDouble / (3 * perQuery.size)
+    assert(recall >= 0.5, s"IVF recall@3 $recall below pin 0.5")
+    assert(perQuery.count(_ >= 1) >= 17,
+      s"only ${perQuery.count(_ >= 1)}/20 probes overlap the exact top-3")
+  }
+
   test("approx_percentile within 2% of exact percentiles") {
     val rows = Relational.queries("q_agg_approx_pct")(spark, sfDir).collect()
     assert(rows.forall(_.getBoolean(3)), "in-query apx_ok must hold")
