@@ -42,6 +42,33 @@ object GraphQueries extends QueryModule {
     * the oracle unrolls the identical recurrence. */
   private val lpIters = 4
 
+  /** Vertex cap for the SCC graph: the DuckDB oracle computes an honest
+    * transitive closure (mutual reachability, no knowledge of the
+    * construction), so the vertex count is capped to keep the closure in
+    * the low millions of pairs. */
+  private val sccVertexCap = 4096L
+
+  /** Directed SCC fixture graph: vertices = custkeys under the cap; each
+    * 8-block carries a full directed cycle (partial tail block included —
+    * its cycle wraps at the block's true size), plus strictly-forward
+    * cross-block edges c → c+11. SCCs are therefore nontrivial (the
+    * 8-cycles) while the block condensation stays a DAG — the shape that
+    * exercises both halves of the coloring algorithm. */
+  private def sccEdges(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_custkey"))
+    val v = math.min(c.count(), sccVertexCap)
+    val cc = c.filter(col("c_custkey") < v)
+      .select(col("c_custkey").cast("long").as("c"))
+    val blockStart = expr("(c div 8) * 8")
+    val blockSize = least(lit(8L), lit(v) - blockStart)
+    val cyc = cc.select(col("c").as("src"),
+      (blockStart + pmod(col("c") - blockStart + 1, blockSize)).as("dst"))
+    val fwd = cc.filter(col("c") + 11 < v &&
+        expr("c div 8") < expr("(c + 11) div 8"))
+      .select(col("c").as("src"), (col("c") + 11).as("dst"))
+    cyc.union(fwd)
+  }
+
   /** k-core parameters — fixed peel-round count for the same reason as
     * lpIters (the oracle unrolls the identical recurrence; rounds past the
     * fixpoint are no-ops, and GraphSpec asserts the fixpoint IS reached at
@@ -332,6 +359,17 @@ object GraphQueries extends QueryModule {
         .groupBy("comp")
         .agg(count(lit(1)).as("n_members"), min("v").as("min_v"), max("v").as("max_v"))
         .orderBy("comp")),
+
+    // DIRECTED strongly connected components (coloring FW-BW rounds,
+    // [[GraphOps.stronglyConnectedComponents]]) over the block-cycle
+    // graph: one row per component. The oracle is an honest
+    // mutual-reachability transitive closure — it knows nothing about the
+    // construction, so a wrong component merge/split fails the compare.
+    "q_graph_scc" -> ((s, dir) =>
+      GraphOps.stronglyConnectedComponents(s, sccEdges(s, dir))
+        .groupBy("scc")
+        .agg(count(lit(1)).as("n_members"), min("v").as("min_v"))
+        .orderBy("scc")),
 
     // k-core decomposition (k=4) of the undirected ring graph by
     // synchronous peeling: each round recomputes every surviving vertex's
@@ -846,6 +884,35 @@ object GraphQueries extends QueryModule {
       """SELECT CAST(n_nationkey + 5 AS BIGINT) AS src,
                 CAST(n_regionkey AS BIGINT) AS dst,
                 COUNT(*) OVER (PARTITION BY n_regionkey) AS dst_in_degree
-         FROM nation ORDER BY src, dst"""
+         FROM nation ORDER BY src, dst""",
+    // Honest SCC oracle: full transitive closure, mutual-reachability
+    // pairs, scc id = max mutually-reachable vertex (self included — a
+    // vertex off any cycle is its own component). The closure is the
+    // reason for the vertex cap; `rr` is MATERIALIZED because the mutual
+    // self-join references the recursive result twice.
+    "q_graph_scc" ->
+      s"""WITH RECURSIVE
+         verts AS (SELECT CAST(c_custkey AS BIGINT) AS c FROM customer
+                   WHERE c_custkey < LEAST((SELECT COUNT(*) FROM customer), $sccVertexCap)),
+         vn AS (SELECT COUNT(*) AS n FROM verts),
+         e AS (
+           SELECT c AS src, (c // 8) * 8
+               + ((c % 8) + 1) % LEAST(8, (SELECT n FROM vn) - (c // 8) * 8) AS dst
+           FROM verts
+           UNION ALL
+           SELECT c, c + 11 FROM verts
+           WHERE c + 11 < (SELECT n FROM vn) AND (c // 8) < ((c + 11) // 8)),
+         reach(a, b) AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
+         rr AS MATERIALIZED (SELECT a, b FROM reach),
+         mutual AS (SELECT r1.a AS v, r1.b AS w
+                    FROM rr r1 JOIN rr r2 ON r2.a = r1.b AND r2.b = r1.a),
+         scc AS (SELECT verts.c AS v,
+             GREATEST(verts.c, COALESCE(MAX(m.w), verts.c)) AS scc
+           FROM verts LEFT JOIN mutual m ON m.v = verts.c GROUP BY verts.c)
+         SELECT scc, COUNT(*) AS n_members, MIN(v) AS min_v
+         FROM scc GROUP BY scc ORDER BY scc"""
   )
 }

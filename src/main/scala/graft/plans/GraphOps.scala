@@ -398,9 +398,10 @@ object GraphOps {
     * Bellman-Ford-with-max shape: only vertices whose best-known layer
     * IMPROVED last round propagate, so each superstep is one
     * frontier⋈edges join + max-merge and the loop runs exactly
-    * longest-path-length supersteps. Requires an acyclic input (a cycle
-    * would improve forever; the maxIter cap fails loudly via the count
-    * rather than looping silently). Returns `(v, layer)` for every vertex.
+    * longest-path-length supersteps. Requires an acyclic input: a cycle
+    * improves forever, so hitting the maxIter cap with a still-improving
+    * frontier THROWS rather than returning silently-truncated layers.
+    * Returns `(v, layer)` for every vertex.
     */
   def dagLayers(spark: SparkSession, edges: DataFrame, maxIter: Int = 100,
       broadcastSeenLimit: Long = BroadcastSeenLimit): DataFrame = {
@@ -448,6 +449,9 @@ object GraphOps {
       i += 1
     }
     e.unpersist()
+    if (!done) throw new IllegalStateException(
+      s"dagLayers did not converge in $maxIter supersteps - the frontier is " +
+        "still improving, which on a finite graph means the input has a cycle")
     best
   }
 
@@ -699,6 +703,114 @@ object GraphOps {
     sigAll.join(delAll, col("v") === col("dv"), "left")
       .select(col("v"), col("level"), col("sigma"),
         round(coalesce(col("delta"), lit(0.0)), 6).as("dep"))
+  }
+
+  /** Strongly connected components of a DIRECTED graph — the coloring
+    * (forward-backward) BSP algorithm, the standard distributed SCC
+    * formulation (Orzan; FW-BW-Trim family):
+    *
+    * per round over the remaining subgraph:
+    *  1. flood the MAX vertex id forward to a fixpoint ("colors": color(v)
+    *     = max id among v's ancestors ∪ v) — improvement-frontier
+    *     propagation, one frontier⋈edges join + max-merge per superstep;
+    *  2. roots = vertices whose color is themselves; every root's SCC is
+    *     exactly the set it can reach BACKWARD through vertices of its own
+    *     color (multi-source backward BFS batched over ALL roots at once,
+    *     riding one loop the way [[multiSourceBfs]] batches seeds);
+    *  3. assigned vertices leave the graph; unresolved ones (forward-only
+    *     vertices colored by a larger non-mutual ancestor) go to the next
+    *     round.
+    *
+    * Adversarial chains need O(chain depth) rounds, so the round cap
+    * throws rather than returning a partial decomposition (same loud-fail
+    * discipline as [[dagLayers]]); GraphSpec exercises a 2-round graph.
+    * All joins obey the frontier/seen-set broadcast gates of the BFS
+    * family. Returns `(v, scc)` with scc = MAX vertex id of the component.
+    */
+  def stronglyConnectedComponents(spark: SparkSession, edges: DataFrame,
+      maxRounds: Int = 5, maxIter: Int = 100,
+      broadcastSeenLimit: Long = BroadcastSeenLimit): DataFrame = {
+    val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().localCheckpoint(true)
+    var rem = e0.select(col("src").as("v")).union(e0.select(col("dst").as("v")))
+      .distinct().localCheckpoint(true)
+    var e = e0
+    var out = List.empty[DataFrame]
+    var round = 0
+    var remCount = rem.count()
+    def gated(f: DataFrame, n: Long): DataFrame =
+      if (n <= broadcastSeenLimit) broadcast(f) else f.hint("merge")
+    while (remCount > 0 && round < maxRounds) {
+      // 1. forward max-color flood (improvement frontiers only)
+      var colors = rem.select(col("v"), col("v").as("color")).localCheckpoint(true)
+      var frontier = colors
+      var fCount = remCount
+      var i = 0
+      while (fCount > 0 && i < maxIter) {
+        val cand = e.join(gated(frontier, fCount), col("v") === col("src"))
+          .groupBy(col("dst").as("w")).agg(max("color").as("nc"))
+        val joined = colors.join(cand, col("v") === col("w"), "left")
+          .select(col("v"),
+            greatest(col("color"), coalesce(col("nc"), col("color"))).as("c2"),
+            (coalesce(col("nc"), col("color")) > col("color")).as("improved"))
+          .localCheckpoint(true)
+        frontier = joined.filter(col("improved"))
+          .select(col("v"), col("c2").as("color"))
+        fCount = joined.filter(col("improved")).count()
+        colors = joined.select(col("v"), col("c2").as("color"))
+        i += 1
+      }
+      if (fCount > 0) throw new IllegalStateException(
+        s"SCC color flood did not converge in $maxIter supersteps")
+      colors = colors.localCheckpoint(true)
+      // 2. backward reach from all roots, restricted to same-color edges
+      val er = e
+        .join(colors.select(col("v").as("sv"), col("color").as("scol")),
+          col("src") === col("sv"))
+        .join(colors.select(col("v").as("dv"), col("color").as("dcol")),
+          col("dst") === col("dv"))
+        .filter(col("scol") === col("dcol"))
+        .select(col("dst").as("efrom"), col("src").as("eto"), col("scol").as("ecolor"))
+        .localCheckpoint(true)
+      var assigned = colors.filter(col("v") === col("color"))
+        .select(col("v"), col("color").as("scc")).localCheckpoint(true)
+      var assignedCount = assigned.count()
+      var bf = assigned
+      var bCount = assignedCount
+      i = 0
+      while (bCount > 0 && i < maxIter) {
+        val grown = er.join(gated(bf, bCount),
+            col("v") === col("efrom") && col("scc") === col("ecolor"))
+          .select(col("eto").as("v"), col("scc")).distinct()
+        val fresh = grown.join(gated(assigned.select("v"), assignedCount),
+            Seq("v"), "left_anti")
+          .localCheckpoint(true)
+        bCount = fresh.count()
+        if (bCount > 0) {
+          assigned = assigned.union(fresh).localCheckpoint(true)
+          assignedCount += bCount
+        }
+        bf = fresh
+        i += 1
+      }
+      out ::= assigned
+      // 3. shrink the remaining subgraph
+      rem = rem.join(gated(assigned.select("v"), assignedCount), Seq("v"), "left_anti")
+        .localCheckpoint(true)
+      remCount = rem.count()
+      if (remCount > 0) {
+        val av = assigned.select(col("v").as("av"))
+        e = e.join(gated(av, assignedCount), col("src") === col("av"), "left_anti")
+          .join(gated(assigned.select(col("v").as("av2")), assignedCount),
+            col("dst") === col("av2"), "left_anti")
+          .localCheckpoint(true)
+      }
+      round += 1
+    }
+    if (remCount > 0) throw new IllegalStateException(
+      s"SCC did not resolve in $maxRounds coloring rounds - " +
+        s"$remCount vertices left; raise maxRounds for chain-heavy graphs")
+    out.reduce(_ union _).select(col("v"), col("scc"))
   }
 
   /** Edge count up to which [[connectedComponents]] solves on the driver:

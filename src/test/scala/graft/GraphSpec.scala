@@ -143,6 +143,32 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("SCC: cycles, cross-SCC chains, and a vertex that needs a second coloring round") {
+    import spark.implicits._
+    // {1,2} → 3 → {4,5}: two 2-cycles bridged by a chain vertex, all
+    // resolved in round 1 (each root colors only its own class).
+    // {8,9} → 0: vertex 0 is colored by root 9 but is NOT in SCC(9)
+    // (no path back), so it stays unassigned until round 2 — the
+    // multi-round path of the algorithm is actually exercised.
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 4L),
+      (8L, 9L), (9L, 8L), (9L, 0L)).toDF("src", "dst")
+    val got = GraphOps.stronglyConnectedComponents(spark, e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 5L, 5L -> 5L,
+      8L -> 9L, 9L -> 9L, 0L -> 0L))
+  }
+
+  test("dagLayers throws loudly on cyclic input instead of silently truncating") {
+    import spark.implicits._
+    // a cycle REACHABLE FROM A SOURCE keeps improving layers forever (a
+    // source-free pure cycle would start with an empty frontier instead)
+    val cyc = Seq((5L, 0L), (0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      GraphOps.dagLayers(spark, cyc, maxIter = 8)
+    }
+    assert(ex.getMessage.contains("cycle"))
+  }
+
   test("DAG layering matches in-memory longest-path DP over topological order") {
     val edges = AdjacencyCodec.read(spark, s"$fixtures/G6.txt")
       .filter(col("src") < col("dst"))
