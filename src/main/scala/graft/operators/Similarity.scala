@@ -112,9 +112,14 @@ object Similarity extends QueryModule {
         .withColumn("comp", expr("(sv - pmod(sv, n)) div n"))
       // array_sort on (pos, comp) structs orders by pos — a deterministic
       // rebuild of the centroid vector from the per-component shuffle.
+      // Each update is eagerly checkpointed (k rows): every assignment
+      // step and every downstream consumer (cells AND probes in
+      // q_sim_ivf) then reads materialized centroids instead of
+      // re-evaluating the whole Lloyd prefix per reference.
       cents = comps.groupBy("cid")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("comp")))),
           x => x.getField("comp")).as("cv"))
+        .localCheckpoint(true)
       assigned = assign(cents)
     }
     (assigned, cents)
@@ -153,8 +158,12 @@ object Similarity extends QueryModule {
     // re-attach afterwards, so no 256-byte vectors move through the
     // candidate shuffle.
     "q_sim_ivf" -> ((s, dir) => {
-      val (assigned, cents) = kmeansFinal(s, dir, kmeansK, kmeansIters)
-      val cells = assigned.select("vec_id", "cid").localCheckpoint(true)
+      // ONE materialization of the final Lloyd assignment serves both the
+      // corpus cell map and the probe side (an unshared lineage here ran
+      // the whole k-means loop twice — the r6 q_sim_ivf regression).
+      val (assigned0, cents) = kmeansFinal(s, dir, kmeansK, kmeansIters)
+      val assigned = assigned0.localCheckpoint(true)
+      val cells = assigned.select("vec_id", "cid")
       val cdist = aggregate(
         zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
         lit(0L), (acc, v) => acc + v)
