@@ -169,6 +169,21 @@ class ScaleSpec extends SparkSpec {
       s"past the gate the seen prune must not broadcast:\n${big.take(600)}")
   }
 
+  test("corpus-sized join sides carry no forced broadcast hint (r5 scale-killers)") {
+    // q_sim_neardup's build side is the whole embeddings table and
+    // q_udtf_ngrams' survivor set grows with the corpus — both were
+    // broadcast()-forced in r5, which OOMs at scale regardless of local
+    // timings. The joins must stay unhinted (AQE may still choose to
+    // broadcast at fixture scale from STATS — that's fine and flips on
+    // its own at 100x; the hint would not).
+    for (q <- Seq("q_sim_neardup", "q_udtf_ngrams")) {
+      val lp = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.optimizedPlan.toString.toLowerCase
+      assert(!lp.contains("broadcast"),
+        s"$q must not carry a broadcast hint:\n${lp.take(800)}")
+    }
+  }
+
   test("BFS frontier join flips broadcast -> shuffle past the size gate") {
     import spark.implicits._
     // On a scale-free graph a middle BFS level is O(|V|): the frontier must
