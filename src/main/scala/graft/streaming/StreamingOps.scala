@@ -55,6 +55,30 @@ object StreamingOps extends QueryModule {
     java.lang.ProcessHandle.current().pid().toString + "_" +
       dir.replaceAll("[^A-Za-z0-9]", "_")
 
+  /** Write `frames` as sequential single-file chunks into `chunks`, then
+    * PIN each chunk's part-file mod-time to a strictly increasing value.
+    * The streaming file source replays in mod-time order; sequential
+    * writes almost always produce distinct stamps, but a tie at the
+    * filesystem's timestamp granularity would silently scramble the
+    * replay order the late-data queries' oracles depend on — pinning
+    * makes the order a property of the code, not of write latency. */
+  private def writeChunksOrdered(chunks: String, frames: Seq[DataFrame]): Unit = {
+    val dir = new java.io.File(chunks)
+    val base = System.currentTimeMillis()
+    frames.zipWithIndex.foreach { case (df, i) =>
+      val before: Set[String] =
+        if (i == 0) Set.empty
+        else Option(dir.list()).map(_.toSet).getOrElse(Set.empty)
+      df.coalesce(1).write.mode(if (i == 0) "overwrite" else "append").parquet(chunks)
+      Option(dir.list()).getOrElse(Array.empty[String]).toSet.diff(before)
+        .filter(f => f.startsWith("part-") && f.endsWith(".parquet"))
+        .foreach { f =>
+          require(new java.io.File(dir, f).setLastModified(base + (i + 1) * 60000L),
+            s"could not pin mod-time of $chunks/$f")
+        }
+    }
+  }
+
   private def chunksDir(dir: String, kind: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_stream_${kind}_${tag(dir)}"
 
@@ -67,10 +91,8 @@ object StreamingOps extends QueryModule {
         .select(col("user_id"), col("event_type"), col("ts"))
       val w = org.apache.spark.sql.expressions.Window.orderBy("ts")
       val bucketed = ev.withColumn("bucket", ntile(4).over(w)).localCheckpoint(true)
-      (1 to 4).foreach { b =>
-        bucketed.filter(col("bucket") === b).drop("bucket").coalesce(1)
-          .write.mode(if (b == 1) "overwrite" else "append").parquet(chunks)
-      }
+      writeChunksOrdered(chunks,
+        (1 to 4).map(b => bucketed.filter(col("bucket") === b).drop("bucket")))
     }
     chunks
   }
@@ -99,10 +121,8 @@ object StreamingOps extends QueryModule {
         .select(col("event_id"), col("ts"), col("value"))
       val w = org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")
       val bucketed = ev.withColumn("bucket", ntile(4).over(w)).localCheckpoint(true)
-      Seq(2, 3, 1, 4).zipWithIndex.foreach { case (b, i) =>
-        bucketed.filter(col("bucket") === b).drop("bucket").coalesce(1)
-          .write.mode(if (i == 0) "overwrite" else "append").parquet(chunks)
-      }
+      writeChunksOrdered(chunks,
+        Seq(2, 3, 1, 4).map(b => bucketed.filter(col("bucket") === b).drop("bucket")))
     }
     chunks
   }
