@@ -250,6 +250,18 @@ class PipelineSpec extends SparkSpec {
     assert(hits >= 9, s"ANN top-3 overlaps exact top-3 for $hits/10 probes")
   }
 
+  test("embedding near-dup output is non-empty (oracle must compare real rows)") {
+    // r5 shipped a 0.95 threshold that could never fire (max same-label
+    // cosine ~0.47), so the oracle passed on a 0-row vs 0-row compare and
+    // the pair/threshold logic was never checked. The 0.35 threshold is
+    // calibrated to the fixture (14 rows at sf0.001, 26 at sf0.01); if a
+    // regenerated fixture shifts the distribution back to emptiness this
+    // fails loudly instead of the oracle going trivially green again.
+    val rows = Similarity.queries("q_sim_neardup")(spark, sfDir).collect()
+    assert(rows.nonEmpty, "near-dup threshold no longer matches the fixture's cosine distribution")
+    assert(rows.forall(_.getDouble(2) >= 0.35))
+  }
+
   test("IVF (nprobe=2) recall vs brute-force top-3 pinned") {
     // Measured recall@3: 0.75 at sf0.001, 0.65 at sf0.01, with 19/20
     // probes overlapping the exact top-3 at both scales — pinned with
