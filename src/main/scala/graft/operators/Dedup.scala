@@ -177,6 +177,41 @@ object Dedup extends QueryModule {
       jaccardPairs(shingles(
         t(s, dir, "documents").filter(col("doc_id") < 1000)), 0.3)),
 
+    // Duplicated-substring coverage — the ExactSubstr dedup signal (Lee
+    // et al., "Deduplicating Training Data Makes Language Models Better")
+    // at 5-token-shingle granularity: every shingle POSITION (not the
+    // distinct set — coverage weights repeated text by how much of the
+    // doc it occupies) is marked duplicated when ≥2 distinct documents
+    // contain that shingle; per-doc coverage = duplicated positions /
+    // positions in e6 fixed point, with the standard 50% drop flag. This
+    // is the other half of near-dup dedup: q_dedup_minhash finds pairs of
+    // globally-similar docs, this finds docs assembled from text that
+    // exists elsewhere even when no single pair is similar. Scale shape:
+    // shingles shuffle as 60-bit portable hashes (8-byte keys, never the
+    // strings), the document-frequency frame joins back on the hash
+    // unhinted, coverage is a doc_id-local aggregate.
+    "q_dedup_substr" -> ((s, dir) => {
+      val tk = split(col("text"), " ")
+      // sequence(1, n) DESCENDS when n < 1 — docs under 5 tokens must be
+      // filtered, not exploded empty (both sides drop them identically).
+      val sh = t(s, dir, "documents").filter(size(tk) >= 5)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(tk) - 4),
+            i => concat_ws(" ", slice(tk, i, lit(5))))).as("sgram"))
+        .select(col("doc_id"),
+          graft.functions.PortableHash.hash60(col("sgram")).as("h"))
+        .localCheckpoint(true) // feeds the df build AND the coverage join
+      val df = sh.select("doc_id", "h").distinct()
+        .groupBy("h").agg(count(lit(1)).as("ndocs"))
+      sh.join(df, Seq("h"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          expr("sum(if(ndocs >= 2, 1, 0))").as("n_dup"))
+        .withColumn("cov_e6", expr("n_dup * 1000000 div n_shingles"))
+        .withColumn("is_dup", col("cov_e6") >= 500000)
+        .orderBy("doc_id")
+    }),
+
     // SimHash (60-bit) per document. The token hash is the first 15 hex
     // chars of md5 — a PORTABLE hash family (any engine with md5 computes
     // the identical signature), which is what makes simhash fingerprints
@@ -253,6 +288,24 @@ object Dedup extends QueryModule {
        FROM comp GROUP BY comp ORDER BY keep_id"""),
     "q_dedup_ngram" -> jaccardSql("0.3")
       .replace("FROM documents", "FROM documents WHERE doc_id < 1000"),
+    // Same 5-token positional shingles, same portable 60-bit hash, same
+    // e6 coverage arithmetic.
+    "q_dedup_substr" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk
+             FROM documents WHERE len(string_split(text, ' ')) >= 5),
+         ps AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS p FROM tk),
+         sh AS (SELECT doc_id,
+             ${graft.functions.PortableHash.sql(
+               "array_to_string(list_slice(tk, p, p + 4), ' ')")} AS h
+           FROM ps),
+         df AS (SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM sh GROUP BY h),
+         cov AS (SELECT sh.doc_id, COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+           FROM sh JOIN df USING (h) GROUP BY sh.doc_id)
+         SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles, n_dup,
+           n_dup * 1000000 // n_shingles AS cov_e6,
+           n_dup * 1000000 // n_shingles >= 500000 AS is_dup
+         FROM cov ORDER BY doc_id""",
     // Same md5-derived 60-bit token hash, same majority-bit vote. The hex
     // parse (strpos over the md5 string) is the DuckDB spelling of Spark's
     // conv(substring(md5(tok),1,15),16,10).

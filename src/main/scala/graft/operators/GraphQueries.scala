@@ -76,6 +76,15 @@ object GraphQueries extends QueryModule {
   private val kcoreK = 4 // k=3 never cascades on this graph; k=4 peels 5 rounds at sf0.1
   private val kcoreRounds = 8
 
+  /** k-truss parameters (edge peel by triangle support ≥ k−2). The ring
+    * graph's triangles are too disjoint to cascade (3-truss is immediately
+    * stable, 4-truss collapses empty), so the truss query runs on a
+    * purpose-built fixture — see [[trussEdges]]. Fixed rounds, same
+    * oracle-unroll rationale as kcoreRounds; GraphSpec asserts the
+    * fixpoint is reached AND non-empty at test scale. */
+  private val trussK = 4
+  private val trussRounds = 4
+
   /** The hierarchy edge list as a DuckDB CTE body (both directions) —
     * shared by the q_graph_cc and q_graph_labelprop oracles. */
   private val hierEdgesSql =
@@ -94,6 +103,28 @@ object GraphQueries extends QueryModule {
       (col("c_nationkey") + 10).cast("long").as("dst"))
     val fwd = nr.union(cn)
     fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** Undirected truss fixture: a triangle strip (v–v+1, v–v+2 — every
+    * edge in ≤2 triangles) plus a K5 on the five lowest vertices of each
+    * 97-block (every clique edge in ≥3 triangles). The 4-truss peel
+    * cascades: round 1 removes the strip's +2 edges (support 1), round 2
+    * the then-unsupported +1 edges, leaving exactly the cliques — a
+    * genuinely multi-round peel with a non-empty fixpoint. The max-key
+    * bound is a metadata-sized scalar like ringEdges' count. */
+  private def trussEdges(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_custkey").cast("long").as("v"))
+    val vmax = lit(c.agg(max("v")).head.getLong(0))
+    val strip = c.filter(col("v") + 1 <= vmax)
+        .select(col("v").as("a"), (col("v") + 1).as("b"))
+      .union(c.filter(col("v") + 2 <= vmax)
+        .select(col("v").as("a"), (col("v") + 2).as("b")))
+    val mem = c.filter(col("v") % 97 < 5)
+      .select(col("v"), expr("v div 97").as("blk"))
+    val clique = mem.as("m1").join(mem.as("m2"),
+        col("m1.blk") === col("m2.blk") && col("m1.v") < col("m2.v"))
+      .select(col("m1.v").as("a"), col("m2.v").as("b"))
+    strip.union(clique).distinct()
   }
 
   /** Seed sample for q_graph_closeness — shared with its oracle. */
@@ -406,6 +437,37 @@ object GraphQueries extends QueryModule {
       deg.orderBy("v")
     }),
 
+    // k-truss decomposition (k=4): iteratively drop edges in fewer than
+    // k−2 = 2 triangles until the surviving edge set is stable — the
+    // EDGE-granular cohesion peel (k-core's vertex peel keeps a vertex for
+    // raw degree; the truss demands its edges actually close triangles,
+    // the community-core signal). Each round recomputes per-edge support
+    // among survivors with the same canonical a<b wedge join as
+    // q_graph_triangles and keeps support ≥ 2. Scale shape: per round, one
+    // symmetric neighbor join keyed on vertex ids + one (a,b) count
+    // shuffle — BSP edge peeling, no driver collect; each round's
+    // survivor set is materialized once (it feeds both wedge legs AND the
+    // next round). Runs on the strip+clique fixture (see trussEdges) so
+    // the peel cascades across rounds and converges non-empty.
+    "q_graph_ktruss" -> ((s, dir) => {
+      var cur = trussEdges(s, dir).localCheckpoint(true)
+      var result: DataFrame = cur
+      for (_ <- 1 to trussRounds) {
+        val sym = cur.select(col("a").as("v"), col("b").as("w"))
+          .union(cur.select(col("b").as("v"), col("a").as("w")))
+        val sup = cur.as("u")
+          .join(sym.as("x"), col("x.v") === col("u.a"))
+          .join(sym.as("y"), col("y.v") === col("u.b") && col("y.w") === col("x.w"))
+          .groupBy(col("u.a").as("a"), col("u.b").as("b"))
+          .agg(count(lit(1)).as("support"))
+          .filter(col("support") >= trussK - 2)
+          .localCheckpoint(true)
+        result = sup
+        cur = sup.select("a", "b")
+      }
+      result.orderBy("a", "b")
+    }),
+
     // Label propagation communities (synchronous, deterministic): every
     // vertex starts as its own label; each superstep it adopts the most
     // frequent label among its neighbors, ties broken by MIN label — the
@@ -697,6 +759,34 @@ object GraphQueries extends QueryModule {
          a1 AS (SELECT v FROM d1),
          $steps
          SELECT v, deg FROM d$kcoreRounds ORDER BY v"""
+    },
+    // The identical 4-round edge peel, unrolled: s_i = per-edge triangle
+    // support among round-(i−1) survivors, t_i = {edges : support >= k-2}.
+    // Survivor CTEs are MATERIALIZED — each feeds both wedge legs of the
+    // next round.
+    "q_graph_ktruss" -> {
+      val steps = (1 to trussRounds).map { i =>
+        s"""y$i AS MATERIALIZED (SELECT a AS v, b AS w FROM t${i - 1}
+             UNION ALL SELECT b, a FROM t${i - 1}),
+           s$i AS MATERIALIZED (SELECT u.a, u.b, COUNT(*) AS support
+             FROM t${i - 1} u
+             JOIN y$i x ON x.v = u.a
+             JOIN y$i y ON y.v = u.b AND y.w = x.w
+             GROUP BY u.a, u.b HAVING COUNT(*) >= ${trussK - 2}),
+           t$i AS (SELECT a, b FROM s$i)"""
+      }.mkString(",\n")
+      s"""WITH v AS (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer),
+         mx AS (SELECT MAX(v) AS m FROM v),
+         strip AS (SELECT v AS a, v + 1 AS b FROM v, mx WHERE v + 1 <= m
+                   UNION ALL SELECT v, v + 2 FROM v, mx WHERE v + 2 <= m),
+         mem AS (SELECT v, v // 97 AS blk FROM v WHERE v % 97 < 5),
+         clique AS (SELECT m1.v AS a, m2.v AS b FROM mem m1 JOIN mem m2
+                    ON m1.blk = m2.blk AND m1.v < m2.v),
+         t0 AS MATERIALIZED (SELECT DISTINCT a, b FROM
+           (SELECT * FROM strip UNION ALL SELECT * FROM clique)),
+         $steps
+         SELECT a, b, CAST(support AS BIGINT) AS support
+         FROM s$trussRounds ORDER BY a, b"""
     },
     // The identical 4-step recurrence, unrolled: each block is one
     // neighbor-label count + most-frequent-with-min-tie-break selection.

@@ -198,6 +198,33 @@ object TextOps extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Log-domain LM surprisal scoring — the perplexity-proxy filter proper
+    // (q_text_commonness stays in the linear domain, where one very common
+    // bigram can mask a document full of rare ones; a perplexity filter
+    // sums LOG probabilities, which this reproduces in exact integers):
+    // pass 1 builds the corpus bigram model, pass 2 scores each document
+    // by lm_bits = Σ floor(log2(count)) and by its rare-bigram ratio
+    // (count ≤ 2) in e6 fixed point. Low bits + high rare ⇒ unlike the
+    // corpus ⇒ drop candidate. floor(log2(c)) is spelled
+    // length(bin(c)) − 1 — exact integer bit-length in BOTH engines —
+    // because the float spelling is NOT portable: Spark computes log2 as
+    // ln(x)/ln(2), which lands at 2.999…96 for x = 8 and floors to 2,
+    // while a native log2 floors to 3. The model join shuffles on the
+    // bigram key on both sides; the model frame joins unhinted (AQE
+    // broadcasts it while the vocabulary² stays small).
+    "q_text_lm_score" -> ((s, dir) => {
+      val b2 = tokenSequence(s, dir).filter(col("w2").isNotNull)
+        .select(col("doc_id"), col("tok").as("w1"), col("w2"))
+        .localCheckpoint(true)
+      val lm = b2.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      b2.join(lm, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(length(bin(col("c"))).cast("long") - 1).as("lm_bits"),
+          expr("sum(if(c <= 2, 1, 0)) * 1000000 div count(*)").as("rare_e6"))
+        .orderBy("doc_id")
+    }),
+
     // Frequent-pair co-occurrence mining — the 2-itemset slice of
     // market-basket/Apriori: pass 1 keeps tokens whose document frequency
     // clears 10% of the corpus (the support prune that keeps the pair join
@@ -550,6 +577,24 @@ object TextOps extends QueryModule {
          SELECT b2.doc_id, COUNT(*) AS n_bigrams,
            CAST(SUM(c) * 100 // COUNT(*) AS BIGINT) AS mean_count_e2,
            CAST(MIN(c) AS BIGINT) AS min_count
+         FROM b2 JOIN lm USING (w1, w2)
+         GROUP BY b2.doc_id ORDER BY b2.doc_id""",
+    // Identical bigram model; floor(log2) spelled as the same exact
+    // bit-length (length(bin(c)) − 1) the Spark side uses.
+    "q_text_lm_score" ->
+      s"""WITH tk AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+           FROM documents WHERE len(string_split(text, ' ')) >= 2),
+         bg AS (SELECT doc_id, tok AS w1,
+                  LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+                FROM tk),
+         b2 AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+         lm AS (SELECT w1, w2, COUNT(*) AS c FROM b2 GROUP BY w1, w2)
+         SELECT b2.doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(length(bin(c)) - 1) AS BIGINT) AS lm_bits,
+           CAST(SUM(CASE WHEN c <= 2 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+                AS BIGINT) AS rare_e6
          FROM b2 JOIN lm USING (w1, w2)
          GROUP BY b2.doc_id ORDER BY b2.doc_id""",
     "q_text_cooccur" ->

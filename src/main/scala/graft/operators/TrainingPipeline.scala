@@ -158,6 +158,56 @@ object TrainingPipeline extends QueryModule {
       graft.plans.TopK.perKey(d, nMin, Seq("lang"), Seq(("h", false), ("doc_id", false)))
         .select("doc_id", "lang")
         .orderBy("lang", "doc_id")
+    }),
+
+    // Temperature-flattened mixture with epoch repeat-and-trim — the
+    // UPSAMPLING half of data mixing (q_sample_mixture only downsamples):
+    // per-language weights ∝ n^(1/4) (temperature α = 0.25, flattening the
+    // head harder than the mixture query's √ weighting), target doc count
+    // per language = total·weight, and the target is MATERIALIZED by
+    // repeating every doc floor(target/n) times plus one extra copy for
+    // the `target mod n` lowest-hash-ranked docs — so a small language is
+    // replayed across multiple epochs while a large one is trimmed, and
+    // the output size hits the target exactly. n^(1/4) in exact integers:
+    // two floor∘(sqrt·1e3) steps — IEEE sqrt is correctly rounded on both
+    // engines, and each floor re-enters exact-integer domain, so weights
+    // can never flicker across engines. Scale shape: the quota frame is
+    // #langs rows (joined unhinted — a broadcast at any real size); copy
+    // fan-out is executor-side explode(sequence), never a driver loop; the
+    // per-language rank window is the stratified sampler's discipline.
+    "q_sample_temperature" -> ((s, dir) => {
+      // counts feeds the total AND the per-lang quota — materialize once.
+      val counts = docs(s, dir)
+        .groupBy("lang").agg(count(lit(1)).as("nd"))
+        .withColumn("s1", floor(sqrt(col("nd")) * 1000).cast("long"))
+        .withColumn("s2", floor(sqrt(col("s1")) * 1000).cast("long"))
+        .localCheckpoint(true)
+      val tot = counts.agg(sum("nd").as("dtot"), sum("s2").as("sum2"))
+      val quota = counts.crossJoin(tot)
+        .select(col("lang"), col("nd"),
+          expr("s2 * 1000000 div sum2").as("weight_e6"),
+          expr("dtot * (s2 * 1000000 div sum2) div 1000000").as("target"))
+      val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+      val ranked = docs(s, dir).select(col("doc_id"), col("lang"),
+          graft.functions.PortableHash.hash60(col("doc_id").cast("string")).as("h"))
+        .withColumn("rk", row_number().over(w))
+      val copies = ranked.join(quota, Seq("lang"))
+        .select(col("lang"), col("doc_id"), col("nd"), col("weight_e6"),
+          col("target"),
+          (expr("target div nd") +
+            when(col("rk") <= col("target") % col("nd"), 1).otherwise(0))
+            .cast("long").as("copies"))
+      // sequence(1, 0) would DESCEND (Spark steps -1 when start > stop) —
+      // zero-copy docs must be filtered out, not exploded empty.
+      copies.filter(col("copies") >= 1)
+        .select(col("lang"), col("doc_id"), col("nd"), col("weight_e6"),
+          col("target"), explode(sequence(lit(1L), col("copies"))).as("epoch"))
+        .groupBy("lang")
+        .agg(max("nd").as("n_docs"), max("weight_e6").as("weight_e6"),
+          max("target").as("target"), count(lit(1)).as("n_out"),
+          countDistinct("doc_id").as("n_kept"),
+          max("epoch").as("max_copies"))
+        .orderBy("lang")
     })
   )
 
@@ -228,6 +278,39 @@ object TrainingPipeline extends QueryModule {
            FROM h),
          m AS (SELECT MIN(n) AS mn FROM (
              SELECT COUNT(*) AS n FROM documents GROUP BY lang))
-         SELECT doc_id, lang FROM r, m WHERE rn <= mn ORDER BY lang, doc_id"""
+         SELECT doc_id, lang FROM r, m WHERE rn <= mn ORDER BY lang, doc_id""",
+    // Identical α=0.25 fixed-point chain (floor(sqrt·1e3) twice), identical
+    // repeat-and-trim: base copies target//n for every doc, +1 for the
+    // target%n lowest-hash ranks, materialized via range() fan-out.
+    "q_sample_temperature" ->
+      s"""WITH c AS (SELECT lang, COUNT(*) AS nd FROM documents GROUP BY lang),
+         s AS (SELECT lang, nd,
+                 CAST(FLOOR(SQRT(CAST(FLOOR(SQRT(nd) * 1000) AS BIGINT)) * 1000)
+                      AS BIGINT) AS s2
+               FROM c),
+         t AS (SELECT CAST(SUM(nd) AS BIGINT) AS dtot,
+                 CAST(SUM(s2) AS BIGINT) AS sum2 FROM s),
+         q AS (SELECT lang, nd, s2 * 1000000 // sum2 AS weight_e6,
+                 dtot * (s2 * 1000000 // sum2) // 1000000 AS target
+               FROM s CROSS JOIN t),
+         r AS (SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+                   ${graft.functions.PortableHash.sql("CAST(doc_id AS VARCHAR)")},
+                   doc_id) AS rk
+               FROM documents),
+         cp AS (SELECT r.lang, r.doc_id, q.nd, q.weight_e6, q.target,
+                  q.target // q.nd +
+                    (CASE WHEN r.rk <= q.target % q.nd THEN 1 ELSE 0 END) AS copies
+                FROM r JOIN q ON r.lang = q.lang),
+         m AS (SELECT lang, doc_id, nd, weight_e6, target,
+                 unnest(range(1, copies + 1)) AS epoch
+               FROM cp WHERE copies >= 1)
+         SELECT lang, CAST(MAX(nd) AS BIGINT) AS n_docs,
+           CAST(MAX(weight_e6) AS BIGINT) AS weight_e6,
+           CAST(MAX(target) AS BIGINT) AS target,
+           CAST(COUNT(*) AS BIGINT) AS n_out,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_kept,
+           CAST(MAX(epoch) AS BIGINT) AS max_copies
+         FROM m GROUP BY lang ORDER BY lang"""
   )
 }

@@ -386,6 +386,40 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("bounded 4-truss peel reaches the true truss fixpoint, non-empty (sf0.001 + sf0.01)") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      // Independent in-memory oracle: peel edges with support < 2 to
+      // CONVERGENCE over the same strip+clique fixture — proves the fixed
+      // 4 rounds reach the true k-truss (the unrolled DuckDB oracle alone
+      // cannot show convergence), and that the fixpoint is non-empty (a
+      // peel that converges to {} would be a trivially-green oracle).
+      val ks = spark.read.parquet(s"$dir/customer.parquet")
+        .select("c_custkey").collect().map(_.getLong(0))
+      val vmax = ks.max
+      val strip = ks.flatMap(v => Seq(v + 1, v + 2).filter(_ <= vmax).map(v -> _))
+      val clique = ks.filter(_ % 97 < 5).groupBy(_ / 97).values.toSeq
+        .flatMap(bs => for (a <- bs.toSeq; b <- bs.toSeq if a < b) yield (a, b))
+      var edges = (strip ++ clique).distinct.toSet
+      var changed = true
+      while (changed) {
+        val nbr = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val keep = edges.filter { case (a, b) => (nbr(a) & nbr(b)).size >= 2 }
+        changed = keep != edges
+        edges = keep
+      }
+      val fnbr = edges.toSeq.flatMap { case (x, y) => Seq(x -> y, y -> x) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val expect = edges.map { case (a, b) =>
+        (a, b) -> (fnbr(a) & fnbr(b)).size.toLong
+      }.toMap
+      val got = SparkEntry.queries("q_graph_ktruss")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got.nonEmpty, s"empty truss at $dir")
+      assert(got == expect, s"at $dir")
+    }
+  }
+
   test("multi-source BFS equals per-seed single-source BFS") {
     import graft.plans.GraphOps
     val edges = Tables(spark, sfDir, "customer").select(col("c_custkey"))

@@ -363,6 +363,68 @@ class PipelineSpec extends SparkSpec {
     assert(got.values.forall(_ == mn), s"expected $mn per class, got $got")
   }
 
+  test("temperature mixture: targets hit exactly, upsampling AND trimming both exercised") {
+    val rows = TrainingPipeline.queries("q_sample_temperature")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // (lang, n_docs, weight_e6, target, n_out, n_kept, max_copies)
+    assert(rows.nonEmpty)
+    // repeat-and-trim materialization must hit the integer target exactly
+    rows.foreach { case (lang, _, _, target, nOut, _, _) =>
+      assert(nOut == target, s"$lang: n_out $nOut != target $target") }
+    // flattened weights are a (sub-)distribution summing to ≤ 1e6
+    assert(rows.map(_._3).sum <= 1000000L)
+    // α=0.25 flattening must flatten: the largest class's share of the
+    // mixture is strictly below its raw corpus share
+    val total = rows.map(_._2).sum
+    val big = rows.maxBy(_._2)
+    assert(big._3 < big._2 * 1000000L / total,
+      s"head class ${big._1} not flattened: ${big._3} vs raw share")
+    // BOTH halves of repeat-and-trim must actually occur on this corpus
+    assert(rows.exists(_._7 >= 2), "no class was upsampled (max_copies all 1)")
+    assert(rows.exists(r => r._6 < r._2), "no class was trimmed")
+  }
+
+  test("lm surprisal score matches an in-memory bigram model") {
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+      .filter(_._2.length >= 2)
+    val bigrams = docs.flatMap { case (id, tk) =>
+      tk.zip(tk.tail).map(b => (id, b)) }
+    val counts = bigrams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    def bits(c: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(c)
+    val expect = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val cs = bs.map(b => counts(b._2))
+      id -> (cs.size.toLong, cs.map(bits).sum,
+        cs.count(_ <= 2).toLong * 1000000L / cs.size)
+    }
+    val got = TextOps.queries("q_text_lm_score")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expect)
+  }
+
+  test("substring-dedup coverage matches in-memory 5-gram accounting and flags planted dups") {
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+      .filter(_._2.length >= 5)
+    val sh = docs.flatMap { case (id, tk) =>
+      tk.sliding(5).map(w => (id, w.mkString(" "))) }
+    val docsPerShingle = sh.distinct.groupBy(_._2).view.mapValues(_.size).toMap
+    val expect = sh.groupBy(_._1).map { case (id, ss) =>
+      val nDup = ss.count(s => docsPerShingle(s._2) >= 2).toLong
+      id -> (ss.size.toLong, nDup, nDup * 1000000L / ss.size)
+    }
+    val got = graft.operators.Dedup.queries("q_dedup_substr")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == expect)
+    // non-triviality pin: the corpus's planted near-dups must surface as
+    // covered docs (a fixture regen that zeroes this should fail loudly)
+    assert(got.values.exists(_._3 >= 500000), "no doc crossed the 50% drop bar")
+    assert(got.values.exists(_._3 == 0), "every doc covered — filter is degenerate")
+  }
+
   test("approx_count_distinct within rsd of exact") {
     val arows = Relational.queries("q_agg_approx_distinct")(spark, sfDir).collect()
     assert(arows.forall(_.getBoolean(2)), "in-query apx_ok must hold")
