@@ -158,6 +158,37 @@ object EventAnalytics extends QueryModule {
           col("n").isNull.as("is_gap"),
           last("avg_val_e4", ignoreNulls = true).over(wFill).as("ffill_val_e4"))
         .orderBy("event_type", "h")
+    }),
+
+    // Metric anomaly detection — the monitoring operator a pipeline runs
+    // over its own event volumes: per (event_type, hour) bucket, flag
+    // hours whose event count or value mass deviates from that type's
+    // mean by more than 2σ. The z-score test runs ENTIRELY in integers:
+    // |n − S/H| > 2σ is cross-multiplied to (n·H − S)² > 4(H·Σn² − S²),
+    // so no division, sqrt, or float ever happens and the oracle matches
+    // bit-for-bit (value mass is exact cents via floor(value·100) — the
+    // same double→int quantization both engines compute identically).
+    // Scale shape: one shuffle on (event_type, hour) compacts the event
+    // stream to the bucket grid; the per-type moment frame is #types
+    // rows and joins back unhinted (broadcast at any real size); flagging
+    // is a codegen'd projection.
+    "q_events_anomaly" -> ((s, dir) => {
+      val h = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100).cast("long")).as("sv"))
+        .localCheckpoint(true) // feeds the moment agg AND the flag join
+      val st = h.groupBy("event_type")
+        .agg(count(lit(1)).as("hh"), sum("n").as("s"),
+          sum(expr("n*n")).as("ss"), sum("sv").as("vs"),
+          sum(expr("sv*sv")).as("vss"))
+      val cntAnom = expr("(n*hh - s)*(n*hh - s) > 4*(hh*ss - s*s)")
+      val valAnom = expr("(sv*hh - vs)*(sv*hh - vs) > 4*(hh*vss - vs*vs)")
+      h.join(st, Seq("event_type"))
+        .filter(cntAnom || valAnom)
+        .select(col("event_type"), col("hr"), col("n"), col("sv"),
+          cntAnom.as("cnt_anom"), valAnom.as("val_anom"))
+        .orderBy("event_type", "hr")
     })
   )
 
@@ -230,6 +261,24 @@ object EventAnalytics extends QueryModule {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_val_e4
          FROM spine s LEFT JOIN hourly ON hourly.event_type = s.event_type
            AND hourly.h = s.h
-         ORDER BY s.event_type, s.h"""
+         ORDER BY s.event_type, s.h""",
+    // Same integer cross-multiplied 2σ test; CASTs keep DuckDB's HUGEINT
+    // sums inside BIGINT so the comparison arithmetic matches Spark's.
+    "q_events_anomaly" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sv
+           FROM events GROUP BY event_type, hr),
+         st AS (SELECT event_type, COUNT(*) AS hh,
+             CAST(SUM(n) AS BIGINT) AS s, CAST(SUM(n*n) AS BIGINT) AS ss,
+             CAST(SUM(sv) AS BIGINT) AS vs, CAST(SUM(sv*sv) AS BIGINT) AS vss
+           FROM h GROUP BY event_type)
+         SELECT h.event_type, hr, n, sv,
+           (n*hh - s)*(n*hh - s) > 4*(hh*ss - s*s) AS cnt_anom,
+           (sv*hh - vs)*(sv*hh - vs) > 4*(hh*vss - vs*vs) AS val_anom
+         FROM h JOIN st USING (event_type)
+         WHERE (n*hh - s)*(n*hh - s) > 4*(hh*ss - s*s)
+            OR (sv*hh - vs)*(sv*hh - vs) > 4*(hh*vss - vs*vs)
+         ORDER BY event_type, hr"""
   )
 }

@@ -159,6 +159,69 @@ object QualityOps extends QueryModule {
           expr("bit_xor(h)").as("xor_sig"),
           (sum((col("h") % 1000000007L).cast("decimal(38,0)")) % 1000000007L)
             .cast("long").as("sum_sig"))
+    }),
+
+    // Declarative data-quality rule suite (the Deequ/verification-suite
+    // shape): N constraints over the event log + one referential rule,
+    // evaluated into a single per-rule report (rule, n_checked,
+    // n_violations, pass). Rules 1–4 (not-null, uniqueness, accepted
+    // domain, value range) are ONE aggregate pass over events — adding a
+    // constraint adds a projection column, not a scan; rule 5
+    // (completeness of the event_type × hour grid) reuses the gap-fill
+    // spine as a COUNT of missing buckets; rule 6 is the fk-orphan
+    // anti-join as a rule row. The fixture makes the report non-trivial
+    // by construction: 1/2/6 genuinely pass while 3 (an unexpected
+    // 'error' type — schema drift), 4 (values above the 200 cap) and 5
+    // (empty hours) genuinely fire. At 100 TB: one events scan + one
+    // bucket-grid shuffle + one key-only anti-join; every rule row is a
+    // 1-row aggregate unioned at plan level.
+    "q_dq_rules" -> ((s, dir) => {
+      val e = Tables.raw(s, dir, "events")
+      val base = e.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("v1"),
+        (count(lit(1)) - countDistinct("event_id")).as("v2"),
+        sum(when(col("event_type").isin("click", "purchase", "signup", "view"),
+          0L).otherwise(1L)).as("v3"),
+        sum(when(col("value") > 0 && col("value") <= 200, 0L).otherwise(1L))
+          .as("v4"))
+        .localCheckpoint(true) // one 1-row frame feeds four rule rows
+      def baseRule(id: Int, name: String, v: String) =
+        base.select(lit(id).as("rule_id"), lit(name).as("rule"),
+          col("n").as("n_checked"), col(v).as("n_violations"),
+          (col(v) === 0).as("pass"))
+      val hourly = e.select(col("event_type"),
+          date_trunc("hour", col("ts")).as("hr"))
+        .distinct().localCheckpoint(true) // feeds bounds AND the count
+      val bounds = hourly.agg(min("hr").as("h0"), max("hr").as("h1"),
+        countDistinct("event_type").as("nt"))
+      // hour-truncated bounds ⇒ the span is an exact multiple of 1h; the
+      // grid size stays in integer micros arithmetic (no float division)
+      val grid = bounds.select(
+        expr("nt * ((unix_micros(h1) - unix_micros(h0)) div 3600000000 + 1)")
+          .as("n_checked"))
+      val completeness = grid.crossJoin(hourly.agg(count(lit(1)).as("present")))
+        .select(lit(5).as("rule_id"),
+          lit("complete(event_type x hour)").as("rule"), col("n_checked"),
+          (col("n_checked") - col("present")).as("n_violations"),
+          (col("n_checked") === col("present")).as("pass"))
+      val li = Tables.raw(s, dir, "lineitem").select("l_orderkey")
+      val orphans = li.join(Tables.raw(s, dir, "orders")
+          .select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"),
+          "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+      val referential = li.agg(count(lit(1)).as("n_checked"))
+        .crossJoin(orphans)
+        .select(lit(6).as("rule_id"), lit("ref(l_orderkey -> orders)").as("rule"),
+          col("n_checked"), col("n_violations"),
+          (col("n_violations") === 0).as("pass"))
+      baseRule(1, "not_null(user_id)", "v1")
+        .unionByName(baseRule(2, "unique(event_id)", "v2"))
+        .unionByName(baseRule(3, "domain(event_type)", "v3"))
+        .unionByName(baseRule(4, "range(0 < value <= 200)", "v4"))
+        .unionByName(completeness)
+        .unionByName(referential)
+        .orderBy("rule_id")
     })
   )
 
@@ -230,6 +293,40 @@ object QualityOps extends QueryModule {
            -- so the sum itself never overflows — casting it down first
            -- reintroduced the same ~9.2e9-row ceiling the Spark side fixed
            CAST(SUM(h % 1000000007) % 1000000007 AS BIGINT) AS sum_sig
-         FROM h"""
+         FROM h""",
+    // Same rule set; the completeness grid is the same hour-truncated
+    // micros arithmetic, the referential row the same anti-join count.
+    "q_dq_rules" ->
+      """WITH base AS (SELECT COUNT(*) AS n,
+             CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+             CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS v2,
+             CAST(SUM(CASE WHEN event_type IN ('click','purchase','signup','view')
+                  THEN 0 ELSE 1 END) AS BIGINT) AS v3,
+             CAST(SUM(CASE WHEN value > 0 AND value <= 200 THEN 0 ELSE 1 END)
+                  AS BIGINT) AS v4
+           FROM events),
+         hourly AS (SELECT DISTINCT event_type, date_trunc('hour', ts) AS hr
+                    FROM events),
+         b AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1,
+                 COUNT(DISTINCT event_type) AS nt, COUNT(*) AS present
+               FROM hourly),
+         grid AS (SELECT nt * ((epoch_us(h1) - epoch_us(h0)) // 3600000000 + 1)
+                    AS n_checked, present FROM b),
+         li AS (SELECT COUNT(*) AS n_checked FROM lineitem),
+         orph AS (SELECT COUNT(*) AS v FROM lineitem l
+                  LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+                  WHERE o.o_orderkey IS NULL)
+         SELECT * FROM (
+           SELECT CAST(1 AS INT) AS rule_id, 'not_null(user_id)' AS rule,
+             n AS n_checked, v1 AS n_violations, v1 = 0 AS pass FROM base
+           UNION ALL SELECT 2, 'unique(event_id)', n, v2, v2 = 0 FROM base
+           UNION ALL SELECT 3, 'domain(event_type)', n, v3, v3 = 0 FROM base
+           UNION ALL SELECT 4, 'range(0 < value <= 200)', n, v4, v4 = 0 FROM base
+           UNION ALL SELECT 5, 'complete(event_type x hour)',
+             CAST(n_checked AS BIGINT), CAST(n_checked - present AS BIGINT),
+             n_checked = present FROM grid
+           UNION ALL SELECT 6, 'ref(l_orderkey -> orders)',
+             li.n_checked, CAST(v AS BIGINT), v = 0 FROM li CROSS JOIN orph)
+         ORDER BY rule_id"""
   )
 }

@@ -353,6 +353,55 @@ class EventQualitySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("anomaly detection matches an in-memory integer 2-sigma test, both flags fire") {
+    val evs = Tables(spark, sfDir, "events")
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+    val buckets = evs.groupBy(e => (e._1, e._2)).view
+      .mapValues(es => (es.length.toLong, es.map(_._3).sum)).toMap
+    val byType = buckets.toSeq.groupBy(_._1._1)
+    val expect = byType.flatMap { case (_, hs) =>
+      val hh = hs.length.toLong
+      val (s, ss) = (hs.map(_._2._1).sum, hs.map(x => x._2._1 * x._2._1).sum)
+      val (vs, vss) = (hs.map(_._2._2).sum, hs.map(x => x._2._2 * x._2._2).sum)
+      hs.flatMap { case ((ty, hr), (n, sv)) =>
+        val ca = (n * hh - s) * (n * hh - s) > 4 * (hh * ss - s * s)
+        val va = (sv * hh - vs) * (sv * hh - vs) > 4 * (hh * vss - vs * vs)
+        if (ca || va) Some((ty, hr) -> (n, sv, ca, va)) else None
+      }
+    }
+    val got = EventAnalytics.queries("q_events_anomaly")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(got == expect)
+    // both signal kinds must actually fire on this corpus
+    assert(got.values.exists(_._3), "no count anomaly fired")
+    assert(got.values.exists(_._4), "no value anomaly fired")
+  }
+
+  test("dq rule suite: clean rules pass, planted drift/range/completeness rules fire") {
+    val rows = QualityOps.queries("q_dq_rules")(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toMap
+    assert(rows.size == 6)
+    val nEvents = Tables(spark, sfDir, "events").count()
+    // rules 1, 2, 6 are genuinely clean on this fixture
+    for (id <- Seq(1, 2)) {
+      assert(rows(id)._2 == nEvents); assert(rows(id)._3 == 0L && rows(id)._4)
+    }
+    assert(rows(6)._3 == 0L && rows(6)._4, "referential rule should pass")
+    assert(rows(6)._2 == Tables(spark, sfDir, "lineitem").count())
+    // rules 3 (schema drift: 'error' type), 4 (range cap), 5 (empty hours)
+    // must FIRE — an all-pass suite would be a trivially-green oracle
+    val errorCount = Tables(spark, sfDir, "events")
+      .filter(col("event_type") === "error").count()
+    assert(errorCount > 0 && rows(3)._3 == errorCount && !rows(3)._4)
+    assert(rows(4)._3 > 0 && !rows(4)._4)
+    assert(rows(5)._3 > 0 && !rows(5)._4)
+    assert(rows(5)._2 >= rows(5)._3, "grid size bounds the missing count")
+  }
+
   test("scrub: deny tokens gone, token count conserved, redaction count exact") {
     val deny = Set("customer", "spark", "big")
     val got = TextOps.queries("q_text_scrub")(spark, sfDir).collect()
