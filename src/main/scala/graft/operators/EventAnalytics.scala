@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
@@ -189,6 +189,58 @@ object EventAnalytics extends QueryModule {
         .select(col("event_type"), col("hr"), col("n"), col("sv"),
           cntAnom.as("cnt_anom"), valAnom.as("val_anom"))
         .orderBy("event_type", "hr")
+    }),
+
+    // A/B experiment analysis — the readout job every experimentation
+    // platform runs: users split into variants by id parity (a stand-in
+    // for the hash-bucket assignment of a real platform), per-event-type
+    // value means compared with a Welch-style two-sample z-test at 2σ.
+    // The test runs entirely in exact arithmetic: |S_a/n_a − S_b/n_b| >
+    // 2·sqrt(v_a/n_a + v_b/n_b) cross-multiplies (by (n_a·n_b)³, with
+    // v_i·n_i³ = (n_i·Q_i − S_i²)·n_i) to
+    //   (S_a·n_b − S_b·n_a)²·n_a·n_b >
+    //       4·((n_a·Q_a − S_a²)·n_b³ + (n_b·Q_b − S_b²)·n_a³)
+    // over the per-variant moments (n, S=Σcents, Q=Σcents²) — no sqrt,
+    // division, or float, so the SIGNIFICANCE VERDICT itself (not just
+    // the sums) hash-compares across engines. Products reach ~1e27, so
+    // the comparison runs in DECIMAL(38,0) on the Spark side and HUGEINT
+    // in DuckDB — both exact integer domains. Scale shape: ONE aggregate
+    // pass over events with conditional moments (adding a variant adds
+    // projection columns), #types result rows.
+    "q_ab_test" -> ((s, dir) => {
+      val cents = floor(col("value") * 100).cast("long")
+      val isA = col("user_id") % 2 === 0
+      def m(side: Column, e: Column) = sum(when(side, e).otherwise(0L))
+      // Two scenarios from ONE scan: 'aa' measures the raw metric (a null
+      // split — the verdict must stay false or the platform reports false
+      // wins), 'planted' injects a known +5000-cent effect into variant A
+      // (the verdict must fire or the test has no power). Both halves are
+      // therefore exercised by construction, on any fixture.
+      val g = t(s, dir, "events")
+        .select(col("event_type"), isA.as("a"), cents.as("c"))
+        .select(col("event_type"), col("a"), explode(array(
+          struct(lit("aa").as("scenario"), col("c").as("x")),
+          struct(lit("planted").as("scenario"),
+            (col("c") + when(col("a"), 5000L).otherwise(0L)).as("x")))).as("s"))
+        .select(col("s.scenario").as("scenario"), col("event_type"),
+          col("a"), col("s.x").as("c"))
+        .groupBy("scenario", "event_type")
+        .agg(m(col("a"), lit(1L)).as("n_a"), m(!col("a"), lit(1L)).as("n_b"),
+          m(col("a"), col("c")).as("s_a"), m(!col("a"), col("c")).as("s_b"),
+          m(col("a"), expr("c*c")).as("q_a"), m(!col("a"), expr("c*c")).as("q_b"))
+      val dec = "DECIMAL(38,0)"
+      // pow() would detour through DOUBLE and break exactness — square by
+      // self-multiplication inside the decimal domain instead.
+      g.withColumn("d", expr(s"CAST(s_a AS $dec) * n_b - CAST(s_b AS $dec) * n_a"))
+        .select(col("scenario"), col("event_type"), col("n_a"), col("n_b"),
+          col("s_a"), col("s_b"),
+          expr("sign(d)").cast("long").as("lift_sign"),
+          expr(s"""d * d * n_a * n_b >
+                   4 * ((CAST(n_a AS $dec) * q_a - CAST(s_a AS $dec) * s_a)
+                          * n_b * n_b * n_b
+                        + (CAST(n_b AS $dec) * q_b - CAST(s_b AS $dec) * s_b)
+                          * n_a * n_a * n_a)""").as("significant"))
+        .orderBy("scenario", "event_type")
     })
   )
 
@@ -279,6 +331,35 @@ object EventAnalytics extends QueryModule {
          FROM h JOIN st USING (event_type)
          WHERE (n*hh - s)*(n*hh - s) > 4*(hh*ss - s*s)
             OR (sv*hh - vs)*(sv*hh - vs) > 4*(hh*vss - vs*vs)
-         ORDER BY event_type, hr"""
+         ORDER BY event_type, hr""",
+    // Same cross-multiplied Welch test; HUGEINT is DuckDB's exact-integer
+    // domain for the ~1e27 products (Spark uses DECIMAL(38,0)).
+    "q_ab_test" ->
+      """WITH e AS (SELECT event_type, user_id % 2 = 0 AS a,
+             CAST(FLOOR(value*100) AS BIGINT) AS c
+           FROM events),
+         sc AS (SELECT 'aa' AS scenario, event_type, a, c FROM e
+                UNION ALL
+                SELECT 'planted', event_type, a,
+                  c + CASE WHEN a THEN 5000 ELSE 0 END FROM e),
+         m AS (SELECT scenario, event_type,
+             CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN a THEN c ELSE 0 END) AS BIGINT) AS s_a,
+             CAST(SUM(CASE WHEN a THEN 0 ELSE c END) AS BIGINT) AS s_b,
+             CAST(SUM(CASE WHEN a THEN c*c ELSE 0 END) AS BIGINT) AS q_a,
+             CAST(SUM(CASE WHEN a THEN 0 ELSE c*c END) AS BIGINT) AS q_b
+           FROM sc GROUP BY scenario, event_type),
+         t AS (SELECT *, CAST(s_a AS HUGEINT) * n_b - CAST(s_b AS HUGEINT) * n_a AS d
+               FROM m)
+         SELECT scenario, event_type, n_a, n_b, s_a, s_b,
+           CAST(CASE WHEN d > 0 THEN 1 WHEN d < 0 THEN -1 ELSE 0 END AS BIGINT)
+             AS lift_sign,
+           d * d * n_a * n_b >
+             4 * ((CAST(n_a AS HUGEINT) * q_a - CAST(s_a AS HUGEINT) * s_a)
+                    * n_b * n_b * n_b
+                  + (CAST(n_b AS HUGEINT) * q_b - CAST(s_b AS HUGEINT) * s_b)
+                    * n_a * n_a * n_a) AS significant
+         FROM t ORDER BY scenario, event_type"""
   )
 }

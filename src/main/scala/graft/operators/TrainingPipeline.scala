@@ -208,6 +208,28 @@ object TrainingPipeline extends QueryModule {
           countDistinct("doc_id").as("n_kept"),
           max("epoch").as("max_copies"))
         .orderBy("lang")
+    }),
+
+    // Deterministic train/val/test holdout split (80/10/10): the split is
+    // a pure function of the portable doc_id hash (bucket = hash mod 10 →
+    // 0–7 train, 8 val, 9 test), so it is stable under corpus appends
+    // (existing docs never migrate between splits — the property that
+    // keeps a val set honest across dataset versions), reproducible on
+    // any engine, and embarrassingly parallel: ONE projection pass, one
+    // (lang, split) count shuffle, no RNG state anywhere. Output is the
+    // per-language split report a dataset card ships.
+    "q_sample_holdout" -> ((s, dir) => {
+      val bucket = pmod(
+        graft.functions.PortableHash.hash60(col("doc_id").cast("string")),
+        lit(10L))
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextOps.nTokC.cast("long").as("n_tok"),
+          when(bucket <= 7, "train").when(bucket === 8, "val")
+            .otherwise("test").as("split"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+        .orderBy("lang", "split")
     })
   )
 
@@ -311,6 +333,19 @@ object TrainingPipeline extends QueryModule {
            CAST(COUNT(*) AS BIGINT) AS n_out,
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_kept,
            CAST(MAX(epoch) AS BIGINT) AS max_copies
-         FROM m GROUP BY lang ORDER BY lang"""
+         FROM m GROUP BY lang ORDER BY lang""",
+    // Same portable-hash bucket arithmetic; pmod of the non-negative
+    // 60-bit hash is plain %.
+    "q_sample_holdout" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             ${graft.functions.PortableHash.sql("CAST(doc_id AS VARCHAR)")} % 10
+               AS bucket
+           FROM documents)
+         SELECT lang,
+           CASE WHEN bucket <= 7 THEN 'train'
+                WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         FROM d GROUP BY 1, 2 ORDER BY lang, split"""
   )
 }

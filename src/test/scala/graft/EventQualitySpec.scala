@@ -380,6 +380,25 @@ class EventQualitySpec extends SparkSpec {
     assert(got.values.exists(_._4), "no value anomaly fired")
   }
 
+  test("ab test: A/A split never fires (false-positive guard), planted effect always fires") {
+    val rows = EventAnalytics.queries("q_ab_test")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(6), r.getBoolean(7))).toMap
+    val types = Tables(spark, sfDir, "events").select("event_type")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(rows.keySet == (for (s <- Set("aa", "planted"); t <- types) yield (s, t)))
+    val nEvents = Tables(spark, sfDir, "events").count()
+    assert(rows.collect { case ((s, _), v) if s == "aa" => v._1 + v._2 }.sum == nEvents)
+    rows.foreach { case ((scenario, ty), (_, _, lift, sig)) =>
+      if (scenario == "aa")
+        assert(!sig, s"A/A false positive on $ty")
+      else {
+        assert(sig, s"planted +5000-cent effect not detected on $ty — test has no power")
+        assert(lift == 1L, s"planted lift direction wrong on $ty")
+      }
+    }
+  }
+
   test("dq rule suite: clean rules pass, planted drift/range/completeness rules fire") {
     val rows = QualityOps.queries("q_dq_rules")(spark, sfDir).collect()
       .map(r => r.getInt(0) -> (r.getString(1), r.getLong(2), r.getLong(3),

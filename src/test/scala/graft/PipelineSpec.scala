@@ -425,6 +425,24 @@ class PipelineSpec extends SparkSpec {
     assert(got.values.exists(_._3 == 0), "every doc covered — filter is degenerate")
   }
 
+  test("holdout split: matches per-doc hash buckets, covers all splits, ~80/10/10") {
+    val rows = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        pmod(graft.functions.PortableHash.hash60(col("doc_id").cast("string")),
+          lit(10L)).as("b"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    def splitOf(b: Long) = if (b <= 7) "train" else if (b == 8) "val" else "test"
+    val expect = rows.groupBy(r => (r._2, splitOf(r._4))).map { case (k, ds) =>
+      k -> (ds.length.toLong, ds.map(_._3).sum) }
+    val got = TrainingPipeline.queries("q_sample_holdout")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == expect)
+    val bySplit = rows.groupBy(r => splitOf(r._4)).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"), "a split bucket is empty")
+    assert(bySplit("train").toDouble / rows.length > 0.6, "train share collapsed")
+  }
+
   test("approx_count_distinct within rsd of exact") {
     val arows = Relational.queries("q_agg_approx_distinct")(spark, sfDir).collect()
     assert(arows.forall(_.getBoolean(2)), "in-query apx_ok must hold")
