@@ -58,11 +58,19 @@ object Scalars extends QueryModule {
 
     // ANSI-safe "try" functions: try_cast to null on bad input, try_divide
     // to null on zero divisor (instead of ANSI runtime errors) — the
-    // error-tolerant forms a dirty-data pipeline needs.
+    // error-tolerant forms a dirty-data pipeline needs. Perf note learned
+    // the hard way: each try_cast FAILURE burns a caught JVM exception
+    // (~30 µs with stack fill-in), so an always-failing try_cast costs
+    // seconds per 100k rows — the realistic shape (and the one shipped
+    // here) is occasional failure: prio_int parses the raw priority only
+    // for every 97th key (null via a real failed parse) and the numeric
+    // prefix otherwise, so bad input is the exception, not the rule.
     "q_fn_try" -> ((s, dir) => {
       Tables.raw(s, dir, "orders").select(
         col("o_orderkey"),
-        expr("try_cast(o_orderpriority AS INT)").as("prio_int"),
+        expr("""try_cast(CASE WHEN o_orderkey % 97 = 0 THEN o_orderpriority
+                              ELSE substring(o_orderpriority, 1, 1) END AS INT)""")
+          .as("prio_int"),
         expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio_num"),
         // round at 4: divisor ∈ {1, 2} over 2-decimal prices → ≤3 decimal
         // digits, so 4-digit rounding never sits on a half boundary (where
@@ -193,7 +201,8 @@ object Scalars extends QueryModule {
          ORDER BY l_orderkey""",
     "q_fn_try" ->
       """SELECT o_orderkey,
-         TRY_CAST(o_orderpriority AS INT) AS prio_int,
+         TRY_CAST(CASE WHEN o_orderkey % 97 = 0 THEN o_orderpriority
+                       ELSE substring(o_orderpriority, 1, 1) END AS INT) AS prio_int,
          TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_num,
          ROUND(CASE WHEN o_orderkey % 3 = 0 THEN NULL
                     ELSE o_totalprice / (o_orderkey % 3) END, 4) AS div3,

@@ -184,6 +184,27 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("round-6 additions: corpus-sized joins unhinted, no nested-loop/cartesian anywhere") {
+    // q_dedup_substr's df frame and q_text_lm_score's bigram model both
+    // grow with the corpus (shingle/vocab² cardinality) — they must join
+    // unhinted; q_graph_ktruss's wedge joins are equi on vertex ids and
+    // must never plan a nested-loop or cartesian product.
+    for (q <- Seq("q_dedup_substr", "q_text_lm_score")) {
+      val lp = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.optimizedPlan.toString.toLowerCase
+      assert(!lp.contains("broadcast"),
+        s"$q must not carry a broadcast hint:\n${lp.take(800)}")
+    }
+    for (q <- Seq("q_graph_ktruss", "q_dedup_substr", "q_events_anomaly",
+        "q_ab_test")) {
+      val pp = SparkEntry.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!pp.contains("BroadcastNestedLoopJoin") &&
+        !pp.contains("CartesianProduct"),
+        s"$q plans a nested-loop/cartesian join:\n${pp.take(800)}")
+    }
+  }
+
   test("BFS frontier join flips broadcast -> shuffle past the size gate") {
     import spark.implicits._
     // On a scale-free graph a middle BFS level is O(|V|): the frontier must
