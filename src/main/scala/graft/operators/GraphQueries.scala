@@ -371,6 +371,24 @@ object GraphQueries extends QueryModule {
           expr("((n_reached - 1) * 1000000) div total_dist"))
         .orderBy("seed")),
 
+    // Eccentricity / diameter estimation — the iterative-doubling
+    // alternative no one runs at scale is all-pairs; the practice
+    // (iFUB-style) is exact per-seed eccentricity over a seed sample,
+    // whose max lower-bounds the graph diameter. Rides the SAME batched
+    // multi-source BFS as closeness (all seeds advance per superstep,
+    // state keyed (seed, v)) — the sample costs one traversal of depth =
+    // max eccentricity. diam_lb is a single-row max over the #seeds
+    // frame, window-free via cross join.
+    "q_graph_ecc" -> ((s, dir) => {
+      val ecc = GraphOps.multiSourceBfs(s, ringEdges(s, dir), closenessSeeds)
+        .groupBy("seed")
+        .agg(max("level").cast("long").as("ecc"),
+          count(lit(1)).as("n_reached"))
+        .localCheckpoint(true) // feeds the per-seed rows AND the max
+      ecc.crossJoin(ecc.agg(max("ecc").as("diam_lb")))
+        .orderBy("seed")
+    }),
+
     // Connected components over the hierarchy graph: 1 per region.
     "q_graph_cc" -> ((s, dir) =>
       GraphOps.connectedComponents(s, hierEdges(s, dir))
@@ -951,6 +969,28 @@ object GraphQueries extends QueryModule {
            CAST(((COUNT(*) - 1) * 1000000) // CAST(SUM(level) AS BIGINT) AS BIGINT)
              AS closeness_e6
          FROM lv GROUP BY seed ORDER BY seed"""
+    },
+    // Identical multi-seed walk; ecc = per-seed MAX level, diam_lb = the
+    // sample max cross-joined back.
+    "q_graph_ecc" -> {
+      val seedsSql = closenessSeeds.mkString(", ")
+      s"""WITH RECURSIVE e AS (
+           SELECT c_custkey AS src, (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst FROM customer
+           UNION ALL
+           SELECT c_custkey, (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer
+           UNION ALL
+           SELECT c_custkey, (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer),
+         walk(seed, v, lvl) AS (
+           SELECT CAST(s AS BIGINT), CAST(s AS BIGINT), 0
+           FROM (SELECT UNNEST([$seedsSql]) AS s)
+           UNION
+           SELECT w.seed, e.dst, w.lvl+1 FROM walk w JOIN e ON e.src = w.v WHERE w.lvl < 40),
+         lv AS (SELECT seed, v, MIN(lvl) AS level FROM walk GROUP BY seed, v),
+         ec AS (SELECT seed, CAST(MAX(level) AS BIGINT) AS ecc,
+                  COUNT(*) AS n_reached FROM lv GROUP BY seed)
+         SELECT seed, ecc, n_reached,
+           (SELECT MAX(ecc) FROM ec) AS diam_lb
+         FROM ec ORDER BY seed"""
     },
     "q_graph_cc_bsp" ->
       s"""WITH RECURSIVE e AS ($hierEdgesSql),

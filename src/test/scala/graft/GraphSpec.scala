@@ -420,6 +420,23 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("eccentricity rows equal per-seed single-source BFS max levels") {
+    val ks = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0))
+    val v = ks.length
+    val edges = ks.flatMap(c =>
+      Seq((2 * c + 1) % v, (5 * c + 7) % v, (16 * c + 3) % v).map(c -> _))
+    val expect = (0L to 4L).map { s =>
+      val lv = refBfs(edges.toSeq, s)
+      s -> (lv.values.max.toLong, lv.size.toLong)
+    }.toMap
+    val diam = expect.values.map(_._1).max
+    val got = SparkEntry.queries("q_graph_ecc")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(kv => kv._1 -> (kv._2._1, kv._2._2)).toMap == expect)
+    assert(got.forall(_._2._3 == diam), "diam_lb must be the sample max")
+  }
+
   test("multi-source BFS equals per-seed single-source BFS") {
     import graft.plans.GraphOps
     val edges = Tables(spark, sfDir, "customer").select(col("c_custkey"))
