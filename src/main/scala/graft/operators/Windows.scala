@@ -37,6 +37,36 @@ object Windows extends QueryModule {
         .orderBy("c_custkey")
     }),
 
+    // Distribution window functions — percent_rank/cume_dist (the
+    // relative-standing family rank() alone can't express) plus
+    // nth_value. ROUND(k/n, 6) sits ON the half boundary whenever n
+    // divides a power of ten (41/640 = 0.0640625 — found the hard way at
+    // sf0.1), so the doubles are NOT safely roundable; instead the exact
+    // integer rank is recovered from the function output
+    // (floor(cd·n + 0.5) undoes the division exactly — the quotient is
+    // within 1 ulp of k/n) and shipped in e6 fixed point. The extra
+    // count window shares the (nationkey) partition key: still one
+    // exchange for all four measures.
+    "q_win_dist" -> ((s, dir) => {
+      val w = Window.partitionBy("c_nationkey")
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer").select(
+        col("c_custkey"), col("c_nationkey"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        count(lit(1)).over(Window.partitionBy("c_nationkey")).as("n"),
+        nth_value(col("c_custkey"), 2).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("second_top"))
+        .select(col("c_custkey"), col("c_nationkey"),
+          expr("CAST(floor(pr * (n - 1) + 0.5) AS BIGINT) * 1000000 div (n - 1)")
+            .as("pct_rank_e6"),
+          expr("CAST(floor(cd * n + 0.5) AS BIGINT) * 1000000 div n")
+            .as("cume_e6"),
+          col("second_top"))
+        .orderBy("c_custkey")
+    }),
+
     // Running DISTINCT count over a window — an operator Spark does NOT
     // support directly (COUNT(DISTINCT) OVER throws): re-expressed as the
     // first-occurrence-flag trick, flag = row_number()==1 over
@@ -210,6 +240,22 @@ object Windows extends QueryModule {
          CAST(RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS INT) AS rnk,
          CAST(DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS INT) AS drnk
          FROM customer ORDER BY c_custkey""",
+    "q_win_dist" ->
+      """WITH b AS (SELECT c_custkey, c_nationkey,
+           PERCENT_RANK() OVER w AS pr,
+           CUME_DIST() OVER w AS cd,
+           COUNT(*) OVER (PARTITION BY c_nationkey) AS n,
+           NTH_VALUE(c_custkey, 2) OVER (PARTITION BY c_nationkey
+             ORDER BY c_acctbal DESC, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_top
+           FROM customer
+           WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey))
+         SELECT c_custkey, c_nationkey,
+           CAST(FLOOR(pr * (n - 1) + 0.5) AS BIGINT) * 1000000 // (n - 1)
+             AS pct_rank_e6,
+           CAST(FLOOR(cd * n + 0.5) AS BIGINT) * 1000000 // n AS cume_e6,
+           second_top
+         FROM b ORDER BY c_custkey""",
     "q_win_lag" ->
       """SELECT o_orderkey, o_custkey,
          ROUND(LAG(o_totalprice, 1) OVER w, 2) AS prev_price,
