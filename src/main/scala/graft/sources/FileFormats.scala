@@ -83,6 +83,34 @@ object FileFormats extends QueryModule {
           round(sum("value"), 2).as("val_sum"),
           countDistinct("props").as("nd_props"))
         .orderBy("event_type")
+    }),
+
+    // Custom DataSource V2 ([[AdjacencyV2]]): a DIRECTORY of reference-
+    // format adjacency graphs read as one distributed table
+    // (graph, src, dst) — one InputPartition per file, pruning pushed
+    // into the reader. Staged: a 30-vertex graph derived from nation
+    // (data-dependent — the oracle recomputes it from SQL), an 11-edge
+    // path graph, and an N=0 empty graph (parses to zero rows, proving
+    // the header path handles the G12 fixture shape). Per-graph degree
+    // stats aggregate over the v2 scan.
+    "q_src_adjacency" -> ((s, dir) => {
+      val path = stage(dir, "adj")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+      val edges30 = Tables.raw(s, dir, "nation")
+        .select((col("n_nationkey") + 5).cast("long").as("src"),
+          col("n_regionkey").cast("long").as("dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      def put(name: String, body: String): Unit =
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(path).resolve(name), body)
+      put("g30.txt", AdjacencyCodec.format(edges30, 30))
+      put("g12.txt", AdjacencyCodec.format((0L until 11L).map(i => (i, i + 1)), 12))
+      put("g0.txt", "0\n")
+      s.read.format("graft.sources.AdjacencyV2").load(path)
+        .groupBy("graph")
+        .agg(count(lit(1)).as("n_edges"), countDistinct("src").as("n_src"),
+          max("dst").as("max_dst"))
+        .orderBy("graph")
     })
   )
 
@@ -97,6 +125,17 @@ object FileFormats extends QueryModule {
     "q_src_json" ->
       """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS val_sum,
          COUNT(DISTINCT props) AS nd_props
-         FROM events GROUP BY event_type ORDER BY event_type"""
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // g30 recomputed from nation (the data-dependent graph); g12 is the
+    // fixed 11-edge path; g0 (N=0) contributes no rows by design.
+    "q_src_adjacency" ->
+      """WITH g30 AS (SELECT CAST(n_nationkey + 5 AS BIGINT) AS src,
+             CAST(n_regionkey AS BIGINT) AS dst FROM nation)
+         SELECT * FROM (
+           SELECT 'g12.txt' AS graph, CAST(11 AS BIGINT) AS n_edges,
+             CAST(11 AS BIGINT) AS n_src, CAST(11 AS BIGINT) AS max_dst
+           UNION ALL
+           SELECT 'g30.txt', COUNT(*), COUNT(DISTINCT src), MAX(dst) FROM g30)
+         ORDER BY graph"""
   )
 }

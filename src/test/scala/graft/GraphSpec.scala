@@ -306,6 +306,33 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("AdjacencyV2 source == driver-side codec on every reference fixture; pruning pushed") {
+    // copy the G*.txt fixtures into a clean dir (the reference dir also
+    // holds .c sources the graph reader must not be pointed at)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-adjv2")
+    val gs = new java.io.File(fixtures).listFiles()
+      .filter(f => f.getName.matches("G\\d+\\.txt")).sortBy(_.getName)
+    assert(gs.nonEmpty)
+    gs.foreach(f => java.nio.file.Files.copy(f.toPath,
+      tmp.resolve(f.getName)))
+    val v2 = spark.read.format("graft.sources.AdjacencyV2").load(tmp.toString)
+    val byGraph = v2.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(e => (e._2, e._3)).toSet).toMap
+    gs.foreach { f =>
+      val codec = AdjacencyCodec.read(spark, f.getPath).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(byGraph.getOrElse(f.getName, Set.empty) == codec,
+        s"DSv2 and codec disagree on ${f.getName}")
+    }
+    // column pruning reaches the reader: a src-only projection's scan
+    // emits exactly one column
+    val leaf = v2.select("src").queryExecution.executedPlan
+      .collectLeaves().head
+    assert(leaf.output.map(_.name) == Seq("src"),
+      s"pruning not pushed: ${leaf.output}")
+  }
+
   test("GraphStore create/modify snapshot semantics (A1/A2)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graphstore").toString + "/g"
