@@ -4,9 +4,10 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -56,13 +57,106 @@ object AdjacencyV2 {
   }
 }
 
-class AdjacencyTable(path: String) extends Table with SupportsRead {
+class AdjacencyTable(path: String) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"adjacency($path)"
   override def schema(): StructType = AdjacencyV2.fullSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AdjacencyScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new AdjacencyWriteBuilder(path, info.schema())
+}
+
+/** The write half — A4 graph-sink (`primary_server.c:122-143`) as a true
+  * DSv2 BatchWrite: input rows (graph, src, dst), each writer task
+  * buffers its partition's edges per graph and serializes ONE adjacency
+  * file per graph on commit (matrix size = max vertex id + 1, capped at
+  * the reference's MAX_VERTICES=100 — this sink exists to emit
+  * reference-compatible fixtures, the parquet GraphStore is the scale
+  * sink). Tasks write to tmp names tagged by (task, attempt); the driver
+  * commit renames them into place — the standard two-phase pattern, so a
+  * retried task never half-overwrites a committed graph. Callers should
+  * `repartition($"graph")` so each graph lands in one task (the sink
+  * tolerates splits by writing per-task fragments; the reader would then
+  * see fragment files, so co-partitioning is the contract).
+  */
+class AdjacencyWriteBuilder(path: String, schema: StructType) extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new AdjacencyBatchWrite(path, schema)
+  }
+}
+
+class AdjacencyBatchWrite(path: String, schema: StructType) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new AdjacencyWriterFactory(path, schema)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    messages.foreach { case AdjacencyCommit(files) =>
+      files.foreach { case (tmp, fin) =>
+        val t = new org.apache.hadoop.fs.Path(tmp)
+        val f = new org.apache.hadoop.fs.Path(fin)
+        if (fs.exists(f)) fs.delete(f, false)
+        fs.rename(t, f)
+      }
+    }
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    messages.collect { case AdjacencyCommit(files) => files }.flatten
+      .foreach { case (tmp, _) =>
+        val t = new org.apache.hadoop.fs.Path(tmp)
+        val fs = t.getFileSystem(conf)
+        if (fs.exists(t)) fs.delete(t, false)
+      }
+  }
+}
+
+case class AdjacencyCommit(files: Seq[(String, String)]) extends WriterCommitMessage
+
+class AdjacencyWriterFactory(path: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new AdjacencyDataWriter(path, schema, partitionId, taskId)
+}
+
+class AdjacencyDataWriter(path: String, schema: StructType,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+  private val gi = schema.fieldIndex("graph")
+  private val si = schema.fieldIndex("src")
+  private val di = schema.fieldIndex("dst")
+  private val buf = scala.collection.mutable.Map
+    .empty[String, scala.collection.mutable.ArrayBuffer[(Long, Long)]]
+
+  override def write(row: InternalRow): Unit = {
+    val g = row.getUTF8String(gi).toString
+    buf.getOrElseUpdate(g, scala.collection.mutable.ArrayBuffer.empty) +=
+      ((row.getLong(si), row.getLong(di)))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    val files = buf.toSeq.sortBy(_._1).map { case (g, edges) =>
+      val n = (edges.iterator.flatMap(e => Iterator(e._1, e._2)).max + 1).toInt
+      require(n <= 100, s"graph $g exceeds the reference MAX_VERTICES cap")
+      val body = AdjacencyCodec.format(edges.toSeq, n)
+      val tmp = new org.apache.hadoop.fs.Path(dir,
+        s"_tmp_${g}_${partitionId}_$taskId")
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      (tmp.toString, new org.apache.hadoop.fs.Path(dir, g).toString)
+    }
+    AdjacencyCommit(files)
+  }
+
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
 }
 
 class AdjacencyScanBuilder(path: String)
@@ -83,9 +177,13 @@ class AdjacencyScan(path: String, required: StructType) extends Scan with Batch 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // standard source convention: skip hidden/metadata files (.crc
+    // sidecars, _SUCCESS, in-flight _tmp_* writer fragments)
+    def visible(n: String) = !n.startsWith(".") && !n.startsWith("_")
     val files: Array[org.apache.hadoop.fs.FileStatus] =
       if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(_.isFile).sortBy(_.getPath.getName)
+        fs.listStatus(p).filter(f => f.isFile && visible(f.getPath.getName))
+          .sortBy(_.getPath.getName)
       else Array(fs.getFileStatus(p))
     files.map(f => AdjacencyInputPartition(f.getPath.toString): InputPartition)
   }

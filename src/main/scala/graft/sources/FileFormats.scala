@@ -85,27 +85,29 @@ object FileFormats extends QueryModule {
         .orderBy("event_type")
     }),
 
-    // Custom DataSource V2 ([[AdjacencyV2]]): a DIRECTORY of reference-
-    // format adjacency graphs read as one distributed table
-    // (graph, src, dst) — one InputPartition per file, pruning pushed
-    // into the reader. Staged: a 30-vertex graph derived from nation
-    // (data-dependent — the oracle recomputes it from SQL), an 11-edge
-    // path graph, and an N=0 empty graph (parses to zero rows, proving
-    // the header path handles the G12 fixture shape). Per-graph degree
-    // stats aggregate over the v2 scan.
+    // Custom DataSource V2 ([[AdjacencyV2]]), BOTH halves: the nation-
+    // derived 30-vertex graph and an 11-edge path graph are written
+    // THROUGH the v2 sink (distributed per-task serialization, two-phase
+    // tmp+rename commit; `repartition(graph)` is the one-file-per-graph
+    // contract), an N=0 empty graph is staged directly (no edge rows can
+    // express it), then the directory reads back as one distributed
+    // (graph, src, dst) table — one InputPartition per file, pruning
+    // pushed into the reader — and per-graph degree stats aggregate over
+    // the v2 scan. The oracle recomputes the data-dependent graph from
+    // SQL, so the whole sink→source round-trip is hash-verified.
     "q_src_adjacency" -> ((s, dir) => {
       val path = stage(dir, "adj")
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
-      val edges30 = Tables.raw(s, dir, "nation")
-        .select((col("n_nationkey") + 5).cast("long").as("src"),
+      val g30 = Tables.raw(s, dir, "nation")
+        .select(lit("g30.txt").as("graph"),
+          (col("n_nationkey") + 5).cast("long").as("src"),
           col("n_regionkey").cast("long").as("dst"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-      def put(name: String, body: String): Unit =
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(path).resolve(name), body)
-      put("g30.txt", AdjacencyCodec.format(edges30, 30))
-      put("g12.txt", AdjacencyCodec.format((0L until 11L).map(i => (i, i + 1)), 12))
-      put("g0.txt", "0\n")
+      val g12 = s.range(11).select(lit("g12.txt").as("graph"),
+        col("id").as("src"), (col("id") + 1).as("dst"))
+      g30.union(g12).repartition(col("graph"))
+        .write.format("graft.sources.AdjacencyV2").mode("append").save(path)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path).resolve("g0.txt"), "0\n")
       s.read.format("graft.sources.AdjacencyV2").load(path)
         .groupBy("graph")
         .agg(count(lit(1)).as("n_edges"), countDistinct("src").as("n_src"),

@@ -333,6 +333,28 @@ class GraphSpec extends SparkSpec {
       s"pruning not pushed: ${leaf.output}")
   }
 
+  test("AdjacencyV2 sink: distributed write → codec read round-trips, rewrite idempotent") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-adjv2-w").toString
+    val edges = (for (i <- 0L until 40L) yield ("w.txt", i, (i * 7 + 3) % 40)) :+
+      (("w2.txt", 0L, 1L))
+    def writeAll(): Unit = edges.toDF("graph", "src", "dst")
+      .repartition(col("graph"))
+      .write.format("graft.sources.AdjacencyV2").mode("append").save(tmp)
+    writeAll()
+    val expect = edges.filter(_._1 == "w.txt").map(e => (e._2, e._3)).toSet
+    def readBack(): Set[(Long, Long)] =
+      AdjacencyCodec.read(spark, s"$tmp/w.txt").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(readBack() == expect, "sink output must parse back to the same edges")
+    writeAll() // second write replaces in place — same result, no tmp litter
+    assert(readBack() == expect)
+    // local FS adds hidden .crc sidecars; the contract is about visible files
+    val files = new java.io.File(tmp).listFiles().map(_.getName)
+      .filterNot(n => n.startsWith(".") || n.startsWith("_")).toSet
+    assert(files == Set("w.txt", "w2.txt"), s"unexpected files: $files")
+  }
+
   test("GraphStore create/modify snapshot semantics (A1/A2)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graphstore").toString + "/g"
