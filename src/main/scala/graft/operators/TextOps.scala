@@ -70,6 +70,10 @@ object TextOps extends QueryModule {
   // q_text_* queries would disagree on the same corpus.
   private[operators] val stopList = Seq("the", "a", "and", "of", "to", "in", "is")
 
+  /** BPE-training merge rounds — fixed so the oracle unrolls the identical
+    * recurrence (same rationale as lpIters/kcoreRounds). */
+  private val bpeRounds = 3
+
   /** q_text_scrub's deny list — fixture stand-in for PII patterns; shared
     * with the oracle via [[denySql]]. */
   private val denyList = Seq("customer", "spark", "big")
@@ -268,6 +272,69 @@ object TextOps extends QueryModule {
         size(filter(pieces, p => p.rlike("^[0-9]+$"))).as("n_nums"),
         size(filter(pieces, p => !p.rlike("^[a-z0-9]+$"))).as("n_punct"))
         .orderBy("doc_id")
+    }),
+
+    // BPE tokenizer TRAINING (q_text_tokens_bpe above is only the
+    // pre-tokenizer): learn the first 3 byte-pair merges from the corpus.
+    // Structure = the real thing (HuggingFace-style): the corpus-scale
+    // pass is ONE distributed word-frequency aggregate; the merge loop
+    // then runs on the distinct-word DICTIONARY weighted by frequency
+    // (orders of magnitude smaller than the corpus — the reason BPE
+    // training is tractable at all). Per round: pair counts are a
+    // (sym, next) aggregate over the (word, pos, symbol) frame, the
+    // argmax (count desc, pair asc — deterministic) is collected as a
+    // 1-row planner statistic, and the merge APPLIES via windows, not
+    // string replace: for a≠b adjacent matches can never overlap; for
+    // a=b greedy left-to-right = even offsets within runs of consecutive
+    // a's (gaps-and-islands) — the spelling that is exactly replicable
+    // in the oracle where a regex/replace loop is not. Output: the 3
+    // learned merges + the corpus symbol count after each (computed
+    // distributed, not literalized).
+    "q_text_bpe_train" -> ((s, dir) => {
+      val wW = Window.partitionBy("w").orderBy("pos")
+      val wf = t(s, dir, "documents")
+        .select(explode(toks).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      // char explode via sequence+substring — split(w, '(?!^)') leaves a
+      // trailing empty element in Spark (zero-width match at end of
+      // string, limit −1) and would train merges against "" symbols
+      var seq = wf.filter(length(col("w")) >= 1)
+        .select(col("w"), col("freq"),
+          explode(sequence(lit(1), length(col("w")))).as("pos"))
+        .select(col("w"), col("freq"), col("pos"),
+          expr("substring(w, pos, 1)").as("sym"))
+        .localCheckpoint(true)
+      val rows = Seq.newBuilder[DataFrame]
+      for (r <- 1 to bpeRounds) {
+        val withNext = seq.withColumn("nxt", lead("sym", 1).over(wW))
+        val best = withNext.filter(col("nxt").isNotNull)
+          .groupBy("sym", "nxt").agg(sum("freq").as("c"))
+          .orderBy(col("c").desc, col("sym"), col("nxt")).limit(1)
+          .collect()(0)
+        val (a, b, c) = (best.getString(0), best.getString(1), best.getLong(2))
+        val isA = col("sym") === lit(a)
+        val wA = Window.partitionBy(col("w"), isA).orderBy("pos")
+        val wG = Window.partitionBy(col("w"), col("grp"))
+        seq = withNext
+          .withColumn("grp", when(isA, col("pos") - row_number().over(wA)))
+          .withColumn("off", when(isA, col("pos") - min("pos").over(wG)))
+          .withColumn("mrg", isA && col("nxt") === lit(b) &&
+            (lit(a != b) || col("off") % 2 === 0))
+          .withColumn("consumed",
+            coalesce(lag("mrg", 1).over(wW), lit(false)))
+          .filter(!col("consumed"))
+          .select(col("w"), col("freq"), col("pos").as("opos"),
+            when(col("mrg"), concat(col("sym"), col("nxt")))
+              .otherwise(col("sym")).as("sym"))
+          .withColumn("pos",
+            row_number().over(Window.partitionBy("w").orderBy("opos")))
+          .drop("opos")
+          .localCheckpoint(true) // feeds the next round's argmax AND apply
+        rows += seq.agg(sum("freq").as("corpus_symbols_after"))
+          .select(lit(r).as("round"), lit(a).as("sym_a"), lit(b).as("sym_b"),
+            lit(c).as("pair_freq"), col("corpus_symbols_after"))
+      }
+      rows.result().reduce(_ unionByName _).orderBy("round")
     }),
 
     // Winnowing fingerprints (the MOSS scheme) — pipeline and scale notes
@@ -619,6 +686,51 @@ object TextOps extends QueryModule {
            CAST(len(list_filter(pieces, x -> regexp_matches(x, '^[0-9]+$'))) AS INT) AS n_nums,
            CAST(len(list_filter(pieces, x -> NOT regexp_matches(x, '^[a-z0-9]+$'))) AS INT) AS n_punct
          FROM p ORDER BY doc_id""",
+    // The identical 3-round merge recurrence, unrolled: per round, pair
+    // counts → deterministic argmax (count desc, pair asc) → window-based
+    // merge apply (even-offset runs for the a=b case), re-indexed. Symbol
+    // frames are MATERIALIZED — each feeds the pair count AND the apply.
+    "q_text_bpe_train" -> {
+      val steps = (1 to bpeRounds).map { r =>
+        val s0 = s"s${r - 1}"
+        s"""b$r AS MATERIALIZED (SELECT sym AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS c
+             FROM (SELECT *, LEAD(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+                   FROM $s0)
+             WHERE nxt IS NOT NULL GROUP BY sym, nxt
+             ORDER BY c DESC, a, b LIMIT 1),
+           w$r AS (SELECT s.*, LEAD(s.sym) OVER (PARTITION BY s.w ORDER BY s.pos) AS nxt,
+                     q.a AS ba, q.b AS bb
+                   FROM $s0 s CROSS JOIN b$r q),
+           g$r AS (SELECT *, CASE WHEN sym = ba
+                     THEN pos - ROW_NUMBER() OVER (PARTITION BY w, sym = ba ORDER BY pos)
+                   END AS grp FROM w$r),
+           o$r AS (SELECT *, CASE WHEN sym = ba
+                     THEN pos - MIN(pos) OVER (PARTITION BY w, grp) END AS off
+                   FROM g$r),
+           m$r AS (SELECT *, (sym = ba AND nxt = bb
+                     AND (ba <> bb OR off % 2 = 0)) AS mrg FROM o$r),
+           f$r AS (SELECT *, COALESCE(LAG(mrg) OVER (PARTITION BY w ORDER BY pos),
+                     FALSE) AS consumed FROM m$r),
+           s$r AS MATERIALIZED (SELECT w, freq,
+                     ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS pos,
+                     CASE WHEN mrg THEN sym || nxt ELSE sym END AS sym
+                   FROM f$r WHERE NOT consumed)"""
+      }.mkString(",\n")
+      val out = (1 to bpeRounds).map { r =>
+        s"""SELECT $r AS round, (SELECT a FROM b$r) AS sym_a,
+             (SELECT b FROM b$r) AS sym_b,
+             (SELECT c FROM b$r) AS pair_freq,
+             (SELECT CAST(SUM(freq) AS BIGINT) FROM s$r) AS corpus_symbols_after"""
+      }.mkString("\nUNION ALL ")
+      s"""WITH wf AS (SELECT w, COUNT(*) AS freq FROM
+             (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           GROUP BY w),
+         s0 AS MATERIALIZED (SELECT w, freq, pos, substring(w, pos, 1) AS sym
+           FROM (SELECT w, freq, CAST(unnest(range(1, len(w) + 1)) AS INT) AS pos
+                 FROM wf)),
+         $steps
+         SELECT * FROM ($out) ORDER BY round"""
+    },
     // Same md5-derived 60-bit gram hash as the Spark side (hex parse via
     // strpos), same 16-gram sliding-window min, distinct mins per doc.
     "q_text_winnow" ->

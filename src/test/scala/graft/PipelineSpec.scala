@@ -443,6 +443,40 @@ class PipelineSpec extends SparkSpec {
     assert(bySplit("train").toDouble / rows.length > 0.6, "train share collapsed")
   }
 
+  test("BPE training matches a sequential reference trainer (greedy merges)") {
+    // reference implementation: textbook sequential BPE on in-memory word
+    // frequencies — greedy left-to-right merge application per word
+    val wf = Tables(spark, sfDir, "documents").select("text").collect()
+      .flatMap(_.getString(0).split(" ")).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    var dict: Map[Vector[String], Long] =
+      wf.map { case (w, f) => w.split("").toVector -> f }
+    def mergeWord(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val expect = (1 to 3).map { r =>
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, f) <- dict; i <- 0 until syms.length - 1)
+        pairs((syms(i), syms(i + 1))) = pairs.getOrElse((syms(i), syms(i + 1)), 0L) + f
+      val ((a, b), c) = pairs.minBy { case ((x, y), n) => (-n, x, y) }
+      dict = dict.groupBy { case (syms, _) => mergeWord(syms, a, b) }
+        .map { case (k, vs) => k -> vs.values.sum }
+      val total = dict.map { case (syms, f) => syms.length * f }.sum
+      (r, a, b, c, total)
+    }
+    val got = TextOps.queries("q_text_bpe_train")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(got == expect)
+  }
+
   test("approx_count_distinct within rsd of exact") {
     val arows = Relational.queries("q_agg_approx_distinct")(spark, sfDir).collect()
     assert(arows.forall(_.getBoolean(2)), "in-query apx_ok must hold")
