@@ -130,6 +130,9 @@ object GraphQueries extends QueryModule {
   /** Seed sample for q_graph_closeness — shared with its oracle. */
   private val closenessSeeds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
 
+  /** Walk length for q_graph_walks (fixed — the oracle unrolls it). */
+  private val walkSteps = 4
+
   /** Process-level cache of the batched 5-seed σ-BFS over the distinct
     * ring edges. Both betweenness queries consume the SAME forward sweep —
     * the single-source query's σ frame is exactly the seed-0 slice of the
@@ -387,6 +390,38 @@ object GraphQueries extends QueryModule {
         .localCheckpoint(true) // feeds the per-seed rows AND the max
       ecc.crossJoin(ecc.agg(max("ecc").as("diam_lb")))
         .orderBy("seed")
+    }),
+
+    // Deterministic random-walk sampling (the node2vec/DeepWalk corpus
+    // generator): one walk per seed, 4 steps; the "random" next hop is
+    // the out-neighbor minimizing the portable hash of
+    // (seed, step, src, dst) — seedless, reproducible on any engine, and
+    // parallel over walks (each step is ONE edges join + one per-walk
+    // argmin; a million concurrent walks ride the same join, keyed by
+    // walk id). This is the graph → sequence-training-data bridge: walk
+    // rows are the sentences an embedding pipeline feeds downstream.
+    "q_graph_walks" -> ((s, dir) => {
+      val edges = ringEdges(s, dir).distinct().localCheckpoint(true)
+      var cur = closenessSeeds.foldLeft[DataFrame](null) { (acc, sd) =>
+        val one = s.range(1).select(lit(sd).as("seed"), lit(0).as("step"),
+          lit(sd).as("v"))
+        if (acc == null) one else acc.unionByName(one)
+      }
+      val rows = Seq.newBuilder[DataFrame]
+      rows += cur
+      for (st <- 1 to walkSteps) {
+        val w = Window.partitionBy("seed").orderBy(col("h"), col("dst"))
+        cur = cur.join(edges, col("v") === col("src"))
+          .select(col("seed"), lit(st).as("step"), col("dst"),
+            graft.functions.PortableHash.hash60(
+              concat_ws("-", col("seed"), lit(st), col("src"), col("dst")))
+              .as("h"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("seed"), col("step"), col("dst").as("v"))
+          .localCheckpoint(true) // feeds this step's output AND the next join
+        rows += cur
+      }
+      rows.result().reduce(_ unionByName _).orderBy("seed", "step")
     }),
 
     // Connected components over the hierarchy graph: 1 per region.
@@ -991,6 +1026,35 @@ object GraphQueries extends QueryModule {
          SELECT seed, ecc, n_reached,
            (SELECT MAX(ecc) FROM ec) AS diam_lb
          FROM ec ORDER BY seed"""
+    },
+    // The identical 4-step hash-argmin walk, unrolled; the hash input
+    // string (seed-step-src-dst) is single-sourced with the Spark side's
+    // concat_ws spelling.
+    "q_graph_walks" -> {
+      val seedsSql = closenessSeeds.mkString(", ")
+      def hashOf(st: Int) = graft.functions.PortableHash.sql(
+        s"concat_ws('-', seed, $st, e.src, e.dst)")
+      val steps = (1 to walkSteps).map { st =>
+        s"""w$st AS (SELECT seed, $st AS step, dst AS v FROM (
+             SELECT w.seed, e.dst,
+               ROW_NUMBER() OVER (PARTITION BY w.seed
+                 ORDER BY ${hashOf(st)}, e.dst) AS rn
+             FROM w${st - 1} w JOIN de e ON e.src = w.v)
+           WHERE rn = 1)"""
+      }.mkString(",\n")
+      s"""WITH e AS (
+           SELECT c_custkey AS src, (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst FROM customer
+           UNION ALL
+           SELECT c_custkey, (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer
+           UNION ALL
+           SELECT c_custkey, (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer),
+         de AS (SELECT DISTINCT src, dst FROM e),
+         w0 AS (SELECT CAST(s AS BIGINT) AS seed, 0 AS step, CAST(s AS BIGINT) AS v
+                FROM (SELECT UNNEST([$seedsSql]) AS s)),
+         $steps
+         SELECT seed, step, v FROM (
+           SELECT * FROM w0 ${(1 to walkSteps).map(i => s"UNION ALL SELECT * FROM w$i").mkString(" ")})
+         ORDER BY seed, step"""
     },
     "q_graph_cc_bsp" ->
       s"""WITH RECURSIVE e AS ($hierEdgesSql),

@@ -604,6 +604,35 @@ object Relational extends QueryModule {
         .orderBy("zbucket")
     }),
 
+    // Small-file compaction planning — the OPTIMIZE job's first half: a
+    // file manifest (simulated as per-shipmonth row counts — the shape a
+    // table format's metadata layer hands you) is greedily bin-packed
+    // into compaction groups of ~targetRows by prefix-sum assignment:
+    // bin = (running rows before this file) div target. The running sum
+    // is one window over the MANIFEST, which is metadata-scale even at
+    // 100 TB (a million files = a million rows — the data itself is
+    // never read to plan). Prefix assignment is capacity-approximate
+    // (a file can straddle its bin boundary) but embarrassingly
+    // parallel and deterministic, where true first-fit is inherently
+    // sequential. Output: per-bin file/row totals and month span — the
+    // compaction work list.
+    "q_layout_compaction" -> ((s, dir) => {
+      val target = 100000L
+      val manifest = tr(s, dir, "lineitem")
+        .groupBy(date_trunc("month", col("l_shipdate").cast("timestamp"))
+          .as("file_month"))
+        .agg(count(lit(1)).as("n_rows"))
+      val w = Window.orderBy("file_month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      manifest
+        .withColumn("cum", sum("n_rows").over(w))
+        .withColumn("bin", expr(s"(cum - n_rows) div $target"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_files"), sum("n_rows").as("n_rows"),
+          min("file_month").as("from_month"), max("file_month").as("to_month"))
+        .orderBy("bin")
+    }),
+
     // Runtime bloom-filter join pruning: the selective dim predicate is
     // turned into a bloom filter that prunes the fact side BEFORE its
     // shuffle (`bloom_filter_might_contain` on the lineitem leg, asserted
@@ -903,6 +932,17 @@ object Relational extends QueryModule {
            MIN(xq) AS min_x, MAX(xq) AS max_x,
            MIN(yq) AS min_y, MAX(yq) AS max_y
          FROM z GROUP BY 1 ORDER BY 1""",
+    // Same prefix-sum bin assignment over the same monthly manifest.
+    "q_layout_compaction" ->
+      """WITH m AS (SELECT date_trunc('month', CAST(l_shipdate AS TIMESTAMP))
+             AS file_month, COUNT(*) AS n_rows
+           FROM lineitem GROUP BY 1),
+         c AS (SELECT *, SUM(n_rows) OVER (ORDER BY file_month
+                 ROWS UNBOUNDED PRECEDING) AS cum FROM m)
+         SELECT CAST((cum - n_rows) // 100000 AS BIGINT) AS bin,
+           COUNT(*) AS n_files, CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           MIN(file_month) AS from_month, MAX(file_month) AS to_month
+         FROM c GROUP BY 1 ORDER BY bin""",
     // The bloom filter only prunes — results must equal the plain join.
     "q_join_bloom" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,

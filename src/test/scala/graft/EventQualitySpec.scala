@@ -380,6 +380,27 @@ class EventQualitySpec extends SparkSpec {
     assert(got.values.exists(_._4), "no value anomaly fired")
   }
 
+  test("compaction plan: row-conserving, contiguous bins, greedy capacity respected") {
+    val target = 100000L
+    val bins = graft.operators.Relational.queries("q_layout_compaction")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3), r.getTimestamp(4))).sortBy(_._1)
+    val totalRows = Tables(spark, sfDir, "lineitem").count()
+    assert(bins.map(_._3).sum == totalRows, "every manifest row lands in a bin")
+    assert(bins.map(_._1).toSeq == bins.indices.map(_.toLong), "bins contiguous from 0")
+    // greedy prefix assignment: a bin starts strictly before its capacity
+    // boundary, so rows-before-last-file < (bin+1)*target for every bin
+    bins.foldLeft(0L) { case (before, (bin, _, rows, _, _)) =>
+      assert(before < (bin + 1) * target || rows == 0, s"bin $bin starts past capacity")
+      before + rows
+    }
+    // month spans must not overlap between consecutive bins
+    bins.sliding(2).foreach {
+      case Array(a, b) => assert(a._5.before(b._4), s"bins ${a._1},${b._1} overlap")
+      case _ => ()
+    }
+  }
+
   test("ab test: A/A split never fires (false-positive guard), planted effect always fires") {
     val rows = EventAnalytics.queries("q_ab_test")(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1)) ->

@@ -355,6 +355,23 @@ class GraphSpec extends SparkSpec {
     assert(files == Set("w.txt", "w2.txt"), s"unexpected files: $files")
   }
 
+  test("random walks: every hop follows an edge, hash-argmin reproducible") {
+    val ks = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0))
+    val v = ks.length
+    val adj = ks.flatMap(c =>
+      Seq((2 * c + 1) % v, (5 * c + 7) % v, (16 * c + 3) % v).map(c -> _))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def run() = SparkEntry.queries("q_graph_walks")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val walk = run()
+    assert(walk.size == 5 * 5)
+    for (seed <- 0L to 4L; st <- 1 to 4)
+      assert(adj(walk((seed, st - 1))).contains(walk((seed, st))),
+        s"seed $seed step $st is not an edge")
+    assert(run() == walk, "walks must be deterministic across runs")
+  }
+
   test("GraphStore create/modify snapshot semantics (A1/A2)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graphstore").toString + "/g"
