@@ -337,6 +337,30 @@ object TextOps extends QueryModule {
       rows.result().reduce(_ unionByName _).orderBy("round")
     }),
 
+    // Length bucketing for batch inference — the padding-waste
+    // minimizer: documents batched together pad to the batch max, so
+    // grouping by length quantile (8 ntile buckets over token count)
+    // shrinks (max − len) waste vs one global batch. Reports per-bucket
+    // real vs padded token totals and the waste fraction in exact e6
+    // fixed point — the number an inference-cost dashboard actually
+    // shows. The global ntile is exact rank quantization (deliberately
+    // oracle-replicable; the production job replaces it with
+    // repartitionByRange sampling — same trade documented at
+    // q_layout_zorder). Everything after the ntile is one (bucket) agg.
+    "q_text_lenbucket" -> ((s, dir) => {
+      val w = Window.orderBy(col("n_tok"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), nTokC.cast("long").as("n_tok"))
+        .withColumn("bucket", ntile(8).over(w))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), max("n_tok").as("max_len"),
+          sum("n_tok").as("real_tokens"))
+        .withColumn("padded_tokens", expr("n_docs * max_len"))
+        .withColumn("waste_e6",
+          expr("(padded_tokens - real_tokens) * 1000000 div padded_tokens"))
+        .orderBy("bucket")
+    }),
+
     // Winnowing fingerprints (the MOSS scheme) — pipeline and scale notes
     // on winnowFingerprints above; this query reports per-doc signature
     // summaries, q_text_winnow_pairs below is the overlap-detection end-use.
@@ -686,6 +710,19 @@ object TextOps extends QueryModule {
            CAST(len(list_filter(pieces, x -> regexp_matches(x, '^[0-9]+$'))) AS INT) AS n_nums,
            CAST(len(list_filter(pieces, x -> NOT regexp_matches(x, '^[a-z0-9]+$'))) AS INT) AS n_punct
          FROM p ORDER BY doc_id""",
+    // Same ntile bucketing, same exact waste arithmetic.
+    "q_text_lenbucket" ->
+      s"""WITH d AS (SELECT doc_id,
+             CAST(${nTokSql} AS BIGINT) AS n_tok FROM documents),
+         b AS (SELECT *, NTILE(8) OVER (ORDER BY n_tok, doc_id) AS bucket FROM d),
+         g AS (SELECT bucket, COUNT(*) AS n_docs, MAX(n_tok) AS max_len,
+                 CAST(SUM(n_tok) AS BIGINT) AS real_tokens
+               FROM b GROUP BY bucket)
+         SELECT CAST(bucket AS INT) AS bucket, n_docs, max_len, real_tokens,
+           n_docs * max_len AS padded_tokens,
+           (n_docs * max_len - real_tokens) * 1000000 // (n_docs * max_len)
+             AS waste_e6
+         FROM g ORDER BY bucket""",
     // The identical 3-round merge recurrence, unrolled: per round, pair
     // counts → deterministic argmax (count desc, pair asc) → window-based
     // merge apply (even-offset runs for the a=b case), re-indexed. Symbol

@@ -477,6 +477,22 @@ class PipelineSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("length bucketing strictly beats one global batch on padding waste") {
+    val rows = TextOps.queries("q_text_lenbucket")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 8)
+    val (nDocs, real) = (rows.map(_._2).sum, rows.map(_._4).sum)
+    val padded = rows.map(_._5).sum
+    val globalPadded = nDocs * rows.map(_._3).max
+    assert(real == Tables(spark, sfDir, "documents")
+      .select(size(split(col("text"), " ")).cast("long")).collect().map(_.getLong(0)).sum)
+    assert(padded < globalPadded,
+      s"bucketing must reduce padded tokens: $padded vs global $globalPadded")
+    // buckets are length-ordered: max_len strictly increases
+    assert(rows.sortBy(_._1).map(_._3).sliding(2).forall {
+      case Seq(a, b) => a <= b; case _ => true })
+  }
+
   test("approx_count_distinct within rsd of exact") {
     val arows = Relational.queries("q_agg_approx_distinct")(spark, sfDir).collect()
     assert(arows.forall(_.getBoolean(2)), "in-query apx_ok must hold")

@@ -97,6 +97,17 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("adjacency format round-trip: codec format → V2 parse == edge set (random graphs)") {
+    // ties the driver-side writer grammar to the DSv2 reader grammar on
+    // random matrices — the two parsers must never drift
+    for (edges <- samples(graphGen, 30)) {
+      val n = (edges.flatMap(e => Seq(e._1, e._2)).max + 1).toInt
+      val body = graft.sources.AdjacencyCodec.format(edges, n)
+      val parsed = graft.sources.AdjacencyV2.parseEdges(body).toSet
+      assert(parsed == edges.toSet, s"n=$n")
+    }
+  }
+
   test("dedup idempotence: dropDuplicates twice == once") {
     val docs = Tables(spark, sfDir, "documents")
     // localCheckpoint severs the plan: exceptAll(X, dropDuplicates(X)) on a
