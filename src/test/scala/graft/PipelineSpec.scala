@@ -490,7 +490,7 @@ class PipelineSpec extends SparkSpec {
       s"bucketing must reduce padded tokens: $padded vs global $globalPadded")
     // buckets are length-ordered: max_len strictly increases
     assert(rows.sortBy(_._1).map(_._3).sliding(2).forall {
-      case Seq(a, b) => a <= b; case _ => true })
+      case Array(a, b) => a <= b; case _ => true })
   }
 
   test("approx_count_distinct within rsd of exact") {
