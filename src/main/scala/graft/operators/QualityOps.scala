@@ -52,6 +52,43 @@ object QualityOps extends QueryModule {
         .orderBy("name_a", "name_b")
     }),
 
+    // Entity resolution end-to-end — q_join_fuzzy's PAIRS are only the
+    // match stage; the deliverable is canonical ENTITIES: fuzzy pairs
+    // (lev ≤ 2, rewritten to the banded equi join by BlockFuzzyJoin) form
+    // an undirected similarity graph, connected components group
+    // transitive matches, and each cluster resolves to its MIN-name
+    // representative with a sorted member roster. Same shape as
+    // q_dedup_cluster but over a string entity dictionary: vertices
+    // travel as 60-bit portable hashes through the CC loop (8-byte
+    // shuffle keys), names re-attach after, and the representative is
+    // min(NAME) within the component — id-scheme-independent, so the
+    // oracle's recursive min-name reachability agrees exactly. Only
+    // multi-member clusters ship (singletons are the whole dictionary).
+    "q_entity_resolution" -> ((s, dir) => {
+      graft.plans.GraftRules.install(s)
+      val names = Tables.raw(s, dir, "part")
+        .select("p_name").distinct()
+        .select(col("p_name").as("name"),
+          graft.functions.PortableHash.hash60(col("p_name")).as("id"))
+        .localCheckpoint(true) // feeds both join sides AND the re-attach
+      val a = names.select(col("name").as("name_a"), col("id").as("ida"))
+      val b = names.select(col("name").as("name_b"), col("id").as("idb"))
+      val pairs = a.join(b, levenshtein(col("name_a"), col("name_b")) <= maxLev &&
+          col("name_a") < col("name_b"))
+        .select(col("ida"), col("idb"))
+        .localCheckpoint(true) // feeds both edge directions
+      val edges = pairs.select(col("ida").as("src"), col("idb").as("dst"))
+        .union(pairs.select(col("idb").as("src"), col("ida").as("dst")))
+      graft.plans.GraphOps.connectedComponents(s, edges)
+        .join(names.select(col("id").as("v"), col("name")), Seq("v"))
+        .groupBy("comp")
+        .agg(min("name").as("rep"), count(lit(1)).as("n_members"),
+          array_join(sort_array(collect_list("name")), ",").as("members"))
+        .filter(col("n_members") >= 2)
+        .select("rep", "n_members", "members")
+        .orderBy("rep")
+    }),
+
     // Incremental aggregation by partial-state merge: the base load (orders
     // before 1998) and the delta load (1998 onward) are aggregated into
     // MERGEABLE states (count/sum/min/max — sums in exact integer cents),
@@ -294,6 +331,23 @@ object QualityOps extends QueryModule {
            -- reintroduced the same ~9.2e9-row ceiling the Spark side fixed
            CAST(SUM(h % 1000000007) % 1000000007 AS BIGINT) AS sum_sig
          FROM h""",
+    // Same lev-pair graph; components via recursive min-NAME reachability
+    // (id-scheme-independent — matches the Spark side's min(name) rep).
+    "q_entity_resolution" ->
+      s"""WITH RECURSIVE d AS (SELECT DISTINCT p_name AS name FROM part),
+         pairs AS (SELECT a.name AS na, b.name AS nb
+                   FROM d a JOIN d b ON a.name < b.name
+                   WHERE levenshtein(a.name, b.name) <= $maxLev),
+         e AS (SELECT na AS src, nb AS dst FROM pairs
+               UNION ALL SELECT nb, na FROM pairs),
+         reach(v, root) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.v),
+         comp AS (SELECT v, MIN(root) AS comp FROM reach GROUP BY v)
+         SELECT comp AS rep, COUNT(*) AS n_members,
+           string_agg(v, ',' ORDER BY v) AS members
+         FROM comp GROUP BY comp HAVING COUNT(*) >= 2 ORDER BY rep""",
     // Same rule set; the completeness grid is the same hour-truncated
     // micros arithmetic, the referential row the same anti-join count.
     "q_dq_rules" ->
