@@ -32,6 +32,45 @@ object EventAnalytics extends QueryModule {
     * stage-event strictly follows their entry into the previous stage. */
   private val funnelStages = Seq("signup", "view", "click", "purchase")
 
+  /** The anomaly oracle SQL — shared verbatim by q_events_anomaly and
+    * q_stream_anomaly (whose batch-equivalence claim IS this identity). */
+  private[graft] val anomalySql: String =
+    """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sv
+           FROM events GROUP BY event_type, hr),
+         st AS (SELECT event_type, COUNT(*) AS hh,
+             CAST(SUM(n) AS BIGINT) AS s, CAST(SUM(n*n) AS BIGINT) AS ss,
+             CAST(SUM(sv) AS BIGINT) AS vs, CAST(SUM(sv*sv) AS BIGINT) AS vss
+           FROM h GROUP BY event_type)
+         SELECT h.event_type, hr, n, sv,
+           (n*hh - s)*(n*hh - s) > 4*(hh*ss - s*s) AS cnt_anom,
+           (sv*hh - vs)*(sv*hh - vs) > 4*(hh*vss - vs*vs) AS val_anom
+         FROM h JOIN st USING (event_type)
+         WHERE (n*hh - s)*(n*hh - s) > 4*(hh*ss - s*s)
+            OR (sv*hh - vs)*(sv*hh - vs) > 4*(hh*vss - vs*vs)
+         ORDER BY event_type, hr"""
+
+  /** 2σ flags over an hourly moment frame `(event_type, hr, n, sv)` —
+    * single-sourced: q_events_anomaly (batch) and q_stream_anomaly
+    * (incremental state merge) must score with IDENTICAL arithmetic or
+    * the streaming query's batch-equivalence oracle would be vacuous.
+    * Caller must materialize `h` (it feeds the moment agg AND the flag
+    * join). */
+  private[graft] def anomalyFlags(h: DataFrame): DataFrame = {
+    val st = h.groupBy("event_type")
+      .agg(count(lit(1)).as("hh"), sum("n").as("s"),
+        sum(expr("n*n")).as("ss"), sum("sv").as("vs"),
+        sum(expr("sv*sv")).as("vss"))
+    val cntAnom = expr("(n*hh - s)*(n*hh - s) > 4*(hh*ss - s*s)")
+    val valAnom = expr("(sv*hh - vs)*(sv*hh - vs) > 4*(hh*vss - vs*vs)")
+    h.join(st, Seq("event_type"))
+      .filter(cntAnom || valAnom)
+      .select(col("event_type"), col("hr"), col("n"), col("sv"),
+        cntAnom.as("cnt_anom"), valAnom.as("val_anom"))
+      .orderBy("event_type", "hr")
+  }
+
   /** CDC split point — mid-span of the fixture's fixed Jan-2024 event
     * window at every scale factor, so base and changelog are both real. */
   private val cdcCutoffLit = "2024-01-16 00:00:00"
@@ -172,24 +211,13 @@ object EventAnalytics extends QueryModule {
     // stream to the bucket grid; the per-type moment frame is #types
     // rows and joins back unhinted (broadcast at any real size); flagging
     // is a codegen'd projection.
-    "q_events_anomaly" -> ((s, dir) => {
-      val h = t(s, dir, "events")
-        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
-        .agg(count(lit(1)).as("n"),
-          sum(floor(col("value") * 100).cast("long")).as("sv"))
-        .localCheckpoint(true) // feeds the moment agg AND the flag join
-      val st = h.groupBy("event_type")
-        .agg(count(lit(1)).as("hh"), sum("n").as("s"),
-          sum(expr("n*n")).as("ss"), sum("sv").as("vs"),
-          sum(expr("sv*sv")).as("vss"))
-      val cntAnom = expr("(n*hh - s)*(n*hh - s) > 4*(hh*ss - s*s)")
-      val valAnom = expr("(sv*hh - vs)*(sv*hh - vs) > 4*(hh*vss - vs*vs)")
-      h.join(st, Seq("event_type"))
-        .filter(cntAnom || valAnom)
-        .select(col("event_type"), col("hr"), col("n"), col("sv"),
-          cntAnom.as("cnt_anom"), valAnom.as("val_anom"))
-        .orderBy("event_type", "hr")
-    }),
+    "q_events_anomaly" -> ((s, dir) =>
+      anomalyFlags(
+        t(s, dir, "events")
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 100).cast("long")).as("sv"))
+          .localCheckpoint(true))), // feeds the moment agg AND the flag join
 
     // A/B experiment analysis — the readout job every experimentation
     // platform runs: users split into variants by id parity (a stand-in
@@ -316,22 +344,7 @@ object EventAnalytics extends QueryModule {
          ORDER BY s.event_type, s.h""",
     // Same integer cross-multiplied 2σ test; CASTs keep DuckDB's HUGEINT
     // sums inside BIGINT so the comparison arithmetic matches Spark's.
-    "q_events_anomaly" ->
-      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
-             COUNT(*) AS n,
-             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sv
-           FROM events GROUP BY event_type, hr),
-         st AS (SELECT event_type, COUNT(*) AS hh,
-             CAST(SUM(n) AS BIGINT) AS s, CAST(SUM(n*n) AS BIGINT) AS ss,
-             CAST(SUM(sv) AS BIGINT) AS vs, CAST(SUM(sv*sv) AS BIGINT) AS vss
-           FROM h GROUP BY event_type)
-         SELECT h.event_type, hr, n, sv,
-           (n*hh - s)*(n*hh - s) > 4*(hh*ss - s*s) AS cnt_anom,
-           (sv*hh - vs)*(sv*hh - vs) > 4*(hh*vss - vs*vs) AS val_anom
-         FROM h JOIN st USING (event_type)
-         WHERE (n*hh - s)*(n*hh - s) > 4*(hh*ss - s*s)
-            OR (sv*hh - vs)*(sv*hh - vs) > 4*(hh*vss - vs*vs)
-         ORDER BY event_type, hr""",
+    "q_events_anomaly" -> anomalySql,
     // Same cross-multiplied Welch test; HUGEINT is DuckDB's exact-integer
     // domain for the ~1e27 products (Spark uses DECIMAL(38,0)).
     "q_ab_test" ->

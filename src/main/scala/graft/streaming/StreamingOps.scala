@@ -49,6 +49,7 @@ object StreamingOps extends QueryModule {
     stageHashChunks(s, dir, chunksDir(dir, "chunks"), 8)
     stageHashChunks(s, dir, chunksDir(dir, "pt"), 4)
     stageUpsertChunks(s, dir)
+    stageAnomalyChunks(s, dir)
   }
 
   private def tag(dir: String): String =
@@ -140,6 +141,17 @@ object StreamingOps extends QueryModule {
       Tables.raw(s, dir, "events")
         .select(col("event_id"), col("event_type"), col("value"))
         .repartition(n, col("event_id"))
+        .write.mode("overwrite").parquet(chunks)
+    }
+    chunks
+  }
+
+  private def stageAnomalyChunks(s: SparkSession, dir: String): String = {
+    val chunks = chunksDir(dir, "anom") + "_chunks"
+    ensureStaged(chunks) {
+      Tables.raw(s, dir, "events")
+        .select(col("event_type"), col("ts"), col("value"))
+        .repartition(6, col("event_type"), col("ts"))
         .write.mode("overwrite").parquet(chunks)
     }
     chunks
@@ -584,6 +596,56 @@ object StreamingOps extends QueryModule {
         .select(col("user_id"), col("sw.start").as("session_start"),
           col("n_events"), col("val_sum"))
         .orderBy("user_id", "session_start")
+    }),
+
+    // Streaming metric monitoring — q_events_anomaly run INCREMENTALLY:
+    // each microbatch folds its hourly (n, Σcents) moments into a parquet
+    // state table by ADDITIVE merge (union + re-sum — commutative and
+    // associative, so batch order is irrelevant and per-batch cost is
+    // ∝ batch + state grid, never the history); after the replay drains,
+    // the 2σ flags are computed from the merged state with the SAME
+    // single-sourced arithmetic as the batch query, and the oracle is the
+    // batch query's SQL verbatim — the hash compare IS the proof that
+    // incremental monitoring converges to the batch answer. This is the
+    // always-on shape: at scale the state table is the monitoring store
+    // and each trigger touches one microbatch + a #types×#hours grid.
+    "q_stream_anomaly" -> ((s, dir) => {
+      val chunks = stageAnomalyChunks(s, dir)
+      val base = chunksDir(dir, "anom")
+      val (state, ck) = (base + "_state", base + "_ck")
+      val stateFile = new java.io.File(state)
+      Seq(state, ck).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("event_type", StringType), StructField("ts", TimestampType),
+        StructField("value", DoubleType)))
+      def moments(df: DataFrame): DataFrame = df
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(floor(col("value") * 100).cast("long")).as("sv"))
+      def remerge(df: DataFrame): DataFrame = df
+        .groupBy("event_type", "hr")
+        .agg(sum("n").as("n"), sum("sv").as("sv"))
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(chunks)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val merged = remerge(
+            if (stateFile.exists)
+              batch.sparkSession.read.parquet(state).unionByName(moments(batch))
+            else moments(batch))
+          val next = state + "_next"
+          merged.write.mode("overwrite").parquet(next)
+          org.apache.commons.io.FileUtils.deleteQuietly(stateFile)
+          org.apache.commons.io.FileUtils.moveDirectory(
+            new java.io.File(next), stateFile)
+          ()
+        }.start()
+      q.awaitTermination()
+      graft.operators.EventAnalytics.anomalyFlags(
+        s.read.parquet(state).localCheckpoint(true))
     })
   )
 
@@ -651,6 +713,9 @@ object StreamingOps extends QueryModule {
          TRUE AS multi_batch
          FROM events GROUP BY event_type ORDER BY event_type""",
     // Batch-order-independent merge => final state == batch compaction.
+    // Batch-equivalence verbatim: the incremental state merge must land
+    // exactly where the batch anomaly query lands.
+    "q_stream_anomaly" -> graft.operators.EventAnalytics.anomalySql,
     "q_stream_upsert" ->
       """SELECT user_id, value, ts AS updated_at FROM (
            SELECT user_id, value, ts, ROW_NUMBER() OVER (PARTITION BY user_id

@@ -188,6 +188,28 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("incremental anomaly state merge equals the batch anomaly query, multi-batch") {
+    val stream = graft.streaming.StreamingOps
+      .queries("q_stream_anomaly")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5))).toSet
+    val batch = graft.operators.EventAnalytics
+      .queries("q_events_anomaly")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5))).toSet
+    assert(stream == batch, "incremental merge must converge to the batch answer")
+    assert(stream.nonEmpty)
+    // the replay must actually be incremental: >= 2 chunk files, each its
+    // own microbatch under maxFilesPerTrigger=1
+    val tag = java.lang.ProcessHandle.current().pid().toString + "_" +
+      sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val chunkDir = new java.io.File(
+      s"${sys.props("java.io.tmpdir")}/graft_stream_anom_${tag}_chunks")
+    val parts = Option(chunkDir.list()).getOrElse(Array.empty[String])
+      .count(f => f.startsWith("part-") && f.endsWith(".parquet"))
+    assert(parts >= 2, s"expected a multi-chunk replay, found $parts part files")
+  }
+
   test("session windows: gap property holds (no intra-session gap >= 30 min)") {
     val sessions = StreamingOps.queries("q_session_window")(spark, sfDir).collect()
     val events = Tables(spark, sfDir, "events")
