@@ -571,6 +571,38 @@ object Relational extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // Dynamic partition pruning — the star-schema scan killer at 100 TB:
+    // the fact table is partition-laid-out on the join key, the dim side
+    // carries a filter whose surviving keys are NOT statically knowable
+    // (mean-value threshold in exact integer cents — data-dependent, so
+    // static partition pruning can't fire), and Catalyst injects the
+    // dim's surviving keys as a runtime partition filter into the fact
+    // scan: non-qualifying partition DIRECTORIES are never opened.
+    // ScaleSpec asserts `dynamicpruning` in the fact scan's partition
+    // filters. The integer-cents mean keeps the dim filter engine-exact
+    // (avg(double) at a threshold would be summation-order-dependent).
+    "q_join_dpp" -> ((s, dir) => {
+      val tag = java.lang.ProcessHandle.current().pid().toString + "_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val out = s"${sys.props("java.io.tmpdir")}/graft_dpp_$tag"
+      if (!new java.io.File(out, "_SUCCESS").exists())
+        Tables.raw(s, dir, "events")
+          .select(col("event_id"),
+            floor(col("value") * 100).cast("long").as("cents"),
+            col("event_type"))
+          .write.mode("overwrite").partitionBy("event_type").parquet(out)
+      val dim = Tables.raw(s, dir, "events")
+        .groupBy("event_type")
+        .agg(expr("sum(CAST(FLOOR(value * 100) AS BIGINT)) div count(1)")
+          .as("mean_cents"))
+        .filter(col("mean_cents") > 5000)
+        .select("event_type")
+      s.read.parquet(out).join(dim, Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"))
+        .orderBy("event_type")
+    }),
+
     // Z-order layout (multi-dimensional clustering): rank-quantize two
     // dimensions to 8 bits each, interleave the bits into one Morton code,
     // and range-bucket on it — rows in a bucket are close in BOTH dims at
@@ -932,6 +964,19 @@ object Relational extends QueryModule {
            MIN(xq) AS min_x, MAX(xq) AS max_x,
            MIN(yq) AS min_y, MAX(yq) AS max_y
          FROM z GROUP BY 1 ORDER BY 1""",
+    // Same integer-cents mean threshold; the fact side re-derives from
+    // the raw table (the partitioned copy is identical content).
+    "q_join_dpp" ->
+      """WITH dim AS (SELECT event_type FROM (
+             SELECT event_type,
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                 // COUNT(*) AS mean_cents
+             FROM events GROUP BY event_type)
+           WHERE mean_cents > 5000)
+         SELECT e.event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+         FROM events e JOIN dim USING (event_type)
+         GROUP BY e.event_type ORDER BY e.event_type""",
     // Same prefix-sum bin assignment over the same monthly manifest.
     "q_layout_compaction" ->
       """WITH m AS (SELECT date_trunc('month', CAST(l_shipdate AS TIMESTAMP))

@@ -205,6 +205,19 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition pruning fires on the partitioned fact scan") {
+    val df = SparkEntry.queries("q_join_dpp")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamicpruning partition filter:\n${plan.take(1000)}")
+    // and the dim filter must actually prune: a strict subset of types
+    val got = df.collect().map(_.getString(0)).toSet
+    val all = Tables(spark, sfDir, "events")
+      .select("event_type").distinct().collect().map(_.getString(0)).toSet
+    assert(got.nonEmpty && got.subsetOf(all) && got != all,
+      s"dim filter should select a strict non-empty subset: $got of $all")
+  }
+
   test("BFS frontier join flips broadcast -> shuffle past the size gate") {
     import spark.implicits._
     // On a scale-free graph a middle BFS level is O(|V|): the frontier must
