@@ -39,16 +39,22 @@ object EventAnalytics extends QueryModule {
              COUNT(*) AS n,
              CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sv
            FROM events GROUP BY event_type, hr),
+         -- squared moments in HUGEINT (the DECIMAL(38,0) twin of the
+         -- Spark side): sv*sv alone would overflow a BIGINT multiply
          st AS (SELECT event_type, COUNT(*) AS hh,
-             CAST(SUM(n) AS BIGINT) AS s, CAST(SUM(n*n) AS BIGINT) AS ss,
-             CAST(SUM(sv) AS BIGINT) AS vs, CAST(SUM(sv*sv) AS BIGINT) AS vss
+             CAST(SUM(n) AS BIGINT) AS s, SUM(CAST(n AS HUGEINT)*n) AS ss,
+             CAST(SUM(sv) AS BIGINT) AS vs, SUM(CAST(sv AS HUGEINT)*sv) AS vss
            FROM h GROUP BY event_type)
          SELECT h.event_type, hr, n, sv,
-           (n*hh - s)*(n*hh - s) > 4*(hh*ss - s*s) AS cnt_anom,
-           (sv*hh - vs)*(sv*hh - vs) > 4*(hh*vss - vs*vs) AS val_anom
+           (CAST(n AS HUGEINT)*hh - s)*(CAST(n AS HUGEINT)*hh - s)
+             > 4*(hh*ss - CAST(s AS HUGEINT)*s) AS cnt_anom,
+           (CAST(sv AS HUGEINT)*hh - vs)*(CAST(sv AS HUGEINT)*hh - vs)
+             > 4*(hh*vss - CAST(vs AS HUGEINT)*vs) AS val_anom
          FROM h JOIN st USING (event_type)
-         WHERE (n*hh - s)*(n*hh - s) > 4*(hh*ss - s*s)
-            OR (sv*hh - vs)*(sv*hh - vs) > 4*(hh*vss - vs*vs)
+         WHERE (CAST(n AS HUGEINT)*hh - s)*(CAST(n AS HUGEINT)*hh - s)
+             > 4*(hh*ss - CAST(s AS HUGEINT)*s)
+            OR (CAST(sv AS HUGEINT)*hh - vs)*(CAST(sv AS HUGEINT)*hh - vs)
+             > 4*(hh*vss - CAST(vs AS HUGEINT)*vs)
          ORDER BY event_type, hr"""
 
   /** 2σ flags over an hourly moment frame `(event_type, hr, n, sv)` —
@@ -58,12 +64,21 @@ object EventAnalytics extends QueryModule {
     * Caller must materialize `h` (it feeds the moment agg AND the flag
     * join). */
   private[graft] def anomalyFlags(h: DataFrame): DataFrame = {
+    // squared moments and the cross-multiplied comparisons run in
+    // DECIMAL(38,0): sv is hourly cents mass (~1e12 at 1e8 events/hour),
+    // so sv² ≈ 1e24 and (sv·H − ΣS)² ≈ 1e32 — far past BIGINT but inside
+    // exact decimal/HUGEINT; a long spelling would wrap silently at the
+    // very scale the operator exists for
     val st = h.groupBy("event_type")
       .agg(count(lit(1)).as("hh"), sum("n").as("s"),
-        sum(expr("n*n")).as("ss"), sum("sv").as("vs"),
-        sum(expr("sv*sv")).as("vss"))
-    val cntAnom = expr("(n*hh - s)*(n*hh - s) > 4*(hh*ss - s*s)")
-    val valAnom = expr("(sv*hh - vs)*(sv*hh - vs) > 4*(hh*vss - vs*vs)")
+        sum(expr("CAST(n AS DECIMAL(38,0)) * n")).as("ss"), sum("sv").as("vs"),
+        sum(expr("CAST(sv AS DECIMAL(38,0)) * sv")).as("vss"))
+    val cntAnom = expr(
+      """(CAST(n AS DECIMAL(38,0))*hh - s) * (CAST(n AS DECIMAL(38,0))*hh - s)
+         > 4*(hh*ss - CAST(s AS DECIMAL(38,0))*s)""")
+    val valAnom = expr(
+      """(CAST(sv AS DECIMAL(38,0))*hh - vs) * (CAST(sv AS DECIMAL(38,0))*hh - vs)
+         > 4*(hh*vss - CAST(vs AS DECIMAL(38,0))*vs)""")
     h.join(st, Seq("event_type"))
       .filter(cntAnom || valAnom)
       .select(col("event_type"), col("hr"), col("n"), col("sv"),
@@ -230,9 +245,16 @@ object EventAnalytics extends QueryModule {
     //       4·((n_a·Q_a − S_a²)·n_b³ + (n_b·Q_b − S_b²)·n_a³)
     // over the per-variant moments (n, S=Σcents, Q=Σcents²) — no sqrt,
     // division, or float, so the SIGNIFICANCE VERDICT itself (not just
-    // the sums) hash-compares across engines. Products reach ~1e27, so
-    // the comparison runs in DECIMAL(38,0) on the Spark side and HUGEINT
-    // in DuckDB — both exact integer domains. Scale shape: ONE aggregate
+    // the sums) hash-compares across engines. The comparison runs in
+    // DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — exact integer domains
+    // whose ceiling bounds the query's reach: |d|·√(n_a·n_b) ≤
+    // 2C·(n_a·n_b)^1.5 with C = max cents, so the d²·n_a·n_b product
+    // stays under 1e38 only up to ~10^5 events per type per scenario
+    // (current fixture peak ~2.5e37 at sf0.1). Past that BOTH engines
+    // fail loudly (ANSI decimal overflow throws; HUGEINT errors) rather
+    // than silently diverging; the production-scale readout pre-buckets
+    // per shard and merges moment states, keeping n per test bounded.
+    // Scale shape: ONE aggregate
     // pass over events with conditional moments (adding a variant adds
     // projection columns), #types result rows.
     "q_ab_test" -> ((s, dir) => {
@@ -355,13 +377,15 @@ object EventAnalytics extends QueryModule {
                 UNION ALL
                 SELECT 'planted', event_type, a,
                   c + CASE WHEN a THEN 5000 ELSE 0 END FROM e),
+         -- NOT a (not ELSE): a NULL-parity row must land in NEITHER arm,
+         -- exactly like the Spark side's when(!a, x).otherwise(0)
          m AS (SELECT scenario, event_type,
              CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-             CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
              CAST(SUM(CASE WHEN a THEN c ELSE 0 END) AS BIGINT) AS s_a,
-             CAST(SUM(CASE WHEN a THEN 0 ELSE c END) AS BIGINT) AS s_b,
+             CAST(SUM(CASE WHEN NOT a THEN c ELSE 0 END) AS BIGINT) AS s_b,
              CAST(SUM(CASE WHEN a THEN c*c ELSE 0 END) AS BIGINT) AS q_a,
-             CAST(SUM(CASE WHEN a THEN 0 ELSE c*c END) AS BIGINT) AS q_b
+             CAST(SUM(CASE WHEN NOT a THEN c*c ELSE 0 END) AS BIGINT) AS q_b
            FROM sc GROUP BY scenario, event_type),
          t AS (SELECT *, CAST(s_a AS HUGEINT) * n_b - CAST(s_b AS HUGEINT) * n_a AS d
                FROM m)

@@ -388,6 +388,13 @@ object GraphQueries extends QueryModule {
         .agg(max("level").cast("long").as("ecc"),
           count(lit(1)).as("n_reached"))
         .localCheckpoint(true) // feeds the per-seed rows AND the max
+      // the BFS-walk oracles (this one, closeness) unroll to `lvl < 40`;
+      // ecc is the ONE output the cap would clip, so a regenerated deeper
+      // fixture must fail loudly here, not drift past the oracle's bound
+      // (same discipline as ringSigma's 16-level assert)
+      val maxEcc = ecc.agg(max("ecc")).head.getLong(0)
+      require(maxEcc < 40,
+        s"fixture eccentricity $maxEcc reaches the oracle's 40-level unroll cap")
       ecc.crossJoin(ecc.agg(max("ecc").as("diam_lb")))
         .orderBy("seed")
     }),
@@ -402,11 +409,9 @@ object GraphQueries extends QueryModule {
     // rows are the sentences an embedding pipeline feeds downstream.
     "q_graph_walks" -> ((s, dir) => {
       val edges = ringEdges(s, dir).distinct().localCheckpoint(true)
-      var cur = closenessSeeds.foldLeft[DataFrame](null) { (acc, sd) =>
-        val one = s.range(1).select(lit(sd).as("seed"), lit(0).as("step"),
-          lit(sd).as("v"))
-        if (acc == null) one else acc.unionByName(one)
-      }
+      import s.implicits._
+      var cur: DataFrame = closenessSeeds.map(sd => (sd, 0, sd))
+        .toDF("seed", "step", "v")
       val rows = Seq.newBuilder[DataFrame]
       rows += cur
       for (st <- 1 to walkSteps) {

@@ -338,7 +338,7 @@ object TrainingPipeline extends QueryModule {
     // 60-bit hash is plain %.
     "q_sample_holdout" ->
       s"""WITH d AS (SELECT doc_id, lang,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(${TextOps.nTokSql} AS BIGINT) AS n_tok,
              ${graft.functions.PortableHash.sql("CAST(doc_id AS VARCHAR)")} % 10
                AS bucket
            FROM documents)

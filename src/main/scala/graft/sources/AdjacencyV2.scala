@@ -77,31 +77,51 @@ class AdjacencyTable(path: String) extends Table with SupportsRead with Supports
   * reference-compatible fixtures, the parquet GraphStore is the scale
   * sink). Tasks write to tmp names tagged by (task, attempt); the driver
   * commit renames them into place — the standard two-phase pattern, so a
-  * retried task never half-overwrites a committed graph. Callers should
-  * `repartition($"graph")` so each graph lands in one task (the sink
-  * tolerates splits by writing per-task fragments; the reader would then
-  * see fragment files, so co-partitioning is the contract).
+  * retried task never half-overwrites a committed graph. Callers must
+  * `repartition($"graph")` so each graph lands in one task: a graph
+  * split across tasks is REJECTED at commit (two fragments would race
+  * for one final file — last-writer-wins silent edge loss is worse than
+  * a loud failure). `mode("overwrite")` truncates: commit first deletes
+  * every pre-existing visible file.
   */
-class AdjacencyWriteBuilder(path: String, schema: StructType) extends WriteBuilder {
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new AdjacencyBatchWrite(path, schema)
+class AdjacencyWriteBuilder(path: String, schema: StructType)
+    extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = {
+    val t = doTruncate
+    new Write {
+      override def toBatch: BatchWrite = new AdjacencyBatchWrite(path, schema, t)
+    }
   }
 }
 
-class AdjacencyBatchWrite(path: String, schema: StructType) extends BatchWrite {
+class AdjacencyBatchWrite(path: String, schema: StructType, truncate: Boolean)
+    extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new AdjacencyWriterFactory(path, schema)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = new org.apache.hadoop.conf.Configuration()
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(conf)
-    messages.foreach { case AdjacencyCommit(files) =>
-      files.foreach { case (tmp, fin) =>
-        val t = new org.apache.hadoop.fs.Path(tmp)
-        val f = new org.apache.hadoop.fs.Path(fin)
-        if (fs.exists(f)) fs.delete(f, false)
-        fs.rename(t, f)
-      }
+    val all = messages.collect { case AdjacencyCommit(files) => files }.flatten
+    // a graph split across tasks = two tmp fragments racing for one final
+    // name; fail loudly (the caller forgot the repartition contract)
+    val dup = all.groupBy(_._2).collect { case (fin, fs2) if fs2.size > 1 => fin }
+    require(dup.isEmpty,
+      s"graph(s) ${dup.mkString(", ")} split across writer tasks — " +
+        "repartition the input by the graph column before writing")
+    if (truncate && fs.exists(dir))
+      fs.listStatus(dir).filter(_.isFile)
+        .map(_.getPath.getName)
+        .filterNot(n => n.startsWith(".") || n.startsWith("_"))
+        .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(dir, n), false))
+    all.foreach { case (tmp, fin) =>
+      val t = new org.apache.hadoop.fs.Path(tmp)
+      val f = new org.apache.hadoop.fs.Path(fin)
+      if (fs.exists(f)) fs.delete(f, false)
+      require(fs.rename(t, f), s"commit rename failed: $tmp -> $fin")
     }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -350,9 +350,22 @@ class GraphSpec extends SparkSpec {
     writeAll() // second write replaces in place — same result, no tmp litter
     assert(readBack() == expect)
     // local FS adds hidden .crc sidecars; the contract is about visible files
-    val files = new java.io.File(tmp).listFiles().map(_.getName)
+    def visible() = new java.io.File(tmp).listFiles().map(_.getName)
       .filterNot(n => n.startsWith(".") || n.startsWith("_")).toSet
-    assert(files == Set("w.txt", "w2.txt"), s"unexpected files: $files")
+    assert(visible() == Set("w.txt", "w2.txt"), s"unexpected files: ${visible()}")
+    // overwrite = truncate: stale graphs from earlier writes are removed
+    edges.filter(_._1 == "w.txt").toDF("graph", "src", "dst")
+      .repartition(col("graph"))
+      .write.format("graft.sources.AdjacencyV2").mode("overwrite").save(tmp)
+    assert(visible() == Set("w.txt"), s"overwrite must truncate: ${visible()}")
+    assert(readBack() == expect)
+    // a graph split across writer tasks must FAIL LOUDLY, not lose edges
+    val thrown = intercept[Exception] {
+      edges.filter(_._1 == "w.txt").toDF("graph", "src", "dst")
+        .repartition(4) // round-robin: w.txt rows land in several tasks
+        .write.format("graft.sources.AdjacencyV2").mode("append").save(tmp)
+    }
+    assert(thrown.getMessage != null)
   }
 
   test("random walks: every hop follows an edge, hash-argmin reproducible") {
