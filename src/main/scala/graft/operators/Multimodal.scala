@@ -63,6 +63,26 @@ object Multimodal extends QueryModule {
     StructField("stripes", ArrayType(LongType)),
     StructField("total", LongType)))
 
+  /** STUB audio decoder: payload bytes as 8-bit PCM, 16 samples/frame,
+    * per-frame energy Σ(v−128)² — integer-exact and deterministic, so
+    * the frame profile is bit-replicable from the text bytes by any
+    * engine (the tail frame is partial, same on both sides). */
+  private[operators] def fakeFrameEnergies(payload: Array[Byte]): Array[Long] = {
+    val n = (payload.length + 15) / 16
+    val e = new Array[Long](math.max(n, 0))
+    var i = 0
+    while (i < payload.length) {
+      val d = (payload(i) & 0xff) - 128
+      e(i / 16) += d.toLong * d
+      i += 1
+    }
+    e
+  }
+
+  private val audioSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("energies", ArrayType(LongType))))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Binary payload + metadata struct, metadata-only projection (at scale:
     // reads ONLY the metadata columns — payload never deserialized).
@@ -200,6 +220,34 @@ object Multimodal extends QueryModule {
         .select(col("doc_id"), col("width"), col("height"),
           round(element_at(col("feat"), 1).cast("double") / 255.0, 4).as("f0"))
         .orderBy("doc_id")
+    }),
+
+    // Audio frame analysis — the silence-detection/energy-profiling pass a
+    // speech pipeline runs before transcription: the payload's bytes stand
+    // in for 8-bit PCM samples (STUB, like fakeDecode), 16 samples per
+    // frame, per-frame energy Σ(v−128)² in exact integers; per-clip output
+    // is the frame count, silent-frame count (energy < 30000 — a real mix
+    // on this corpus: ~27% of frames), peak energy, and total energy.
+    // Decode runs once per partition iterator (mapPartitions — payloads
+    // never leave executors); everything downstream of the stub is the
+    // real frame-explode + per-clip aggregate shape.
+    "q_mm_audio" -> ((s, dir) => {
+      val src = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(audioSchema)
+      src.mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getLong(0),
+            fakeFrameEnergies(r.getAs[Array[Byte]]("payload")).toSeq)
+        }
+      }(enc)
+        .select(col("doc_id"), explode(col("energies")).as("e"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("e") < 30000L, 1L).otherwise(0L)).as("n_silent"),
+          max("e").as("peak_energy"), sum("e").as("total_energy"))
+        .orderBy("doc_id")
     })
   )
 
@@ -283,6 +331,20 @@ object Multimodal extends QueryModule {
            CAST(64 + (octet_length(encode(d.text)) * 7) % 480 AS INT) AS height,
            ROUND(COALESCE(f.s0, 0) / 255.0, 4) AS f0
          FROM documents d LEFT JOIN f ON f.doc_id = d.doc_id
-         ORDER BY d.doc_id"""
+         ORDER BY d.doc_id""",
+    // Same byte-as-PCM frame arithmetic: ord() of each ASCII char == the
+    // payload byte, (p−1)//16 is the frame, energies sum exactly.
+    "q_mm_audio" ->
+      """WITH b AS (SELECT doc_id, (p - 1) // 16 AS f,
+             ord(substring(text, p, 1)) AS v
+           FROM (SELECT doc_id, text,
+                   unnest(range(1, strlen(text) + 1)) AS p FROM documents)),
+         fe AS (SELECT doc_id, f,
+             CAST(SUM((v - 128) * (v - 128)) AS BIGINT) AS e
+           FROM b GROUP BY doc_id, f)
+         SELECT doc_id, COUNT(*) AS n_frames,
+           CAST(SUM(CASE WHEN e < 30000 THEN 1 ELSE 0 END) AS BIGINT) AS n_silent,
+           MAX(e) AS peak_energy, CAST(SUM(e) AS BIGINT) AS total_energy
+         FROM fe GROUP BY doc_id ORDER BY doc_id"""
   )
 }

@@ -29,6 +29,29 @@ object FileFormats extends QueryModule {
   private def stage(dir: String, tag: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_stage_${jvmTag}_${tag}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
 
+  /** Once-per-process binary payload staging for q_src_binary: 20 files
+    * whose bytes are the documents' ASCII text (synchronized, same
+    * discipline as StreamingOps.ensureStaged). */
+  private val binStaged =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def stageBinaryFiles(s: SparkSession, dir: String): String = {
+    val out = stage(dir, "bin")
+    if (!binStaged.contains(out)) binStaged.synchronized {
+      if (!binStaged.contains(out)) {
+        val p = java.nio.file.Paths.get(out)
+        java.nio.file.Files.createDirectories(p)
+        Tables.raw(s, dir, "documents").filter(col("doc_id") < 20)
+          .select("doc_id", "text").collect()
+          .foreach { r =>
+            java.nio.file.Files.write(p.resolve(s"doc_${r.getLong(0)}.bin"),
+              r.getString(1).getBytes("UTF-8"))
+          }
+        binStaged.add(out)
+      }
+    }
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // parquet → CSV (header) → explicit-schema read-back → aggregate.
     "q_src_csv" -> ((s, dir) => {
@@ -85,6 +108,26 @@ object FileFormats extends QueryModule {
         .orderBy("event_type")
     }),
 
+    // Binary-file ingestion — the multimodal on-ramp: raw payload files
+    // read through Spark's `binaryFile` source into (path, length,
+    // content) rows, identity-verified against their source of truth by
+    // content digest. Staged: 20 payload files whose bytes are the
+    // documents' ASCII text (so md5(content) on the Spark side must
+    // equal md5(text) computed by the oracle straight from the table —
+    // the round-trip proof needs no filesystem access in the oracle).
+    // At 100 TB this is how image/audio payloads enter the pipeline: the
+    // source splits per file, tasks read only their files, and the
+    // length/digest projection never decodes.
+    "q_src_binary" -> ((s, dir) => {
+      val out = stageBinaryFiles(s, dir)
+      s.read.format("binaryFile").load(s"$out/*.bin")
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1).cast("long")
+            .as("doc_id"),
+          col("length").as("n_bytes"), md5(col("content")).as("digest"))
+        .orderBy("doc_id")
+    }),
+
     // Custom DataSource V2 ([[AdjacencyV2]]), BOTH halves: the nation-
     // derived 30-vertex graph and an 11-edge path graph are written
     // THROUGH the v2 sink (distributed per-task serialization, two-phase
@@ -128,6 +171,13 @@ object FileFormats extends QueryModule {
       """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS val_sum,
          COUNT(DISTINCT props) AS nd_props
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // Digest identity straight from the source table — the staged bytes
+    // ARE the text, so the oracle needs no filesystem access; strlen is
+    // DuckDB's BYTE length, matching binaryFile's file size for ASCII.
+    "q_src_binary" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+         md5(text) AS digest
+         FROM documents WHERE doc_id < 20 ORDER BY doc_id""",
     // g30 recomputed from nation (the data-dependent graph); g12 is the
     // fixed 11-edge path; g0 (N=0) contributes no rows by design.
     "q_src_adjacency" ->
