@@ -89,6 +89,36 @@ object QualityOps extends QueryModule {
         .orderBy("rep")
     }),
 
+    // Mergeable QUANTILE state — the missing member of the partial-state
+    // family (q_agg_incremental merges sums/min/max, q_sketch_cms counts,
+    // q_agg_bitmap presence): a fixed-boundary histogram (10 × 50k-unit
+    // cent buckets) is built per shard (orderkey mod 3 — any disjoint
+    // split), merged by ADDING bucket counts, and the median bucket read
+    // off the merged cumulative curve (smallest bucket with 2·cum ≥
+    // total). The oracle buckets the FULL table directly, so the hash
+    // compare is the mergeability proof; fixed boundaries are what make
+    // the state mergeable at all (equi-depth boundaries differ per shard
+    // and cannot add). At 100 TB each shard ships 10 integers.
+    "q_agg_quantile_state" -> ((s, dir) => {
+      val bucketW = 5000000L
+      def partial(m: Int) = Tables.raw(s, dir, "orders")
+        .filter(col("o_orderkey") % 3 === m)
+        .select(expr(s"CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) div $bucketW")
+          .as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+      val merged = partial(0).unionByName(partial(1)).unionByName(partial(2))
+        .groupBy("bucket").agg(sum("n").as("n"))
+        .localCheckpoint(true) // feeds the cumulative window AND the total
+      val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      merged.withColumn("cum", sum("n").over(w))
+        .crossJoin(merged.agg(sum("n").as("total")))
+        .select(col("bucket"), col("n"), col("cum"),
+          (col("cum") * 2 >= col("total") &&
+            (col("cum") - col("n")) * 2 < col("total")).as("is_median_bucket"))
+        .orderBy("bucket")
+    }),
+
     // Incremental aggregation by partial-state merge: the base load (orders
     // before 1998) and the delta load (1998 onward) are aggregated into
     // MERGEABLE states (count/sum/min/max — sums in exact integer cents),
@@ -331,6 +361,18 @@ object QualityOps extends QueryModule {
            -- reintroduced the same ~9.2e9-row ceiling the Spark side fixed
            CAST(SUM(h % 1000000007) % 1000000007 AS BIGINT) AS sum_sig
          FROM h""",
+    // Full-table bucketing directly — equality with the 3-way shard merge
+    // IS the mergeability proof.
+    "q_agg_quantile_state" ->
+      """WITH b AS (SELECT CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)
+             // 5000000 AS bucket FROM orders),
+         g AS (SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket),
+         c AS (SELECT *, SUM(n) OVER (ORDER BY bucket
+                 ROWS UNBOUNDED PRECEDING) AS cum FROM g),
+         t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g)
+         SELECT bucket, CAST(n AS BIGINT) AS n, CAST(cum AS BIGINT) AS cum,
+           cum * 2 >= total AND (cum - n) * 2 < total AS is_median_bucket
+         FROM c CROSS JOIN t ORDER BY bucket""",
     // Same lev-pair graph; components via recursive min-NAME reachability
     // (id-scheme-independent — matches the Spark side's min(name) rep).
     "q_entity_resolution" ->

@@ -380,6 +380,20 @@ class EventQualitySpec extends SparkSpec {
     assert(got.values.exists(_._4), "no value anomaly fired")
   }
 
+  test("mergeable quantile state: exactly one median bucket, contains the true median") {
+    val rows = QualityOps.queries("q_agg_quantile_state")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.map(_._2).sum == Tables(spark, sfDir, "orders").count())
+    val med = rows.filter(_._4)
+    assert(med.length == 1, s"exactly one median bucket, got ${med.length}")
+    val trueMedianCents = Tables(spark, sfDir, "orders")
+      .select(expr("percentile(CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT), 0.5)"))
+      .head.getDouble(0)
+    val b = med.head._1
+    assert(trueMedianCents >= b * 5000000L && trueMedianCents < (b + 1) * 5000000L,
+      s"true median $trueMedianCents outside flagged bucket $b")
+  }
+
   test("compaction plan: row-conserving, contiguous bins, greedy capacity respected") {
     val target = 100000L
     val bins = graft.operators.Relational.queries("q_layout_compaction")(spark, sfDir)
