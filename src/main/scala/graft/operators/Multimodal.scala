@@ -69,7 +69,7 @@ object Multimodal extends QueryModule {
     * engine (the tail frame is partial, same on both sides). */
   private[operators] def fakeFrameEnergies(payload: Array[Byte]): Array[Long] = {
     val n = (payload.length + 15) / 16
-    val e = new Array[Long](math.max(n, 0))
+    val e = new Array[Long](n)
     var i = 0
     while (i < payload.length) {
       val d = (payload(i) & 0xff) - 128
@@ -333,7 +333,11 @@ object Multimodal extends QueryModule {
          FROM documents d LEFT JOIN f ON f.doc_id = d.doc_id
          ORDER BY d.doc_id""",
     // Same byte-as-PCM frame arithmetic: ord() of each ASCII char == the
-    // payload byte, (p−1)//16 is the frame, energies sum exactly.
+    // payload byte, (p−1)//16 is the frame, energies sum exactly. This
+    // spelling is CHARACTER-indexed and equals the Spark side's byte
+    // framing only for pure-ASCII text — an assumption PipelineSpec pins
+    // loudly (a regenerated non-ASCII fixture fails the pin, not the
+    // hash gate).
     "q_mm_audio" ->
       """WITH b AS (SELECT doc_id, (p - 1) // 16 AS f,
              ord(substring(text, p, 1)) AS v

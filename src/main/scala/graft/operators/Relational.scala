@@ -31,32 +31,27 @@ object Relational extends QueryModule {
   // Raw scan for queries whose first operator already shuffles on its own
   // key (groupBy/distinct/window) or broadcast-probes — the small-file
   // fan-out shuffle in Tables() is pure overhead for those.
+  private def tr(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.raw(s, dir, name)
+
   /** Once-per-process staged partitioned copy of events for q_join_dpp —
-    * the same synchronized ensureStaged discipline as StreamingOps'
-    * replay chunks (an unsynchronized exists-check would double-write
-    * under concurrent invocations; re-writing per call would bill the
-    * layout job to the query's measured time on every run). */
-  private val dppStaged =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    * the shared [[graft.Staging]] discipline (an unsynchronized
+    * exists-check would double-write under concurrent invocations;
+    * re-writing per call would bill the layout job to the query's
+    * measured time on every run). */
   private def stageDppTable(s: SparkSession, dir: String): String = {
     val tag = java.lang.ProcessHandle.current().pid().toString + "_" +
       dir.replaceAll("[^A-Za-z0-9]", "_")
     val out = s"${sys.props("java.io.tmpdir")}/graft_dpp_$tag"
-    if (!dppStaged.contains(out)) dppStaged.synchronized {
-      if (!dppStaged.contains(out)) {
-        Tables.raw(s, dir, "events")
-          .select(col("event_id"),
-            floor(col("value") * 100).cast("long").as("cents"),
-            col("event_type"))
-          .write.mode("overwrite").partitionBy("event_type").parquet(out)
-        dppStaged.add(out)
-      }
+    graft.Staging.ensureStaged(out) {
+      Tables.raw(s, dir, "events")
+        .select(col("event_id"),
+          floor(col("value") * 100).cast("long").as("cents"),
+          col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(out)
     }
     out
   }
-
-  private def tr(s: SparkSession, dir: String, name: String): DataFrame =
-    Tables.raw(s, dir, name)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-style pricing summary: scan→filter→hash agg (partial+final

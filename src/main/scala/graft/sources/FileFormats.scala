@@ -30,24 +30,18 @@ object FileFormats extends QueryModule {
     s"${sys.props("java.io.tmpdir")}/graft_stage_${jvmTag}_${tag}_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
 
   /** Once-per-process binary payload staging for q_src_binary: 20 files
-    * whose bytes are the documents' ASCII text (synchronized, same
-    * discipline as StreamingOps.ensureStaged). */
-  private val binStaged =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    * whose bytes are the documents' ASCII text ([[graft.Staging]]). */
   private def stageBinaryFiles(s: SparkSession, dir: String): String = {
     val out = stage(dir, "bin")
-    if (!binStaged.contains(out)) binStaged.synchronized {
-      if (!binStaged.contains(out)) {
-        val p = java.nio.file.Paths.get(out)
-        java.nio.file.Files.createDirectories(p)
-        Tables.raw(s, dir, "documents").filter(col("doc_id") < 20)
-          .select("doc_id", "text").collect()
-          .foreach { r =>
-            java.nio.file.Files.write(p.resolve(s"doc_${r.getLong(0)}.bin"),
-              r.getString(1).getBytes("UTF-8"))
-          }
-        binStaged.add(out)
-      }
+    graft.Staging.ensureStaged(out) {
+      val p = java.nio.file.Paths.get(out)
+      java.nio.file.Files.createDirectories(p)
+      Tables.raw(s, dir, "documents").filter(col("doc_id") < 20)
+        .select("doc_id", "text").collect()
+        .foreach { r =>
+          java.nio.file.Files.write(p.resolve(s"doc_${r.getLong(0)}.bin"),
+            r.getString(1).getBytes("UTF-8"))
+        }
     }
     out
   }

@@ -31,13 +31,8 @@ object StreamingOps extends QueryModule {
     * (bench second sample, spec + query in one JVM) skips the rewrite
     * entirely. Keyed by target directory; the write itself must be
     * idempotent per key (it runs exactly once per process). */
-  private val stagedDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-
   private def ensureStaged(key: String)(write: => Unit): Unit =
-    if (!stagedDirs.contains(key)) stagedDirs.synchronized {
-      if (!stagedDirs.contains(key)) { write; stagedDirs.add(key) }
-    }
+    graft.Staging.ensureStaged(key)(write)
 
   /** Pre-write every replay-chunk directory the streaming queries use.
     * Invoked by Bench before the timed loop so measured times reflect

@@ -493,6 +493,18 @@ class PipelineSpec extends SparkSpec {
       case Array(a, b) => a <= b; case _ => true })
   }
 
+  test("fixture pin: documents text is pure ASCII (byte==char oracles depend on it)") {
+    // q_mm_audio's oracle indexes CHARACTERS while the Spark side frames
+    // UTF-8 BYTES, and q_src_binary equates strlen with file size — both
+    // exact only for ASCII. A regenerated non-ASCII fixture must fail
+    // HERE, loudly, not as a silent oracle divergence.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val bad = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(not(col("text").rlike("^[\\x00-\\x7F]*$"))).count()
+      assert(bad == 0, s"$bad non-ASCII documents at $dir")
+    }
+  }
+
   test("approx_count_distinct within rsd of exact") {
     val arows = Relational.queries("q_agg_approx_distinct")(spark, sfDir).collect()
     assert(arows.forall(_.getBoolean(2)), "in-query apx_ok must hold")
