@@ -125,6 +125,21 @@ object Scalars extends QueryModule {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Bitwise battery — the integer-twiddling functions ID-hashing and
+    // flag-packing pipelines lean on: AND/OR/XOR, shifts, popcount. All
+    // exact integers, codegen'd, and engine-identical by definition.
+    "q_fn_bitwise" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(lit(0xFFL)).as("low_byte"),
+        col("o_orderkey").bitwiseOR(lit(1L)).as("set_lsb"),
+        col("o_orderkey").bitwiseXOR(col("o_custkey")).as("key_xor"),
+        shiftleft(col("o_orderkey"), 3).as("shl3"),
+        shiftright(col("o_orderkey"), 2).as("shr2"),
+        expr("bit_count(o_orderkey)").as("popcount"))
+        .orderBy("o_orderkey")
+    }),
+
     // Array battery over the 64-dim embeddings: size/element_at/slice plus
     // higher-order aggregate (codegen-free but still JVM-columnar — floats
     // are cast to double BEFORE multiply so the oracle's double math agrees).
@@ -238,6 +253,15 @@ object Scalars extends QueryModule {
          ROUND(ln(l_extendedprice + 1.0), 6) AS log_price,
          greatest(l_tax, l_discount) AS max_rate
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_fn_bitwise" ->
+      """SELECT o_orderkey,
+         o_orderkey & 255 AS low_byte,
+         o_orderkey | 1 AS set_lsb,
+         xor(o_orderkey, o_custkey) AS key_xor,
+         o_orderkey << 3 AS shl3,
+         o_orderkey >> 2 AS shr2,
+         CAST(bit_count(o_orderkey) AS INT) AS popcount
+         FROM orders ORDER BY o_orderkey""",
     "q_fn_array" ->
       """SELECT vec_id,
          CAST(len(embedding) AS INT) AS dim,

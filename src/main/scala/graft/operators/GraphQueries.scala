@@ -429,6 +429,24 @@ object GraphQueries extends QueryModule {
       rows.result().reduce(_ unionByName _).orderBy("seed", "step")
     }),
 
+    // Directed-graph reciprocity — the mutual-link fraction (social-graph
+    // health metric; a crawl with near-zero reciprocity is a DAG-ish link
+    // farm, near-one is a friendship graph): |{(u,v) : (v,u) also an
+    // edge}| / |E| over the distinct non-loop ring edges, via ONE
+    // left-semi self-join on the reversed key — never a cartesian; exact
+    // e6 fixed point. Also reports the mutual and total edge counts.
+    "q_graph_reciprocity" -> ((s, dir) => {
+      val e = ringEdges(s, dir).filter(col("src") =!= col("dst"))
+        .distinct().localCheckpoint(true) // feeds both sides + the total
+      val mutual = e.join(
+        e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      mutual.agg(count(lit(1)).as("n_mutual"))
+        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+        .select(col("n_mutual"), col("n_edges"),
+          expr("n_mutual * 1000000 div n_edges").as("reciprocity_e6"))
+    }),
+
     // Connected components over the hierarchy graph: 1 per region.
     "q_graph_cc" -> ((s, dir) =>
       GraphOps.connectedComponents(s, hierEdges(s, dir))
@@ -1032,6 +1050,22 @@ object GraphQueries extends QueryModule {
            (SELECT MAX(ecc) FROM ec) AS diam_lb
          FROM ec ORDER BY seed"""
     },
+    // Same distinct non-loop edge set; mutual = semi-join on the reverse.
+    "q_graph_reciprocity" ->
+      """WITH e AS (
+           SELECT c_custkey AS src, (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst FROM customer
+           UNION ALL
+           SELECT c_custkey, (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer
+           UNION ALL
+           SELECT c_custkey, (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer),
+         de AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+         m AS (SELECT COUNT(*) AS n_mutual FROM de a
+               WHERE EXISTS (SELECT 1 FROM de b
+                             WHERE b.src = a.dst AND b.dst = a.src)),
+         t AS (SELECT COUNT(*) AS n_edges FROM de)
+         SELECT n_mutual, n_edges,
+           n_mutual * 1000000 // n_edges AS reciprocity_e6
+         FROM m CROSS JOIN t""",
     // The identical 4-step hash-argmin walk, unrolled; the hash input
     // string (seed-step-src-dst) is single-sourced with the Spark side's
     // concat_ws spelling.
