@@ -250,16 +250,41 @@ class PipelineSpec extends SparkSpec {
     assert(hits >= 9, s"ANN top-3 overlaps exact top-3 for $hits/10 probes")
   }
 
-  test("embedding near-dup output is non-empty (oracle must compare real rows)") {
+  test("embedding near-dup: non-empty, precision 1, recall vs exact within-cell pinned") {
     // r5 shipped a 0.95 threshold that could never fire (max same-label
     // cosine ~0.47), so the oracle passed on a 0-row vs 0-row compare and
-    // the pair/threshold logic was never checked. The 0.35 threshold is
-    // calibrated to the fixture (14 rows at sf0.001, 26 at sf0.01); if a
-    // regenerated fixture shifts the distribution back to emptiness this
-    // fails loudly instead of the oracle going trivially green again.
+    // the pair/threshold logic was never checked; the 0.35 threshold is
+    // calibrated to the fixture. r7 banded the within-cell candidates
+    // (the r6 scale defect), so the query is now LSH-approximate: this
+    // test pins (a) non-emptiness, (b) banded ⊆ exact (precision 1 — the
+    // exact cosine verify can't invent pairs), and (c) recall vs the
+    // exact within-cell compare.
     val rows = Similarity.queries("q_sim_neardup")(spark, sfDir).collect()
     assert(rows.nonEmpty, "near-dup threshold no longer matches the fixture's cosine distribution")
     assert(rows.forall(_.getDouble(2) >= 0.35))
+    val banded = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val emb = Tables(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding", "label").collect()
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.get(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val exact = (for {
+      (va, ea, la) <- emb; (vb, eb, lb) <- emb
+      if va < vb && la == lb &&
+        BigDecimal(cos(ea, eb)).setScale(4, BigDecimal.RoundingMode.HALF_UP) >= 0.35
+    } yield (va, vb)).toSet
+    assert(banded.subsetOf(exact),
+      s"banded pairs must verify exactly: extras ${banded.diff(exact)}")
+    val recall = banded.size.toDouble / exact.size
+    // 8 tables x 3 bits: P[miss] at the 0.35 threshold is ~0.12 per pair
+    // and falls fast with similarity; measured fixture recall prints below
+    // and is pinned with margin against a broken banding.
+    info(s"near-dup LSH recall: ${banded.size}/${exact.size} = $recall")
+    assert(recall >= 0.6, s"near-dup LSH recall $recall below pin 0.6")
   }
 
   test("IVF (nprobe=2) recall vs brute-force top-3 pinned") {

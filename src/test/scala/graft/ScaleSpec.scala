@@ -184,6 +184,20 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("near-dup pair generation is LSH-banded: the cell self-join keys include (band, sig)") {
+    // The r6 scale defect: a plain label-equi self join is O(m²) pairs
+    // within a cell of m rows and label is low-cardinality, so at 100 TB
+    // it is an all-pairs join in disguise. The pair join must key on the
+    // hyperplane band columns so candidates are LSH-bucket collisions.
+    val lp = SparkEntry.queries("q_sim_neardup")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    val pairJoins = lp.linesIterator
+      .filter(l => l.contains("Join Inner") && l.contains("label")).toSeq
+    assert(pairJoins.nonEmpty, s"expected a label-keyed pair join in:\n${lp.take(1000)}")
+    assert(pairJoins.forall(l => l.contains("band") && l.contains("sig")),
+      s"the cell pair join must also key on (band, sig):\n${pairJoins.mkString("\n")}")
+  }
+
   test("round-6 additions: corpus-sized joins unhinted, no nested-loop/cartesian anywhere") {
     // q_dedup_substr's df frame and q_text_lm_score's bigram model both
     // grow with the corpus (shingle/vocab² cardinality) — they must join
