@@ -119,6 +119,46 @@ object QualityOps extends QueryModule {
         .orderBy("bucket")
     }),
 
+    // Adaptive mergeable quantile sketch — the bound-free counterpart of
+    // q_agg_quantile_state (whose fixed bucket grid presumes the value
+    // domain): a deterministic bottom-k (KMV) sample per priority group
+    // ([[graft.functions.BottomKQuantileAgg]]) from which p25/p50/p75/p90
+    // are read as exact sample ranks, needing NO pre-known domain bounds.
+    // The query computes the sketch TWICE — one full pass, and a
+    // merge-of-partials path (3 disjoint shards sketched independently,
+    // partial OUTPUTS exploded and re-sketched — the KMV closure
+    // property) — and `agree` pins their equality: merge(partial A,
+    // partial B) == full(A ∪ B), bit-for-bit. At 100 TB each partial
+    // ships k 16-byte pairs per shard regardless of row count, and the
+    // rank hash is portable ([[graft.functions.PortableHash]]) so the
+    // oracle replicates the exact sample with one ROW_NUMBER.
+    "q_agg_quantile_sketch" -> ((s, dir) => {
+      import graft.functions.QuantileSketch
+      val k = 128
+      val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      val rows = Tables.raw(s, dir, "orders")
+        .select(col("o_orderpriority").as("pri"), (col("o_orderkey") % 3).as("shard"),
+          QuantileSketch.pair(col("o_orderkey"), cents).as("hv"))
+      def quants(sk: org.apache.spark.sql.Column, p: String) = Seq(
+        QuantileSketch.quantile(sk, 1, 4).as(s"${p}_p25"),
+        QuantileSketch.quantile(sk, 1, 2).as(s"${p}_p50"),
+        QuantileSketch.quantile(sk, 3, 4).as(s"${p}_p75"),
+        QuantileSketch.quantile(sk, 9, 10).as(s"${p}_p90"))
+      val full = rows.groupBy("pri")
+        .agg(QuantileSketch.sketch(col("hv"), k).as("sk"))
+        .select(col("pri") +: quants(col("sk"), "full"): _*)
+      val merged = rows.groupBy("pri", "shard")
+        .agg(QuantileSketch.sketch(col("hv"), k).as("psk"))
+        .select(col("pri"), explode(col("psk")).as("hv"))
+        .groupBy("pri").agg(QuantileSketch.sketch(col("hv"), k).as("sk"))
+        .select(col("pri") +: quants(col("sk"), "merged"): _*)
+      full.join(merged, Seq("pri"))
+        .withColumn("agree",
+          col("full_p25") === col("merged_p25") && col("full_p50") === col("merged_p50") &&
+          col("full_p75") === col("merged_p75") && col("full_p90") === col("merged_p90"))
+        .orderBy("pri")
+    }),
+
     // Incremental aggregation by partial-state merge: the base load (orders
     // before 1998) and the delta load (1998 onward) are aggregated into
     // MERGEABLE states (count/sum/min/max — sums in exact integer cents),
@@ -373,6 +413,34 @@ object QualityOps extends QueryModule {
          SELECT bucket, CAST(n AS BIGINT) AS n, CAST(cum AS BIGINT) AS cum,
            cum * 2 >= total AND (cum - n) * 2 < total AS is_median_bucket
          FROM c CROSS JOIN t ORDER BY bucket""",
+    // Bottom-k sample replicated exactly: one ROW_NUMBER over the portable
+    // rank hash IS the sketch; both output paths read the same sample (the
+    // KMV closure property the Spark side proves operationally), so the
+    // full_* and merged_* columns are one computation emitted twice.
+    "q_agg_quantile_sketch" -> {
+      val rank = (num: Int, den: Int) => s"($num * m + ${den - 1}) // $den"
+      s"""WITH h AS (SELECT o_orderpriority AS pri,
+             CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT) AS v,
+             ${graft.functions.QuantileSketch.hashSql("o_orderkey")} AS hh
+           FROM orders),
+         r AS (SELECT pri, v, ROW_NUMBER() OVER (
+                 PARTITION BY pri ORDER BY hh, v) AS rn FROM h),
+         samp AS (SELECT pri, v FROM r WHERE rn <= 128),
+         o AS (SELECT pri, v, ROW_NUMBER() OVER (
+                 PARTITION BY pri ORDER BY v) AS vr,
+               COUNT(*) OVER (PARTITION BY pri) AS m FROM samp),
+         q AS (SELECT pri,
+             MAX(CASE WHEN vr = ${rank(1, 4)} THEN v END) AS p25,
+             MAX(CASE WHEN vr = ${rank(1, 2)} THEN v END) AS p50,
+             MAX(CASE WHEN vr = ${rank(3, 4)} THEN v END) AS p75,
+             MAX(CASE WHEN vr = ${rank(9, 10)} THEN v END) AS p90
+           FROM o GROUP BY pri)
+         SELECT pri, p25 AS full_p25, p50 AS full_p50, p75 AS full_p75,
+           p90 AS full_p90, p25 AS merged_p25, p50 AS merged_p50,
+           p75 AS merged_p75, p90 AS merged_p90, TRUE AS agree
+         FROM q ORDER BY pri"""
+    },
+
     // Same lev-pair graph; components via recursive min-NAME reachability
     // (id-scheme-independent — matches the Spark side's min(name) rep).
     "q_entity_resolution" ->

@@ -415,38 +415,65 @@ object GraphOps {
     var frontier = best
     var i = 0
     var done = false
-    while (i < maxIter && !done) {
-      // the frontier join broadcasts only under the size gate (same
-      // discipline as expandOnce — an improved set can be O(|V|) wide);
-      // the improvement check joins against `best`, broadcast while it
-      // fits, merge-join past the gate — the seen-set discipline of the
-      // BFS family applied to the layer table.
-      val fj = if (frontierCount <= broadcastSeenLimit) broadcast(frontier) else frontier.hint("merge")
-      val cand = e.join(fj, col("v") === col("src"))
+    def gated(f: DataFrame, n: Long): DataFrame =
+      if (n <= broadcastSeenLimit) broadcast(f) else f.hint("merge")
+    // One hop: candidate layers from the improved frontier, kept only where
+    // they beat the CURRENT best layer. `overlay` is a frontier-sized set
+    // of rows that supersede `best` without having been merged yet (hop 2
+    // sees hop 1's improvements through it) — the improvement check is
+    // coalesce(overlay.layer, best.layer), so `best` merges only once per
+    // loop iteration. The frontier join broadcasts only under the size
+    // gate (same discipline as expandOnce — an improved set can be O(|V|)
+    // wide); the best-side check broadcasts while it fits, merge-join past
+    // the gate — the seen-set discipline of the BFS family.
+    def improveHop(f: DataFrame, fCount: Long, overlay: Option[(DataFrame, Long)]): DataFrame = {
+      val cand = e.join(gated(f, fCount), col("v") === col("src"))
         .groupBy(col("dst").as("w")).agg((max("layer") + 1).as("cand"))
-      val improved = (if (seenCount <= broadcastSeenLimit)
-          cand.join(broadcast(best), cand("w") === best("v"), "left")
-        else cand.join(best.hint("merge"), cand("w") === best("v"), "left"))
-        .filter(col("layer").isNull || col("cand") > col("layer"))
+      val withBest = cand.join(gated(best.select(col("v").as("bv"), col("layer").as("blayer")),
+          seenCount), cand("w") === col("bv"), "left")
+      val withCur = overlay match {
+        case None => withBest.select(col("w"), col("cand"), col("blayer").as("cur"))
+        case Some((ov, ovCount)) =>
+          withBest.join(gated(ov.select(col("v").as("ov"), col("layer").as("olayer")), ovCount),
+              col("w") === col("ov"), "left")
+            .select(col("w"), col("cand"), coalesce(col("olayer"), col("blayer")).as("cur"))
+      }
+      withCur.filter(col("cur").isNull || col("cand") > col("cur"))
         .select(col("w").as("v"), col("cand").as("layer"))
         .localCheckpoint(true)
-      val n = improved.count()
-      if (n == 0) done = true
+    }
+    while (i < maxIter && !done) {
+      // Two hops per loop iteration (the BFS family's batching,
+      // GraphOps.bfsLevels): hop 2 reads hop 1's improvements as an
+      // overlay, so the |V|-sized best table pays ONE anti-join+union per
+      // two supersteps instead of two — at bench scale the merge
+      // materialization is the dominant per-superstep cost.
+      val improved1 = improveHop(frontier, frontierCount, None)
+      val n1 = improved1.count()
+      if (n1 == 0) done = true
       else {
-        seenCount += n
-        frontierCount = n
-        val iv = improved.select(col("v").as("iv"))
-        val merged = best.join(
-            if (n <= broadcastSeenLimit) broadcast(iv) else iv.hint("merge"),
+        val improved2 = improveHop(improved1, n1, Some((improved1, n1)))
+        val n2 = improved2.count()
+        // improved2 supersedes improved1 for a vertex both touched
+        val improvedAll = (if (n2 == 0) improved1
+          else improved1.join(gated(improved2.select(col("v").as("iv2")), n2),
+              col("v") === col("iv2"), "left_anti")
+            .select(col("v"), col("layer"))
+            .union(improved2))
+        val nAll = n1 + n2
+        val merged = best.join(gated(improvedAll.select(col("v").as("iv")), nAll),
             col("v") === col("iv"), "left_anti")
           .select(col("v"), col("layer"))
-          .union(improved)
-        // every-2nd-barrier policy: the improved frontier above is already
-        // checkpointed, so two rounds of anti-join+union lineage is shallow
-        best = if (i % 2 == 1) merged.localCheckpoint(true) else merged
-        frontier = improved
+          .union(improvedAll)
+        seenCount += nAll
+        // every-2nd-barrier policy: the improved frontiers above are
+        // already checkpointed, so two loop iterations of anti-join+union
+        // lineage stay shallow
+        best = if (i % 4 >= 2) merged.localCheckpoint(true) else merged
+        if (n2 == 0) done = true
+        else { frontier = improved2; frontierCount = n2 }
       }
-      i += 1
+      i += 2
     }
     e.unpersist()
     if (!done) throw new IllegalStateException(
@@ -710,6 +737,10 @@ object GraphOps {
     * formulation (Orzan; FW-BW-Trim family):
     *
     * per round over the remaining subgraph:
+    *  0. TRIM to a fixpoint: vertices with no in-edge or no out-edge in
+    *     the remaining subgraph are singleton SCCs and peel off before
+    *     any flood — two semi joins per peel, so chain/tree regions never
+    *     cost a color flood (the r6 "trim pre-pass" task);
     *  1. flood the MAX vertex id forward to a fixpoint ("colors": color(v)
     *     = max id among v's ancestors ∪ v) — improvement-frontier
     *     propagation, one frontier⋈edges join + max-merge per superstep;
@@ -741,6 +772,42 @@ object GraphOps {
     def gated(f: DataFrame, n: Long): DataFrame =
       if (n <= broadcastSeenLimit) broadcast(f) else f.hint("merge")
     while (remCount > 0 && round < maxRounds) {
+      // 0. trim pre-pass (the "Trim" of FW-BW-Trim): a vertex with no
+      // in-edge or no out-edge in the remaining subgraph cannot lie on a
+      // cycle, so it is its own singleton SCC. Peel to a fixpoint before
+      // the flood — each peel is two distincts + two semi joins, far
+      // cheaper than a flood superstep, and it removes the chains and
+      // dangling trees the color flood would otherwise burn a full
+      // O(depth) round on. Bounded by maxIter; a stalled trim just falls
+      // through to the flood (trim is an optimization, not a phase the
+      // algorithm needs for correctness).
+      var trimming = true
+      var t = 0
+      while (trimming && remCount > 0 && t < maxIter) {
+        val haveOut = e.select(col("src").as("v")).distinct()
+        val haveIn = e.select(col("dst").as("v")).distinct()
+        val core = rem.join(haveOut, Seq("v"), "left_semi")
+          .join(haveIn, Seq("v"), "left_semi").localCheckpoint(true)
+        val coreCount = core.count()
+        if (coreCount == remCount) trimming = false
+        else {
+          val peeled = rem.join(gated(core, coreCount), Seq("v"), "left_anti")
+            .select(col("v"), col("v").as("scc")).localCheckpoint(true)
+          out ::= peeled
+          rem = core
+          remCount = coreCount
+          if (remCount > 0) {
+            val cv1 = core.select(col("v").as("cv1"))
+            val cv2 = core.select(col("v").as("cv2"))
+            e = e.join(gated(cv1, coreCount), col("src") === col("cv1"), "left_semi")
+              .join(gated(cv2, coreCount), col("dst") === col("cv2"), "left_semi")
+              .localCheckpoint(true)
+          }
+        }
+        t += 1
+      }
+      if (remCount == 0) { round += 1 }
+      else {
       // 1. forward max-color flood (improvement frontiers only)
       var colors = rem.select(col("v"), col("v").as("color")).localCheckpoint(true)
       var frontier = colors
@@ -806,6 +873,7 @@ object GraphOps {
           .localCheckpoint(true)
       }
       round += 1
+      }
     }
     if (remCount > 0) throw new IllegalStateException(
       s"SCC did not resolve in $maxRounds coloring rounds - " +

@@ -145,17 +145,31 @@ class GraphSpec extends SparkSpec {
 
   test("SCC: cycles, cross-SCC chains, and a vertex that needs a second coloring round") {
     import spark.implicits._
-    // {1,2} → 3 → {4,5}: two 2-cycles bridged by a chain vertex, all
-    // resolved in round 1 (each root colors only its own class).
-    // {8,9} → 0: vertex 0 is colored by root 9 but is NOT in SCC(9)
-    // (no path back), so it stays unassigned until round 2 — the
-    // multi-round path of the algorithm is actually exercised.
+    // {1,2} → 3 → {4,5}: two 2-cycles bridged by a chain vertex; 3 has
+    // both an in- and an out-edge, so it survives the trim pre-pass and
+    // round 1's flood assigns it.
+    // {8,9} → {0,10}: the 2-cycle {0,10} is colored by root 9 but is NOT
+    // in SCC(9) (no path back), and trim can't peel it (every vertex has
+    // in+out edges) — so it stays unassigned until round 2: the
+    // multi-round path of the algorithm is exercised even with trim.
     val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 4L),
-      (8L, 9L), (9L, 8L), (9L, 0L)).toDF("src", "dst")
+      (8L, 9L), (9L, 8L), (9L, 0L), (0L, 10L), (10L, 0L)).toDF("src", "dst")
     val got = GraphOps.stronglyConnectedComponents(spark, e).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 5L, 5L -> 5L,
-      8L -> 9L, 9L -> 9L, 0L -> 0L))
+      8L -> 9L, 9L -> 9L, 0L -> 10L, 10L -> 10L))
+  }
+
+  test("SCC trim: a pure chain resolves with ZERO coloring rounds (maxRounds=1)") {
+    import spark.implicits._
+    // Every vertex of a chain is a singleton SCC; pre-trim, each round's
+    // color flood peeled O(1) of them (the adversarial case the round cap
+    // exists for). With the trim pre-pass the whole chain peels inside
+    // round 1's trim fixpoint — no flood supersteps at all.
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = GraphOps.stronglyConnectedComponents(spark, chain, maxRounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 9L).map(v => v -> v).toMap)
   }
 
   test("dagLayers throws loudly on cyclic input instead of silently truncating") {

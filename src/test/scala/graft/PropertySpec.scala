@@ -82,6 +82,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bottom-k quantile sketch: merge == full, order-free, matches plain-Scala bottom-k") {
+    import spark.implicits._
+    import graft.functions.QuantileSketch
+    // adversarial values: heavy duplicates, negatives, a huge outlier
+    val vals = samples(Gen.oneOf(-5L, 0L, 0L, 7L, 7L, 7L, 42L, 1000000007L), 300)
+    val rows = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val k = 16 // << n → eviction path exercised
+    def sample(df: org.apache.spark.sql.DataFrame): Seq[Seq[Long]] =
+      df.select(QuantileSketch.pair(col("uid"), col("v")).as("hv"))
+        .agg(QuantileSketch.sketch(col("hv"), k))
+        .collect()(0).getSeq[scala.collection.Seq[Long]](0).map(_.toSeq.toList)
+    val full = sample(rows.toDF("uid", "v").repartition(7))
+    // order independence: reversed input, different partitioning
+    val rev = sample(rows.reverse.toDF("uid", "v").repartition(3))
+    assert(full == rev, "sketch must be a pure function of the input multiset")
+    // closure: re-sketching the union of two partial samples == full
+    val (a, b) = rows.partition(_._1 % 2 == 0)
+    val partials = (sample(a.toDF("uid", "v")) ++ sample(b.toDF("uid", "v")))
+      .map { case Seq(h, v) => (h, v) }
+    val remerged = partials.toDF("h", "v")
+      .select(array(col("h"), col("v")).as("hv"))
+      .agg(QuantileSketch.sketch(col("hv"), k))
+      .collect()(0).getSeq[scala.collection.Seq[Long]](0).map(_.toSeq.toList)
+    assert(remerged == full, "KMV closure: bottom-k of partial unions must equal full")
+    // plain-Scala reference: same portable hash, same (h, v) order
+    def h60(uid: Long): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+      val hex = md5.digest(s"qsk:$uid".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val expect = rows.map { case (uid, v) => Seq(h60(uid), v) }
+      .sortBy { case Seq(h, v) => (h, v) }.take(k)
+    assert(full == expect, "sketch sample must equal the exact bottom-k by portable hash")
+  }
+
   test("BFS property: every edge between reachable vertices spans <= 1 level") {
     import spark.implicits._
     for (edges <- samples(graphGen, 8)) {
