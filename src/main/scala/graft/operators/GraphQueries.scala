@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
 import graft.plans.GraphOps
-import graft.sources.{AdjacencyCodec, GraphStore}
+import graft.sources.{AdjacencyCodec, GraphStore, VersionedGraphStore}
 
 /** Graph query surface — reference parity for the two headline operators
   * (BFS op 4, DFS-leaves op 3) plus connected components, over edge tables
@@ -617,6 +617,38 @@ object GraphQueries extends QueryModule {
         .select(col("src"), col("dst"),
           count(lit(1)).over(Window.partitionBy("dst")).as("dst_in_degree"))
         .orderBy("src", "dst")
+    }),
+
+    // Commit-log graph store with TIME TRAVEL ([[VersionedGraphStore]]):
+    // snapshot 1 = a deterministic partial edge set, snapshot 2 = the full
+    // set (the A2 modify, now as an appended commit instead of an
+    // overwrite). The query then reads snapshot 1 BY ID after snapshot 2
+    // committed — the read a snapshot-overwrite store cannot serve — plus
+    // the latest, and emits per-snapshot stats. The oracle recomputes both
+    // edge sets straight from `nation`, so a commit that leaked into the
+    // wrong snapshot, a manifest pointing at stale data, or a time-travel
+    // read observing the replacement all flip the compare. (Concurrent
+    //-writer atomicity is exercised in GraphSpec — it needs threads, not
+    // SQL.)
+    "q_graph_store_timetravel" -> ((s, dir) => {
+      val edges = t(s, dir, "nation")
+        .select((col("n_nationkey") + 5).cast("long").as("src"),
+          col("n_regionkey").cast("long").as("dst"))
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_vstore_${java.lang.ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      // table state is RUN state: rebuilt from scratch each invocation so
+      // the returned snapshot ids are deterministic (1 then 2)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val v1 = VersionedGraphStore.commit(edges.filter(col("src") <= 15), base)
+      val v2 = VersionedGraphStore.commit(edges, base)
+      def stats(df: DataFrame, v: Long): DataFrame =
+        df.agg(count(lit(1)).as("n_edges"), sum("src").as("src_sum"),
+            sum("dst").as("dst_sum"))
+          .select(lit(v).as("snapshot"), col("n_edges"), col("src_sum"), col("dst_sum"))
+      stats(VersionedGraphStore.loadAt(s, base, v1), v1)
+        .unionByName(stats(VersionedGraphStore.load(s, base), v2))
+        .orderBy("snapshot")
     })
   )
 
@@ -1118,6 +1150,18 @@ object GraphQueries extends QueryModule {
                 CAST(n_regionkey AS BIGINT) AS dst,
                 COUNT(*) OVER (PARTITION BY n_regionkey) AS dst_in_degree
          FROM nation ORDER BY src, dst""",
+    // Both snapshots recomputed straight from `nation`: snapshot 1 is the
+    // src <= 15 subset, snapshot 2 the full set.
+    "q_graph_store_timetravel" ->
+      """WITH e AS (SELECT CAST(n_nationkey + 5 AS BIGINT) AS src,
+                    CAST(n_regionkey AS BIGINT) AS dst FROM nation)
+         SELECT CAST(1 AS BIGINT) AS snapshot, COUNT(*) AS n_edges,
+           CAST(SUM(src) AS BIGINT) AS src_sum, CAST(SUM(dst) AS BIGINT) AS dst_sum
+         FROM e WHERE src <= 15
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), COUNT(*),
+           CAST(SUM(src) AS BIGINT), CAST(SUM(dst) AS BIGINT) FROM e
+         ORDER BY snapshot""",
     // Honest SCC oracle: full transitive closure, mutual-reachability
     // pairs, scc id = max mutually-reachable vertex (self included — a
     // vertex off any cycle is its own component). The closure is the

@@ -65,3 +65,83 @@ object GraphStore {
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 }
+
+/** Commit-log table semantics over the parquet graph store — the
+  * multi-writer/time-travel layer [[GraphStore]]'s bare snapshot-overwrite
+  * (faithful to the reference's whole-file replace,
+  * `primary_server.c:122-143`) doesn't have:
+  *
+  *  - **Layout**: immutable snapshot directories `snap-<nonce>/` (parquet)
+  *    plus a manifest log `_manifests/v<id>.manifest`, each manifest naming
+  *    its snapshot directory. A snapshot id is the monotonically increasing
+  *    manifest number; nothing is ever rewritten in place.
+  *  - **Write = data first, then one atomic publish**: the snapshot
+  *    directory is fully written BEFORE any manifest exists (readers can
+  *    never observe a half-written table), then the manifest is published
+  *    with `Files.createLink` — an atomic create-if-absent, so two writers
+  *    racing for the same version id conflict loudly and the loser RETRIES
+  *    with the next id (optimistic concurrency). Its already-written
+  *    snapshot directory is untouched — only the claim is re-attempted —
+  *    extending [[AdjacencyV2]]'s tmp+rename two-phase discipline from
+  *    task level to table level.
+  *  - **Read = latest committed manifest** (or any prior id: time travel).
+  *    Snapshot isolation falls out of immutability: a reader planning
+  *    against version v keeps reading v's files even while v+1 commits.
+  *
+  * At 100 TB the manifest is a pointer file (bytes); commit cost is the
+  * data write itself plus one atomic metadata operation, and concurrent
+  * writers serialize only on that final link — the standard lakehouse
+  * commit-log shape, kept filesystem-native here (no external lock
+  * service, matching the local/HDFS semantics Spark assumes).
+  */
+object VersionedGraphStore {
+  private def manifestDir(path: String): java.io.File =
+    new java.io.File(path, "_manifests")
+
+  private val ManifestRe = "^v(\\d{8})\\.manifest$".r
+
+  /** All committed snapshot ids, ascending (empty for a fresh table). */
+  def versions(path: String): Seq[Long] = {
+    val files = Option(manifestDir(path).list()).getOrElse(Array.empty[String])
+    files.collect { case ManifestRe(d) => d.toLong }.sorted.toSeq
+  }
+
+  /** Commit `edges` as a NEW snapshot; returns its id (1 + latest).
+    * Safe under concurrent writers: version claims are atomic
+    * create-if-absent links, conflicts retry with the next id. */
+  def commit(edges: DataFrame, path: String): Long = {
+    import java.nio.file.{Files, FileAlreadyExistsException}
+    val md = manifestDir(path)
+    md.mkdirs()
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+    val snap = s"snap-$nonce"
+    edges.write.mode("overwrite")
+      .parquet(new java.io.File(path, snap).toString)
+    val tmp = new java.io.File(md, s".tmp-$nonce").toPath
+    Files.writeString(tmp, snap)
+    var v = versions(path).lastOption.getOrElse(0L) + 1
+    var committed = false
+    while (!committed) {
+      val target = new java.io.File(md, f"v$v%08d.manifest").toPath
+      try { Files.createLink(target, tmp); committed = true }
+      catch { case _: FileAlreadyExistsException => v += 1 }
+    }
+    Files.deleteIfExists(tmp)
+    v
+  }
+
+  /** Time-travel read of snapshot `version`. */
+  def loadAt(spark: SparkSession, path: String, version: Long): DataFrame = {
+    val m = new java.io.File(manifestDir(path), f"v$version%08d.manifest")
+    require(m.isFile, s"no committed snapshot $version under $path")
+    val snap = java.nio.file.Files.readString(m.toPath).trim
+    spark.read.parquet(new java.io.File(path, snap).toString)
+  }
+
+  /** Read the latest committed snapshot. */
+  def load(spark: SparkSession, path: String): DataFrame = {
+    val vs = versions(path)
+    require(vs.nonEmpty, s"no committed snapshot under $path")
+    loadAt(spark, path, vs.last)
+  }
+}

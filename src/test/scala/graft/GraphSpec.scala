@@ -172,6 +172,50 @@ class GraphSpec extends SparkSpec {
     assert(got == (0L to 9L).map(v => v -> v).toMap)
   }
 
+  test("VersionedGraphStore: concurrent writers claim distinct monotonic ids; time travel stable") {
+    import spark.implicits._
+    import graft.sources.VersionedGraphStore
+    val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_vstore_spec_${java.lang.ProcessHandle.current().pid()}").toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    // 4 writers race: every commit must win a DISTINCT id (the losing
+    // createLink retries with the next id), ids are 1..4, and each
+    // claimed snapshot holds exactly its writer's data — a torn manifest
+    // or double-claimed version breaks one of these.
+    val claimed = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 4).map { i =>
+      new Thread(() => {
+        try {
+          val v = VersionedGraphStore.commit(
+            Seq((i.toLong, 0L)).toDF("src", "dst"), base)
+          claimed.add(i.toLong -> v)
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"concurrent commit failed: ${errs.peek()}")
+    import scala.jdk.CollectionConverters._
+    val byWriter = claimed.asScala.toMap
+    assert(byWriter.values.toSeq.sorted == Seq(1L, 2L, 3L, 4L),
+      s"expected ids 1..4, got ${byWriter.values.toSeq.sorted}")
+    assert(VersionedGraphStore.versions(base) == Seq(1L, 2L, 3L, 4L))
+    for ((writer, v) <- byWriter) {
+      val rows = VersionedGraphStore.loadAt(spark, base, v)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows == Seq((writer, 0L)), s"snapshot $v holds $rows, not writer $writer's data")
+    }
+    // a later commit must not disturb a time-travel read of an old id
+    val latest = VersionedGraphStore.commit(
+      Seq((99L, 99L)).toDF("src", "dst"), base)
+    assert(latest == 5L)
+    val v1writer = byWriter.find(_._2 == 1L).get._1
+    assert(VersionedGraphStore.loadAt(spark, base, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((v1writer, 0L)))
+    assert(VersionedGraphStore.load(spark, base)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((99L, 99L)))
+  }
+
   test("dagLayers throws loudly on cyclic input instead of silently truncating") {
     import spark.implicits._
     // a cycle REACHABLE FROM A SOURCE keeps improving layers forever (a
