@@ -241,6 +241,18 @@ object GraphQueries extends QueryModule {
         .filter(col("pr") >= 0.000001)
         .orderBy("v")),
 
+    // WEIGHTED PageRank over the ring graph with the same deterministic
+    // 1..5 weights q_graph_sssp uses: the surfer follows (u,v) with
+    // probability w/Σw — the affinity/multigraph variant. Shares
+    // [[GraphOps.rankLoop]] with the unweighted family (only the mass
+    // split differs); the oracle unrolls the identical recurrence.
+    "q_graph_pagerank_weighted" -> ((s, dir) =>
+      GraphOps.weightedPageRank(s,
+        ringEdges(s, dir).select(col("src"), col("dst"),
+          (lit(1) + (col("src") + col("dst")) % 5).as("w")), 10)
+        .select(col("v"), round(col("pr"), 6).as("pr"))
+        .orderBy("v")),
+
     // Longest-path DAG layering over the increasing-id orientation of the
     // ring graph (src < dst keeps it acyclic) — the topological-depth
     // assignment a DAG scheduler computes ([[GraphOps.dagLayers]]). Layer
@@ -693,6 +705,31 @@ object GraphQueries extends QueryModule {
       s"""WITH e AS ($ringE),
           verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
           deg AS (SELECT src AS v, COUNT(*) AS d FROM e GROUP BY src),
+          pr0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS pr FROM verts),
+          $steps
+          SELECT v, ROUND(pr, 6) AS pr FROM pr10 ORDER BY v"""
+    },
+    "q_graph_pagerank_weighted" -> {
+      // Same unrolled recurrence as q_graph_pagerank with weighted mass:
+      // contribution = pr·w/Σw(src); every literal cast to DOUBLE so
+      // DuckDB computes in doubles exactly like the Spark loop.
+      val ringE =
+        """SELECT c_custkey AS src, (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst FROM customer
+           UNION ALL SELECT c_custkey, (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer
+           UNION ALL SELECT c_custkey, (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer"""
+      val steps = (1 to 10).map { i =>
+        s"""pr$i AS (
+             SELECT t.v, CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE)
+               * COALESCE(SUM(p.pr * CAST(e.w AS DOUBLE) / dg.d), CAST(0 AS DOUBLE)) AS pr
+             FROM verts t
+             LEFT JOIN e ON e.dst = t.v
+             LEFT JOIN pr${i - 1} p ON p.v = e.src
+             LEFT JOIN deg dg ON dg.v = e.src
+             GROUP BY t.v)"""
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT src, dst, 1 + (src + dst) % 5 AS w FROM ($ringE)),
+          verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+          deg AS (SELECT src AS v, CAST(SUM(w) AS BIGINT) AS d FROM e GROUP BY src),
           pr0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS pr FROM verts),
           $steps
           SELECT v, ROUND(pr, 6) AS pr FROM pr10 ORDER BY v"""

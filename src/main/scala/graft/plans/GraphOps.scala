@@ -234,14 +234,33 @@ object GraphOps {
       init = isSeed(col("v")), teleport = lit(0.15) * isSeed(col("v")))
   }
 
+  /** Weighted PageRank: a random surfer follows out-edge (u,v) with
+    * probability w(u,v)/Σw(u,·), so `pr_{t+1}(v) = 0.15 + 0.85 ·
+    * Σ_{(u,v)∈E} pr_t(u)·w(u,v)/wout(u)` — the multigraph/affinity-graph
+    * parity the unweighted family lacks (edge weight = interaction count,
+    * similarity score, …). Same plan shape and cost as [[pageRank]]: the
+    * shared [[rankLoop]] reads the `w` column when present (an unweighted
+    * edge list is the w≡1 special case, bit-identical to [[pageRank]]).
+    */
+  def weightedPageRank(spark: SparkSession, edges: DataFrame,
+      iterations: Int = 10): DataFrame = {
+    require(edges.columns.contains("w"), "weightedPageRank needs a w column")
+    rankLoop(spark, edges, iterations, init = lit(1.0), teleport = lit(0.15))
+  }
+
   /** Shared power-iteration loop: `init`/`teleport` are expressions over the
     * vertex column `v`, so uniform PageRank and seed-personalized PageRank
-    * are the same plan with different teleport vectors.
+    * are the same plan with different teleport vectors; a `w` edge column,
+    * when present, weights each contribution (out-mass w/Σw instead of
+    * 1/outdeg — [[weightedPageRank]]). The unweighted path multiplies by
+    * the literal 1.0, which is float-exact, so it stays bit-identical to
+    * the pre-weight formulation.
     */
   private def rankLoop(spark: SparkSession, edges: DataFrame, iterations: Int,
       init: Column, teleport: Column): DataFrame = {
+    val ew = if (edges.columns.contains("w")) col("w").cast("long") else lit(1L)
     val e = edges.select(col("src").cast("long").as("esrc"),
-      col("dst").cast("long").as("edst")).persist()
+      col("dst").cast("long").as("edst"), ew.as("ew")).persist()
     // ONE materialization serves both verts and deg: at 10 iterations the
     // two frames are consumed 20+ times, and the rank loop has no data
     // dependency that needs them separate. deg left-joined under verts
@@ -249,7 +268,7 @@ object GraphOps {
     // cached frame.
     val vdeg = e.select(col("esrc").as("v")).union(e.select(col("edst").as("v")))
       .distinct()
-      .join(e.groupBy(col("esrc").as("dv")).agg(count(lit(1)).as("outdeg")),
+      .join(e.groupBy(col("esrc").as("dv")).agg(sum("ew").as("outdeg")),
         col("v") === col("dv"), "left")
       .select(col("v"), col("outdeg"))
       .localCheckpoint(true)
@@ -258,7 +277,7 @@ object GraphOps {
       val contribs = ranks.filter(col("outdeg").isNotNull)
         .join(e, col("v") === col("esrc"))
         .groupBy(col("edst").as("cv"))
-        .agg(sum(col("pr") / col("outdeg")).as("contrib"))
+        .agg(sum(col("pr") * col("ew") / col("outdeg")).as("contrib"))
       val next = vdeg.join(contribs, vdeg("v") === col("cv"), "left")
         .select(vdeg("v"),
           (teleport + lit(0.85) * coalesce(col("contrib"), lit(0.0))).as("pr"),

@@ -172,6 +172,23 @@ class GraphSpec extends SparkSpec {
     assert(got == (0L to 9L).map(v => v -> v).toMap)
   }
 
+  test("weighted PageRank: uniform weights == unweighted; weights actually shift mass") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (3L, 2L), (2L, 3L))
+      .toDF("src", "dst")
+    val pr = GraphOps.pageRank(spark, edges, 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // constant weight w=7: w/Σw = 1/outdeg, so ranks agree to float noise
+    val uniform = GraphOps.weightedPageRank(spark, edges.withColumn("w", lit(7L)), 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((v, p) <- pr) assert(math.abs(uniform(v) - p) < 1e-9, s"vertex $v")
+    // skewed weight on 0->1 must pull mass toward 1 relative to 2
+    val skew = GraphOps.weightedPageRank(spark,
+      edges.withColumn("w", when(col("src") === 0 && col("dst") === 1, 9L).otherwise(1L)), 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(skew(1L) > uniform(1L), "weight 9 on 0->1 must raise vertex 1's rank")
+  }
+
   test("VersionedGraphStore: concurrent writers claim distinct monotonic ids; time travel stable") {
     import spark.implicits._
     import graft.sources.VersionedGraphStore
