@@ -59,7 +59,14 @@ object Windows extends QueryModule {
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .as("second_top"))
         .select(col("c_custkey"), col("c_nationkey"),
-          expr("CAST(floor(pr * (n - 1) + 0.5) AS BIGINT) * 1000000 div (n - 1)")
+          // n = 1 guard (r6 ADVICE): a singleton partition makes the
+          // divisor 0 — ANSI div would THROW here while DuckDB's // 0
+          // yields NULL, so an unguarded fixture regeneration would crash
+          // this side instead of diverging loudly; percent_rank of a
+          // single row is 0 by definition, which both sides now pin.
+          expr("CASE WHEN n > 1 THEN " +
+            "CAST(floor(pr * (n - 1) + 0.5) AS BIGINT) * 1000000 div (n - 1) " +
+            "ELSE CAST(0 AS BIGINT) END")
             .as("pct_rank_e6"),
           expr("CAST(floor(cd * n + 0.5) AS BIGINT) * 1000000 div n")
             .as("cume_e6"),
@@ -251,8 +258,9 @@ object Windows extends QueryModule {
            FROM customer
            WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey))
          SELECT c_custkey, c_nationkey,
-           CAST(FLOOR(pr * (n - 1) + 0.5) AS BIGINT) * 1000000 // (n - 1)
-             AS pct_rank_e6,
+           CASE WHEN n > 1 THEN
+             CAST(FLOOR(pr * (n - 1) + 0.5) AS BIGINT) * 1000000 // (n - 1)
+           ELSE CAST(0 AS BIGINT) END AS pct_rank_e6,
            CAST(FLOOR(cd * n + 0.5) AS BIGINT) * 1000000 // n AS cume_e6,
            second_top
          FROM b ORDER BY c_custkey""",

@@ -150,6 +150,12 @@ class AdjacencyDataWriter(path: String, schema: StructType,
   private val di = schema.fieldIndex("dst")
   private val buf = scala.collection.mutable.Map
     .empty[String, scala.collection.mutable.ArrayBuffer[(Long, Long)]]
+  // tmp paths written so far — abort() must remove them, because a task
+  // that fails MID-commit (e.g. the MAX_VERTICES require fires after
+  // earlier graphs' tmp files were written) or a losing speculative
+  // attempt otherwise strands _tmp_* litter forever (invisible to scans,
+  // but it accumulates — r6 ADVICE).
+  private val written = scala.collection.mutable.ArrayBuffer.empty[String]
 
   override def write(row: InternalRow): Unit = {
     val g = row.getUTF8String(gi).toString
@@ -169,13 +175,22 @@ class AdjacencyDataWriter(path: String, schema: StructType,
       val tmp = new org.apache.hadoop.fs.Path(dir,
         s"_tmp_${g}_${partitionId}_$taskId")
       val out = fs.create(tmp, true)
+      written += tmp.toString
       try out.write(body.getBytes("UTF-8")) finally out.close()
       (tmp.toString, new org.apache.hadoop.fs.Path(dir, g).toString)
     }
     AdjacencyCommit(files)
   }
 
-  override def abort(): Unit = ()
+  override def abort(): Unit = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    written.foreach { tmp =>
+      val t = new org.apache.hadoop.fs.Path(tmp)
+      val fs = t.getFileSystem(conf)
+      if (fs.exists(t)) fs.delete(t, false)
+    }
+    written.clear()
+  }
   override def close(): Unit = ()
 }
 

@@ -41,8 +41,7 @@ object StreamingOps extends QueryModule {
   def stageAll(s: SparkSession, dir: String): Unit = {
     stageOuterJoinChunks(s, dir)
     stageLateChunks(s, dir)
-    stageHashChunks(s, dir, chunksDir(dir, "chunks"), 8)
-    stageHashChunks(s, dir, chunksDir(dir, "pt"), 4)
+    stageHashChunks(s, dir, chunksDir(dir, "hash4"), 4)
     stageUpsertChunks(s, dir)
     stageAnomalyChunks(s, dir)
   }
@@ -78,17 +77,21 @@ object StreamingOps extends QueryModule {
   private def chunksDir(dir: String, kind: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_stream_${kind}_${tag(dir)}"
 
-  /** 4 ts-quartile chunk files written in GLOBAL ts order (sequential
-    * writes → monotone file mod-times → monotone watermark replay). */
+  /** 3 ts-tercile chunk files written in GLOBAL ts order (sequential
+    * writes → monotone file mod-times → monotone watermark replay).
+    * 3 chunks, not 4 (r6 perf task): the outer join's cost at local[32]
+    * is per-microbatch state-store scheduling, and 3 in-order batches
+    * exercise the same watermark progression — unmatched rows from batch
+    * 1 emit while batch 2/3 advance the watermark — one batch cheaper. */
   private def stageOuterJoinChunks(s: SparkSession, dir: String): String = {
     val chunks = chunksDir(dir, "ojoin")
     ensureStaged(chunks) {
       val ev = Tables.raw(s, dir, "events")
         .select(col("user_id"), col("event_type"), col("ts"))
       val w = org.apache.spark.sql.expressions.Window.orderBy("ts")
-      val bucketed = ev.withColumn("bucket", ntile(4).over(w)).localCheckpoint(true)
+      val bucketed = ev.withColumn("bucket", ntile(3).over(w)).localCheckpoint(true)
       writeChunksOrdered(chunks,
-        (1 to 4).map(b => bucketed.filter(col("bucket") === b).drop("bucket")))
+        (1 to 3).map(b => bucketed.filter(col("bucket") === b).drop("bucket")))
     }
     chunks
   }
@@ -128,8 +131,10 @@ object StreamingOps extends QueryModule {
     org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
     org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
 
-  /** 8- or 4-way hash-partitioned chunk files (no time order — exercises
-    * state merge across arbitrarily-ordered microbatches). */
+  /** 4-way hash-partitioned chunk files (no time order — exercises state
+    * merge across arbitrarily-ordered microbatches), shared by
+    * q_stream_microbatch and q_stream_proctime: same schema, same split,
+    * one staging write (r6 perf task). */
   private def stageHashChunks(s: SparkSession, dir: String, chunks: String,
       n: Int): String = {
     ensureStaged(chunks) {
@@ -146,7 +151,7 @@ object StreamingOps extends QueryModule {
     ensureStaged(chunks) {
       Tables.raw(s, dir, "events")
         .select(col("event_type"), col("ts"), col("value"))
-        .repartition(6, col("event_type"), col("ts"))
+        .repartition(4, col("event_type"), col("ts"))
         .write.mode("overwrite").parquet(chunks)
     }
     chunks
@@ -157,10 +162,37 @@ object StreamingOps extends QueryModule {
     ensureStaged(chunks) {
       Tables.raw(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-        .repartition(8, col("event_id"))
+        .repartition(4, col("event_id"))
         .write.mode("overwrite").parquet(chunks)
     }
     chunks
+  }
+
+  /** Idempotent foreachBatch state swap (r6 ADVICE): foreachBatch is
+    * at-least-once — a failed microbatch re-delivers under the SAME
+    * batchId — so an additive union+re-sum merge would double-count the
+    * retried batch into the parquet state. The last applied batchId rides
+    * INSIDE the state directory as an underscore-prefixed marker file
+    * (invisible to parquet reads) and is published by the same directory
+    * swap as the data, so state and marker can never diverge;
+    * already-applied ids are skipped. The delete+move swap itself stays
+    * non-atomic, which is safe here because the state directory is run
+    * state (rebuilt from the checkpoint's replay on a fresh run) — a
+    * production target would be a transactional table commit instead. */
+  private[graft] def applyBatchIdempotent(state: String, batchId: Long)(
+      merged: => DataFrame): Unit = {
+    val stateFile = new java.io.File(state)
+    val marker = new java.io.File(stateFile, "_last_batch_id")
+    val last =
+      if (marker.isFile) java.nio.file.Files.readString(marker.toPath).trim.toLong
+      else -1L
+    if (batchId <= last) return
+    val next = state + "_next"
+    merged.write.mode("overwrite").parquet(next)
+    java.nio.file.Files.writeString(
+      new java.io.File(next, "_last_batch_id").toPath, batchId.toString)
+    org.apache.commons.io.FileUtils.deleteQuietly(stateFile)
+    org.apache.commons.io.FileUtils.moveDirectory(new java.io.File(next), stateFile)
   }
 
   /** readStream version of the events loader (ns ts → TimestampType). */
@@ -257,7 +289,7 @@ object StreamingOps extends QueryModule {
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("event_id")
         .select("event_id")
-      runToMemory(s, deduped, "t_stream_dedup_wm", "append")
+      runToMemory(s, deduped, "t_stream_dedup_wm", "append", partitions = 4)
         .agg(count(lit(1)).as("n_distinct_ids"))
     }),
 
@@ -278,7 +310,7 @@ object StreamingOps extends QueryModule {
         .groupBy(window(col("ts"), "300 seconds").as("w"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("val_sum"))
         .select(col("w.start").as("win_start"), col("n"), col("val_sum"))
-      runToMemory(s, agg, "t_stream_late_agg", "append")
+      runToMemory(s, agg, "t_stream_late_agg", "append", partitions = 4)
         .orderBy("win_start")
     }),
 
@@ -453,15 +485,17 @@ object StreamingOps extends QueryModule {
 
     // Multi-microbatch chunked replay — the missing "does state merge
     // across batches" slice of the oracled set (r3 verdict): events are
-    // staged into 8 hash-partitioned chunk files and replayed with
-    // maxFilesPerTrigger=1, so AvailableNow runs >= 8 microbatches and the
-    // running per-type aggregate must carry state across every one. The
-    // update-mode memory sink keeps one row per (type, batch-that-changed-
-    // it): the final row per type must equal the batch aggregate (DuckDB-
-    // verified), and `multi_batch` pins that the type was actually updated
-    // across >= 2 microbatches — chunked execution, not one big batch.
+    // staged into 4 hash-partitioned chunk files (shared with
+    // q_stream_proctime — same schema, same split, one staging write) and
+    // replayed with maxFilesPerTrigger=1, so AvailableNow runs >= 4
+    // microbatches and the running per-type aggregate must carry state
+    // across every one. The update-mode memory sink keeps one row per
+    // (type, batch-that-changed-it): the final row per type must equal
+    // the batch aggregate (DuckDB-verified), and `multi_batch` pins that
+    // the type was actually updated across >= 2 microbatches — chunked
+    // execution, not one big batch.
     "q_stream_microbatch" -> ((s, dir) => {
-      val chunks = stageHashChunks(s, dir, chunksDir(dir, "chunks"), 8)
+      val chunks = stageHashChunks(s, dir, chunksDir(dir, "hash4"), 4)
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
@@ -470,7 +504,7 @@ object StreamingOps extends QueryModule {
         .option("maxFilesPerTrigger", "1").parquet(chunks)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("val_sum"))
-      val run = runToMemory(s, agg, "t_stream_microbatch", "update")
+      val run = runToMemory(s, agg, "t_stream_microbatch", "update", partitions = 4)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("event_type").orderBy(col("n").desc)
       run
@@ -498,7 +532,7 @@ object StreamingOps extends QueryModule {
     // Complete-mode memory sink: the final table is the full aggregate,
     // so the batch SQL oracle applies regardless of batch boundaries.
     "q_stream_proctime" -> ((s, dir) => {
-      val chunks = stageHashChunks(s, dir, chunksDir(dir, "pt"), 4)
+      val chunks = stageHashChunks(s, dir, chunksDir(dir, "hash4"), 4)
       val totalRows = s.read.parquet(chunks).count() // drain target (scalar)
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
@@ -528,7 +562,7 @@ object StreamingOps extends QueryModule {
     }),
 
     // foreachBatch incremental upsert — the streaming MERGE sink: events
-    // replay as >= 8 real microbatches (hash-chunked files, 1 per trigger,
+    // replay as >= 4 real microbatches (hash-chunked files, 1 per trigger,
     // so batches arrive in NO time order) and each batch's latest-per-user
     // rows merge into a parquet state directory, latest (ts, event_id)
     // winning. The merge is commutative across batch order, so the final
@@ -560,18 +594,16 @@ object StreamingOps extends QueryModule {
         .option("maxFilesPerTrigger", "1").parquet(chunks)
         .writeStream.trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ck)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           // compact the batch first so the state merge unions K rows per
-          // user, then re-rank: per-batch cost ∝ batch + state size
-          val merged = latest(
+          // user, then re-rank: per-batch cost ∝ batch + state size;
+          // applyBatchIdempotent skips a re-delivered batchId (the MERGE
+          // here is idempotent per user anyway, but the guard makes the
+          // contract explicit and uniform with q_stream_anomaly)
+          applyBatchIdempotent(state, batchId)(latest(
             if (stateFile.exists) batch.sparkSession.read.parquet(state)
               .unionByName(latest(batch))
-            else latest(batch))
-          val next = state + "_next"
-          merged.write.mode("overwrite").parquet(next)
-          org.apache.commons.io.FileUtils.deleteQuietly(stateFile)
-          org.apache.commons.io.FileUtils.moveDirectory(
-            new java.io.File(next), stateFile)
+            else latest(batch)))
           ()
         }.start()
       q.awaitTermination()
@@ -626,16 +658,14 @@ object StreamingOps extends QueryModule {
         .option("maxFilesPerTrigger", "1").parquet(chunks)
         .writeStream.trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ck)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val merged = remerge(
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // the additive union+re-sum would double-count a re-delivered
+          // batch; applyBatchIdempotent makes the fold exactly-once per
+          // batchId (r6 ADVICE)
+          applyBatchIdempotent(state, batchId)(remerge(
             if (stateFile.exists)
               batch.sparkSession.read.parquet(state).unionByName(moments(batch))
-            else moments(batch))
-          val next = state + "_next"
-          merged.write.mode("overwrite").parquet(next)
-          org.apache.commons.io.FileUtils.deleteQuietly(stateFile)
-          org.apache.commons.io.FileUtils.moveDirectory(
-            new java.io.File(next), stateFile)
+            else moments(batch)))
           ()
         }.start()
       q.awaitTermination()

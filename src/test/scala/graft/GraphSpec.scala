@@ -441,6 +441,19 @@ class GraphSpec extends SparkSpec {
         .write.format("graft.sources.AdjacencyV2").mode("append").save(tmp)
     }
     assert(thrown.getMessage != null)
+    // a task failing MID-commit (second graph trips MAX_VERTICES after the
+    // first graph's tmp file was written) must clean its tmp litter via
+    // DataWriter.abort (r6 ADVICE) — and leave committed files untouched
+    val before = new java.io.File(tmp).listFiles().map(_.getName).toSet
+    intercept[Exception] {
+      Seq(("a.txt", 0L, 1L), ("big.txt", 0L, 150L)).toDF("graph", "src", "dst")
+        .repartition(1) // one task → a.txt's tmp exists when big.txt throws
+        .write.format("graft.sources.AdjacencyV2").mode("append").save(tmp)
+    }
+    val after = new java.io.File(tmp).listFiles().map(_.getName).toSet
+    assert(!after.exists(_.startsWith("_tmp_")),
+      s"aborted task left tmp litter: ${after.filter(_.startsWith("_tmp_"))}")
+    assert(after == before, s"abort must not disturb committed files: $after vs $before")
   }
 
   test("random walks: every hop follows an edge, hash-argmin reproducible") {

@@ -210,6 +210,34 @@ class StreamingSpec extends SparkSpec {
     assert(parts >= 2, s"expected a multi-chunk replay, found $parts part files")
   }
 
+  test("foreachBatch state fold is idempotent per batchId (at-least-once re-delivery)") {
+    import spark.implicits._
+    // foreachBatch can re-deliver a microbatch after a failure under the
+    // SAME batchId; the additive moment fold must apply it exactly once.
+    val state = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_idem_spec_${java.lang.ProcessHandle.current().pid()}").toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(state))
+    def fold(batchId: Long, rows: Seq[(String, Long)]): Unit =
+      StreamingOps.applyBatchIdempotent(state, batchId) {
+        val batch = rows.toDF("k", "n")
+        val stateFile = new java.io.File(state)
+        val merged = if (stateFile.exists)
+          spark.read.parquet(state).unionByName(batch) else batch
+        merged.groupBy("k").agg(sum("n").as("n"))
+      }
+    def snapshot(): Map[String, Long] = spark.read.parquet(state)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    fold(0L, Seq(("a", 1L), ("b", 2L)))
+    assert(snapshot() == Map("a" -> 1L, "b" -> 2L))
+    fold(0L, Seq(("a", 1L), ("b", 2L))) // re-delivery: must be a no-op
+    assert(snapshot() == Map("a" -> 1L, "b" -> 2L),
+      "re-delivered batchId 0 double-counted into the state")
+    fold(1L, Seq(("a", 10L)))
+    assert(snapshot() == Map("a" -> 11L, "b" -> 2L))
+    fold(1L, Seq(("a", 10L))) // and again at the newest id
+    assert(snapshot() == Map("a" -> 11L, "b" -> 2L))
+  }
+
   test("session windows: gap property holds (no intra-session gap >= 30 min)") {
     val sessions = StreamingOps.queries("q_session_window")(spark, sfDir).collect()
     val events = Tables(spark, sfDir, "events")
