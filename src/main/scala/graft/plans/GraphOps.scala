@@ -420,12 +420,56 @@ object GraphOps {
     * longest-path-length supersteps. Requires an acyclic input: a cycle
     * improves forever, so hitting the maxIter cap with a still-improving
     * frontier THROWS rather than returning silently-truncated layers.
-    * Returns `(v, layer)` for every vertex.
+    * Size-gated like [[connectedComponents]]: a ≤`driverSolveLimit`-edge
+    * graph is solved with one driver-side Kahn pass (same loud cycle
+    * failure), because the BSP loop's per-superstep barrier cost dwarfs
+    * the work below that size. Returns `(v, layer)` for every vertex.
     */
   def dagLayers(spark: SparkSession, edges: DataFrame, maxIter: Int = 100,
-      broadcastSeenLimit: Long = BroadcastSeenLimit): DataFrame = {
+      broadcastSeenLimit: Long = BroadcastSeenLimit,
+      driverSolveLimit: Long = DriverSolveEdgeLimit): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .persist()
+    // Size gate (the [[connectedComponents]] discipline — the count
+    // doubles as the gate and materializes the persist): longest-path
+    // depth d costs the BSP loop O(d) synchronous barriers whose FIXED
+    // scheduling cost dwarfs the work on a small graph — a ≤1M-edge DAG
+    // solves on the driver in milliseconds with one Kahn pass, including
+    // the same loud cycle failure. Past the gate the improvement-frontier
+    // loop below is the scale path (spec'd equal to this one with the
+    // gate forced to 0 in GraphSpec).
+    val edgeCount = e.count()
+    if (edgeCount <= driverSolveLimit) {
+      import spark.implicits._
+      val arr = e.rdd.map(r => (r.getLong(0), r.getLong(1))).collect()
+      val indeg = scala.collection.mutable.LongMap.empty[Long]
+      val adj = scala.collection.mutable.LongMap
+        .empty[scala.collection.mutable.ArrayBuffer[Long]]
+      val verts = scala.collection.mutable.LinkedHashSet.empty[Long]
+      arr.foreach { case (s, d) =>
+        verts += s; verts += d
+        indeg(d) = indeg.getOrElse(d, 0L) + 1
+        adj.getOrElseUpdate(s, scala.collection.mutable.ArrayBuffer.empty) += d
+      }
+      val layer = scala.collection.mutable.LongMap.empty[Long]
+      val queue = scala.collection.mutable.Queue.empty[Long]
+      verts.foreach { v => if (indeg.getOrElse(v, 0L) == 0L) { layer(v) = 0L; queue += v } }
+      var processed = 0L
+      while (queue.nonEmpty) {
+        val v = queue.dequeue()
+        processed += 1
+        adj.getOrElse(v, Nil).foreach { w =>
+          layer(w) = math.max(layer.getOrElse(w, 0L), layer(v) + 1)
+          indeg(w) = indeg(w) - 1
+          if (indeg(w) == 0L) queue += w
+        }
+      }
+      e.unpersist()
+      if (processed < verts.size) throw new IllegalStateException(
+        s"dagLayers: ${verts.size - processed} vertices lie on or behind a " +
+          "cycle - the input is not a DAG")
+      return verts.toSeq.sorted.map(v => (v, layer(v))).toDF("v", "layer")
+    }
     val sources = e.select(col("src").as("v")).distinct()
       .join(e.select(col("dst").as("v")).distinct(), Seq("v"), "left_anti")
     var best = sources.select(col("v"), lit(0L).as("layer")).localCheckpoint(true)
@@ -436,15 +480,15 @@ object GraphOps {
     var done = false
     def gated(f: DataFrame, n: Long): DataFrame =
       if (n <= broadcastSeenLimit) broadcast(f) else f.hint("merge")
-    // One hop: candidate layers from the improved frontier, kept only where
-    // they beat the CURRENT best layer. `overlay` is a frontier-sized set
-    // of rows that supersede `best` without having been merged yet (hop 2
-    // sees hop 1's improvements through it) — the improvement check is
-    // coalesce(overlay.layer, best.layer), so `best` merges only once per
-    // loop iteration. The frontier join broadcasts only under the size
-    // gate (same discipline as expandOnce — an improved set can be O(|V|)
-    // wide); the best-side check broadcasts while it fits, merge-join past
-    // the gate — the seen-set discipline of the BFS family.
+    // One hop: candidate layers from the improved frontier, kept only
+    // where they beat the CURRENT best layer. `overlay` is a
+    // frontier-sized set of rows that supersede `best` without having
+    // been merged yet (hop 2 sees hop 1's improvements through it) — the
+    // improvement check is coalesce(overlay.layer, best.layer). The
+    // frontier join broadcasts only under the size gate (same discipline
+    // as expandOnce — an improved set can be O(|V|) wide); the best-side
+    // check broadcasts while it fits, merge-join past the gate — the
+    // seen-set discipline of the BFS family.
     def improveHop(f: DataFrame, fCount: Long, overlay: Option[(DataFrame, Long)]): DataFrame = {
       val cand = e.join(gated(f, fCount), col("v") === col("src"))
         .groupBy(col("dst").as("w")).agg((max("layer") + 1).as("cand"))
@@ -459,38 +503,46 @@ object GraphOps {
       }
       withCur.filter(col("cur").isNull || col("cand") > col("cur"))
         .select(col("w").as("v"), col("cand").as("layer"))
-        .localCheckpoint(true)
     }
     while (i < maxIter && !done) {
-      // Two hops per loop iteration (the BFS family's batching,
-      // GraphOps.bfsLevels): hop 2 reads hop 1's improvements as an
-      // overlay, so the |V|-sized best table pays ONE anti-join+union per
-      // two supersteps instead of two — at bench scale the merge
-      // materialization is the dominant per-superstep cost.
-      val improved1 = improveHop(frontier, frontierCount, None)
-      val n1 = improved1.count()
-      if (n1 == 0) done = true
+      // Two hops per eager materialization: at bench scale each
+      // localCheckpoint is a synchronous job whose FIXED scheduling cost
+      // dominates the superstep, so the loop pays ONE checkpoint + ONE
+      // count per two hops (the r6 one-hop loop paid one of each per
+      // hop). The hop frames are lazily persist()ed — hop 2 and the
+      // union consume improved1 three times, and a lazy cache shares the
+      // computation without adding a barrier the way an eager checkpoint
+      // would. Hop-2's gates reuse hop-1's frontier count (one superstep
+      // stale, bounded by the fan-out of a single hop — the gate has
+      // 10^6 rows of margin).
+      val improved1 = improveHop(frontier, frontierCount, None).persist()
+      val improved2 = improveHop(improved1, frontierCount, Some((improved1, frontierCount)))
+        .persist()
+      // improved2 supersedes improved1 where both touched a vertex
+      val improvedAll = improved1
+        .join(improved2.select(col("v").as("iv2")), col("v") === col("iv2"), "left_anti")
+        .select(col("v"), col("layer"))
+        .union(improved2)
+        .localCheckpoint(true)
+      val nAll = improvedAll.count()
+      improved1.unpersist(false); improved2.unpersist(false)
+      if (nAll == 0) done = true
       else {
-        val improved2 = improveHop(improved1, n1, Some((improved1, n1)))
-        val n2 = improved2.count()
-        // improved2 supersedes improved1 for a vertex both touched
-        val improvedAll = (if (n2 == 0) improved1
-          else improved1.join(gated(improved2.select(col("v").as("iv2")), n2),
-              col("v") === col("iv2"), "left_anti")
-            .select(col("v"), col("layer"))
-            .union(improved2))
-        val nAll = n1 + n2
         val merged = best.join(gated(improvedAll.select(col("v").as("iv")), nAll),
             col("v") === col("iv"), "left_anti")
           .select(col("v"), col("layer"))
           .union(improvedAll)
         seenCount += nAll
-        // every-2nd-barrier policy: the improved frontiers above are
-        // already checkpointed, so two loop iterations of anti-join+union
-        // lineage stay shallow
+        // every-2nd-barrier policy: improvedAll above is already
+        // checkpointed, so two loop iterations of anti-join+union lineage
+        // stay shallow
         best = if (i % 4 >= 2) merged.localCheckpoint(true) else merged
-        if (n2 == 0) done = true
-        else { frontier = improved2; frontierCount = n2 }
+        // improvedAll (not improved2) is the next frontier: hop-1-only
+        // vertices re-propagate once more, their candidates fail the
+        // improvement check — correct, and it keeps the loop at one
+        // materialized frame per iteration
+        frontier = improvedAll
+        frontierCount = nAll
       }
       i += 2
     }

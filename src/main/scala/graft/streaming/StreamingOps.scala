@@ -671,6 +671,58 @@ object StreamingOps extends QueryModule {
       q.awaitTermination()
       graft.operators.EventAnalytics.anomalyFlags(
         s.read.parquet(state).localCheckpoint(true))
+    }),
+
+    // Incremental QUANTILE monitoring — the sketch member of the
+    // streaming-state family (anomaly folds moments; this folds the
+    // bottom-k KMV sample of [[graft.functions.BottomKQuantileAgg]]):
+    // each microbatch sketches its rows per event type and re-sketches
+    // the union with the parquet state — the KMV closure property makes
+    // the folded sample BIT-IDENTICAL to one batch pass over all rows,
+    // so the final p25..p90 readout is oracled exactly (not "within ε"),
+    // with NO pre-known value bounds. State is ≤ k pairs per type
+    // regardless of history; the fold is idempotent per batchId. Replays
+    // the shared 4-way hash chunks (same staging as microbatch/proctime).
+    "q_stream_quantile" -> ((s, dir) => {
+      import graft.functions.QuantileSketch
+      val chunks = stageHashChunks(s, dir, chunksDir(dir, "hash4"), 4)
+      val base = chunksDir(dir, "qsk")
+      val (state, ck) = (base + "_state", base + "_ck")
+      val stateFile = new java.io.File(state)
+      Seq(state, ck).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val k = 128
+      def resketch(pairs: DataFrame): DataFrame = pairs
+        .groupBy("event_type").agg(QuantileSketch.sketch(col("hv"), k).as("sk"))
+        .select(col("event_type"), explode(col("sk")).as("hv"))
+      def sampleOf(df: DataFrame): DataFrame = resketch(df
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), QuantileSketch.pair(col("event_id"),
+          floor(col("value") * 100 + lit(0.5)).cast("long")).as("hv")))
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(chunks)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          applyBatchIdempotent(state, batchId)(resketch(
+            if (stateFile.exists)
+              batch.sparkSession.read.parquet(state).unionByName(sampleOf(batch))
+            else sampleOf(batch)))
+          ()
+        }.start()
+      q.awaitTermination()
+      s.read.parquet(state)
+        .groupBy("event_type").agg(QuantileSketch.sketch(col("hv"), k).as("sk"))
+        .select(col("event_type"),
+          QuantileSketch.quantile(col("sk"), 1, 4).as("p25_cents"),
+          QuantileSketch.quantile(col("sk"), 1, 2).as("p50_cents"),
+          QuantileSketch.quantile(col("sk"), 3, 4).as("p75_cents"),
+          QuantileSketch.quantile(col("sk"), 9, 10).as("p90_cents"))
+        .orderBy("event_type")
     })
   )
 
@@ -741,6 +793,29 @@ object StreamingOps extends QueryModule {
     // Batch-equivalence verbatim: the incremental state merge must land
     // exactly where the batch anomaly query lands.
     "q_stream_anomaly" -> graft.operators.EventAnalytics.anomalySql,
+    // The incremental fold converges to the one-pass bottom-k sample (KMV
+    // closure), so the oracle IS the batch sketch: one ROW_NUMBER over the
+    // portable rank hash per type, nearest-rank quantiles in pure integer
+    // arithmetic — identical to q_agg_quantile_sketch's spelling.
+    "q_stream_quantile" -> {
+      val rank = (num: Int, den: Int) => s"($num * m + ${den - 1}) // $den"
+      s"""WITH h AS (SELECT event_type,
+             CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS v,
+             ${graft.functions.QuantileSketch.hashSql("event_id")} AS hh
+           FROM events WHERE value IS NOT NULL),
+         r AS (SELECT event_type, v, ROW_NUMBER() OVER (
+                 PARTITION BY event_type ORDER BY hh, v) AS rn FROM h),
+         samp AS (SELECT event_type, v FROM r WHERE rn <= 128),
+         o AS (SELECT event_type, v, ROW_NUMBER() OVER (
+                 PARTITION BY event_type ORDER BY v) AS vr,
+               COUNT(*) OVER (PARTITION BY event_type) AS m FROM samp)
+         SELECT event_type,
+           MAX(CASE WHEN vr = ${rank(1, 4)} THEN v END) AS p25_cents,
+           MAX(CASE WHEN vr = ${rank(1, 2)} THEN v END) AS p50_cents,
+           MAX(CASE WHEN vr = ${rank(3, 4)} THEN v END) AS p75_cents,
+           MAX(CASE WHEN vr = ${rank(9, 10)} THEN v END) AS p90_cents
+         FROM o GROUP BY event_type ORDER BY event_type"""
+    },
     "q_stream_upsert" ->
       """SELECT user_id, value, ts AS updated_at FROM (
            SELECT user_id, value, ts, ROW_NUMBER() OVER (PARTITION BY user_id

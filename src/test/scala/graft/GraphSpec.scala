@@ -233,15 +233,31 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((99L, 99L)))
   }
 
-  test("dagLayers throws loudly on cyclic input instead of silently truncating") {
+  test("dagLayers throws loudly on cyclic input instead of silently truncating (both gate paths)") {
     import spark.implicits._
     // a cycle REACHABLE FROM A SOURCE keeps improving layers forever (a
     // source-free pure cycle would start with an empty frontier instead)
     val cyc = Seq((5L, 0L), (0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
-    val ex = intercept[IllegalStateException] {
+    val exDriver = intercept[IllegalStateException] {
       GraphOps.dagLayers(spark, cyc, maxIter = 8)
     }
-    assert(ex.getMessage.contains("cycle"))
+    assert(exDriver.getMessage.contains("cycle"))
+    val exBsp = intercept[IllegalStateException] {
+      GraphOps.dagLayers(spark, cyc, maxIter = 8, driverSolveLimit = 0L)
+    }
+    assert(exBsp.getMessage.contains("cycle"))
+  }
+
+  test("dagLayers: driver Kahn gate path == distributed BSP loop") {
+    // same gate-equality discipline as connectedComponents: the two paths
+    // must agree layer-for-layer on a real fixture DAG
+    val edges = AdjacencyCodec.read(spark, s"$fixtures/G6.txt")
+      .filter(col("src") < col("dst"))
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val driver = toMap(GraphOps.dagLayers(spark, edges))
+    val bsp = toMap(GraphOps.dagLayers(spark, edges, driverSolveLimit = 0L))
+    assert(driver == bsp, "gate paths diverge")
   }
 
   test("DAG layering matches in-memory longest-path DP over topological order") {
