@@ -661,6 +661,40 @@ object GraphQueries extends QueryModule {
       stats(VersionedGraphStore.loadAt(s, base, v1), v1)
         .unionByName(stats(VersionedGraphStore.load(s, base), v2))
         .orderBy("snapshot")
+    }),
+
+    // Snapshot CDC over the commit-log store: the version diff a
+    // downstream incremental consumer computes instead of re-reading the
+    // whole table — edges classified inserted/deleted/unchanged between
+    // snapshot 1 and the latest via one full-outer key join (the
+    // q_snapshot_diff shape applied to two TIME-TRAVEL reads of the same
+    // store). v1 carries a synthetic (99,99) edge absent from v2 so the
+    // DELETED class is non-empty — all three classes are real rows. The
+    // oracle recomputes both versions straight from `nation`.
+    "q_graph_store_diff" -> ((s, dir) => {
+      import s.implicits._
+      val edges = t(s, dir, "nation")
+        .select((col("n_nationkey") + 5).cast("long").as("src"),
+          col("n_regionkey").cast("long").as("dst"))
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_vstorediff_${java.lang.ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val v1 = VersionedGraphStore.commit(
+        edges.filter(col("src") <= 15).unionByName(Seq((99L, 99L)).toDF("src", "dst")), base)
+      VersionedGraphStore.commit(edges, base)
+      val a = VersionedGraphStore.loadAt(s, base, v1)
+        .select(col("src").as("asrc"), col("dst").as("adst"))
+      val b = VersionedGraphStore.load(s, base)
+        .select(col("src").as("bsrc"), col("dst").as("bdst"))
+      a.join(b, col("asrc") === col("bsrc") && col("adst") === col("bdst"), "full_outer")
+        .select(coalesce(col("asrc"), col("bsrc")).as("src"),
+          when(col("asrc").isNull, "inserted")
+            .when(col("bsrc").isNull, "deleted")
+            .otherwise("unchanged").as("change"))
+        .groupBy("change")
+        .agg(count(lit(1)).as("n_edges"), sum("src").as("src_sum"))
+        .orderBy("change")
     })
   )
 
@@ -772,37 +806,36 @@ object GraphQueries extends QueryModule {
            SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.v WHERE w.d < 100)
          SELECT v, CAST(MAX(d) AS BIGINT) AS layer FROM walk GROUP BY v ORDER BY v""",
     "q_graph_hits" -> {
-      // 5 unrolled HITS iterations: auth raw-sum from the previous hubs,
-      // max-normalize, hub raw-sum from the NEW auths, max-normalize —
-      // the exact order the Spark loop runs.
+      // 5 unrolled RAW HITS iterations (auth sum from the previous hubs,
+      // hub sum from the NEW auths — no per-step divide), then ONE final
+      // max-normalization per family: normalization commutes with the
+      // linear half-steps, so this is the exact recurrence the Spark loop
+      // runs after the r7 deferred-normalization change.
       val ringE =
         """SELECT c_custkey AS src, (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst FROM customer
            UNION ALL SELECT c_custkey, (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer
            UNION ALL SELECT c_custkey, (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer"""
-      // every block MATERIALIZED: ar/hr are each referenced twice (the
-      // normalize divide + the MAX scalar), so inlining doubles the
-      // evaluated plan per half-step — 2^10 re-evaluations by iteration 5
+      // every block MATERIALIZED: each is referenced by the next half-step
+      // (and a5/h5 twice — the MAX scalar + the divide), so inlining
+      // doubles the evaluated plan per half-step by iteration 5
       val steps = (1 to 5).map { i =>
-        s"""ar$i AS MATERIALIZED (
-             SELECT t.v, COALESCE(SUM(h.hub), CAST(0 AS DOUBLE)) AS raw
-             FROM verts t LEFT JOIN e ON e.dst = t.v LEFT JOIN s${i - 1}h h ON h.v = e.src
+        s"""a$i AS MATERIALIZED (
+             SELECT t.v, COALESCE(SUM(h.hub), CAST(0 AS DOUBLE)) AS auth
+             FROM verts t LEFT JOIN e ON e.dst = t.v LEFT JOIN h${i - 1} h ON h.v = e.src
              GROUP BY t.v),
-           a$i AS MATERIALIZED (SELECT v, raw / (SELECT MAX(raw) FROM ar$i) AS auth FROM ar$i),
-           hr$i AS MATERIALIZED (
-             SELECT t.v, COALESCE(SUM(a.auth), CAST(0 AS DOUBLE)) AS raw
+           h$i AS MATERIALIZED (
+             SELECT t.v, COALESCE(SUM(a.auth), CAST(0 AS DOUBLE)) AS hub
              FROM verts t LEFT JOIN e ON e.src = t.v LEFT JOIN a$i a ON a.v = e.dst
-             GROUP BY t.v),
-           s${i}h AS MATERIALIZED (SELECT v, raw / (SELECT MAX(raw) FROM hr$i) AS hub FROM hr$i)"""
+             GROUP BY t.v)"""
       }.mkString(",\n")
-      // MATERIALIZED like the betweenness oracle: 20 unrolled blocks each
-      // referencing e/verts would otherwise inline down to the parquet
-      // scan and exhaust file handles.
       s"""WITH e AS MATERIALIZED ($ringE),
           verts AS MATERIALIZED (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
-          s0h AS (SELECT v, CAST(1.0 AS DOUBLE) AS hub FROM verts),
+          h0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS hub FROM verts),
           $steps
-          SELECT a5.v, ROUND(a5.auth, 6) AS auth, ROUND(s5h.hub, 6) AS hub
-          FROM a5 JOIN s5h ON a5.v = s5h.v ORDER BY a5.v"""
+          SELECT a5.v,
+            ROUND(a5.auth / (SELECT MAX(auth) FROM a5), 6) AS auth,
+            ROUND(h5.hub / (SELECT MAX(hub) FROM h5), 6) AS hub
+          FROM a5 JOIN h5 ON a5.v = h5.v ORDER BY a5.v"""
     },
     "q_graph_jaccard" ->
       """WITH e AS (
@@ -1199,6 +1232,22 @@ object GraphQueries extends QueryModule {
          SELECT CAST(2 AS BIGINT), COUNT(*),
            CAST(SUM(src) AS BIGINT), CAST(SUM(dst) AS BIGINT) FROM e
          ORDER BY snapshot""",
+    // Both versions recomputed from `nation`; the synthetic (99,99) edge
+    // exists only in v1, so all three change classes carry real rows.
+    "q_graph_store_diff" ->
+      """WITH e AS (SELECT CAST(n_nationkey + 5 AS BIGINT) AS src,
+                    CAST(n_regionkey AS BIGINT) AS dst FROM nation),
+         v1 AS (SELECT src, dst FROM e WHERE src <= 15
+                UNION ALL SELECT 99, 99),
+         v2 AS (SELECT src, dst FROM e),
+         d AS (SELECT COALESCE(v1.src, v2.src) AS src,
+                 CASE WHEN v1.src IS NULL THEN 'inserted'
+                      WHEN v2.src IS NULL THEN 'deleted'
+                      ELSE 'unchanged' END AS change
+               FROM v1 FULL OUTER JOIN v2
+                 ON v1.src = v2.src AND v1.dst = v2.dst)
+         SELECT change, COUNT(*) AS n_edges, CAST(SUM(src) AS BIGINT) AS src_sum
+         FROM d GROUP BY change ORDER BY change""",
     // Honest SCC oracle: full transitive closure, mutual-reachability
     // pairs, scc id = max mutually-reachable vertex (self included — a
     // vertex off any cycle is its own component). The closure is the

@@ -555,45 +555,53 @@ object GraphOps {
 
   /** HITS (hubs & authorities), Kleinberg's mutual-reinforcement power
     * iteration: `auth(v) = Σ_{(u,v)∈E} hub(u)` then `hub(u) = Σ_{(u,v)∈E}
-    * auth(v)`, each pass renormalized. Normalization divides by the MAX
-    * score, not the L2/L1 norm: max over doubles is order-independent and
-    * therefore exactly reproducible across engines and shuffle orders,
-    * while a distributed 15k-term double sum is not — the converged
-    * direction is the same principal eigenvector either way. Per
-    * iteration: two vertex-keyed shuffle aggs + two single-row max
-    * broadcasts, the same cost class as one PageRank superstep (×2).
-    * Requires at least one edge (max of an empty score set is undefined).
+    * auth(v)`, normalized by the MAX score (not L2/L1: max over doubles is
+    * order-independent and therefore exactly reproducible across engines
+    * and shuffle orders, while a distributed 15k-term double sum is not —
+    * the converged direction is the same principal eigenvector either
+    * way). Normalization is DEFERRED to one final divide (r7 perf): both
+    * half-steps are linear maps, so a global scalar divide commutes
+    * through them — the final max-normalized vectors are identical to the
+    * per-half-step-normalized recurrence — and deferring it removes the
+    * two materialize+broadcast-max barriers every half-step paid (the
+    * bench cost was ~12 synchronous jobs for 5 iterations; now ~4).
+    * Magnitude growth is bounded: raw scores grow ~(mean degree)² per
+    * iteration, ~9^5 here — nowhere near double overflow at any sane
+    * iteration count. Per iteration: two vertex-keyed shuffle aggs, the
+    * same cost class as one PageRank superstep (×2). Requires at least
+    * one edge (max of an empty score set is undefined).
     */
   def hits(spark: SparkSession, edges: DataFrame, iterations: Int = 5): DataFrame = {
     val e = edges.select(col("src").cast("long").as("esrc"),
       col("dst").cast("long").as("edst")).persist()
     val verts = e.select(col("esrc").as("v")).union(e.select(col("edst").as("v")))
       .distinct().localCheckpoint(true)
-    // one step: aggregate `from` over the joined edge end into raw scores,
-    // left-join under verts (sinks/sources score 0), divide by the max
-    def halfStep(scores: DataFrame, from: String, joinKey: String,
-        groupKey: String, out: String): DataFrame = {
-      // checkpointed: consumed twice (max scalar + the division), and a
-      // |V|-row materialization is far cheaper than re-running the join
-      val raw = verts.join(
+    // one RAW half-step: aggregate `from` over the joined edge end,
+    // left-join under verts (sinks/sources score 0) — no normalization,
+    // no materialization (the divide is deferred to the very end)
+    def halfRaw(scores: DataFrame, from: String, joinKey: String,
+        groupKey: String, out: String): DataFrame =
+      verts.join(
           scores.join(e, col("v") === col(joinKey))
             .groupBy(col(groupKey).as("gv")).agg(sum(from).as("raw")),
           col("v") === col("gv"), "left")
-        .select(col("v"), coalesce(col("raw"), lit(0.0)).as("raw"))
-        .localCheckpoint(true)
-      raw.crossJoin(broadcast(raw.agg(max("raw").as("mx"))))
-        .select(col("v"), (col("raw") / col("mx")).as(out))
-    }
+        .select(col("v"), coalesce(col("raw"), lit(0.0)).as(out))
     var scores = verts.select(col("v"), lit(1.0).as("auth"), lit(1.0).as("hub"))
       .localCheckpoint(true)
     for (i <- 1 to iterations) {
-      val auth = halfStep(scores, "hub", "esrc", "edst", "auth")
-      val hub = halfStep(auth, "auth", "edst", "esrc", "hub")
+      val auth = halfRaw(scores, "hub", "esrc", "edst", "auth")
+      val hub = halfRaw(auth, "auth", "edst", "esrc", "hub")
       val next = auth.join(hub, "v")
+      // checkpoint cadence bounds lineage to two iterations of join+agg
       scores = if (i % 2 == 0 || i == iterations) next.localCheckpoint(true) else next
     }
     e.unpersist()
-    scores.select("v", "auth", "hub")
+    // ONE final max-normalization per score family (commutes with the
+    // linear half-steps — see scaladoc)
+    scores.crossJoin(broadcast(
+        scores.agg(max("auth").as("ma"), max("hub").as("mh"))))
+      .select(col("v"), (col("auth") / col("ma")).as("auth"),
+        (col("hub") / col("mh")).as("hub"))
   }
 
   /** Per-edge Jaccard vertex similarity |N(a)∩N(b)| / |N(a)∪N(b)| over the
@@ -879,28 +887,58 @@ object GraphOps {
       }
       if (remCount == 0) { round += 1 }
       else {
-      // 1. forward max-color flood (improvement frontiers only)
+      // 1. forward max-color flood (improvement frontiers only), two hops
+      // per eager materialization (the dagLayers BSP batching): hop 2
+      // reads hop 1's improvements through a frontier-sized overlay, so
+      // the |rem|-row colors table pays ONE merge + ONE checkpoint + ONE
+      // count per two supersteps. Hop-2 gates reuse hop-1's frontier
+      // count (one superstep stale, bounded by a single hop's fan-out).
       var colors = rem.select(col("v"), col("v").as("color")).localCheckpoint(true)
       var frontier = colors
       var fCount = remCount
       var i = 0
-      while (fCount > 0 && i < maxIter) {
-        val cand = e.join(gated(frontier, fCount), col("v") === col("src"))
+      var floodDone = false
+      def colorHop(f: DataFrame, n: Long, overlay: Option[DataFrame]): DataFrame = {
+        val cand = e.join(gated(f, n), col("v") === col("src"))
           .groupBy(col("dst").as("w")).agg(max("color").as("nc"))
-        val joined = colors.join(cand, col("v") === col("w"), "left")
-          .select(col("v"),
-            greatest(col("color"), coalesce(col("nc"), col("color"))).as("c2"),
-            (coalesce(col("nc"), col("color")) > col("color")).as("improved"))
-          .localCheckpoint(true)
-        frontier = joined.filter(col("improved"))
-          .select(col("v"), col("c2").as("color"))
-        fCount = joined.filter(col("improved")).count()
-        colors = joined.select(col("v"), col("c2").as("color"))
-        i += 1
+        val withBase = cand.join(gated(colors.select(col("v").as("bv"),
+            col("color").as("bcolor")), remCount), col("w") === col("bv"), "left")
+        val cur = overlay match {
+          case None => withBase.select(col("w"), col("nc"), col("bcolor").as("cur"))
+          case Some(ov) =>
+            withBase.join(gated(ov.select(col("v").as("ov"), col("color").as("ocolor")), n),
+                col("w") === col("ov"), "left")
+              .select(col("w"), col("nc"), coalesce(col("ocolor"), col("bcolor")).as("cur"))
+        }
+        // vertices outside `rem` (already assigned) have no base row —
+        // drop them (cur null means w is not part of this round's graph)
+        cur.filter(col("cur").isNotNull && col("nc") > col("cur"))
+          .select(col("w").as("v"), col("nc").as("color"))
       }
-      if (fCount > 0) throw new IllegalStateException(
+      while (!floodDone && i < maxIter) {
+        val imp1 = colorHop(frontier, fCount, None).persist()
+        val imp2 = colorHop(imp1, fCount, Some(imp1)).persist()
+        val impAll = imp1
+          .join(imp2.select(col("v").as("iv2")), col("v") === col("iv2"), "left_anti")
+          .select(col("v"), col("color"))
+          .union(imp2)
+          .localCheckpoint(true)
+        val nAll = impAll.count()
+        imp1.unpersist(false); imp2.unpersist(false)
+        if (nAll == 0) floodDone = true
+        else {
+          colors = colors.join(gated(impAll.select(col("v").as("iv")), nAll),
+              col("v") === col("iv"), "left_anti")
+            .select(col("v"), col("color"))
+            .union(impAll)
+            .localCheckpoint(true)
+          frontier = impAll
+          fCount = nAll
+        }
+        i += 2
+      }
+      if (!floodDone) throw new IllegalStateException(
         s"SCC color flood did not converge in $maxIter supersteps")
-      colors = colors.localCheckpoint(true)
       // 2. backward reach from all roots, restricted to same-color edges
       val er = e
         .join(colors.select(col("v").as("sv"), col("color").as("scol")),

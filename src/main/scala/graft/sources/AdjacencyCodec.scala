@@ -144,4 +144,29 @@ object VersionedGraphStore {
     require(vs.nonEmpty, s"no committed snapshot under $path")
     loadAt(spark, path, vs.last)
   }
+
+  /** Retention vacuum: drop every snapshot older than the newest
+    * `keepLast` — manifests first (the commit point: once a version's
+    * manifest is gone it is unreadable, so a crash mid-vacuum can only
+    * leave unreferenced data directories, never a manifest pointing at
+    * deleted data), then any snapshot directory no surviving manifest
+    * references (which also collects directories stranded by a writer
+    * that failed before publishing). Returns the ids removed. */
+  def vacuum(path: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "must keep at least the latest snapshot")
+    val vs = versions(path)
+    val drop = vs.dropRight(keepLast)
+    drop.foreach { v =>
+      java.nio.file.Files.deleteIfExists(
+        new java.io.File(manifestDir(path), f"v$v%08d.manifest").toPath)
+    }
+    val live = versions(path).map { v =>
+      java.nio.file.Files.readString(
+        new java.io.File(manifestDir(path), f"v$v%08d.manifest").toPath).trim
+    }.toSet
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("snap-") && !live(f.getName))
+      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    drop
+  }
 }

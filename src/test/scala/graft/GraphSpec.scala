@@ -231,6 +231,18 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((v1writer, 0L)))
     assert(VersionedGraphStore.load(spark, base)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((99L, 99L)))
+    // retention vacuum: old manifests go first (commit point), then
+    // unreferenced snapshot directories; the survivors stay readable
+    assert(VersionedGraphStore.vacuum(base, keepLast = 2) == Seq(1L, 2L, 3L))
+    assert(VersionedGraphStore.versions(base) == Seq(4L, 5L))
+    intercept[IllegalArgumentException] {
+      VersionedGraphStore.loadAt(spark, base, 1L)
+    }
+    assert(VersionedGraphStore.load(spark, base)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((99L, 99L)))
+    val snapDirs = new java.io.File(base).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("snap-"))
+    assert(snapDirs.length == 2, s"vacuum left ${snapDirs.length} snapshot dirs, want 2")
   }
 
   test("dagLayers throws loudly on cyclic input instead of silently truncating (both gate paths)") {
