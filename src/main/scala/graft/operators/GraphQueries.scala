@@ -276,6 +276,41 @@ object GraphQueries extends QueryModule {
     "q_graph_jaccard" -> ((s, dir) =>
       GraphOps.jaccardEdges(s, ringEdges(s, dir)).orderBy("a", "b")),
 
+    // Degree assortativity (Newman's r) over the undirected ring graph:
+    // the Pearson correlation of endpoint degrees across edges — the
+    // hub-connectivity signal (social graphs assort positive, tech/
+    // similarity graphs negative). One degree agg + one edges-with-
+    // degrees join + one 5-moment reduce; every moment is an EXACT
+    // integer (degree sums over 90k directed edge-ends stay far under
+    // 2^63), so the hash compare pins the moments, and r itself divides
+    // through one IEEE-correctly-rounded sqrt — deterministic on both
+    // engines. Output: moment integers + r in e6.
+    "q_graph_assortativity" -> ((s, dir) => {
+      val e = ringEdges(s, dir)
+      val und = e.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct().localCheckpoint(true)
+      val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val sym = und.select(col("a").as("x"), col("b").as("y"))
+        .union(und.select(col("b").as("x"), col("a").as("y")))
+      val pairs = sym
+        .join(deg.select(col("v").as("x"), col("deg").as("dj")), Seq("x"))
+        .join(deg.select(col("v").as("y"), col("deg").as("dk")), Seq("y"))
+      pairs.agg(count(lit(1)).as("m"),
+          sum(col("dj") * col("dk")).as("sjk"),
+          sum(col("dj")).as("sj"), sum(col("dk")).as("sk"),
+          sum(col("dj") * col("dj")).as("sjj"),
+          sum(col("dk") * col("dk")).as("skk"))
+        .select(col("m"), col("sjk"), col("sj"),
+          (col("m") * col("sjk") - col("sj") * col("sk")).as("num"),
+          (col("m") * col("sjj") - col("sj") * col("sj")).as("den_j"),
+          (col("m") * col("skk") - col("sk") * col("sk")).as("den_k"))
+        .withColumn("r_e6", round(col("num") /
+          sqrt(col("den_j").cast("double") * col("den_k").cast("double")), 6))
+    }),
+
     // Triangle counting on the undirected ring graph: canonicalize edges to
     // a<b, enumerate wedges a<b<c, close them with a semi-join. Each
     // triangle is counted exactly once; at scale this is the standard
@@ -857,6 +892,34 @@ object GraphQueries extends QueryModule {
          JOIN deg da ON da.v = u.a
          JOIN deg db ON db.v = u.b
          ORDER BY u.a, u.b""",
+    // Same 5-moment reduce; DuckDB's HUGEINT sums are cast down only
+    // after the exact integer arithmetic, and the sqrt operands are cast
+    // to DOUBLE before multiplying (a HUGEINT product would sqrt
+    // differently than the double product Spark computes).
+    "q_graph_assortativity" ->
+      """WITH e AS (
+           SELECT c_custkey AS src, (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst FROM customer
+           UNION ALL SELECT c_custkey, (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer
+           UNION ALL SELECT c_custkey, (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer),
+         und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                 FROM e WHERE src <> dst),
+         deg AS (SELECT v, COUNT(*) AS deg FROM
+                   (SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+                 GROUP BY v),
+         sym AS (SELECT a AS x, b AS y FROM und UNION ALL SELECT b, a FROM und),
+         p AS (SELECT dj.deg AS dj, dk.deg AS dk
+               FROM sym JOIN deg dj ON dj.v = sym.x JOIN deg dk ON dk.v = sym.y),
+         agg AS (SELECT COUNT(*) AS m, SUM(dj*dk) AS sjk, SUM(dj) AS sj,
+                   SUM(dk) AS sk, SUM(dj*dj) AS sjj, SUM(dk*dk) AS skk FROM p)
+         SELECT CAST(m AS BIGINT) AS m, CAST(sjk AS BIGINT) AS sjk,
+           CAST(sj AS BIGINT) AS sj,
+           CAST(m*sjk - sj*sk AS BIGINT) AS num,
+           CAST(m*sjj - sj*sj AS BIGINT) AS den_j,
+           CAST(m*skk - sk*sk AS BIGINT) AS den_k,
+           ROUND(CAST(m*sjk - sj*sk AS BIGINT) /
+             SQRT(CAST(m*sjj - sj*sj AS DOUBLE) * CAST(m*skk - sk*sk AS DOUBLE)), 6)
+             AS r_e6
+         FROM agg""",
     "q_graph_triangles" ->
       """WITH e AS (
            SELECT c_custkey AS src, (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst FROM customer

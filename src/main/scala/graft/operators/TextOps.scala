@@ -74,6 +74,100 @@ object TextOps extends QueryModule {
     * recurrence (same rationale as lpIters/kcoreRounds). */
   private val bpeRounds = 3
 
+  /** The shared BPE merge loop (q_text_bpe_train / q_text_bpe_apply):
+    * ONE corpus-scale word-frequency aggregate, then `bpeRounds` merge
+    * rounds on the freq-weighted distinct-word dictionary — per round a
+    * (sym, next) pair-count argmax (collected as a 1-row planner
+    * statistic) and a window-based merge apply (even-offset run parity
+    * for the a=b case — exactly oracle-replicable where a regex/replace
+    * loop is not). Returns (per-round stat frames, final symbol frame
+    * `(w, freq, pos, sym)` — the trained tokenization of every word). */
+  private def bpeTrainLoop(s: SparkSession, dir: String): (Seq[DataFrame], DataFrame) = {
+    val wW = Window.partitionBy("w").orderBy("pos")
+    val wf = t(s, dir, "documents")
+      .select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    // char explode via sequence+substring — split(w, '(?!^)') leaves a
+    // trailing empty element in Spark (zero-width match at end of
+    // string, limit −1) and would train merges against "" symbols
+    var seq = wf.filter(length(col("w")) >= 1)
+      .select(col("w"), col("freq"),
+        explode(sequence(lit(1), length(col("w")))).as("pos"))
+      .select(col("w"), col("freq"), col("pos"),
+        expr("substring(w, pos, 1)").as("sym"))
+      .localCheckpoint(true)
+    val rows = Seq.newBuilder[DataFrame]
+    for (r <- 1 to bpeRounds) {
+      val withNext = seq.withColumn("nxt", lead("sym", 1).over(wW))
+      val best = withNext.filter(col("nxt").isNotNull)
+        .groupBy("sym", "nxt").agg(sum("freq").as("c"))
+        .orderBy(col("c").desc, col("sym"), col("nxt")).limit(1)
+        .collect()(0)
+      val (a, b, c) = (best.getString(0), best.getString(1), best.getLong(2))
+      val isA = col("sym") === lit(a)
+      val wA = Window.partitionBy(col("w"), isA).orderBy("pos")
+      val wG = Window.partitionBy(col("w"), col("grp"))
+      seq = withNext
+        .withColumn("grp", when(isA, col("pos") - row_number().over(wA)))
+        .withColumn("off", when(isA, col("pos") - min("pos").over(wG)))
+        .withColumn("mrg", isA && col("nxt") === lit(b) &&
+          (lit(a != b) || col("off") % 2 === 0))
+        .withColumn("consumed",
+          coalesce(lag("mrg", 1).over(wW), lit(false)))
+        .filter(!col("consumed"))
+        .select(col("w"), col("freq"), col("pos").as("opos"),
+          when(col("mrg"), concat(col("sym"), col("nxt")))
+            .otherwise(col("sym")).as("sym"))
+        .withColumn("pos",
+          row_number().over(Window.partitionBy("w").orderBy("opos")))
+        .drop("opos")
+        .localCheckpoint(true) // feeds the next round's argmax AND apply
+      rows += seq.agg(sum("freq").as("corpus_symbols_after"))
+        .select(lit(r).as("round"), lit(a).as("sym_a"), lit(b).as("sym_b"),
+          lit(c).as("pair_freq"), col("corpus_symbols_after"))
+    }
+    (rows.result(), seq)
+  }
+
+  /** DuckDB spelling of the full [[bpeTrainLoop]] chain (no leading WITH):
+    * wf → s0 (char explode) → per round b/w/g/o/m/f/s blocks; the final
+    * symbol frame is `s<bpeRounds>`. Shared by the train and apply
+    * oracles so the two can never drift. */
+  private lazy val bpeChainSql: String = {
+    val steps = (1 to bpeRounds).map { r =>
+      val s0 = s"s${r - 1}"
+      s"""b$r AS MATERIALIZED (SELECT sym AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS c
+           FROM (SELECT *, LEAD(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+                 FROM $s0)
+           WHERE nxt IS NOT NULL GROUP BY sym, nxt
+           ORDER BY c DESC, a, b LIMIT 1),
+         w$r AS (SELECT s.*, LEAD(s.sym) OVER (PARTITION BY s.w ORDER BY s.pos) AS nxt,
+                   q.a AS ba, q.b AS bb
+                 FROM $s0 s CROSS JOIN b$r q),
+         g$r AS (SELECT *, CASE WHEN sym = ba
+                   THEN pos - ROW_NUMBER() OVER (PARTITION BY w, sym = ba ORDER BY pos)
+                 END AS grp FROM w$r),
+         o$r AS (SELECT *, CASE WHEN sym = ba
+                   THEN pos - MIN(pos) OVER (PARTITION BY w, grp) END AS off
+                 FROM g$r),
+         m$r AS (SELECT *, (sym = ba AND nxt = bb
+                   AND (ba <> bb OR off % 2 = 0)) AS mrg FROM o$r),
+         f$r AS (SELECT *, COALESCE(LAG(mrg) OVER (PARTITION BY w ORDER BY pos),
+                   FALSE) AS consumed FROM m$r),
+         s$r AS MATERIALIZED (SELECT w, freq,
+                   ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS pos,
+                   CASE WHEN mrg THEN sym || nxt ELSE sym END AS sym
+                 FROM f$r WHERE NOT consumed)"""
+    }.mkString(",\n")
+    s"""wf AS (SELECT w, COUNT(*) AS freq FROM
+           (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         GROUP BY w),
+       s0 AS MATERIALIZED (SELECT w, freq, pos, substring(w, pos, 1) AS sym
+         FROM (SELECT w, freq, CAST(unnest(range(1, len(w) + 1)) AS INT) AS pos
+               FROM wf)),
+       $steps"""
+  }
+
   /** q_text_scrub's deny list — fixture stand-in for PII patterns; shared
     * with the oracle via [[denySql]]. */
   private val denyList = Seq("customer", "spark", "big")
@@ -290,51 +384,29 @@ object TextOps extends QueryModule {
     // in the oracle where a regex/replace loop is not. Output: the 3
     // learned merges + the corpus symbol count after each (computed
     // distributed, not literalized).
-    "q_text_bpe_train" -> ((s, dir) => {
-      val wW = Window.partitionBy("w").orderBy("pos")
-      val wf = t(s, dir, "documents")
-        .select(explode(toks).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("freq"))
-      // char explode via sequence+substring — split(w, '(?!^)') leaves a
-      // trailing empty element in Spark (zero-width match at end of
-      // string, limit −1) and would train merges against "" symbols
-      var seq = wf.filter(length(col("w")) >= 1)
-        .select(col("w"), col("freq"),
-          explode(sequence(lit(1), length(col("w")))).as("pos"))
-        .select(col("w"), col("freq"), col("pos"),
-          expr("substring(w, pos, 1)").as("sym"))
-        .localCheckpoint(true)
-      val rows = Seq.newBuilder[DataFrame]
-      for (r <- 1 to bpeRounds) {
-        val withNext = seq.withColumn("nxt", lead("sym", 1).over(wW))
-        val best = withNext.filter(col("nxt").isNotNull)
-          .groupBy("sym", "nxt").agg(sum("freq").as("c"))
-          .orderBy(col("c").desc, col("sym"), col("nxt")).limit(1)
-          .collect()(0)
-        val (a, b, c) = (best.getString(0), best.getString(1), best.getLong(2))
-        val isA = col("sym") === lit(a)
-        val wA = Window.partitionBy(col("w"), isA).orderBy("pos")
-        val wG = Window.partitionBy(col("w"), col("grp"))
-        seq = withNext
-          .withColumn("grp", when(isA, col("pos") - row_number().over(wA)))
-          .withColumn("off", when(isA, col("pos") - min("pos").over(wG)))
-          .withColumn("mrg", isA && col("nxt") === lit(b) &&
-            (lit(a != b) || col("off") % 2 === 0))
-          .withColumn("consumed",
-            coalesce(lag("mrg", 1).over(wW), lit(false)))
-          .filter(!col("consumed"))
-          .select(col("w"), col("freq"), col("pos").as("opos"),
-            when(col("mrg"), concat(col("sym"), col("nxt")))
-              .otherwise(col("sym")).as("sym"))
-          .withColumn("pos",
-            row_number().over(Window.partitionBy("w").orderBy("opos")))
-          .drop("opos")
-          .localCheckpoint(true) // feeds the next round's argmax AND apply
-        rows += seq.agg(sum("freq").as("corpus_symbols_after"))
-          .select(lit(r).as("round"), lit(a).as("sym_a"), lit(b).as("sym_b"),
-            lit(c).as("pair_freq"), col("corpus_symbols_after"))
-      }
-      rows.result().reduce(_ unionByName _).orderBy("round")
+    "q_text_bpe_train" -> ((s, dir) =>
+      bpeTrainLoop(s, dir)._1.reduce(_ unionByName _).orderBy("round")),
+
+    // BPE tokenizer APPLY — the train→apply loop closed: the 3 learned
+    // merges tokenize the corpus. The scale architecture is the real
+    // tokenizer's word cache: merges are applied once to the DISTINCT-
+    // WORD dictionary (the same final symbol frame the trainer already
+    // computed — dictionary-sized work), then per-doc BPE token totals
+    // come from one words⋈dictionary join + one doc aggregate — the
+    // corpus-scale pass never runs the merge windows. Output per doc:
+    // word/char/BPE-token counts + the e6 compression the merges bought.
+    "q_text_bpe_apply" -> ((s, dir) => {
+      val dict = bpeTrainLoop(s, dir)._2
+      val wordTok = dict.groupBy("w").agg(count(lit(1)).as("n_tok"))
+      t(s, dir, "documents").select(col("doc_id"), explode(toks).as("w"))
+        .join(wordTok, Seq("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum(length(col("w"))).as("n_chars"),
+          sum("n_tok").as("n_bpe_tokens"))
+        .withColumn("compression_e6", expr(
+          "CASE WHEN n_chars > 0 THEN (n_chars - n_bpe_tokens) * 1000000 div n_chars " +
+            "ELSE CAST(0 AS BIGINT) END"))
+        .orderBy("doc_id")
     }),
 
     // Length bucketing for batch inference — the padding-waste
@@ -723,51 +795,37 @@ object TextOps extends QueryModule {
            (n_docs * max_len - real_tokens) * 1000000 // (n_docs * max_len)
              AS waste_e6
          FROM g ORDER BY bucket""",
-    // The identical 3-round merge recurrence, unrolled: per round, pair
-    // counts → deterministic argmax (count desc, pair asc) → window-based
-    // merge apply (even-offset runs for the a=b case), re-indexed. Symbol
-    // frames are MATERIALIZED — each feeds the pair count AND the apply.
+    // The identical 3-round merge recurrence, unrolled (shared chain
+    // [[bpeChainSql]]): per round, pair counts → deterministic argmax
+    // (count desc, pair asc) → window-based merge apply (even-offset runs
+    // for the a=b case), re-indexed. Symbol frames are MATERIALIZED —
+    // each feeds the pair count AND the apply.
     "q_text_bpe_train" -> {
-      val steps = (1 to bpeRounds).map { r =>
-        val s0 = s"s${r - 1}"
-        s"""b$r AS MATERIALIZED (SELECT sym AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS c
-             FROM (SELECT *, LEAD(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
-                   FROM $s0)
-             WHERE nxt IS NOT NULL GROUP BY sym, nxt
-             ORDER BY c DESC, a, b LIMIT 1),
-           w$r AS (SELECT s.*, LEAD(s.sym) OVER (PARTITION BY s.w ORDER BY s.pos) AS nxt,
-                     q.a AS ba, q.b AS bb
-                   FROM $s0 s CROSS JOIN b$r q),
-           g$r AS (SELECT *, CASE WHEN sym = ba
-                     THEN pos - ROW_NUMBER() OVER (PARTITION BY w, sym = ba ORDER BY pos)
-                   END AS grp FROM w$r),
-           o$r AS (SELECT *, CASE WHEN sym = ba
-                     THEN pos - MIN(pos) OVER (PARTITION BY w, grp) END AS off
-                   FROM g$r),
-           m$r AS (SELECT *, (sym = ba AND nxt = bb
-                     AND (ba <> bb OR off % 2 = 0)) AS mrg FROM o$r),
-           f$r AS (SELECT *, COALESCE(LAG(mrg) OVER (PARTITION BY w ORDER BY pos),
-                     FALSE) AS consumed FROM m$r),
-           s$r AS MATERIALIZED (SELECT w, freq,
-                     ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS pos,
-                     CASE WHEN mrg THEN sym || nxt ELSE sym END AS sym
-                   FROM f$r WHERE NOT consumed)"""
-      }.mkString(",\n")
       val out = (1 to bpeRounds).map { r =>
         s"""SELECT $r AS round, (SELECT a FROM b$r) AS sym_a,
              (SELECT b FROM b$r) AS sym_b,
              (SELECT c FROM b$r) AS pair_freq,
              (SELECT CAST(SUM(freq) AS BIGINT) FROM s$r) AS corpus_symbols_after"""
       }.mkString("\nUNION ALL ")
-      s"""WITH wf AS (SELECT w, COUNT(*) AS freq FROM
-             (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-           GROUP BY w),
-         s0 AS MATERIALIZED (SELECT w, freq, pos, substring(w, pos, 1) AS sym
-           FROM (SELECT w, freq, CAST(unnest(range(1, len(w) + 1)) AS INT) AS pos
-                 FROM wf)),
-         $steps
+      s"""WITH $bpeChainSql
          SELECT * FROM ($out) ORDER BY round"""
     },
+    // Same unrolled chain; the final symbol frame s<bpeRounds> IS the
+    // word→tokens cache, joined back to every doc's words.
+    "q_text_bpe_apply" ->
+      s"""WITH $bpeChainSql,
+         wt AS (SELECT w, COUNT(*) AS n_tok FROM s$bpeRounds GROUP BY w),
+         dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         j AS (SELECT doc_id, dw.w, wt.n_tok FROM dw JOIN wt ON wt.w = dw.w),
+         g AS (SELECT doc_id, COUNT(*) AS n_words,
+                 CAST(SUM(len(w)) AS BIGINT) AS n_chars,
+                 CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens
+               FROM j GROUP BY doc_id)
+         SELECT doc_id, n_words, n_chars, n_bpe_tokens,
+           CASE WHEN n_chars > 0
+                THEN (n_chars - n_bpe_tokens) * 1000000 // n_chars
+                ELSE CAST(0 AS BIGINT) END AS compression_e6
+         FROM g ORDER BY doc_id""",
     // Same md5-derived 60-bit gram hash as the Spark side (hex parse via
     // strpos), same 16-gram sliding-window min, distinct mins per doc.
     "q_text_winnow" ->

@@ -227,6 +227,22 @@ class PipelineSpec extends SparkSpec {
     assert(r.length == 5 && r.forall(_ == 1.0))
   }
 
+  test("BPE apply: tokens never exceed chars; corpus total equals the trainer's count") {
+    import graft.operators.TextOps
+    val rows = TextOps.queries("q_text_bpe_apply")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(3) <= r.getLong(2)),
+      "a word can never tokenize to MORE tokens than characters")
+    assert(rows.exists(r => r.getLong(3) < r.getLong(2)),
+      "the learned merges never fired on the corpus")
+    // conservation: sum of per-doc BPE tokens == the trainer's
+    // corpus_symbols_after for the last round (same merges, same corpus)
+    val train = TextOps.queries("q_text_bpe_train")(spark, sfDir).collect()
+    val afterLast = train.maxBy(_.getInt(0)).getLong(4)
+    assert(rows.map(_.getLong(3)).sum == afterLast,
+      "apply totals diverge from the trainer's corpus symbol count")
+  }
+
   test("LSH ANN recall self-check: probes overlap the exact top-3") {
     // q_sim_ann now outputs the ANN top-3 itself (the oracle replicates the
     // full LSH); recall vs the exact top-3 is pinned here instead.
