@@ -248,6 +248,40 @@ object Multimodal extends QueryModule {
           sum(when(col("e") < 30000L, 1L).otherwise(0L)).as("n_silent"),
           max("e").as("peak_energy"), sum("e").as("total_energy"))
         .orderBy("doc_id")
+    }),
+
+    // Scene-boundary detection — the shot-segmentation pass a video
+    // pipeline runs before per-scene sampling/captioning: the same stub
+    // frame-energy track as q_mm_audio (bytes-as-frames, mapPartitions
+    // decode), a CUT wherever the energy jumps by > 20000 between
+    // adjacent frames (the ~p93 of the fixture's delta distribution — a
+    // real mix: multi-scene and single-scene clips both occur), scene
+    // ids by running cut sum, per-clip scene stats. Everything after the
+    // stub is the real lag-window + gaps-and-islands shape; integers
+    // end-to-end, so the oracle replays it bit-for-bit.
+    "q_mm_scene" -> ((s, dir) => {
+      val src = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(audioSchema)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("f")
+      val wRun = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      src.mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getLong(0),
+            fakeFrameEnergies(r.getAs[Array[Byte]]("payload")).toSeq)
+        }
+      }(enc)
+        .select(col("doc_id"), posexplode(col("energies")).as(Seq("f", "e")))
+        .withColumn("cut",
+          when(abs(col("e") - lag("e", 1).over(w)) > 20000L, 1L).otherwise(0L))
+        .withColumn("scene", sum("cut").over(wRun))
+        .groupBy("doc_id", "scene").agg(count(lit(1)).as("len"))
+        .groupBy("doc_id")
+        .agg(sum("len").as("n_frames"), count(lit(1)).as("n_scenes"),
+          max("len").as("longest_scene"))
+        .orderBy("doc_id")
     })
   )
 
@@ -349,6 +383,28 @@ object Multimodal extends QueryModule {
          SELECT doc_id, COUNT(*) AS n_frames,
            CAST(SUM(CASE WHEN e < 30000 THEN 1 ELSE 0 END) AS BIGINT) AS n_silent,
            MAX(e) AS peak_energy, CAST(SUM(e) AS BIGINT) AS total_energy
-         FROM fe GROUP BY doc_id ORDER BY doc_id"""
+         FROM fe GROUP BY doc_id ORDER BY doc_id""",
+    // Same byte-as-PCM frame energies, same 20000 cut threshold, same
+    // running-cut-sum scene ids.
+    "q_mm_scene" ->
+      """WITH b AS (SELECT doc_id, (p - 1) // 16 AS f,
+             ord(substring(text, p, 1)) AS v
+           FROM (SELECT doc_id, text,
+                   unnest(range(1, strlen(text) + 1)) AS p FROM documents)),
+         fe AS (SELECT doc_id, f,
+             CAST(SUM((v - 128) * (v - 128)) AS BIGINT) AS e
+           FROM b GROUP BY doc_id, f),
+         c AS (SELECT doc_id, f,
+             CASE WHEN ABS(e - LAG(e) OVER (PARTITION BY doc_id ORDER BY f))
+                    > 20000 THEN 1 ELSE 0 END AS cut
+           FROM fe),
+         sc AS (SELECT doc_id, f, SUM(cut) OVER (PARTITION BY doc_id
+                  ORDER BY f ROWS UNBOUNDED PRECEDING) AS scene
+           FROM c),
+         sl AS (SELECT doc_id, scene, COUNT(*) AS len
+           FROM sc GROUP BY doc_id, scene)
+         SELECT doc_id, CAST(SUM(len) AS BIGINT) AS n_frames,
+           COUNT(*) AS n_scenes, CAST(MAX(len) AS BIGINT) AS longest_scene
+         FROM sl GROUP BY doc_id ORDER BY doc_id"""
   )
 }
