@@ -134,11 +134,11 @@ object GraphQueries extends QueryModule {
   private val walkSteps = 4
 
   /** Process-level cache of the batched 5-seed σ-BFS over the distinct
-    * ring edges. Both betweenness queries consume the SAME forward sweep —
-    * the single-source query's σ frame is exactly the seed-0 slice of the
-    * 5-seed batch — so whichever runs first pays the iterative forward
-    * loop and the other reads it back, leaving each query its own
-    * backward dependency sweep. Stored as tmp parquet, NOT a cached RDD:
+    * ring edges. FOUR queries consume the SAME forward sweep — both
+    * betweenness queries (the single-source σ frame is the seed-0 slice),
+    * closeness, and eccentricity (σ-BFS levels ARE multi-source BFS
+    * levels; the σ column just rides along) — so whichever runs first
+    * pays the iterative loop and the rest read it back. Stored as tmp parquet, NOT a cached RDD:
     * the bench unpersists every RDD between queries, which would destroy
     * a truncated-lineage localCheckpoint. Each materialization also
     * asserts the DuckDB oracles' 16-level unroll cap (r5 ADVICE): a
@@ -413,8 +413,12 @@ object GraphQueries extends QueryModule {
     // 100 TB the seed sample rides a single traversal's shuffles).
     // closeness = (reached − 1) / Σ dist, in exact e6 fixed point (integer
     // division is engine-portable where ROUND(double) is not).
+    // Levels come from the shared 5-seed σ-BFS cache ([[ringSigma]]):
+    // σ-BFS levels ARE multi-source BFS levels (the σ column just rides
+    // along), so closeness, eccentricity, and both betweenness queries
+    // pay ONE forward traversal per process between the four of them.
     "q_graph_closeness" -> ((s, dir) =>
-      GraphOps.multiSourceBfs(s, ringEdges(s, dir), closenessSeeds)
+      ringSigma(s, dir)._2
         .groupBy("seed")
         .agg(count(lit(1)).as("n_reached"), sum("level").as("total_dist"))
         .withColumn("closeness_e6",
@@ -430,7 +434,7 @@ object GraphQueries extends QueryModule {
     // max eccentricity. diam_lb is a single-row max over the #seeds
     // frame, window-free via cross join.
     "q_graph_ecc" -> ((s, dir) => {
-      val ecc = GraphOps.multiSourceBfs(s, ringEdges(s, dir), closenessSeeds)
+      val ecc = ringSigma(s, dir)._2 // shared forward traversal (see closeness)
         .groupBy("seed")
         .agg(max("level").cast("long").as("ecc"),
           count(lit(1)).as("n_reached"))
