@@ -197,10 +197,15 @@ object GraphOps {
     * parent(u) = min{v : level(v) = level(u) − 1, (v,u) ∈ E}; a reachable
     * vertex is a leaf iff it is nobody's parent. Returns `(v, level)`.
     */
-  def bfsTreeLeaves(spark: SparkSession, edges: DataFrame, start: Long, maxIter: Int = 50): DataFrame = {
-    // levels is consumed three times below — materialize once or the whole
-    // BFS loop re-executes per consumer.
-    val levels = bfsLevels(spark, edges, start, maxIter).localCheckpoint(true)
+  def bfsTreeLeaves(spark: SparkSession, edges: DataFrame, start: Long, maxIter: Int = 50): DataFrame =
+    // levels materialized once or the whole BFS loop re-executes per consumer
+    bfsTreeLeavesFrom(bfsLevels(spark, edges, start, maxIter).localCheckpoint(true), edges)
+
+  /** [[bfsTreeLeaves]] over an ALREADY-COMPUTED level frame `(v, level)` —
+    * lets callers reuse a shared/cached traversal (the σ-BFS cache) for
+    * the parent extraction instead of re-running the BFS loop. `levels`
+    * is consumed three times; pass a materialized frame. */
+  def bfsTreeLeavesFrom(levels: DataFrame, edges: DataFrame): DataFrame = {
     val ls = levels.select(col("v").as("sv"), col("level").as("slevel"))
     val ld = levels.select(col("v").as("dv"), col("level").as("dlevel"))
     val parents = edges
