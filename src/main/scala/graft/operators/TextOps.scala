@@ -65,6 +65,22 @@ object TextOps extends QueryModule {
     grams.select(col("doc_id"), min("h").over(win).as("wh")).distinct()
   }
 
+  /** Process-level parquet cache of the fingerprint frame (the σ-cache
+    * pattern): q_text_winnow, q_text_winnow_pairs, and q_text_decontam
+    * all consume the same corpus signature — whichever runs first pays
+    * the gram hashing + window min, the rest read it back. */
+  private val winnowCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def winnowFingerprintsCached(s: SparkSession, dir: String): DataFrame = {
+    val path = winnowCache.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_winnow_" +
+        java.lang.ProcessHandle.current().pid() + "_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      winnowFingerprints(s, dir).write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   // Shared with TrainingPipeline: the pipeline's lang/quality stages must
   // score with the IDENTICAL stopword set or the funnel and the standalone
   // q_text_* queries would disagree on the same corpus.
@@ -437,7 +453,7 @@ object TextOps extends QueryModule {
     // on winnowFingerprints above; this query reports per-doc signature
     // summaries, q_text_winnow_pairs below is the overlap-detection end-use.
     "q_text_winnow" -> ((s, dir) =>
-      winnowFingerprints(s, dir)
+      winnowFingerprintsCached(s, dir)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_fp"), min("wh").as("min_fp"), max("wh").as("max_fp"))
         .orderBy("doc_id")),
@@ -452,7 +468,7 @@ object TextOps extends QueryModule {
     // the same collision-driven shape as MinHash-LSH and hyperplane ANN.
     "q_text_winnow_pairs" -> ((s, dir) => {
       // one materialization feeds both join sides
-      val fps = winnowFingerprints(s, dir).localCheckpoint(true)
+      val fps = winnowFingerprintsCached(s, dir) // parquet-cached
       fps.select(col("doc_id").as("da"), col("wh"))
         .join(fps.select(col("doc_id").as("db"), col("wh")), Seq("wh"))
         .filter(col("da") < col("db"))
@@ -545,7 +561,7 @@ object TextOps extends QueryModule {
     // map-side, no shuffle until the per-doc count. Every surviving corpus
     // doc is reported with its shared-fingerprint count and verdict.
     "q_text_decontam" -> ((s, dir) => {
-      val fps = winnowFingerprints(s, dir).localCheckpoint(true) // feeds both sides
+      val fps = winnowFingerprintsCached(s, dir) // parquet-cached // feeds both sides
       val benchFp = fps.filter(col("doc_id") % 50 === 0).select("wh").distinct()
       // fps is (doc_id, wh)-distinct, so post-join count == distinct share.
       val hits = fps.filter(col("doc_id") % 50 =!= 0)
