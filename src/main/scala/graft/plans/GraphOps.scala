@@ -892,58 +892,33 @@ object GraphOps {
       }
       if (remCount == 0) { round += 1 }
       else {
-      // 1. forward max-color flood (improvement frontiers only), two hops
-      // per eager materialization (the dagLayers BSP batching): hop 2
-      // reads hop 1's improvements through a frontier-sized overlay, so
-      // the |rem|-row colors table pays ONE merge + ONE checkpoint + ONE
-      // count per two supersteps. Hop-2 gates reuse hop-1's frontier
-      // count (one superstep stale, bounded by a single hop's fan-out).
+      // 1. forward max-color flood (improvement frontiers only). One hop
+      // per materialization, deliberately: a two-hop overlay batching
+      // (the dagLayers shape) was tried in r7 and MEASURED SLOWER here —
+      // the post-trim colors table is small enough that the full
+      // left-join update is cheaper than the extra overlay join +
+      // anti-merge the batching pays.
       var colors = rem.select(col("v"), col("v").as("color")).localCheckpoint(true)
       var frontier = colors
       var fCount = remCount
       var i = 0
-      var floodDone = false
-      def colorHop(f: DataFrame, n: Long, overlay: Option[DataFrame]): DataFrame = {
-        val cand = e.join(gated(f, n), col("v") === col("src"))
+      while (fCount > 0 && i < maxIter) {
+        val cand = e.join(gated(frontier, fCount), col("v") === col("src"))
           .groupBy(col("dst").as("w")).agg(max("color").as("nc"))
-        val withBase = cand.join(gated(colors.select(col("v").as("bv"),
-            col("color").as("bcolor")), remCount), col("w") === col("bv"), "left")
-        val cur = overlay match {
-          case None => withBase.select(col("w"), col("nc"), col("bcolor").as("cur"))
-          case Some(ov) =>
-            withBase.join(gated(ov.select(col("v").as("ov"), col("color").as("ocolor")), n),
-                col("w") === col("ov"), "left")
-              .select(col("w"), col("nc"), coalesce(col("ocolor"), col("bcolor")).as("cur"))
-        }
-        // vertices outside `rem` (already assigned) have no base row —
-        // drop them (cur null means w is not part of this round's graph)
-        cur.filter(col("cur").isNotNull && col("nc") > col("cur"))
-          .select(col("w").as("v"), col("nc").as("color"))
-      }
-      while (!floodDone && i < maxIter) {
-        val imp1 = colorHop(frontier, fCount, None).persist()
-        val imp2 = colorHop(imp1, fCount, Some(imp1)).persist()
-        val impAll = imp1
-          .join(imp2.select(col("v").as("iv2")), col("v") === col("iv2"), "left_anti")
-          .select(col("v"), col("color"))
-          .union(imp2)
+        val joined = colors.join(cand, col("v") === col("w"), "left")
+          .select(col("v"),
+            greatest(col("color"), coalesce(col("nc"), col("color"))).as("c2"),
+            (coalesce(col("nc"), col("color")) > col("color")).as("improved"))
           .localCheckpoint(true)
-        val nAll = impAll.count()
-        imp1.unpersist(false); imp2.unpersist(false)
-        if (nAll == 0) floodDone = true
-        else {
-          colors = colors.join(gated(impAll.select(col("v").as("iv")), nAll),
-              col("v") === col("iv"), "left_anti")
-            .select(col("v"), col("color"))
-            .union(impAll)
-            .localCheckpoint(true)
-          frontier = impAll
-          fCount = nAll
-        }
-        i += 2
+        frontier = joined.filter(col("improved"))
+          .select(col("v"), col("c2").as("color"))
+        fCount = joined.filter(col("improved")).count()
+        colors = joined.select(col("v"), col("c2").as("color"))
+        i += 1
       }
-      if (!floodDone) throw new IllegalStateException(
+      if (fCount > 0) throw new IllegalStateException(
         s"SCC color flood did not converge in $maxIter supersteps")
+      colors = colors.localCheckpoint(true)
       // 2. backward reach from all roots, restricted to same-color edges
       val er = e
         .join(colors.select(col("v").as("sv"), col("color").as("scol")),

@@ -673,6 +673,51 @@ object StreamingOps extends QueryModule {
         s.read.parquet(state).localCheckpoint(true))
     }),
 
+    // DELETE-aware changelog apply — the CDC slice q_stream_upsert's
+    // latest-wins MERGE doesn't cover: each record carries an op code
+    // (derived deterministically: value < 25 ⇒ D, else U — 62/150 fixture
+    // users end deleted, a real mix), the per-user LATEST op wins across
+    // arbitrarily-ordered microbatches, and a final D removes the row
+    // from the served table (tombstone semantics). Same idempotent
+    // foreachBatch MERGE shape and shared 4-chunk staging as upsert; the
+    // final table is batch-equivalent (latest row per user, D filtered),
+    // which is exactly the oracle.
+    "q_stream_changelog" -> ((s, dir) => {
+      val chunks = stageUpsertChunks(s, dir)
+      val base = chunksDir(dir, "cdcdel")
+      val (state, ck) = (base + "_state", base + "_ck")
+      val stateFile = new java.io.File(state)
+      Seq(state, ck).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("ts", TimestampType), StructField("value", DoubleType)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      def latest(df: DataFrame): DataFrame =
+        df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select("user_id", "ts", "event_id", "value", "op")
+      def withOp(df: DataFrame): DataFrame =
+        df.withColumn("op", when(col("value") < 25.0, "D").otherwise("U"))
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(chunks)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          applyBatchIdempotent(state, batchId)(latest(
+            if (stateFile.exists) batch.sparkSession.read.parquet(state)
+              .unionByName(latest(withOp(batch)))
+            else latest(withOp(batch))))
+          ()
+        }.start()
+      q.awaitTermination()
+      s.read.parquet(state)
+        .filter(col("op") === "U") // tombstoned users are not served
+        .select(col("user_id"), col("value"), col("ts").as("updated_at"))
+        .orderBy("user_id")
+    }),
+
     // Incremental QUANTILE monitoring — the sketch member of the
     // streaming-state family (anomaly folds moments; this folds the
     // bottom-k KMV sample of [[graft.functions.BottomKQuantileAgg]]):
@@ -821,6 +866,15 @@ object StreamingOps extends QueryModule {
            SELECT user_id, value, ts, ROW_NUMBER() OVER (PARTITION BY user_id
              ORDER BY ts DESC, event_id DESC) AS rn
            FROM events) WHERE rn = 1 ORDER BY user_id""",
+    // Latest row per user with the derived op; a final D tombstones the
+    // user out of the served table.
+    "q_stream_changelog" ->
+      """SELECT user_id, value, ts AS updated_at FROM (
+           SELECT user_id, value, ts,
+             CASE WHEN value < 25 THEN 'D' ELSE 'U' END AS op,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events) WHERE rn = 1 AND op = 'U' ORDER BY user_id""",
     // Complete-mode sink over timed microbatches == the batch aggregate.
     "q_stream_proctime" ->
       """SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS val_sum
