@@ -187,6 +187,25 @@ object GraphQueries extends QueryModule {
     labels
   }
 
+  /** Process-level parquet cache of the batched BACKWARD Brandes sweep's
+    * per-(seed, v) deltas over the σ cache — per-seed dependency
+    * recursion is independent, so the single-source query reads the
+    * seed-0 slice and the sampled query aggregates over all seeds: the
+    * two betweenness queries now share BOTH sweeps (one forward + one
+    * backward pass per process between them). */
+  private val deltaCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ringDeltas(s: SparkSession, dir: String): DataFrame = {
+    val path = deltaCache.computeIfAbsent(dir, _ => {
+      val p = s"${sys.props("java.io.tmpdir")}/graft_deltas_" +
+        java.lang.ProcessHandle.current().pid() + "_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val (ed, sig) = ringSigma(s, dir)
+      GraphOps.multiBrandesDeltas(s, ed, sig).write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
   /** Process-level parquet cache of the label-propagation assignment over
     * the hierarchy edges (σ-cache pattern): q_graph_labelprop and
     * q_graph_modularity must score the SAME assignment, so they now also
@@ -420,9 +439,15 @@ object GraphQueries extends QueryModule {
     // seed 0's slice IS the single-source σ-BFS — so the two betweenness
     // queries pay the iterative forward loop once between them.
     "q_graph_betweenness" -> ((s, dir) => {
-      val (ed, sig) = ringSigma(s, dir)
-      GraphOps.brandesBackward(s, ed,
-          sig.filter(col("seed") === 0L).select("v", "level", "sigma"))
+      // seed-0 slice of the SHARED backward sweep ([[ringDeltas]]): the
+      // per-seed delta recursion is independent, so the slice is exactly
+      // the single-source Brandes dependency pass.
+      val sig0 = ringSigma(s, dir)._2.filter(col("seed") === 0L)
+        .select("v", "level", "sigma")
+      sig0.join(ringDeltas(s, dir).filter(col("dseed") === 0L),
+          col("v") === col("dv"), "left")
+        .select(col("v"), col("level"), col("sigma"),
+          round(coalesce(col("delta"), lit(0.0)), 6).as("dep"))
         .orderBy("v")
     }),
 
@@ -432,10 +457,9 @@ object GraphQueries extends QueryModule {
     // The per-vertex score sums δ_s(v) over the sample — s seeds cost one
     // forward + one backward pass, the batching that makes betweenness
     // sampling feasible on a big graph.
-    "q_graph_betweenness_multi" -> ((s, dir) => {
-      val (ed, sig) = ringSigma(s, dir)
-      GraphOps.multiBrandesBackward(s, ed, sig).orderBy("v")
-    }),
+    "q_graph_betweenness_multi" -> ((s, dir) =>
+      GraphOps.multiBrandesFinal(ringSigma(s, dir)._2, ringDeltas(s, dir))
+        .orderBy("v")),
 
     // Closeness centrality for a 5-seed sample via ONE multi-source BFS
     // loop ([[GraphOps.multiSourceBfs]]): all seeds' frontiers advance in

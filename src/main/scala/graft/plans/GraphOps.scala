@@ -375,7 +375,12 @@ object GraphOps {
     * query, whose σ frame is the seed-0 slice of this one) pays only the
     * per-level sweep here. `ed` must be the DISTINCT long-cast edges the
     * σ frame was computed over. */
-  private[graft] def multiBrandesBackward(spark: SparkSession, ed: DataFrame,
+  /** Per-(seed, vertex) dependency deltas of the batched backward sweep —
+    * the shared intermediate BOTH betweenness queries consume: the multi
+    * query aggregates it over seeds ([[multiBrandesFinal]]), the
+    * single-source query reads its seed-0 slice (per-seed recursion is
+    * independent, so the slice IS the single-source sweep). */
+  private[graft] def multiBrandesDeltas(spark: SparkSession, ed: DataFrame,
       sigAll: DataFrame): DataFrame = {
     import spark.implicits._
     val maxL = sigAll.agg(max("level")).collect()(0).getInt(0)
@@ -404,17 +409,24 @@ object GraphOps {
       dels ::= cur
       delPrev = cur
     }
-    val delAll = dels match {
+    dels match {
       case Nil => delPrev
       case ds  => ds.reduce(_ union _)
     }
-    // betweenness excludes each source's own dependency row
+  }
+
+  /** Sampled-betweenness readout over [[multiBrandesDeltas]]' output:
+    * Σ_seeds δ_s(v), each source's own row excluded, rounded e6. */
+  private[graft] def multiBrandesFinal(sigAll: DataFrame, delAll: DataFrame): DataFrame =
     sigAll.select("v").distinct()
       .join(delAll.filter(col("dv") =!= col("dseed"))
         .groupBy(col("dv")).agg(sum("delta").as("bc")),
         col("v") === col("dv"), "left")
       .select(col("v"), round(coalesce(col("bc"), lit(0.0)), 6).as("bc"))
-  }
+
+  private[graft] def multiBrandesBackward(spark: SparkSession, ed: DataFrame,
+      sigAll: DataFrame): DataFrame =
+    multiBrandesFinal(sigAll, multiBrandesDeltas(spark, ed, sigAll))
 
   /** Longest-path layering of a DAG — the topological-depth assignment a
     * DAG scheduler (build system, lineage planner, workflow engine) uses:
