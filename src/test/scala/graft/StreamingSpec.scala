@@ -238,6 +238,20 @@ class StreamingSpec extends SparkSpec {
     assert(snapshot() == Map("a" -> 11L, "b" -> 2L))
   }
 
+  test("changelog apply: tombstoned users absent, survivors equal the upsert rows") {
+    val up = StreamingOps.queries("q_stream_upsert")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ch = StreamingOps.queries("q_stream_changelog")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // served rows = exactly the upsert (latest-wins) rows whose final
+    // value is not a delete op; deleted users must be fully absent
+    val expectedLive = up.filter { case (_, v) => v >= 25.0 }
+    assert(ch == expectedLive,
+      s"changelog mismatch: extra=${ch.keySet -- expectedLive.keySet} " +
+        s"missing=${expectedLive.keySet -- ch.keySet}")
+    assert(up.exists(_._2 < 25.0), "fixture must exercise the tombstone path")
+  }
+
   test("session windows: gap property holds (no intra-session gap >= 30 min)") {
     val sessions = StreamingOps.queries("q_session_window")(spark, sfDir).collect()
     val events = Tables(spark, sfDir, "events")
