@@ -673,6 +673,39 @@ object StreamingOps extends QueryModule {
         s.read.parquet(state).localCheckpoint(true))
     }),
 
+    // TRUE STREAMING session windows — the operator q_session_window
+    // deliberately runs in batch (append mode withholds unexpired
+    // sessions): here the withholding IS the point. Events replay over
+    // the in-order ts-tercile chunks with a 1 h watermark; sessions merge
+    // across microbatches in the state store and append-emit only once
+    // the watermark passes their end. Both the query and the oracle then
+    // restrict to the WATERMARK-CLOSED surface (session_end < final
+    // watermark = max ts − 1 h) — the q_stream_join_outer discipline —
+    // so the emitted set is batch-equivalent and exactly oracled.
+    "q_stream_session" -> ((s, dir) => {
+      val chunks = stageOuterJoinChunks(s, dir)
+      // the trailing no-data microbatch flushes the last closed sessions
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+      val agg = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(chunks)
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"))
+      val run = runToMemory(s, agg, "t_stream_session", "append", partitions = 4)
+      val mx = Tables.raw(s, dir, "events")
+        .agg((max(col("ts")) - expr("INTERVAL 1 HOUR")).as("wm"))
+      run.crossJoin(broadcast(mx))
+        .filter(col("session_end") < col("wm"))
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")
+    }),
+
     // DELETE-aware changelog apply — the CDC slice q_stream_upsert's
     // latest-wins MERGE doesn't cover: each record carries an op code
     // (derived deterministically: value < 25 ⇒ D, else U — 62/150 fixture
@@ -866,6 +899,31 @@ object StreamingOps extends QueryModule {
            SELECT user_id, value, ts, ROW_NUMBER() OVER (PARTITION BY user_id
              ORDER BY ts DESC, event_id DESC) AS rn
            FROM events) WHERE rn = 1 ORDER BY user_id""",
+    // The same gaps-and-islands session rebuild as q_session_window
+    // (session end = last event + the 30 min gap), restricted to the
+    // watermark-closed surface exactly like the Spark side. Ties on
+    // equal ts within a user can't affect session membership, so the
+    // window needs no tiebreak column.
+    "q_stream_session" ->
+      """WITH mx AS (SELECT MAX(ts) - INTERVAL '1 hour' AS wm FROM events),
+         x AS (SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800000000
+                THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         y AS (SELECT user_id, ts,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS UNBOUNDED PRECEDING) AS sid
+           FROM x),
+         g AS (SELECT user_id, MIN(ts) AS session_start,
+                 MAX(ts) + INTERVAL '30 minutes' AS session_end,
+                 COUNT(*) AS n_events
+               FROM y GROUP BY user_id, sid)
+         SELECT user_id, CAST(session_start AS TIMESTAMP) AS session_start,
+           CAST(session_end AS TIMESTAMP) AS session_end, n_events
+         FROM g, mx WHERE session_end < wm
+         ORDER BY user_id, session_start""",
     // Latest row per user with the derived op; a final D tombstones the
     // user out of the served table.
     "q_stream_changelog" ->
