@@ -361,6 +361,27 @@ object Similarity extends QueryModule {
         .orderBy("cid")
     }),
 
+    // DIVERSITY sampling via the learned cells — the coverage-preserving
+    // subset a curation pipeline draws when it wants "some of every
+    // region of embedding space" instead of an iid sample: m = 5 vectors
+    // per final Lloyd cell, members picked by the portable per-id hash
+    // (deterministic, append-stable — the q_sample_holdout discipline).
+    // Rides the SAME cached k-means state as IVF/kmeans/silhouette; the
+    // per-cell pick is one rank window over (cell, hash). At 100 TB the
+    // cell id is the shuffle key and m bounds every cell's output.
+    "q_sample_diverse" -> ((s, dir) => {
+      val m = 5
+      kmeansAssign(s, dir, kmeansK, kmeansIters)
+        .select(col("vec_id"), col("cid"),
+          graft.functions.PortableHash.hash60(
+            concat(lit("div:"), col("vec_id").cast("string"))).as("h"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("cid").orderBy(col("h"), col("vec_id"))))
+        .filter(col("rn") <= m)
+        .select(col("cid"), col("rn"), col("vec_id"))
+        .orderBy("cid", "rn")
+    }),
+
     // Random-hyperplane LSH ANN: multi-table banded signatures (8 tables ×
     // 3 bits) computed by the codegen [[graft.functions.HyperplaneBands]]
     // expression — one fused integer loop per row, coefficients derived
@@ -596,6 +617,17 @@ object Similarity extends QueryModule {
     // Full LSH replication (the q_sim_ann discipline): the same integer
     // hyperplane signatures, the same (label, band, sig) candidate join,
     // exact cosine verify on the collision pairs only.
+    // Same unrolled k-means chain; the per-cell pick is one ROW_NUMBER
+    // over the portable hash.
+    "q_sample_diverse" ->
+      s"""WITH ${kmeansCtes(kmeansK, kmeansIters)},
+         h AS (SELECT vec_id, cid,
+             ${graft.functions.PortableHash.sql("'div:' || vec_id")} AS hh
+           FROM a$kmeansIters),
+         r AS (SELECT vec_id, cid, ROW_NUMBER() OVER (
+                 PARTITION BY cid ORDER BY hh, vec_id) AS rn FROM h)
+         SELECT cid, CAST(rn AS INT) AS rn, vec_id FROM r WHERE rn <= 5
+         ORDER BY cid, rn""",
     "q_sim_neardup" ->
       s"""WITH ${graft.functions.HyperplaneBands.oracleSigsSql(neardupTables, neardupBits)},
        lab AS (SELECT vec_id, label FROM embeddings WHERE label IS NOT NULL),
