@@ -406,8 +406,12 @@ object StreamingOps extends QueryModule {
         col("pts") >= col("cts") &&
         col("pts") <= col("cts") + expr("INTERVAL 30 MINUTES"),
         "left_outer")
+      // 2 shuffle partitions, not 4: an outer stream-stream join allocates
+      // FOUR state stores per partition and replays 3 data + trailing
+      // no-data batches - at this volume store init dominates, and 8
+      // stores halve it again vs 16 (sized to throughput on a cluster).
       val run = runToMemory(s, joined.select(col("cu"), col("cts"), col("pts")),
-        "t_stream_join_outer", "append", partitions = 4)
+        "t_stream_join_outer", "append", partitions = 2)
       // Watermarks are per-SIDE maxima of the filtered streams (not the
       // global event max — the last click itself can't age out under a
       // watermark defined by clicks), and eviction uses their min.
