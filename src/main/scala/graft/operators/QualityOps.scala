@@ -159,6 +159,35 @@ object QualityOps extends QueryModule {
         .orderBy("pri")
     }),
 
+    // Mergeable DISTINCT-COUNT state — the Datasketches HLL member of the
+    // partial-state family (count/sum/min/max → q_agg_incremental,
+    // quantiles → q_agg_quantile_state/_sketch, presence → q_agg_bitmap):
+    // three disjoint shards build HLL sketches independently and
+    // hll_union_agg merges the register maxima (order-free — union is
+    // elementwise max). NOTE the union is NOT estimate-identical to the
+    // one-pass sketch: small partials sit in Datasketches' sparse-exact
+    // mode and the union promotes them to dense HLL, so the two paths
+    // round-trip different representations (measured here: 1500 exact,
+    // one-pass exact-mode vs merged dense estimate). The honest contract
+    // — which the oracle pins — is that BOTH paths land within the
+    // sketch's error bound of the exact count; the estimates themselves
+    // are engine-specific binaries, the q_agg_approx_* discipline. At
+    // 100 TB each shard ships one ~4 KB sketch row.
+    "q_agg_hll_state" -> ((s, dir) => {
+      val orders = Tables.raw(s, dir, "orders")
+      def shard(m: Int) = orders.filter(col("o_orderkey") % 3 === m)
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      val merged = shard(0).unionByName(shard(1)).unionByName(shard(2))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("m_est"))
+      val full = orders
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("f_est"),
+          countDistinct("o_custkey").as("n_exact"))
+      merged.crossJoin(full)
+        .select(col("n_exact"),
+          (abs(col("m_est") - col("n_exact")) * 20 <= col("n_exact")).as("merged_within_5pct"),
+          (abs(col("f_est") - col("n_exact")) * 20 <= col("n_exact")).as("onepass_within_5pct"))
+    }),
+
     // Incremental aggregation by partial-state merge: the base load (orders
     // before 1998) and the delta load (1998 onward) are aggregated into
     // MERGEABLE states (count/sum/min/max — sums in exact integer cents),
@@ -413,6 +442,11 @@ object QualityOps extends QueryModule {
          SELECT bucket, CAST(n AS BIGINT) AS n, CAST(cum AS BIGINT) AS cum,
            cum * 2 >= total AND (cum - n) * 2 < total AS is_median_bucket
          FROM c CROSS JOIN t ORDER BY bucket""",
+    // Exact distinct + pinned self-checks; the estimate is Datasketches-
+    // internal (see the query comment).
+    "q_agg_hll_state" ->
+      """SELECT COUNT(DISTINCT o_custkey) AS n_exact,
+         TRUE AS merged_within_5pct, TRUE AS onepass_within_5pct FROM orders""",
     // Bottom-k sample replicated exactly: one ROW_NUMBER over the portable
     // rank hash IS the sketch; both output paths read the same sample (the
     // KMV closure property the Spark side proves operationally), so the
