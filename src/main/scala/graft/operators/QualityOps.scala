@@ -30,6 +30,52 @@ object QualityOps extends QueryModule {
     floor(col("o_totalprice") * 100 + 0.5).cast("long"),
     unix_micros(col("o_orderdate").cast("timestamp")), col("o_orderpriority"))
 
+  /** DuckDB oracle shared by q_entity_resolution and its forced-BSP twin. */
+  private lazy val entityResolutionSql: String =
+    s"""WITH RECURSIVE d AS (SELECT DISTINCT p_name AS name FROM part),
+         pairs AS (SELECT a.name AS na, b.name AS nb
+                   FROM d a JOIN d b ON a.name < b.name
+                   WHERE levenshtein(a.name, b.name) <= $maxLev),
+         e AS (SELECT na AS src, nb AS dst FROM pairs
+               UNION ALL SELECT nb, na FROM pairs),
+         reach(v, root) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.v),
+         comp AS (SELECT v, MIN(root) AS comp FROM reach GROUP BY v)
+         SELECT comp AS rep, COUNT(*) AS n_members,
+           string_agg(v, ',' ORDER BY v) AS members
+         FROM comp GROUP BY comp HAVING COUNT(*) >= 2 ORDER BY rep"""
+
+  /** Shared body of q_entity_resolution / q_entity_resolution_bsp — only
+    * the CC size-gate threshold differs (default gate vs forced-BSP). */
+  private def entityResolution(s: SparkSession, dir: String,
+      driverSolveLimit: Long): DataFrame = {
+    graft.plans.GraftRules.install(s)
+    val names = Tables.raw(s, dir, "part")
+      .select("p_name").distinct()
+      .select(col("p_name").as("name"),
+        graft.functions.PortableHash.hash60(col("p_name")).as("id"))
+      .localCheckpoint(true) // feeds both join sides AND the re-attach
+    val a = names.select(col("name").as("name_a"), col("id").as("ida"))
+    val b = names.select(col("name").as("name_b"), col("id").as("idb"))
+    val pairs = a.join(b, levenshtein(col("name_a"), col("name_b")) <= maxLev &&
+        col("name_a") < col("name_b"))
+      .select(col("ida"), col("idb"))
+      .localCheckpoint(true) // feeds both edge directions
+    val edges = pairs.select(col("ida").as("src"), col("idb").as("dst"))
+      .union(pairs.select(col("idb").as("src"), col("ida").as("dst")))
+    graft.plans.GraphOps.connectedComponents(s, edges,
+        driverSolveLimit = driverSolveLimit)
+      .join(names.select(col("id").as("v"), col("name")), Seq("v"))
+      .groupBy("comp")
+      .agg(min("name").as("rep"), count(lit(1)).as("n_members"),
+        array_join(sort_array(collect_list("name")), ",").as("members"))
+      .filter(col("n_members") >= 2)
+      .select("rep", "n_members", "members")
+      .orderBy("rep")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Fuzzy self-join: part-name pairs within levenshtein <= 2, written the
     // way a user would — a plain theta join — and rewritten BY THE ENGINE
@@ -64,30 +110,16 @@ object QualityOps extends QueryModule {
     // min(NAME) within the component — id-scheme-independent, so the
     // oracle's recursive min-name reachability agrees exactly. Only
     // multi-member clusters ship (singletons are the whole dictionary).
-    "q_entity_resolution" -> ((s, dir) => {
-      graft.plans.GraftRules.install(s)
-      val names = Tables.raw(s, dir, "part")
-        .select("p_name").distinct()
-        .select(col("p_name").as("name"),
-          graft.functions.PortableHash.hash60(col("p_name")).as("id"))
-        .localCheckpoint(true) // feeds both join sides AND the re-attach
-      val a = names.select(col("name").as("name_a"), col("id").as("ida"))
-      val b = names.select(col("name").as("name_b"), col("id").as("idb"))
-      val pairs = a.join(b, levenshtein(col("name_a"), col("name_b")) <= maxLev &&
-          col("name_a") < col("name_b"))
-        .select(col("ida"), col("idb"))
-        .localCheckpoint(true) // feeds both edge directions
-      val edges = pairs.select(col("ida").as("src"), col("idb").as("dst"))
-        .union(pairs.select(col("idb").as("src"), col("ida").as("dst")))
-      graft.plans.GraphOps.connectedComponents(s, edges)
-        .join(names.select(col("id").as("v"), col("name")), Seq("v"))
-        .groupBy("comp")
-        .agg(min("name").as("rep"), count(lit(1)).as("n_members"),
-          array_join(sort_array(collect_list("name")), ",").as("members"))
-        .filter(col("n_members") >= 2)
-        .select("rep", "n_members", "members")
-        .orderBy("rep")
-    }),
+    "q_entity_resolution" -> ((s, dir) =>
+      entityResolution(s, dir, graft.plans.GraphOps.DriverSolveEdgeLimit)),
+
+    // The same resolution with the CC size gate FORCED to the distributed
+    // BSP min-label loop (driverSolveLimit = 0) — at 100 TB the fuzzy pair
+    // graph blows past the driver union-find gate, so the scale path gets
+    // its own benched + oracled row (r7 VERDICT task: every driver-gated
+    // operator keeps a distributed twin in the bench).
+    "q_entity_resolution_bsp" -> ((s, dir) =>
+      entityResolution(s, dir, 0L)),
 
     // Mergeable QUANTILE state — the missing member of the partial-state
     // family (q_agg_incremental merges sums/min/max, q_sketch_cms counts,
@@ -477,21 +509,10 @@ object QualityOps extends QueryModule {
 
     // Same lev-pair graph; components via recursive min-NAME reachability
     // (id-scheme-independent — matches the Spark side's min(name) rep).
-    "q_entity_resolution" ->
-      s"""WITH RECURSIVE d AS (SELECT DISTINCT p_name AS name FROM part),
-         pairs AS (SELECT a.name AS na, b.name AS nb
-                   FROM d a JOIN d b ON a.name < b.name
-                   WHERE levenshtein(a.name, b.name) <= $maxLev),
-         e AS (SELECT na AS src, nb AS dst FROM pairs
-               UNION ALL SELECT nb, na FROM pairs),
-         reach(v, root) AS (
-           SELECT src, src FROM e
-           UNION
-           SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.v),
-         comp AS (SELECT v, MIN(root) AS comp FROM reach GROUP BY v)
-         SELECT comp AS rep, COUNT(*) AS n_members,
-           string_agg(v, ',' ORDER BY v) AS members
-         FROM comp GROUP BY comp HAVING COUNT(*) >= 2 ORDER BY rep""",
+    // One SQL serves both gate paths: the oracle is the semantics, which
+    // the driver-union-find and forced-BSP twins must both reproduce.
+    "q_entity_resolution" -> entityResolutionSql,
+    "q_entity_resolution_bsp" -> entityResolutionSql,
     // Same rule set; the completeness grid is the same hour-truncated
     // micros arithmetic, the referential row the same anti-join count.
     "q_dq_rules" ->

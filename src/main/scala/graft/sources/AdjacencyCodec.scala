@@ -98,7 +98,10 @@ object VersionedGraphStore {
   private def manifestDir(path: String): java.io.File =
     new java.io.File(path, "_manifests")
 
-  private val ManifestRe = "^v(\\d{8})\\.manifest$".r
+  // \d+ (not \d{8}): commit() pads with %08d, but padding is a sort
+  // convenience, not a format bound — version 100,000,000 writes 9 digits
+  // and must stay visible to versions() (numeric sort already applies).
+  private val ManifestRe = "^v(\\d+)\\.manifest$".r
 
   /** All committed snapshot ids, ascending (empty for a fresh table). */
   def versions(path: String): Seq[Long] = {
@@ -151,8 +154,18 @@ object VersionedGraphStore {
     * leave unreferenced data directories, never a manifest pointing at
     * deleted data), then any snapshot directory no surviving manifest
     * references (which also collects directories stranded by a writer
-    * that failed before publishing). Returns the ids removed. */
-  def vacuum(path: String, keepLast: Int): Seq[Long] = {
+    * that failed before publishing). Returns the ids removed.
+    *
+    * Concurrent-writer safety (r7 ADVICE): a racing commit() writes its
+    * snapshot directory BEFORE linking its manifest, so an unreferenced
+    * `snap-*` is either garbage or a commit in flight — indistinguishable
+    * by reference-counting alone. Unreferenced directories are therefore
+    * only collected once older than `graceMs` (mtime threshold, default
+    * 1 h): any in-flight writer links its manifest long before that, so
+    * vacuum can never delete data a subsequent commit will publish.
+    * Pass `graceMs = 0` ONLY when the caller holds exclusive access. */
+  def vacuum(path: String, keepLast: Int,
+      graceMs: Long = 60L * 60 * 1000): Seq[Long] = {
     require(keepLast >= 1, "must keep at least the latest snapshot")
     val vs = versions(path)
     val drop = vs.dropRight(keepLast)
@@ -164,8 +177,10 @@ object VersionedGraphStore {
       java.nio.file.Files.readString(
         new java.io.File(manifestDir(path), f"v$v%08d.manifest").toPath).trim
     }.toSet
+    val cutoff = System.currentTimeMillis() - graceMs
     Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("snap-") && !live(f.getName))
+      .filter(f => f.isDirectory && f.getName.startsWith("snap-") && !live(f.getName)
+        && f.lastModified() < cutoff)
       .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
     drop
   }

@@ -195,6 +195,23 @@ object StreamingOps extends QueryModule {
     org.apache.commons.io.FileUtils.moveDirectory(new java.io.File(next), stateFile)
   }
 
+  /** Pin `noDataMicroBatches.enabled=true` for the duration of `body` and
+    * restore the previous value after (r7 ADVICE: the bare `conf.set` leaked
+    * across queries on the shared session — benign only because true is the
+    * Spark default). The trailing no-data microbatch it enables is what
+    * flushes watermark-closed state after an AvailableNow source drains, so
+    * the invariant is part of the query, not an ambient default; the stream
+    * runs to completion INSIDE `body`, so restoring afterwards is safe. */
+  private def withNoDataMicroBatches[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try body finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** readStream version of the events loader (ns ts → TimestampType). */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     // A glob that matches zero files is a VALID empty stream to Spark —
@@ -386,9 +403,7 @@ object StreamingOps extends QueryModule {
       // The unmatched rows of the LAST chunk only surface in the trailing
       // no-data microbatch AvailableNow runs after the source drains —
       // that batch exists only while noDataMicroBatches is enabled
-      // (default true). Pin it explicitly so the invariant is part of the
-      // query, not an ambient default.
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      // (default true): pinned for the run via withNoDataMicroBatches.
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
@@ -410,8 +425,10 @@ object StreamingOps extends QueryModule {
       // FOUR state stores per partition and replays 3 data + trailing
       // no-data batches - at this volume store init dominates, and 8
       // stores halve it again vs 16 (sized to throughput on a cluster).
-      val run = runToMemory(s, joined.select(col("cu"), col("cts"), col("pts")),
-        "t_stream_join_outer", "append", partitions = 2)
+      val run = withNoDataMicroBatches(s) {
+        runToMemory(s, joined.select(col("cu"), col("cts"), col("pts")),
+          "t_stream_join_outer", "append", partitions = 2)
+      }
       // Watermarks are per-SIDE maxima of the filtered streams (not the
       // global event max — the last click itself can't age out under a
       // watermark defined by clicks), and eviction uses their min.
@@ -688,8 +705,6 @@ object StreamingOps extends QueryModule {
     // so the emitted set is batch-equivalent and exactly oracled.
     "q_stream_session" -> ((s, dir) => {
       val chunks = stageOuterJoinChunks(s, dir)
-      // the trailing no-data microbatch flushes the last closed sessions
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
@@ -701,7 +716,10 @@ object StreamingOps extends QueryModule {
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"), col("sw.start").as("session_start"),
           col("sw.end").as("session_end"), col("n_events"))
-      val run = runToMemory(s, agg, "t_stream_session", "append", partitions = 4)
+      // the trailing no-data microbatch flushes the last closed sessions
+      val run = withNoDataMicroBatches(s) {
+        runToMemory(s, agg, "t_stream_session", "append", partitions = 4)
+      }
       val mx = Tables.raw(s, dir, "events")
         .agg((max(col("ts")) - expr("INTERVAL 1 HOUR")).as("wm"))
       run.crossJoin(broadcast(mx))

@@ -232,7 +232,12 @@ class GraphSpec extends SparkSpec {
     assert(VersionedGraphStore.load(spark, base)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((99L, 99L)))
     // retention vacuum: old manifests go first (commit point), then
-    // unreferenced snapshot directories; the survivors stay readable
+    // unreferenced snapshot directories; the survivors stay readable.
+    // Under the DEFAULT grace period the just-written unreferenced dirs
+    // are YOUNG and must survive (they are indistinguishable from a
+    // concurrent commit that has written data but not yet linked its
+    // manifest — the r7 ADVICE race); with graceMs = 0 (exclusive
+    // access, as here) they collect.
     assert(VersionedGraphStore.vacuum(base, keepLast = 2) == Seq(1L, 2L, 3L))
     assert(VersionedGraphStore.versions(base) == Seq(4L, 5L))
     intercept[IllegalArgumentException] {
@@ -240,9 +245,15 @@ class GraphSpec extends SparkSpec {
     }
     assert(VersionedGraphStore.load(spark, base)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((99L, 99L)))
-    val snapDirs = new java.io.File(base).listFiles()
+    def snapDirs() = new java.io.File(base).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("snap-"))
-    assert(snapDirs.length == 2, s"vacuum left ${snapDirs.length} snapshot dirs, want 2")
+    assert(snapDirs().length == 5,
+      s"graced vacuum removed young unreferenced dirs (${snapDirs().length} left, want 5)")
+    assert(VersionedGraphStore.vacuum(base, keepLast = 2, graceMs = 0L).isEmpty)
+    assert(snapDirs().length == 2,
+      s"exclusive vacuum left ${snapDirs().length} snapshot dirs, want 2")
+    assert(VersionedGraphStore.load(spark, base)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((99L, 99L)))
   }
 
   test("dagLayers throws loudly on cyclic input instead of silently truncating (both gate paths)") {
