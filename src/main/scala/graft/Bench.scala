@@ -78,22 +78,26 @@ object Bench {
     // Shared-intermediate caches (σ sweep, Brandes deltas, LSH pairs,
     // Lloyd state, winnow fingerprints, labelprop): pure per-corpus
     // computations consumed by whole query families. Built ONCE here and
-    // billed to `cache_build_sec` so per-query times measure the
-    // operator, not whichever consumer alphabetically runs first — the
-    // same discipline as staging_sec. (A production pipeline persists
-    // these as intermediate tables; the one-time cost is real and is
-    // published, just not attributed to an arbitrary query.)
-    val cacheBuildSec = {
-      val t0 = System.nanoTime()
-      try {
-        graft.operators.GraphQueries.prewarmCaches(spark, sfDir)
-        graft.operators.Dedup.prewarmCaches(spark, sfDir)
-        graft.operators.Similarity.prewarmCaches(spark, sfDir)
-        graft.operators.TextOps.prewarmCaches(spark, sfDir)
-      } catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] cache prewarm failed (queries will build lazily): $e") }
-      (System.nanoTime() - t0) / 1e9
-    }
+    // billed to `cache_build` so per-query times measure the operator,
+    // not whichever consumer alphabetically runs first — the same
+    // discipline as staging_sec. (A production pipeline persists these as
+    // intermediate tables; the one-time cost is real and is published.)
+    // Each cache is timed INDIVIDUALLY (r7 VERDICT: the single 23.4 s
+    // cache_build_sec line hid which sweep regressed); a failed build is
+    // recorded as -1 so the failure is visible in the JSON, and the
+    // consumer queries then build lazily (and slowly) — fail-visible.
+    val cacheTimes: Seq[(String, Double)] =
+      (graft.operators.GraphQueries.namedCaches ++
+       graft.operators.Dedup.namedCaches ++
+       graft.operators.Similarity.namedCaches ++
+       graft.operators.TextOps.namedCaches).map { case (name, build) =>
+        val t0 = System.nanoTime()
+        try { build(spark, sfDir); name -> (System.nanoTime() - t0) / 1e9 }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] cache $name failed (consumers build lazily): $e")
+          name -> -1.0 }
+      }
+    val cacheBuildSec = cacheTimes.map(_._2).filter(_ >= 0).sum
     // Optional subset filter for local iteration: SPARK_GRAFT_ONLY=regex.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     // JVM environment probes — the r4 driver run was a uniform ~1.4× over
@@ -108,13 +112,26 @@ object Bench {
       .getMemoryPoolMXBeans.asScala
       .filter(p => p.getName.startsWith("CodeHeap") || p.getName == "Code Cache")
       .map(_.getUsage.getUsed).sum / (1024 * 1024)
+    var hygieneGcs = 0
     def flush(): Unit = {
       // Don't let one query's leaked state skew its successors: clearCache
       // drops table caches, but localCheckpoint blocks live as persistent
-      // RDDs and broadcasts only die on GC — flush all three.
+      // RDDs and broadcasts only die on GC. The GC itself is CONDITIONAL
+      // on real heap pressure (r7 VERDICT #7): the r7 run spent ~98 of its
+      // 101 s jvm_gc_total_ms in ~390 unconditional hygiene Full GCs (the
+      // per-query attributed GC summed to 3.1 s) — a fixed ~250 ms tax per
+      // flush that protected nothing at this heap size. Unpersisted blocks
+      // and dead broadcasts still die on the next natural collection;
+      // forcing one is only worth it when the heap is genuinely filling,
+      // which preserves the isolation guarantee for the rare query that
+      // leaves pressure behind while cutting the idle-GC tax ~4×.
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      System.gc()
+      val rt = Runtime.getRuntime
+      if (rt.totalMemory() - rt.freeMemory() > rt.maxMemory() / 4) {
+        hygieneGcs += 1
+        System.gc()
+      }
     }
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame):
         (Double, Boolean, Long) = {
@@ -194,8 +211,33 @@ object Bench {
         "2,3,1,4; chunk count IS the semantics - each chunk must see the prior " +
         "one's watermark) + state-store init: ~0.5s/batch scheduling floor at local[32]")
     ).map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
-    val jvm = s""""notes":$notes,"jvm_gc_total_ms":${gcMs()},"code_cache_used_mb":${codeCacheUsedMb()},"jvm_gc_ms":$gcmap"""
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(results)},"failed":$failed,"n_queries":${results.size},"sf":"$sfDir","staging_sec":${fmt(stagingSec)},"cache_build_sec":${fmt(cacheBuildSec)},"tail_samples":$tails,$jvm}"""
+    // Which queries read each prewarmed cache (r7 ADVICE: a cache-served
+    // query's per-query time is a parquet readback; its operator cost
+    // lives on the named cache_build line — published so cross-round and
+    // cross-engine per-query comparisons can't mistake a readback for the
+    // live operator; families with a live twin keep it benched, e.g.
+    // q_graph_bfs_pregel, q_graph_cc_bsp, q_graph_dag_layers_bsp).
+    val cacheConsumers = Seq(
+      "sigma_bfs" -> Seq("q_graph_bfs", "q_graph_dfs_leaves", "q_graph_khop",
+        "q_graph_betweenness", "q_graph_betweenness_multi", "q_graph_closeness",
+        "q_graph_ecc"),
+      "brandes_deltas" -> Seq("q_graph_betweenness", "q_graph_betweenness_multi"),
+      "labelprop" -> Seq("q_graph_labelprop", "q_graph_modularity"),
+      "lsh_pairs" -> Seq("q_dedup_minhash", "q_dedup_cluster"),
+      "lloyd_kmeans" -> Seq("q_sim_ivf", "q_sim_kmeans", "q_sim_silhouette",
+        "q_sample_diverse"),
+      "winnow_fingerprints" -> Seq("q_text_winnow", "q_text_winnow_pairs",
+        "q_text_decontam")
+    ).map { case (k, v) =>
+      "\"" + k + "\":" + v.map("\"" + _ + "\"").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val cacheMap = cacheTimes.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    // jvm_gc_query_ms = GC attributed to measured query runs only;
+    // jvm_gc_total_ms additionally includes warm-up, cache builds, and the
+    // (now pressure-gated) hygiene collections between queries.
+    val jvm = s""""notes":$notes,"cache_consumers":$cacheConsumers,"jvm_gc_total_ms":${gcMs()},"jvm_gc_query_ms":${results.map(_._4).sum},"hygiene_gcs":$hygieneGcs,"code_cache_used_mb":${codeCacheUsedMb()},"jvm_gc_ms":$gcmap"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(results)},"failed":$failed,"n_queries":${results.size},"sf":"$sfDir","staging_sec":${fmt(stagingSec)},"cache_build_sec":${fmt(cacheBuildSec)},"cache_build":$cacheMap,"tail_samples":$tails,$jvm}"""
     // The driver keeps only the last ~2KB of stdout (BENCH_r3 lost the
     // head of the single JSON line — and the total with it). So: the full
     // line first for humans/greppers, then a LAST line compact enough to
@@ -207,7 +249,7 @@ object Bench {
     println(full)
     val note = if (only.isEmpty) s"slowest 45 of ${results.size}; full map in BENCH_FULL.json"
       else s"slowest 45 of ${results.size} (subset run)"
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","staging_sec":${fmt(stagingSec)},"cache_build_sec":${fmt(cacheBuildSec)},"tail_samples":$tails,"jvm_gc_total_ms":${gcMs()},"code_cache_used_mb":${codeCacheUsedMb()},"queries_note":"$note","queries":${qmap(slowest)}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir","staging_sec":${fmt(stagingSec)},"cache_build_sec":${fmt(cacheBuildSec)},"cache_build":$cacheMap,"tail_samples":$tails,"jvm_gc_total_ms":${gcMs()},"jvm_gc_query_ms":${results.map(_._4).sum},"code_cache_used_mb":${codeCacheUsedMb()},"queries_note":"$note","queries":${qmap(slowest)}}""")
     // Full runs only — a SPARK_GRAFT_ONLY subset would overwrite the
     // repo copy with a misleading partial map. Target the repo checkout
     // when it exists, else the working directory; a failed write is

@@ -139,7 +139,10 @@ object Dedup extends QueryModule {
   }
 
   /** Build the LSH pair cache outside the per-query timers (Bench). */
-  def prewarmCaches(s: SparkSession, dir: String): Unit = { minhashPairsCached(s, dir); () }
+  def namedCaches: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "lsh_pairs" -> ((s, dir) => { minhashPairsCached(s, dir); () }))
+  def prewarmCaches(s: SparkSession, dir: String): Unit =
+    namedCaches.foreach(_._2(s, dir))
 
   /** Connected components (v, comp) of the undirected near-dup pair graph —
     * the clustering step shared by q_dedup_cluster and TrainingPipeline's

@@ -153,9 +153,11 @@ object Similarity extends QueryModule {
   }
 
   /** Build the Lloyd-state cache outside the per-query timers (Bench). */
-  def prewarmCaches(s: SparkSession, dir: String): Unit = {
-    kmeansFinalCached(s, dir, kmeansK, kmeansIters); ()
-  }
+  def namedCaches: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "lloyd_kmeans" -> ((s, dir) =>
+      { kmeansFinalCached(s, dir, kmeansK, kmeansIters); () }))
+  def prewarmCaches(s: SparkSession, dir: String): Unit =
+    namedCaches.foreach(_._2(s, dir))
 
   /** Shared plan: cosine top-k of `corpus` for each row of `queries`,
     * joined under `joinCond` (plus self-exclusion), k per query. */

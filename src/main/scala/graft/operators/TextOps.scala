@@ -82,7 +82,10 @@ object TextOps extends QueryModule {
   }
 
   /** Build the fingerprint cache outside the per-query timers (Bench). */
-  def prewarmCaches(s: SparkSession, dir: String): Unit = { winnowFingerprintsCached(s, dir); () }
+  def namedCaches: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "winnow_fingerprints" -> ((s, dir) => { winnowFingerprintsCached(s, dir); () }))
+  def prewarmCaches(s: SparkSession, dir: String): Unit =
+    namedCaches.foreach(_._2(s, dir))
 
   // Shared with TrainingPipeline: the pipeline's lang/quality stages must
   // score with the IDENTICAL stopword set or the funnel and the standalone
