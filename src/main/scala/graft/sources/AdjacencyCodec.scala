@@ -109,11 +109,25 @@ object VersionedGraphStore {
     files.collect { case ManifestRe(d) => d.toLong }.sorted.toSeq
   }
 
+  /** Manifest body: first line names the snapshot directory; an optional
+    * second line carries caller metadata (e.g. the CDC batchId that
+    * produced the version) — published atomically WITH the version claim,
+    * so data and metadata can never diverge. */
+  private def manifestLines(path: String, version: Long): Seq[String] = {
+    val m = new java.io.File(manifestDir(path), f"v$version%08d.manifest")
+    require(m.isFile, s"no committed snapshot $version under $path")
+    java.nio.file.Files.readString(m.toPath).linesIterator.toSeq
+  }
+
   /** Commit `edges` as a NEW snapshot; returns its id (1 + latest).
     * Safe under concurrent writers: version claims are atomic
-    * create-if-absent links, conflicts retry with the next id. */
-  def commit(edges: DataFrame, path: String): Long = {
+    * create-if-absent links, conflicts retry with the next id.
+    * `meta`, if given, is stored in the version's manifest (single line;
+    * read back via [[metaAt]]/[[latestMeta]]). */
+  def commit(edges: DataFrame, path: String, meta: Option[String] = None): Long = {
     import java.nio.file.{Files, FileAlreadyExistsException}
+    require(meta.forall(m => !m.contains("\n") && !m.contains("\r")),
+      "manifest meta must be a single line")
     val md = manifestDir(path)
     md.mkdirs()
     val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
@@ -121,7 +135,7 @@ object VersionedGraphStore {
     edges.write.mode("overwrite")
       .parquet(new java.io.File(path, snap).toString)
     val tmp = new java.io.File(md, s".tmp-$nonce").toPath
-    Files.writeString(tmp, snap)
+    Files.writeString(tmp, (snap +: meta.toSeq).mkString("\n"))
     var v = versions(path).lastOption.getOrElse(0L) + 1
     var committed = false
     while (!committed) {
@@ -135,11 +149,18 @@ object VersionedGraphStore {
 
   /** Time-travel read of snapshot `version`. */
   def loadAt(spark: SparkSession, path: String, version: Long): DataFrame = {
-    val m = new java.io.File(manifestDir(path), f"v$version%08d.manifest")
-    require(m.isFile, s"no committed snapshot $version under $path")
-    val snap = java.nio.file.Files.readString(m.toPath).trim
+    val snap = manifestLines(path, version).head.trim
     spark.read.parquet(new java.io.File(path, snap).toString)
   }
+
+  /** The caller metadata committed with `version`, if any. */
+  def metaAt(path: String, version: Long): Option[String] =
+    manifestLines(path, version).drop(1).headOption.map(_.trim)
+
+  /** Metadata of the LATEST committed version (None for a fresh table or
+    * a meta-less latest commit). */
+  def latestMeta(path: String): Option[String] =
+    versions(path).lastOption.flatMap(metaAt(path, _))
 
   /** Read the latest committed snapshot. */
   def load(spark: SparkSession, path: String): DataFrame = {
@@ -173,10 +194,7 @@ object VersionedGraphStore {
       java.nio.file.Files.deleteIfExists(
         new java.io.File(manifestDir(path), f"v$v%08d.manifest").toPath)
     }
-    val live = versions(path).map { v =>
-      java.nio.file.Files.readString(
-        new java.io.File(manifestDir(path), f"v$v%08d.manifest").toPath).trim
-    }.toSet
+    val live = versions(path).map(v => manifestLines(path, v).head.trim).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("snap-") && !live(f.getName)

@@ -217,15 +217,15 @@ class StreamingSpec extends SparkSpec {
     val state = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft_idem_spec_${java.lang.ProcessHandle.current().pid()}").toString
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(state))
+    import graft.sources.VersionedGraphStore
     def fold(batchId: Long, rows: Seq[(String, Long)]): Unit =
       StreamingOps.applyBatchIdempotent(state, batchId) {
         val batch = rows.toDF("k", "n")
-        val stateFile = new java.io.File(state)
-        val merged = if (stateFile.exists)
-          spark.read.parquet(state).unionByName(batch) else batch
+        val merged = StreamingOps.cdcState(spark, state)
+          .map(_.unionByName(batch)).getOrElse(batch)
         merged.groupBy("k").agg(sum("n").as("n"))
       }
-    def snapshot(): Map[String, Long] = spark.read.parquet(state)
+    def snapshot(): Map[String, Long] = VersionedGraphStore.load(spark, state)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     fold(0L, Seq(("a", 1L), ("b", 2L)))
     assert(snapshot() == Map("a" -> 1L, "b" -> 2L))
@@ -236,6 +236,17 @@ class StreamingSpec extends SparkSpec {
     assert(snapshot() == Map("a" -> 11L, "b" -> 2L))
     fold(1L, Seq(("a", 10L))) // and again at the newest id
     assert(snapshot() == Map("a" -> 11L, "b" -> 2L))
+    // commit-log dividends: a re-delivered batch committed NO new version
+    // (idempotency == version-id check), each version's manifest carries
+    // its batchId, and batch 0's state stays time-travel readable AFTER
+    // batch 1's merge.
+    assert(VersionedGraphStore.versions(state) == Seq(1L, 2L))
+    assert(VersionedGraphStore.metaAt(state, 1L).contains("0"))
+    assert(VersionedGraphStore.metaAt(state, 2L).contains("1"))
+    assert(VersionedGraphStore.loadAt(spark, state, 1L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("a" -> 1L, "b" -> 2L),
+      "time travel to the pre-merge CDC version must return batch 0's state")
   }
 
   test("changelog apply: tombstoned users absent, survivors equal the upsert rows") {
