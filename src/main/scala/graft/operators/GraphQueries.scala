@@ -38,6 +38,28 @@ object GraphQueries extends QueryModule {
       .union(c.select(col("c_custkey").as("src"), ((col("c_custkey") * 16 + 3) % v).as("dst")))
   }
 
+  /** Parameter table for the multi-graph family: 4 graphs over the SAME
+    * custkey vertex set, each with edge rules v → (2v+1) mod V and
+    * v → (m2·v + a2) mod V. m2 values are coprime to V's factors (2,3,5
+    * at every sf) — a multiplier sharing a factor with V collapses the
+    * reachable set into a residue subgroup (measured: m2=15 reached
+    * 6% of V) — so all four graphs stay expanders with BFS depth ~13–19
+    * across sf0.01/sf0.1. Shared verbatim by the DuckDB oracle. */
+  private val multiGraphParams: Seq[(Int, Int, Int)] =
+    Seq((0, 7, 5), (1, 11, 7), (2, 13, 9), (3, 17, 11))
+
+  /** Edges of all four parameterized graphs, keyed by `graph`. */
+  private def multiGraphEdges(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_custkey"))
+    val v = lit(c.count())
+    multiGraphParams.map { case (g, m2, a2) =>
+      c.select(lit(g).as("graph"), col("c_custkey").as("src"),
+          ((col("c_custkey") * 2 + 1) % v).as("dst"))
+        .union(c.select(lit(g).as("graph"), col("c_custkey").as("src"),
+          ((col("c_custkey") * m2 + a2) % v).as("dst")))
+    }.reduce(_.union(_))
+  }
+
   /** Label-propagation superstep count — fixed (not convergence-gated) so
     * the oracle unrolls the identical recurrence. */
   private val lpIters = 4
@@ -290,6 +312,16 @@ object GraphQueries extends QueryModule {
       bfsLevelsCached(s, dir)
         .groupBy("level").agg(count(lit(1)).as("n_vertices"))
         .orderBy("level")),
+
+    // Multi-graph partition-parallel BFS: per-graph levels for all 4
+    // parameterized graphs computed by ONE job with state keyed
+    // (graph, v) — the scale analog of the reference's load balancer
+    // fanning queries across graphs ([[GraphOps.multiGraphBfs]]). The
+    // oracle runs the per-graph recursive CTE over the identical
+    // parameter table.
+    "q_graph_multi" -> ((s, dir) =>
+      GraphOps.multiGraphBfs(s, multiGraphEdges(s, dir), 0L)
+        .orderBy("graph", "v")),
 
     // Static PageRank, 10 iterations, over the directed ring graph.
     "q_graph_pagerank" -> ((s, dir) =>
@@ -929,6 +961,26 @@ object GraphQueries extends QueryModule {
            UNION
            SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.v WHERE w.d < 100)
          SELECT v, CAST(MAX(d) AS BIGINT) AS layer FROM walk GROUP BY v ORDER BY v""",
+    "q_graph_multi" -> {
+      val gs = multiGraphParams
+        .map { case (g, m2, a2) => s"($g,$m2,$a2)" }.mkString(",")
+      s"""WITH RECURSIVE gs(gid, m2, a2) AS (SELECT * FROM (VALUES $gs)),
+         e AS (
+           SELECT gs.gid, c_custkey AS src,
+             (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst
+           FROM customer, gs
+           UNION ALL
+           SELECT gs.gid, c_custkey,
+             (c_custkey*gs.m2+gs.a2)%(SELECT COUNT(*) FROM customer)
+           FROM customer, gs),
+         walk(gid, v, lvl) AS (
+           SELECT gid, CAST(0 AS BIGINT), 0 FROM gs
+           UNION
+           SELECT e.gid, e.dst, w.lvl+1 FROM walk w
+           JOIN e ON e.gid = w.gid AND e.src = w.v WHERE w.lvl < 40)
+         SELECT gid AS graph, v, CAST(MIN(lvl) AS INT) AS level
+         FROM walk GROUP BY gid, v ORDER BY graph, v"""
+    },
     "q_graph_dag_layers_bsp" ->
       """WITH RECURSIVE e AS (
            SELECT src, dst FROM (

@@ -166,6 +166,68 @@ object GraphOps {
     levels
   }
 
+  /** Per-graph BFS levels for EVERY graph in ONE BSP job — the scale
+    * analog of the reference's load balancer fanning graph queries across
+    * secondary servers (`load_balancer.c:183-206`): instead of one job
+    * per graph (per-graph scheduling overhead, idle executors while a
+    * small graph drains), the state is keyed `(graph, v)` and a single
+    * superstep advances ALL graphs' frontiers with one frontier⋈edges
+    * join — the [[multiSourceBfs]] discipline with the graph id as the
+    * batching key, so the shuffle spreads across graphs and no per-graph
+    * hotspot forms. Graphs finish at different depths naturally: a
+    * drained graph simply stops contributing frontier rows while deeper
+    * ones keep iterating, and the loop ends when every graph is done.
+    *
+    * `edges` is `(graph, src, dst)` (graph id of any orderable type);
+    * `start` must be a vertex of every graph (it seeds each one).
+    * Returns `(graph, v, level)` for every vertex reachable from `start`
+    * within its graph.
+    */
+  def multiGraphBfs(spark: SparkSession, edges: DataFrame, start: Long,
+      maxIter: Int = 50, broadcastSeenLimit: Long = BroadcastSeenLimit): DataFrame = {
+    val e = edges.select(col("graph"),
+      col("src").cast("long"), col("dst").cast("long")).persist()
+    var levels = e.select("graph").distinct()
+      .select(col("graph"), lit(start).as("v"), lit(0).as("level"))
+      .localCheckpoint(true)
+    var frontier = levels
+    var seenCount = levels.count()
+    var frontierCount = seenCount
+    def expand(f: DataFrame, seen: DataFrame, level: Int): DataFrame = {
+      val fr = f.select(col("graph").as("fg"), col("v").as("fv"))
+      val fj = if (frontierCount <= broadcastSeenLimit) broadcast(fr) else fr.hint("merge")
+      val grown = e.join(fj, e("graph") === col("fg") && e("src") === col("fv"))
+        .select(e("graph"), e("dst").as("v")).distinct()
+      val pruned =
+        if (seenCount <= broadcastSeenLimit)
+          grown.join(broadcast(seen.select("graph", "v")), Seq("graph", "v"), "left_anti")
+        else grown.join(seen.select("graph", "v").hint("merge"), Seq("graph", "v"), "left_anti")
+      pruned.withColumn("level", lit(level)).localCheckpoint(true)
+    }
+    var i = 0
+    var done = false
+    while (i < maxIter && !done) {
+      val next1 = expand(frontier, levels, i + 1)
+      val n1 = next1.count()
+      if (n1 == 0) done = true
+      else {
+        seenCount += n1
+        frontierCount = n1
+        val seen1 = levels.union(next1)
+        val next2 = expand(next1, seen1, i + 2)
+        val n2 = next2.count()
+        seenCount += n2
+        frontierCount = n2
+        val u = seen1.union(next2)
+        levels = if (i % 4 >= 2) u.localCheckpoint(true) else u
+        if (n2 == 0) done = true else frontier = next2
+      }
+      i += 2
+    }
+    e.unpersist()
+    levels
+  }
+
   /** BFS levels via GraphX Pregel — the alternate formulation of
     * [[bfsLevels]] (identical output). Pregel's superstep barrier is the
     * exact Spark-native analog of the reference's per-level `pthread_join`

@@ -271,6 +271,25 @@ class GraphSpec extends SparkSpec {
     assert(exBsp.getMessage.contains("cycle"))
   }
 
+  test("multiGraphBfs: one (graph,v)-keyed job == per-graph bfsLevels over a fixture directory") {
+    // the reference's load-balancer scenario: a directory of graph files,
+    // one BFS per graph — here ONE batched job must equal the per-graph runs
+    val files = Seq("G1.txt", "G3.txt", "G6.txt")
+    val edges = files.map { f =>
+      AdjacencyCodec.read(spark, s"$fixtures/$f")
+        .withColumn("graph", org.apache.spark.sql.functions.lit(f))
+    }.reduce(_.unionByName(_))
+    val multi = GraphOps.multiGraphBfs(spark, edges, 0L).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val single = files.flatMap { f =>
+      GraphOps.bfsLevels(spark, AdjacencyCodec.read(spark, s"$fixtures/$f"), 0L)
+        .collect().map(r => (f, r.getLong(0)) -> r.getInt(1))
+    }.toMap
+    assert(multi == single, "batched multi-graph BFS diverges from per-graph BFS")
+    assert(files.forall(f => multi.keys.exists(_._1 == f)),
+      "every graph in the directory must contribute reachable vertices")
+  }
+
   test("dagLayers: driver Kahn gate path == distributed BSP loop") {
     // same gate-equality discipline as connectedComponents: the two paths
     // must agree layer-for-layer on a real fixture DAG
