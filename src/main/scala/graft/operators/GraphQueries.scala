@@ -635,6 +635,43 @@ object GraphQueries extends QueryModule {
         .agg(count(lit(1)).as("n_members"), min("v").as("min_v"), max("v").as("max_v"))
         .orderBy("comp")),
 
+    // INCREMENTAL CC maintenance end-to-end (r7 VERDICT stretch): the
+    // hierarchy graph is committed to the VersionedGraphStore in two
+    // versions — v1 holds every edge EXCEPT those touching held-out
+    // customers (c_custkey % 97 == 0, ~1% of vertices), v2 the full
+    // graph — the INSERTED delta is recovered as a snapshot diff
+    // (v2 ∖ v1, the q_graph_store_diff read), and the new component
+    // state is maintained from (CC(v1), delta) via the CONTRACTED
+    // component graph ([[GraphOps.incrementalConnectedComponents]]) —
+    // never re-traversing v1. The oracle is q_graph_cc's full recursive
+    // CTE over the COMPLETE graph: the hash compare IS the proof that
+    // incremental(prev_state, diff) == full(new_snapshot). At scale prev
+    // state is a stored table and the maintenance cost is sized by the
+    // delta; here both stages run live in one query.
+    "q_graph_cc_incremental" -> ((s, dir) => {
+      val all = hierEdges(s, dir)
+      // an edge touches a held-out customer iff its customer endpoint id
+      // (c+100) has (id-100) % 97 == 0; nation/region ids are < 100
+      def held(c: org.apache.spark.sql.Column) =
+        c >= 100 && (c - 100) % 97 === 0
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_ccinc_${java.lang.ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val v1 = VersionedGraphStore.commit(
+        all.filter(!held(col("src")) && !held(col("dst"))), base)
+      val v2 = VersionedGraphStore.commit(all, base)
+      val prevEdges = VersionedGraphStore.loadAt(s, base, v1)
+      val inserted = VersionedGraphStore.loadAt(s, base, v2)
+        .join(prevEdges.select(col("src").as("psrc"), col("dst").as("pdst")),
+          col("src") === col("psrc") && col("dst") === col("pdst"), "left_anti")
+      val prevState = GraphOps.connectedComponents(s, prevEdges)
+      GraphOps.incrementalConnectedComponents(s, prevState, inserted)
+        .groupBy("comp")
+        .agg(count(lit(1)).as("n_members"), min("v").as("min_v"), max("v").as("max_v"))
+        .orderBy("comp")
+    }),
+
     // DIRECTED strongly connected components (coloring FW-BW rounds,
     // [[GraphOps.stronglyConnectedComponents]]) over the block-cycle
     // graph: one row per component. The oracle is an honest
@@ -1423,6 +1460,17 @@ object GraphQueries extends QueryModule {
          SELECT comp, COUNT(*) AS n_members, MIN(v) AS min_v, MAX(v) AS max_v
          FROM comp GROUP BY comp ORDER BY comp""",
     "q_graph_cc" ->
+      s"""WITH RECURSIVE e AS ($hierEdgesSql),
+         reach(v, root) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.v),
+         comp AS (SELECT v, MIN(root) AS comp FROM reach GROUP BY v)
+         SELECT comp, COUNT(*) AS n_members, MIN(v) AS min_v, MAX(v) AS max_v
+         FROM comp GROUP BY comp ORDER BY comp""",
+    // The FULL graph's components — the oracle knows nothing about the
+    // v1/delta split, so a wrong incremental merge fails the compare.
+    "q_graph_cc_incremental" ->
       s"""WITH RECURSIVE e AS ($hierEdgesSql),
          reach(v, root) AS (
            SELECT src, src FROM e

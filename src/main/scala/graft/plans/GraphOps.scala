@@ -1118,4 +1118,52 @@ object GraphOps {
     e.unpersist()
     labels
   }
+
+  /** INCREMENTAL connected-components maintenance over INSERT-only edge
+    * deltas — the graph-analytics consumer of the commit-log store's
+    * snapshot diffs: given the previous CC state `(v, comp)` (comp = min
+    * vertex id, the [[connectedComponents]] contract) and the edges
+    * INSERTED since, returns the new state WITHOUT re-traversing the old
+    * graph. Each inserted edge is contracted to its endpoints' previous
+    * components (a new vertex owns itself), and CC runs on that CONTRACTED
+    * component graph — sized by the delta and the components it touches,
+    * never by the full graph — then old labels remap through the result.
+    * Correctness of the min-label contract is compositional: each previous
+    * comp id is already the min of its member set, so the min over a merged
+    * group of comp ids IS the global min vertex — the output is equal to
+    * `connectedComponents(oldEdges ∪ inserted)` (pinned in GraphSpec and
+    * oracled end-to-end by q_graph_cc_incremental).
+    *
+    * DELETIONS are out of scope by design, loudly: removing an edge can
+    * split a component, which cannot be decided from `(state, delta)`
+    * without reachability over the surviving edges — a deletion-bearing
+    * diff must recompute the affected components from the new snapshot.
+    */
+  def incrementalConnectedComponents(spark: SparkSession, prevState: DataFrame,
+      inserted: DataFrame, maxIter: Int = 50,
+      driverSolveLimit: Long = DriverSolveEdgeLimit): DataFrame = {
+    val pv = prevState.select(col("v").cast("long").as("v"),
+      col("comp").cast("long").as("comp")).localCheckpoint(true)
+    val ins = inserted.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint(true)
+    // endpoints → previous comp (vertices unseen by the old state own
+    // themselves); self-loops within one component carry no information
+    val m = ins
+      .join(pv.select(col("v").as("src"), col("comp").as("cs")), Seq("src"), "left")
+      .join(pv.select(col("v").as("dst"), col("comp").as("cd")), Seq("dst"), "left")
+      .select(coalesce(col("cs"), col("src")).as("a"),
+        coalesce(col("cd"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+    val compEdges = m.union(m.select(col("b").as("a"), col("a").as("b")))
+      .distinct().select(col("a").as("src"), col("b").as("dst"))
+    // CC on the contracted graph: |edges| ≤ 2·|delta| regardless of the
+    // base graph's size — this is the whole point of the maintenance path
+    val remap = connectedComponents(spark, compEdges, maxIter, driverSolveLimit)
+      .select(col("v").as("comp"), col("comp").as("ncomp"))
+    val newVerts = ins.select(col("src").as("v")).union(ins.select(col("dst").as("v")))
+      .distinct().join(pv.select("v"), Seq("v"), "left_anti")
+    pv.union(newVerts.select(col("v"), col("v").as("comp")))
+      .join(remap, Seq("comp"), "left")
+      .select(col("v"), coalesce(col("ncomp"), col("comp")).as("comp"))
+  }
 }

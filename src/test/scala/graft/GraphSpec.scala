@@ -290,6 +290,27 @@ class GraphSpec extends SparkSpec {
       "every graph in the directory must contribute reachable vertices")
   }
 
+  test("incrementalConnectedComponents(state, delta) == full CC on the merged graph") {
+    import spark.implicits._
+    def sym(e: Seq[(Long, Long)]) = (e ++ e.map(_.swap)).toDF("src", "dst")
+    // base: three components {1,2,3}, {10,11}, {20,21}
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+    // delta: merges {1..3} with {10,11}, attaches NEW vertices 30,31 to 20,
+    // and adds a brand-new isolated pair {40,41}
+    val delta = Seq((3L, 10L), (20L, 30L), (30L, 31L), (40L, 41L))
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prev = GraphOps.connectedComponents(spark, sym(base))
+    val inc = toMap(GraphOps.incrementalConnectedComponents(spark, prev, sym(delta)))
+    val full = toMap(GraphOps.connectedComponents(spark, sym(base ++ delta)))
+    assert(inc == full, "incremental maintenance diverges from the full recompute")
+    // and through the forced-BSP contracted-CC path too
+    val incBsp = toMap(GraphOps.incrementalConnectedComponents(
+      spark, prev, sym(delta), driverSolveLimit = 0L))
+    assert(incBsp == full, "BSP contracted-CC path diverges")
+    assert(inc(11L) == 1L && inc(31L) == 20L && inc(41L) == 40L)
+  }
+
   test("dagLayers: driver Kahn gate path == distributed BSP loop") {
     // same gate-equality discipline as connectedComponents: the two paths
     // must agree layer-for-layer on a real fixture DAG
