@@ -17,9 +17,15 @@ sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
 con = duckdb.connect()
+import os
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    # driver fixtures are single files; derived sets (target/sf1) are
+    # spark-written directories — read whichever shape exists
+    p = f"{sf}/{t}.parquet"
+    if os.path.isdir(p):
+        p = f"{p}/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 n_pass = n_fail = 0
