@@ -166,6 +166,25 @@ object GraphOps {
     levels
   }
 
+  /** One [[multiGraphBfs]] superstep, exposed (like [[expandOnce]]) so
+    * ScaleSpec can assert the two scale invariants directly: the frontier
+    * join keys on BOTH (graph, src) — a graph-only key would funnel each
+    * whole graph through one task — and both the frontier and seen-set
+    * joins flip broadcast → shuffle past the size gate. */
+  private[graft] def multiGraphExpandOnce(e: DataFrame, f: DataFrame,
+      seen: DataFrame, level: Int, seenCount: Long, broadcastSeenLimit: Long,
+      frontierCount: Long): DataFrame = {
+    val fr = f.select(col("graph").as("fg"), col("v").as("fv"))
+    val fj = if (frontierCount <= broadcastSeenLimit) broadcast(fr) else fr.hint("merge")
+    val grown = e.join(fj, e("graph") === col("fg") && e("src") === col("fv"))
+      .select(e("graph"), e("dst").as("v")).distinct()
+    val pruned =
+      if (seenCount <= broadcastSeenLimit)
+        grown.join(broadcast(seen.select("graph", "v")), Seq("graph", "v"), "left_anti")
+      else grown.join(seen.select("graph", "v").hint("merge"), Seq("graph", "v"), "left_anti")
+    pruned.withColumn("level", lit(level))
+  }
+
   /** Per-graph BFS levels for EVERY graph in ONE BSP job — the scale
     * analog of the reference's load balancer fanning graph queries across
     * secondary servers (`load_balancer.c:183-206`): instead of one job
@@ -193,17 +212,9 @@ object GraphOps {
     var frontier = levels
     var seenCount = levels.count()
     var frontierCount = seenCount
-    def expand(f: DataFrame, seen: DataFrame, level: Int): DataFrame = {
-      val fr = f.select(col("graph").as("fg"), col("v").as("fv"))
-      val fj = if (frontierCount <= broadcastSeenLimit) broadcast(fr) else fr.hint("merge")
-      val grown = e.join(fj, e("graph") === col("fg") && e("src") === col("fv"))
-        .select(e("graph"), e("dst").as("v")).distinct()
-      val pruned =
-        if (seenCount <= broadcastSeenLimit)
-          grown.join(broadcast(seen.select("graph", "v")), Seq("graph", "v"), "left_anti")
-        else grown.join(seen.select("graph", "v").hint("merge"), Seq("graph", "v"), "left_anti")
-      pruned.withColumn("level", lit(level)).localCheckpoint(true)
-    }
+    def expand(f: DataFrame, seen: DataFrame, level: Int): DataFrame =
+      multiGraphExpandOnce(e, f, seen, level, seenCount, broadcastSeenLimit,
+        frontierCount).localCheckpoint(true)
     var i = 0
     var done = false
     while (i < maxIter && !done) {

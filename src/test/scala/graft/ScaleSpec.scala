@@ -169,6 +169,31 @@ class ScaleSpec extends SparkSpec {
       s"past the gate the seen prune must not broadcast:\n${big.take(600)}")
   }
 
+  test("multi-graph BFS superstep keys on (graph, src) and flips broadcast past the gate") {
+    import spark.implicits._
+    val e = Seq(("a", 0L, 1L), ("b", 0L, 2L)).toDF("graph", "src", "dst")
+    val f = Seq(("a", 0L, 0), ("b", 0L, 0)).toDF("graph", "v", "level")
+    def planOf(seenCount: Long, frontierCount: Long): String =
+      graft.plans.GraphOps.multiGraphExpandOnce(e, f, f, 1, seenCount, 1000L,
+        frontierCount).queryExecution.executedPlan.toString
+    // the frontier join must key on BOTH graph and vertex — a graph-only
+    // key funnels each whole graph through one task at 100 TB
+    val small = planOf(10L, 10L)
+    val joinLine = small.linesIterator
+      .find(l => l.contains("Join") && l.contains("graph")).getOrElse("")
+    assert(joinLine.contains("graph") && (joinLine.contains("src") || joinLine.contains("fv")),
+      s"frontier join must key on (graph, vertex):\n${small.take(800)}")
+    assert(small.matches("(?s).*BroadcastHashJoin.*LeftAnti.*"),
+      s"below the gate the seen prune should broadcast:\n${small.take(600)}")
+    val big = planOf(10000L, 10000L)
+    val antiLine = big.linesIterator.find(_.contains("LeftAnti")).getOrElse("")
+    assert(antiLine.nonEmpty && !antiLine.contains("Broadcast"),
+      s"past the gate the seen prune must not broadcast:\n${big.take(600)}")
+    assert(!big.toLowerCase.contains("cartesian") &&
+      !big.toLowerCase.contains("broadcastnestedloop"),
+      s"no nested-loop/cartesian in the superstep:\n${big.take(600)}")
+  }
+
   test("corpus-sized join sides carry no forced broadcast hint (r5 scale-killers)") {
     // q_sim_neardup's build side is the whole embeddings table and
     // q_udtf_ngrams' survivor set grows with the corpus — both were
