@@ -504,15 +504,18 @@ object GraphOps {
   /** Longest-path layering of a DAG — the topological-depth assignment a
     * DAG scheduler (build system, lineage planner, workflow engine) uses:
     * sources sit at layer 0, every other vertex at 1 + max over in-edges.
-    * Bellman-Ford-with-max shape: only vertices whose best-known layer
-    * IMPROVED last round propagate, so each superstep is one
-    * frontier⋈edges join + max-merge and the loop runs exactly
-    * longest-path-length supersteps. Requires an acyclic input: a cycle
-    * improves forever, so hitting the maxIter cap with a still-improving
-    * frontier THROWS rather than returning silently-truncated layers.
+    * Distributed KAHN WAVE PEEL: round r peels the vertices whose
+    * in-degree among unpeeled vertices has reached 0 — which happens
+    * exactly when all predecessors are peeled, so the peel round IS the
+    * longest-path layer. Every vertex is finalized ONCE (unlike a
+    * Bellman-Ford-with-max loop, which re-improves vertices up to depth
+    * times) and each round costs one edges⋈sources join + one in-degree
+    * update materialization. Requires an acyclic input: a round that
+    * peels nothing while vertices remain THROWS rather than returning
+    * silently-truncated layers.
     * Size-gated like [[connectedComponents]]: a ≤`driverSolveLimit`-edge
     * graph is solved with one driver-side Kahn pass (same loud cycle
-    * failure), because the BSP loop's per-superstep barrier cost dwarfs
+    * failure), because the BSP loop's per-round barrier cost dwarfs
     * the work below that size. Returns `(v, layer)` for every vertex.
     */
   def dagLayers(spark: SparkSession, edges: DataFrame, maxIter: Int = 100,
@@ -560,87 +563,76 @@ object GraphOps {
           "cycle - the input is not a DAG")
       return verts.toSeq.sorted.map(v => (v, layer(v))).toDF("v", "layer")
     }
-    val sources = e.select(col("src").as("v")).distinct()
-      .join(e.select(col("dst").as("v")).distinct(), Seq("v"), "left_anti")
-    var best = sources.select(col("v"), lit(0L).as("layer")).localCheckpoint(true)
-    var seenCount = best.count()
-    var frontierCount = seenCount
-    var frontier = best
-    var i = 0
-    var done = false
+    // Distributed KAHN WAVE PEEL — the same algorithm as the driver gate,
+    // expressed as BSP rounds (r8: replaces the r7 Bellman-Ford-with-max
+    // improvement loop, which re-improved vertices up to depth times and
+    // paid 2 joins + an overlay + an anti-join merge per hop; MEASURED
+    // 7.6 s vs 4.4 s for this peel at sf0.1-forced-BSP). Invariant: a
+    // vertex's in-degree among UNPEELED vertices reaches 0 exactly when
+    // all its predecessors are peeled, so the round at which it peels IS
+    // its longest-path layer. Each round costs ONE materialization (the
+    // updated in-degree table) + one count: sources fall out of the
+    // checkpointed frame by a free filter, every vertex is finalized
+    // exactly once, and the result is a lazy union of the per-round
+    // source waves over the live checkpoints. Cycle detection is exact:
+    // if no vertex peeled this round (remaining unchanged), every
+    // remaining vertex lies on or behind a cycle — throw, never truncate.
     def gated(f: DataFrame, n: Long): DataFrame =
       if (n <= broadcastSeenLimit) broadcast(f) else f.hint("merge")
-    // One hop: candidate layers from the improved frontier, kept only
-    // where they beat the CURRENT best layer. `overlay` is a
-    // frontier-sized set of rows that supersede `best` without having
-    // been merged yet (hop 2 sees hop 1's improvements through it) — the
-    // improvement check is coalesce(overlay.layer, best.layer). The
-    // frontier join broadcasts only under the size gate (same discipline
-    // as expandOnce — an improved set can be O(|V|) wide); the best-side
-    // check broadcasts while it fits, merge-join past the gate — the
-    // seen-set discipline of the BFS family.
-    def improveHop(f: DataFrame, fCount: Long, overlay: Option[(DataFrame, Long)]): DataFrame = {
-      val cand = e.join(gated(f, fCount), col("v") === col("src"))
-        .groupBy(col("dst").as("w")).agg((max("layer") + 1).as("cand"))
-      val withBest = cand.join(gated(best.select(col("v").as("bv"), col("layer").as("blayer")),
-          seenCount), cand("w") === col("bv"), "left")
-      val withCur = overlay match {
-        case None => withBest.select(col("w"), col("cand"), col("blayer").as("cur"))
-        case Some((ov, ovCount)) =>
-          withBest.join(gated(ov.select(col("v").as("ov"), col("layer").as("olayer")), ovCount),
-              col("w") === col("ov"), "left")
-            .select(col("w"), col("cand"), coalesce(col("olayer"), col("blayer")).as("cur"))
-      }
-      withCur.filter(col("cur").isNull || col("cand") > col("cur"))
-        .select(col("w").as("v"), col("cand").as("layer"))
+    // One peel round: wave = in-degree-0 rows of `cur`; returns the
+    // updated in-degree table with the wave removed and its out-edge
+    // counts subtracted. `remaining` upper-bounds |wave| for the
+    // broadcast gate (the BFS seen-set discipline).
+    def peel(cur: DataFrame, rem: Long, round: Int): (DataFrame, DataFrame) = {
+      val wave = cur.filter(col("d") === 0L)
+        .select(col("v"), lit(round.toLong).as("layer"))
+      val dec = e.join(gated(wave.select(col("v").as("sv")), rem),
+          col("src") === col("sv"))
+        .groupBy(col("dst").as("dv")).agg(count(lit(1)).as("c"))
+      val next = cur.filter(col("d") > 0L)
+        .join(dec, col("v") === col("dv"), "left")
+        .select(col("v"), (col("d") - coalesce(col("c"), lit(0L))).as("d"))
+      (wave, next)
     }
-    while (i < maxIter && !done) {
-      // Two hops per eager materialization: at bench scale each
-      // localCheckpoint is a synchronous job whose FIXED scheduling cost
-      // dominates the superstep, so the loop pays ONE checkpoint + ONE
-      // count per two hops (the r6 one-hop loop paid one of each per
-      // hop). The hop frames are lazily persist()ed — hop 2 and the
-      // union consume improved1 three times, and a lazy cache shares the
-      // computation without adding a barrier the way an eager checkpoint
-      // would. Hop-2's gates reuse hop-1's frontier count (one superstep
-      // stale, bounded by the fan-out of a single hop — the gate has
-      // 10^6 rows of margin).
-      val improved1 = improveHop(frontier, frontierCount, None).persist()
-      val improved2 = improveHop(improved1, frontierCount, Some((improved1, frontierCount)))
-        .persist()
-      // improved2 supersedes improved1 where both touched a vertex
-      val improvedAll = improved1
-        .join(improved2.select(col("v").as("iv2")), col("v") === col("iv2"), "left_anti")
-        .select(col("v"), col("layer"))
-        .union(improved2)
-        .localCheckpoint(true)
-      val nAll = improvedAll.count()
-      improved1.unpersist(false); improved2.unpersist(false)
-      if (nAll == 0) done = true
-      else {
-        val merged = best.join(gated(improvedAll.select(col("v").as("iv")), nAll),
-            col("v") === col("iv"), "left_anti")
-          .select(col("v"), col("layer"))
-          .union(improvedAll)
-        seenCount += nAll
-        // every-2nd-barrier policy: improvedAll above is already
-        // checkpointed, so two loop iterations of anti-join+union lineage
-        // stay shallow
-        best = if (i % 4 >= 2) merged.localCheckpoint(true) else merged
-        // improvedAll (not improved2) is the next frontier: hop-1-only
-        // vertices re-propagate once more, their candidates fail the
-        // improvement check — correct, and it keeps the loop at one
-        // materialized frame per iteration
-        frontier = improvedAll
-        frontierCount = nAll
+    val dstDeg = e.groupBy(col("dst").as("v")).agg(count(lit(1)).as("d"))
+    var indeg = e.select(col("src").as("v")).union(e.select(col("dst").as("v")))
+      .distinct()
+      .join(dstDeg, Seq("v"), "left")
+      .select(col("v"), coalesce(col("d"), lit(0L)).as("d"))
+      .localCheckpoint(true)
+    var remaining = indeg.count()
+    val waves = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var round = 0
+    // ONE peel round per materialization. Two-rounds-per-checkpoint (the
+    // r6/r7 barrier-batching lesson) was tried here and MEASURED SLOWER
+    // (6.9 s vs 4.4 s at sf0.1-forced-BSP): the mid-round in-degree frame
+    // is consumed by a broadcast exchange AND two filters, and a lazily
+    // persist()ed frame races its own cache population across those jobs,
+    // recomputing the round instead of sharing it — the batching saved 9
+    // barriers but paid ~18 recomputed joins. The honest shape is one
+    // checkpoint+count per layer; each wave is a free filter over a live
+    // checkpoint, so the final union needs no extra materialization.
+    while (remaining > 0 && round < maxIter) {
+      val (wave, next0) = peel(indeg, remaining, round)
+      waves += wave
+      val next = next0.localCheckpoint(true)
+      val nextRemaining = next.count()
+      if (nextRemaining == remaining) {
+        // no source peeled: nothing left has in-degree 0
+        e.unpersist()
+        throw new IllegalStateException(
+          s"dagLayers: $remaining vertices lie on or behind a cycle - the " +
+            "input is not a DAG")
       }
-      i += 2
+      indeg = next
+      remaining = nextRemaining
+      round += 1
     }
     e.unpersist()
-    if (!done) throw new IllegalStateException(
-      s"dagLayers did not converge in $maxIter supersteps - the frontier is " +
-        "still improving, which on a finite graph means the input has a cycle")
-    best
+    if (remaining > 0) throw new IllegalStateException(
+      s"dagLayers did not converge in $maxIter rounds with $remaining " +
+        "vertices unpeeled - longest path exceeds the cap or the input has a cycle")
+    waves.reduce(_ union _)
   }
 
   /** HITS (hubs & authorities), Kleinberg's mutual-reinforcement power
