@@ -323,6 +323,36 @@ object GraphQueries extends QueryModule {
       GraphOps.multiGraphBfs(s, multiGraphEdges(s, dir), 0L)
         .orderBy("graph", "v")),
 
+    // Multi-graph CC by KEY-SPACE PARTITIONING — the complementary
+    // multi-graph discipline to q_graph_multi's keyed BSP loop: when the
+    // operator's state key is the vertex id itself, per-graph analytics
+    // need NO new operator — encode vertex ids as g·OFFSET + v and the
+    // disjoint union IS the multi-graph, one connectedComponents call
+    // computes every graph's components, and comp % OFFSET decodes the
+    // per-graph min-vertex label (min commutes with the per-graph
+    // constant offset). 4 hierarchy variants (nation→region rewired per
+    // graph), customers capped like the SCC fixture so the oracle's
+    // per-graph transitive closure stays bounded at any sf.
+    "q_graph_multi_cc" -> ((s, dir) => {
+      val off = 1000000L
+      val cap = 2000L
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer").filter(col("c_custkey") < cap)
+      val encoded = (0 to 3).map { g =>
+        val nr = n.select((col("n_nationkey") + 10).cast("long").as("src"),
+          ((col("n_regionkey") + g) % 5).cast("long").as("dst"))
+        val cn = c.select((col("c_custkey") + 100).cast("long").as("src"),
+          (col("c_nationkey") + 10).cast("long").as("dst"))
+        val und = nr.union(cn)
+        und.union(und.select(col("dst").as("src"), col("src").as("dst")))
+          .select((col("src") + g * off).as("src"), (col("dst") + g * off).as("dst"))
+      }.reduce(_.union(_))
+      GraphOps.connectedComponents(s, encoded)
+        .select(expr(s"v div $off").as("graph"), (col("comp") % off).as("comp"))
+        .groupBy("graph", "comp").agg(count(lit(1)).as("n_members"))
+        .orderBy("graph", "comp")
+    }),
+
     // Static PageRank, 10 iterations, over the directed ring graph.
     "q_graph_pagerank" -> ((s, dir) =>
       GraphOps.pageRank(s, ringEdges(s, dir), 10)
@@ -998,6 +1028,26 @@ object GraphQueries extends QueryModule {
            UNION
            SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.v WHERE w.d < 100)
          SELECT v, CAST(MAX(d) AS BIGINT) AS layer FROM walk GROUP BY v ORDER BY v""",
+    // Per-graph components recomputed directly — the oracle knows nothing
+    // about the id encoding, so a cross-graph component merge (an encoding
+    // bug) fails the compare.
+    "q_graph_multi_cc" ->
+      """WITH RECURSIVE gs(gid) AS (SELECT * FROM (VALUES (0),(1),(2),(3))),
+         e0 AS (
+           SELECT gs.gid, CAST(n_nationkey+10 AS BIGINT) AS src,
+             CAST((n_regionkey+gs.gid)%5 AS BIGINT) AS dst FROM nation, gs
+           UNION ALL
+           SELECT gs.gid, CAST(c_custkey+100 AS BIGINT), CAST(c_nationkey+10 AS BIGINT)
+           FROM customer, gs WHERE c_custkey < 2000),
+         e AS (SELECT gid, src, dst FROM e0 UNION ALL SELECT gid, dst, src FROM e0),
+         reach(gid, v, root) AS (
+           SELECT gid, src, src FROM e
+           UNION
+           SELECT e.gid, e.dst, r.root FROM reach r
+           JOIN e ON e.gid = r.gid AND e.src = r.v),
+         comp AS (SELECT gid, v, MIN(root) AS comp FROM reach GROUP BY gid, v)
+         SELECT CAST(gid AS BIGINT) AS graph, comp, COUNT(*) AS n_members
+         FROM comp GROUP BY gid, comp ORDER BY graph, comp""",
     "q_graph_multi" -> {
       val gs = multiGraphParams
         .map { case (g, m2, a2) => s"($g,$m2,$a2)" }.mkString(",")
