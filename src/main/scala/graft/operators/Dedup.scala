@@ -85,6 +85,30 @@ object Dedup extends QueryModule {
   private val numHashes = 64
   private val bandRows = 4 // 16 bands of 4 minhashes
 
+  /** 16-band LSH signatures `(doc_id, band, sig)` over a shingle frame —
+    * 64 min-hashes (h_i = min over shingles of xxhash64(i, s)) folded into
+    * 16 band signatures of 4 consecutive minhashes each. This frame is the
+    * PERSISTABLE corpus state of the near-dup pipeline: a stored signature
+    * table is all a future ingest batch needs to find its collision
+    * candidates against everything already ingested (see
+    * q_dedup_incremental), at 16 rows × 24 bytes per document — never the
+    * text. */
+  private[operators] def bandSignaturesFromShingles(sh: DataFrame): DataFrame = {
+    val minhashAggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    val mh = sh.groupBy("doc_id").agg(minhashAggs.head, minhashAggs.tail: _*)
+    val bands = array((0 until numHashes / bandRows).map { j =>
+      val cols = (0 until bandRows).map(k => col(s"h${j * bandRows + k}"))
+      struct(lit(j).as("band"), xxhash64(lit(j) +: cols: _*).as("sig"))
+    }: _*)
+    mh.select(col("doc_id"), explode(bands).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** [[bandSignaturesFromShingles]] straight from a (doc_id, text) frame. */
+  private[operators] def bandSignatures(docs: DataFrame): DataFrame =
+    bandSignaturesFromShingles(shingles(docs))
+
   /** The full MinHash→LSH→exact-verify pipeline (shared by q_dedup_minhash,
     * q_dedup_cluster, and TrainingPipeline's end-to-end funnel): verified
     * near-dup pairs (da < db, J ≥ 0.85) over any (doc_id, text) frame. */
@@ -93,17 +117,7 @@ object Dedup extends QueryModule {
     // pipeline and the verify stage (persist + a second checkpoint
     // inside jaccardPairs would double-buffer it in executor storage).
     val sh = shingles(docs).localCheckpoint(true)
-    // 64 min-hashes per doc: h_i = min over shingles of xxhash64(i, s).
-    val minhashAggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-    val mh = sh.groupBy("doc_id").agg(minhashAggs.head, minhashAggs.tail: _*)
-    // 16 band signatures, each hashing 4 consecutive minhashes.
-    val bands = array((0 until numHashes / bandRows).map { j =>
-      val cols = (0 until bandRows).map(k => col(s"h${j * bandRows + k}"))
-      struct(lit(j).as("band"), xxhash64(lit(j) +: cols: _*).as("sig"))
-    }: _*)
-    val banded = mh.select(col("doc_id"), explode(bands).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val banded = bandSignaturesFromShingles(sh)
     // cand appears three times in the verify plan (two per-side semi-joins
     // + the pair-scoping semi-join) — materialize it once, and banded's
     // 64-hash agg with it, instead of re-running the LSH pipeline per
@@ -192,6 +206,48 @@ object Dedup extends QueryModule {
         .groupBy(col("comp").as("keep_id"))
         .agg(count(lit(1)).as("n_members"))
         .orderBy("keep_id")
+    }),
+
+    // INCREMENTAL near-dup dedup against a STORED corpus state — the
+    // operator a continuously-ingesting pipeline actually runs: the
+    // already-ingested corpus (doc_id % 5 != 4, 80%) exists only as its
+    // persisted band-signature table (16 rows × 24 bytes/doc, never the
+    // text); a new ingest batch (doc_id % 5 == 4) computes its own
+    // signatures and finds candidates by joining the state on (band, sig)
+    // — new×old collisions via the state join, new×new via self-join —
+    // then the exact Jaccard verify RE-READS TEXT ONLY FOR COLLISION DOCS
+    // (the candidate semi-join restricts both shingle sides before the
+    // quadratic stage). Cost is O(batch × bands) + collisions, independent
+    // of corpus size except the (band,sig)-keyed shuffle — the incremental
+    // discipline that lets a 100 TB corpus ingest without re-shingling
+    // itself. Output: verified pairs with ≥1 new endpoint; the oracle is
+    // the EXACT all-pairs Jaccard restricted to the same pair surface
+    // (equality holds by the band-guarantee argument of q_dedup_minhash).
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val isNew = col("doc_id") % 5 === 4
+      // stored corpus state: persisted parquet standing in for the state
+      // table a production pipeline keeps between ingests
+      val statePath = s"${sys.props("java.io.tmpdir")}/graft_lshstate_" +
+        java.lang.ProcessHandle.current().pid() + "_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      bandSignatures(docs.filter(!isNew)).write.mode("overwrite").parquet(statePath)
+      val state = s.read.parquet(statePath)
+      val nb = bandSignatures(docs.filter(isNew)).localCheckpoint(true)
+      val vsOld = nb.as("n").join(state.as("o"),
+          col("n.band") === col("o.band") && col("n.sig") === col("o.sig"))
+        .select(least(col("n.doc_id"), col("o.doc_id")).as("da"),
+          greatest(col("n.doc_id"), col("o.doc_id")).as("db"))
+      val vsNew = nb.as("x").join(nb.as("y"),
+          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      val cand = vsOld.union(vsNew).distinct().localCheckpoint(true)
+      val candDocs = cand.select(col("da").as("doc_id"))
+        .union(cand.select(col("db").as("doc_id"))).distinct()
+      val sh = shingles(docs.join(candDocs, Seq("doc_id"), "left_semi"))
+        .localCheckpoint(true)
+      jaccardPairs(sh, lshThreshold, Some(cand), preMaterialized = true)
     }),
 
     // Exact n-gram Jaccard similarity (the LSH verify stage standalone),
@@ -306,6 +362,17 @@ object Dedup extends QueryModule {
            FROM events) WHERE rn = 1
          ORDER BY user_id, event_type""",
     "q_dedup_minhash" -> jaccardSql(lshThreshold.toString),
+    // The exact all-pairs Jaccard, restricted to pairs with >=1 new-batch
+    // endpoint — the oracle knows nothing about band state or candidate
+    // generation, so a missed collision (recall) or an unverified
+    // candidate (precision) both fail the compare.
+    "q_dedup_incremental" ->
+      s"""$shingleCte
+         SELECT da, db, ROUND(CAST(c AS DOUBLE)/(sa.n+sb.n-c), 4) AS jaccard
+         FROM iv JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+         WHERE CAST(c AS DOUBLE)/(sa.n+sb.n-c) >= $lshThreshold
+           AND (da % 5 = 4 OR db % 5 = 4)
+         ORDER BY da, db""",
     // Same exact-Jaccard pair graph, then min-label components via a
     // recursive reachability CTE (the SQL spelling of label propagation).
     "q_dedup_cluster" ->

@@ -702,6 +702,79 @@ object GraphQueries extends QueryModule {
         .orderBy("comp")
     }),
 
+    // INCREMENTAL BFS-level maintenance end-to-end — the traversal analog
+    // of q_graph_cc_incremental: the ring graph is committed to the
+    // VersionedGraphStore in two versions — v1 missing every out-edge of
+    // held-out vertices (src % 97 == 1, ~1% of V; dropping whole out-
+    // neighborhoods forces real level DEGRADATION in v1, so re-inserting
+    // them cascades improvements several hops deep), v2 the full graph —
+    // the inserted delta is recovered as a snapshot diff, and the new
+    // levels are maintained from (bfsLevels(v1), delta) by delta-seeded
+    // relaxation ([[GraphOps.incrementalBfsLevels]]) — never re-traversing
+    // v1. The oracle is q_graph_bfs's full recursive CTE over the COMPLETE
+    // graph: the hash compare IS the proof that incremental(prev, diff) ==
+    // full(new_snapshot).
+    "q_graph_bfs_incremental" -> ((s, dir) => {
+      val all = ringEdges(s, dir)
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_bfsinc_${java.lang.ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val v1 = VersionedGraphStore.commit(all.filter(col("src") % 97 =!= 1), base)
+      val v2 = VersionedGraphStore.commit(all, base)
+      val prevEdges = VersionedGraphStore.loadAt(s, base, v1)
+      val newEdges = VersionedGraphStore.loadAt(s, base, v2)
+      val inserted = newEdges
+        .join(prevEdges.select(col("src").as("psrc"), col("dst").as("pdst")),
+          col("src") === col("psrc") && col("dst") === col("pdst"), "left_anti")
+      val prev = GraphOps.bfsLevels(s, prevEdges, 0L)
+      GraphOps.incrementalBfsLevels(s, newEdges, prev, inserted)
+        .orderBy("v")
+    }),
+
+    // INCREMENTAL triangle-count maintenance — the motif-family consumer
+    // of the commit-log store's snapshot diffs: v1 drops every out-edge
+    // of ~1% of sources, v2 is the full ring graph; the previous
+    // snapshot's triangle total (the stored counter a maintenance
+    // pipeline keeps) is advanced by counting ONLY the distinct triangles
+    // through the inserted canonical edges ([[GraphOps.triangleDelta]] —
+    // delta-probe joins against the full adjacency, never a re-
+    // enumeration). The oracle is q_graph_triangles' full wedge count
+    // over the COMPLETE graph: the hash compare IS the proof that
+    // prev_total + delta == full(new_snapshot).
+    "q_graph_triangles_incremental" -> ((s, dir) => {
+      val all = ringEdges(s, dir)
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_triinc_${java.lang.ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val v1 = VersionedGraphStore.commit(all.filter(col("src") % 97 =!= 1), base)
+      val v2 = VersionedGraphStore.commit(all, base)
+      def und(e: DataFrame) = e.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val undPrev = und(VersionedGraphStore.loadAt(s, base, v1)).localCheckpoint(true)
+      val undFull = und(VersionedGraphStore.loadAt(s, base, v2)).localCheckpoint(true)
+      // a directed insert whose reverse already existed is not a new
+      // canonical edge — diff at the canonical level, per triangleDelta's
+      // contract
+      val insertedCanon = undFull.join(undPrev, Seq("a", "b"), "left_anti")
+      // stored state: the previous snapshot's total (computed here by the
+      // same wedge enumeration as q_graph_triangles, standing in for the
+      // counter the pipeline maintains between diffs)
+      val wedges = undPrev.as("x").join(undPrev.as("y"), col("x.b") === col("y.a"))
+        .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))
+      val prevTotal = wedges
+        .join(undPrev.select(col("a").as("ca"), col("b").as("cb")),
+          col("a") === col("ca") && col("c") === col("cb"), "left_semi")
+        .agg(count(lit(1)).as("prev"))
+      val delta = GraphOps.triangleDelta(undFull, insertedCanon)
+        .agg(count(lit(1)).as("d"))
+      prevTotal.crossJoin(delta)
+        .select((col("prev") + col("d")).as("n_triangles"))
+    }),
+
     // DIRECTED strongly connected components (coloring FW-BW rounds,
     // [[GraphOps.stronglyConnectedComponents]]) over the block-cycle
     // graph: one row per component. The oracle is an honest
@@ -932,6 +1005,12 @@ object GraphQueries extends QueryModule {
       (ringWalkCte + """
          SELECT CAST(level AS INT) AS level, COUNT(*) AS n_vertices
          FROM lv GROUP BY level ORDER BY level"""),
+    // Incremental maintenance must equal the full traversal of the NEW
+    // snapshot — the oracle is the complete graph's recursive CTE and
+    // knows nothing about the delta construction.
+    "q_graph_bfs_incremental" ->
+      (ringWalkCte + """
+         SELECT v, CAST(level AS INT) AS level FROM lv ORDER BY v"""),
     "q_graph_dfs_leaves" ->
       (ringWalkCte + """,
        par AS (
@@ -1161,6 +1240,18 @@ object GraphQueries extends QueryModule {
              AS r_e6
          FROM agg""",
     "q_graph_triangles" ->
+      """WITH e AS (
+           SELECT c_custkey AS src, (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst FROM customer
+           UNION ALL SELECT c_custkey, (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer
+           UNION ALL SELECT c_custkey, (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer),
+         und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                 FROM e WHERE src <> dst)
+         SELECT COUNT(*) AS n_triangles
+         FROM und x JOIN und y ON x.b = y.a JOIN und z ON z.a = x.a AND z.b = y.b""",
+    // Incremental maintenance must equal the full enumeration of the NEW
+    // snapshot — the oracle is q_graph_triangles' complete-graph wedge
+    // count and knows nothing about the delta construction.
+    "q_graph_triangles_incremental" ->
       """WITH e AS (
            SELECT c_custkey AS src, (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst FROM customer
            UNION ALL SELECT c_custkey, (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer

@@ -311,6 +311,65 @@ class GraphSpec extends SparkSpec {
     assert(inc(11L) == 1L && inc(31L) == 20L && inc(41L) == 40L)
   }
 
+  test("incrementalBfsLevels(state, delta) == full BFS on the merged graph") {
+    import spark.implicits._
+    def df(e: Seq[(Long, Long)]) = e.toDF("src", "dst")
+    // base: a long chain 0->1->2->3->4->5 plus a detached pair 10->11
+    // (unreachable in v1), so the deltas exercise BOTH improvement kinds:
+    // a shortcut that LOWERS existing levels several hops deep, and an
+    // edge that REACHES previously-unreachable vertices.
+    val base = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+    // delta: 0->3 (drops 3,4,5 by two levels — a multi-hop cascade) and
+    // 5->10 (pulls the {10,11} island into reach)
+    val delta = Seq((0L, 3L), (5L, 10L))
+    val full = df(base ++ delta)
+    def toMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val prev = GraphOps.bfsLevels(spark, df(base), 0L)
+    val inc = toMap(GraphOps.incrementalBfsLevels(spark, full, prev, df(delta)))
+    val fullBfs = toMap(GraphOps.bfsLevels(spark, full, 0L))
+    assert(inc == fullBfs, "incremental maintenance diverges from full BFS")
+    assert(inc(3L) == 1 && inc(5L) == 3 && inc(11L) == 5,
+      "cascade did not propagate the shortcut and the new island")
+    // a delta edge whose source is unreachable must contribute nothing
+    val noop = toMap(GraphOps.incrementalBfsLevels(
+      spark, df(base :+ (97L -> 98L)), prev, Seq((97L, 98L)).toDF("src", "dst")))
+    assert(noop == toMap(GraphOps.bfsLevels(spark, df(base), 0L)),
+      "an unreachable-source insert must leave the state unchanged")
+  }
+
+  test("triangleDelta: prev_total + delta == full count across 1/2/3-new-edge triangles") {
+    import spark.implicits._
+    def canon(e: Seq[(Long, Long)]) = e.map { case (x, y) =>
+      (math.min(x, y), math.max(x, y))
+    }.distinct.toDF("a", "b")
+    // base: open wedge 4-5-6, single edge 7-8, and a spare old edge 1-2
+    val base = Seq((4L, 5L), (5L, 6L), (7L, 8L), (1L, 2L))
+    // delta closes/creates triangles with exactly 1, 2, and 3 new edges:
+    // (4,6) closes the wedge (1 new); (8,9)+(7,9) complete 7-8-9 (2 new);
+    // (2,3)+(1,3) with... no — {1,2,3}: (1,2) old, so use fresh {10,11,12}
+    val delta = Seq((4L, 6L), (8L, 9L), (7L, 9L),
+      (10L, 11L), (11L, 12L), (10L, 12L))
+    val undPrev = canon(base)
+    val undFull = canon(base ++ delta)
+    val inserted = undFull.join(undPrev, Seq("a", "b"), "left_anti")
+    val tris = GraphOps.triangleDelta(undFull, inserted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // each triangle appears ONCE despite being reachable through 1, 2, or
+    // 3 of its inserted edges
+    assert(tris == Set((4L, 5L, 6L), (7L, 8L, 9L), (10L, 11L, 12L)),
+      s"got $tris")
+    // and 0 previous triangles + 3 delta == the full enumeration
+    val wedges = undFull.as("x").join(undFull.as("y"),
+        org.apache.spark.sql.functions.col("x.b") ===
+          org.apache.spark.sql.functions.col("y.a"))
+      .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))
+    val fullCount = wedges.join(
+        undFull.select(col("a").as("ca"), col("b").as("cb")),
+        col("a") === col("ca") && col("c") === col("cb"), "left_semi").count()
+    assert(fullCount == 3L && tris.size.toLong == fullCount)
+  }
+
   test("dagLayers: driver Kahn gate path == distributed BSP loop") {
     // same gate-equality discipline as connectedComponents: the two paths
     // must agree layer-for-layer on a real fixture DAG
