@@ -220,7 +220,7 @@ object Bench {
     val cacheConsumers = Seq(
       "sigma_bfs" -> Seq("q_graph_bfs", "q_graph_dfs_leaves", "q_graph_khop",
         "q_graph_betweenness", "q_graph_betweenness_multi", "q_graph_closeness",
-        "q_graph_ecc"),
+        "q_graph_ecc", "q_graph_harmonic"),
       "brandes_deltas" -> Seq("q_graph_betweenness", "q_graph_betweenness_multi"),
       "labelprop" -> Seq("q_graph_labelprop", "q_graph_modularity"),
       "lsh_pairs" -> Seq("q_dedup_minhash", "q_dedup_cluster"),

@@ -572,6 +572,24 @@ object GraphQueries extends QueryModule {
           expr("((n_reached - 1) * 1000000) div total_dist"))
         .orderBy("seed")),
 
+    // Harmonic centrality over the SAME seed sample — the
+    // disconnected-graph-robust closeness variant (unreachable vertices
+    // contribute 0 instead of poisoning the mean, so it needs no
+    // reachability normalization): harmonic(s) = Σ_{v≠s} 1/d(s,v). FIFTH
+    // consumer of the shared σ-BFS cache — the marginal cost of another
+    // centrality over an already-paid traversal is one aggregation, the
+    // whole point of the multi-source batching. Per-term 1/d is taken in
+    // exact integer micro-units (1000000 div d) before the sum, so the
+    // result is engine-portable integer arithmetic end-to-end (a double
+    // Σ1/d would flicker in the last ulp across summation orders).
+    "q_graph_harmonic" -> ((s, dir) =>
+      ringSigma(s, dir)._2
+        .filter(col("level") > 0)
+        .groupBy("seed")
+        .agg(sum(expr("1000000 div level")).as("harmonic_e6"),
+          count(lit(1)).as("n_reached"))
+        .orderBy("seed")),
+
     // Eccentricity / diameter estimation — the iterative-doubling
     // alternative no one runs at scale is all-pairs; the practice
     // (iFUB-style) is exact per-seed eccentricity over a seed sample,
@@ -1523,6 +1541,26 @@ object GraphQueries extends QueryModule {
            CAST(((COUNT(*) - 1) * 1000000) // CAST(SUM(level) AS BIGINT) AS BIGINT)
              AS closeness_e6
          FROM lv GROUP BY seed ORDER BY seed"""
+    },
+    // Identical multi-seed walk; per-term integer micro-unit reciprocal
+    // before the SUM, mirroring the Spark side's exact arithmetic.
+    "q_graph_harmonic" -> {
+      val seedsSql = closenessSeeds.mkString(", ")
+      s"""WITH RECURSIVE e AS (
+           SELECT c_custkey AS src, (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst FROM customer
+           UNION ALL
+           SELECT c_custkey, (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer
+           UNION ALL
+           SELECT c_custkey, (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer),
+         walk(seed, v, lvl) AS (
+           SELECT CAST(s AS BIGINT), CAST(s AS BIGINT), 0
+           FROM (SELECT UNNEST([$seedsSql]) AS s)
+           UNION
+           SELECT w.seed, e.dst, w.lvl+1 FROM walk w JOIN e ON e.src = w.v WHERE w.lvl < 40),
+         lv AS (SELECT seed, v, MIN(lvl) AS level FROM walk GROUP BY seed, v)
+         SELECT seed, CAST(SUM(1000000 // level) AS BIGINT) AS harmonic_e6,
+           COUNT(*) AS n_reached
+         FROM lv WHERE level > 0 GROUP BY seed ORDER BY seed"""
     },
     // Identical multi-seed walk; ecc = per-seed MAX level, diam_lb = the
     // sample max cross-joined back.
