@@ -166,23 +166,42 @@ object GraphOps {
     levels
   }
 
-  /** One [[multiGraphBfs]] superstep, exposed (like [[expandOnce]]) so
-    * ScaleSpec can assert the two scale invariants directly: the frontier
-    * join keys on BOTH (graph, src) — a graph-only key would funnel each
-    * whole graph through one task — and both the frontier and seen-set
-    * joins flip broadcast → shuffle past the size gate. */
-  private[graft] def multiGraphExpandOnce(e: DataFrame, f: DataFrame,
-      seen: DataFrame, level: Int, seenCount: Long, broadcastSeenLimit: Long,
+  /** One FUSED two-level [[multiGraphBfs]] superstep, exposed (like
+    * [[expandOnce]]) so ScaleSpec can assert the scale invariants
+    * directly: the frontier join keys on BOTH (graph, src) — a graph-only
+    * key would funnel each whole graph through one task — and both the
+    * frontier and seen-set joins flip broadcast → shuffle past the size
+    * gate. The fusion is classic frontier doubling: hop-1 candidates
+    * (frontier level + 1) and hop-2 candidates (level + 2, the hop-1
+    * plan re-joined against the edges INSIDE the same job) union into one
+    * min-level group-by and ONE seen anti-join, so each barrier advances
+    * TWO BFS levels — exact, because a vertex at true distance d is
+    * unreachable by any walk shorter than d (labels never undershoot) and
+    * its shortest-path predecessor chain puts a label-exact parent in the
+    * frontier of round ⌈d/2⌉ (the exact label is always among the
+    * candidates the min picks from). Hop-2 re-expands not-yet-pruned
+    * hop-1 candidates (bounded by frontier × out-degree) — the price of
+    * halving the barrier count, cheap next to a materialization at every
+    * level. */
+  private[graft] def multiGraphExpandTwice(e: DataFrame, f: DataFrame,
+      seen: DataFrame, seenCount: Long, broadcastSeenLimit: Long,
       frontierCount: Long): DataFrame = {
-    val fr = f.select(col("graph").as("fg"), col("v").as("fv"))
-    val fj = if (frontierCount <= broadcastSeenLimit) broadcast(fr) else fr.hint("merge")
-    val grown = e.join(fj, e("graph") === col("fg") && e("src") === col("fv"))
-      .select(e("graph"), e("dst").as("v")).distinct()
-    val pruned =
-      if (seenCount <= broadcastSeenLimit)
-        grown.join(broadcast(seen.select("graph", "v")), Seq("graph", "v"), "left_anti")
-      else grown.join(seen.select("graph", "v").hint("merge"), Seq("graph", "v"), "left_anti")
-    pruned.withColumn("level", lit(level))
+    def hop(fr0: DataFrame): DataFrame = {
+      val fr = fr0.select(col("graph").as("fg"), col("v").as("fv"),
+        col("level").as("fl"))
+      val fj = if (frontierCount <= broadcastSeenLimit) broadcast(fr)
+               else fr.hint("merge")
+      e.join(fj, e("graph") === col("fg") && e("src") === col("fv"))
+        .select(e("graph"), e("dst").as("v"),
+          (col("fl") + 1).cast("int").as("level"))
+    }
+    val hop1 = hop(f)
+    val cand = hop1.union(hop(hop1))
+      .groupBy("graph", "v").agg(min("level").as("level"))
+    if (seenCount <= broadcastSeenLimit)
+      cand.join(broadcast(seen.select("graph", "v")), Seq("graph", "v"), "left_anti")
+    else
+      cand.join(seen.select("graph", "v").hint("merge"), Seq("graph", "v"), "left_anti")
   }
 
   /** Per-graph BFS levels for EVERY graph in ONE BSP job — the scale
@@ -212,26 +231,23 @@ object GraphOps {
     var frontier = levels
     var seenCount = levels.count()
     var frontierCount = seenCount
-    def expand(f: DataFrame, seen: DataFrame, level: Int): DataFrame =
-      multiGraphExpandOnce(e, f, seen, level, seenCount, broadcastSeenLimit,
-        frontierCount).localCheckpoint(true)
     var i = 0
     var done = false
+    // ONE materialization + ONE count per TWO BFS levels (the fused
+    // two-hop superstep) — the loop's cost is barrier-bound, so halving
+    // the barrier count is the lever that matters at local[32] and on a
+    // real cluster alike.
     while (i < maxIter && !done) {
-      val next1 = expand(frontier, levels, i + 1)
-      val n1 = next1.count()
-      if (n1 == 0) done = true
+      val next = multiGraphExpandTwice(e, frontier, levels, seenCount,
+        broadcastSeenLimit, frontierCount).localCheckpoint(true)
+      val n = next.count()
+      if (n == 0) done = true
       else {
-        seenCount += n1
-        frontierCount = n1
-        val seen1 = levels.union(next1)
-        val next2 = expand(next1, seen1, i + 2)
-        val n2 = next2.count()
-        seenCount += n2
-        frontierCount = n2
-        val u = seen1.union(next2)
+        seenCount += n
+        frontierCount = n
+        val u = levels.union(next)
         levels = if (i % 4 >= 2) u.localCheckpoint(true) else u
-        if (n2 == 0) done = true else frontier = next2
+        frontier = next
       }
       i += 2
     }

@@ -174,13 +174,16 @@ class ScaleSpec extends SparkSpec {
     val e = Seq(("a", 0L, 1L), ("b", 0L, 2L)).toDF("graph", "src", "dst")
     val f = Seq(("a", 0L, 0), ("b", 0L, 0)).toDF("graph", "v", "level")
     def planOf(seenCount: Long, frontierCount: Long): String =
-      graft.plans.GraphOps.multiGraphExpandOnce(e, f, f, 1, seenCount, 1000L,
+      graft.plans.GraphOps.multiGraphExpandTwice(e, f, f, seenCount, 1000L,
         frontierCount).queryExecution.executedPlan.toString
     // the frontier join must key on BOTH graph and vertex — a graph-only
     // key funnels each whole graph through one task at 100 TB
     val small = planOf(10L, 10L)
+    // the frontier join is the INNER edge⋈frontier join (the seen prune is
+    // a separate LeftAnti, which AQE may push below the union)
     val joinLine = small.linesIterator
-      .find(l => l.contains("Join") && l.contains("graph")).getOrElse("")
+      .find(l => l.contains("Join") && l.contains("Inner") && l.contains("fg"))
+      .getOrElse("")
     assert(joinLine.contains("graph") && (joinLine.contains("src") || joinLine.contains("fv")),
       s"frontier join must key on (graph, vertex):\n${small.take(800)}")
     assert(small.matches("(?s).*BroadcastHashJoin.*LeftAnti.*"),
