@@ -708,6 +708,66 @@ object StreamingOps extends QueryModule {
         .orderBy("user_id")
     }),
 
+    // STREAMING GRAPH-ANALYTICS MAINTENANCE — the end-to-end join of the
+    // CDC commit-log discipline with the incremental graph family: the
+    // hierarchy graph's DIRECTED edges replay as 4 hash-chunked
+    // microbatches (no meaningful order — CC maintenance is commutative,
+    // each state is the exact components of the edges applied so far),
+    // and every batch advances the component state via
+    // [[graft.plans.GraphOps.incrementalConnectedComponents]] — per-batch
+    // work ∝ batch size + touched components, NEVER the accumulated
+    // graph, which is what lets a 100 TB edge stream maintain components
+    // without re-running CC per trigger. Each merged state commits as a
+    // VersionedGraphStore version (idempotent per batchId, time travel
+    // over component history for free). The oracle is q_graph_cc's full
+    // recursive CTE over the COMPLETE graph: the hash compare proves
+    // fold(incremental, batches) == full(all edges).
+    "q_stream_graph_cc" -> ((s, dir) => {
+      import graft.plans.GraphOps
+      val base = chunksDir(dir, "graphcc")
+      val chunks = base + "_chunks"
+      ensureStaged(chunks) {
+        val n = Tables.raw(s, dir, "nation")
+        val c = Tables.raw(s, dir, "customer")
+        n.select((col("n_nationkey") + 10).cast("long").as("src"),
+            col("n_regionkey").cast("long").as("dst"))
+          .union(c.select((col("c_custkey") + 100).cast("long").as("src"),
+            (col("c_nationkey") + 10).cast("long").as("dst")))
+          .repartition(4, col("src"))
+          .write.mode("overwrite").parquet(chunks)
+      }
+      val (state, ck) = (base + "_state", base + "_ck")
+      Seq(state, ck).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("src", LongType), StructField("dst", LongType)))
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(chunks)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val ss = batch.sparkSession
+          // symmetrize per batch (batches partition the directed edges,
+          // so the union of per-batch symmetrizations is the symmetrized
+          // graph); compact to the batch's distinct edges first
+          val sym = batch.union(
+              batch.select(col("dst").as("src"), col("src").as("dst")))
+            .distinct().localCheckpoint(true)
+          applyBatchIdempotent(state, batchId)(
+            cdcState(ss, state) match {
+              case None       => GraphOps.connectedComponents(ss, sym)
+              case Some(prev) => GraphOps.incrementalConnectedComponents(ss, prev, sym)
+            })
+          ()
+        }.start()
+      q.awaitTermination()
+      graft.sources.VersionedGraphStore.load(s, state)
+        .groupBy("comp")
+        .agg(count(lit(1)).as("n_members"), min("v").as("min_v"), max("v").as("max_v"))
+        .orderBy("comp")
+    }),
+
     // Session windows (30-minute gap) per user — batch session_window (the
     // streaming variant requires append mode + watermark, which withholds
     // the final unexpired sessions, so batch is the oracle-comparable form;
@@ -1002,6 +1062,23 @@ object StreamingOps extends QueryModule {
            SELECT user_id, value, ts, ROW_NUMBER() OVER (PARTITION BY user_id
              ORDER BY ts DESC, event_id DESC) AS rn
            FROM events WHERE event_id % 4 < 3) WHERE rn = 1 ORDER BY user_id""",
+    // The COMPLETE hierarchy graph's components (q_graph_cc's oracle
+    // verbatim) — the oracle knows nothing about batching, commit-log
+    // versions, or the incremental contraction, so a wrong merge in ANY
+    // microbatch fails the compare.
+    "q_stream_graph_cc" ->
+      """WITH RECURSIVE e AS (
+           SELECT CAST(n_nationkey+10 AS BIGINT) AS src, CAST(n_regionkey AS BIGINT) AS dst FROM nation
+           UNION ALL SELECT CAST(n_regionkey AS BIGINT), CAST(n_nationkey+10 AS BIGINT) FROM nation
+           UNION ALL SELECT CAST(c_custkey+100 AS BIGINT), CAST(c_nationkey+10 AS BIGINT) FROM customer
+           UNION ALL SELECT CAST(c_nationkey+10 AS BIGINT), CAST(c_custkey+100 AS BIGINT) FROM customer),
+         reach(v, root) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.v),
+         comp AS (SELECT v, MIN(root) AS comp FROM reach GROUP BY v)
+         SELECT comp, COUNT(*) AS n_members, MIN(v) AS min_v, MAX(v) AS max_v
+         FROM comp GROUP BY comp ORDER BY comp""",
     // The same gaps-and-islands session rebuild as q_session_window
     // (session end = last event + the 30 min gap), restricted to the
     // watermark-closed surface exactly like the Spark side. Ties on
