@@ -371,6 +371,24 @@ object GraphQueries extends QueryModule {
         .filter(col("pr") >= 0.000001)
         .orderBy("v")),
 
+    // WARM-START ("delta") PageRank — the rank-family maintenance query:
+    // the previous snapshot (ring graph minus the out-edges of ~1% of
+    // sources) contributes only its STORED 10-iteration ranks; the new
+    // snapshot resumes the power iteration from them for 3 iterations
+    // ([[GraphOps.pageRankWarmStart]] — geometric convergence means a
+    // small delta needs a handful of warm steps where a cold start needs
+    // its full budget; GraphSpec pins warm-3 strictly closer to the new
+    // fixpoint than cold-3). Deterministic semantics (prev in, 3 exact
+    // recurrence steps out), so the oracle unrolls the identical
+    // 10-then-3 recurrence over the two edge sets.
+    "q_graph_pagerank_incremental" -> ((s, dir) => {
+      val all = ringEdges(s, dir)
+      val prev = GraphOps.pageRank(s, all.filter(col("src") % 97 =!= 1), 10)
+      GraphOps.pageRankWarmStart(s, all, prev, 3)
+        .select(col("v"), round(col("pr"), 6).as("pr"))
+        .orderBy("v")
+    }),
+
     // WEIGHTED PageRank over the ring graph with the same deterministic
     // 1..5 weights q_graph_sssp uses: the surfer follows (u,v) with
     // probability w/Σw — the affinity/multigraph variant. Shares
@@ -1062,6 +1080,43 @@ object GraphQueries extends QueryModule {
           pr0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS pr FROM verts),
           $steps
           SELECT v, ROUND(pr, 6) AS pr FROM pr10 ORDER BY v"""
+    },
+    "q_graph_pagerank_incremental" -> {
+      // 10 unrolled iterations over the PREVIOUS edge set, then a warm
+      // init on the new vertex set (COALESCE to the cold 1.0 for unseen
+      // vertices) and 3 unrolled iterations over the FULL edge set —
+      // exactly the recurrence pageRankWarmStart runs; every literal
+      // cast to DOUBLE as in q_graph_pagerank.
+      val ringE =
+        """SELECT c_custkey AS src, (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst FROM customer
+           UNION ALL SELECT c_custkey, (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer
+           UNION ALL SELECT c_custkey, (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer"""
+      def step(out: String, in: String, e: String, verts: String,
+          deg: String) =
+        s"""$out AS (
+             SELECT t.v, CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE)
+               * COALESCE(SUM(p.pr / dg.d), CAST(0 AS DOUBLE)) AS pr
+             FROM $verts t
+             LEFT JOIN $e ON $e.dst = t.v
+             LEFT JOIN $in p ON p.v = $e.src
+             LEFT JOIN $deg dg ON dg.v = $e.src
+             GROUP BY t.v)"""
+      val cold = (1 to 10).map(i =>
+        step(s"p$i", s"p${i - 1}", "e1", "v1", "d1")).mkString(",\n")
+      val warm = (1 to 3).map(i =>
+        step(s"w$i", s"w${i - 1}", "e2", "v2", "d2")).mkString(",\n")
+      s"""WITH e2 AS ($ringE),
+          e1 AS (SELECT src, dst FROM e2 WHERE src % 97 <> 1),
+          v1 AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e1 UNION ALL SELECT dst FROM e1)),
+          d1 AS (SELECT src AS v, COUNT(*) AS d FROM e1 GROUP BY src),
+          p0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS pr FROM v1),
+          $cold,
+          v2 AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e2 UNION ALL SELECT dst FROM e2)),
+          d2 AS (SELECT src AS v, COUNT(*) AS d FROM e2 GROUP BY src),
+          w0 AS (SELECT v2.v, COALESCE(p10.pr, CAST(1.0 AS DOUBLE)) AS pr
+                 FROM v2 LEFT JOIN p10 ON p10.v = v2.v),
+          $warm
+          SELECT v, ROUND(pr, 6) AS pr FROM w3 ORDER BY v"""
     },
     "q_graph_pagerank_weighted" -> {
       // Same unrolled recurrence as q_graph_pagerank with weighted mass:

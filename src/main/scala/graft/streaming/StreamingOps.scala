@@ -762,6 +762,12 @@ object StreamingOps extends QueryModule {
           ()
         }.start()
       q.awaitTermination()
+      // 4 data chunks → >= 4 committed component-state versions (a
+      // no-data trailing batch may add one more); fail loudly if the
+      // replay didn't actually maintain state across >= 4 microbatches
+      val vs = graft.sources.VersionedGraphStore.versions(state)
+      require(vs.size >= 4,
+        s"expected >= 4 committed component-state versions, got $vs")
       graft.sources.VersionedGraphStore.load(s, state)
         .groupBy("comp")
         .agg(count(lit(1)).as("n_members"), min("v").as("min_v"), max("v").as("max_v"))

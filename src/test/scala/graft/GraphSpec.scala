@@ -370,6 +370,41 @@ class GraphSpec extends SparkSpec {
     assert(fullCount == 3L && tris.size.toLong == fullCount)
   }
 
+  test("pageRankWarmStart: 3 warm iterations beat 3 cold ones, 0 iterations return the state") {
+    // the query's exact setup at sf0.001: the ring graph with the
+    // out-edges of src % 97 == 1 (~1% of sources) held out of v1 — a
+    // genuinely small delta. (On a tiny near-regular graph like the G6
+    // fixture warm does NOT beat cold: the un-normalized cold init 1.0 is
+    // already near the fixpoint there — the advantage needs rank variance
+    // plus a delta that is small RELATIVE to the graph.)
+    val c = Tables(spark, sfDir, "customer").select(col("c_custkey"))
+    val n = c.count()
+    val edges = Seq((2L, 1L), (5L, 7L), (16L, 3L)).map { case (m, a) =>
+      c.select(col("c_custkey").cast("long").as("src"),
+        ((col("c_custkey") * m + a) % n).cast("long").as("dst"))
+    }.reduce(_ union _)
+    val prevEdges = edges.filter(col("src") % 97 =!= 1)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val prev = GraphOps.pageRank(spark, prevEdges, 10)
+    // iterations = 0 must return the stored state verbatim on the same
+    // vertex set (the warm init IS the state)
+    val same = toMap(GraphOps.pageRankWarmStart(spark, prevEdges, prev, 0))
+    val prevM = toMap(prev)
+    assert(same.keySet == prevM.keySet &&
+      same.forall { case (v, p) => math.abs(p - prevM(v)) < 1e-12 })
+    // warm-start on the FULL graph: 3 warm iterations from the previous
+    // fixpoint must land strictly closer to the new fixpoint than 3 cold
+    // ones from the uniform vector — the whole point of rank maintenance
+    val fix = toMap(GraphOps.pageRank(spark, edges, 50))
+    def dist(m: Map[Long, Double]) =
+      m.map { case (v, p) => math.abs(p - fix(v)) }.max
+    val warm = dist(toMap(GraphOps.pageRankWarmStart(spark, edges, prev, 3)))
+    val cold = dist(toMap(GraphOps.pageRank(spark, edges, 3)))
+    assert(warm < cold,
+      s"warm residual $warm must beat cold residual $cold")
+  }
+
   test("dagLayers: driver Kahn gate path == distributed BSP loop") {
     // same gate-equality discipline as connectedComponents: the two paths
     // must agree layer-for-layer on a real fixture DAG
