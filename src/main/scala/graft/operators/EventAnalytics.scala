@@ -214,6 +214,34 @@ object EventAnalytics extends QueryModule {
         .orderBy("event_type", "h")
     }),
 
+    // EWMA smoothing per user — the time-series recurrence a window
+    // function CANNOT express (each output depends on the previous
+    // OUTPUT, not a fixed frame of inputs): e_1 = cents_1, e_t =
+    // (cents_t + e_{t-1}) div 2 — α = 1/2 in exact integer cents, so the
+    // fold is engine-portable with no floating-point drift. Plan shape:
+    // ONE shuffle (groupBy user), then `sort_array ∘ collect_list` orders
+    // each bounded per-user series by (ts, event_id) and a codegen'd
+    // higher-order `aggregate` runs the fold — no UDF, no driver loop.
+    // For an UNBOUNDED per-key series the same fold moves to
+    // mapGroupsWithState (q_stream_stateful's shape); for bounded series
+    // (sessions, user histories) the array fold is the cheaper plan.
+    "q_ts_ewma" -> ((s, dir) => {
+      val cents = floor(col("value") * 100 + 0.5).cast("long")
+      t(s, dir, "events")
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"), cents.as("cents")).as("rec"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(col("rec"))).as("recs"))
+        .select(col("user_id"),
+          size(col("recs")).cast("long").as("n_events"),
+          expr("""aggregate(transform(recs, r -> r.cents),
+                   named_struct('started', false, 'acc', CAST(0 AS BIGINT)),
+                   (a, x) -> named_struct('started', true,
+                     'acc', IF(a.started, (x + a.acc) div 2, x)),
+                   a -> a.acc)""").as("ewma_cents"))
+        .orderBy("user_id")
+    }),
+
     // Metric anomaly detection — the monitoring operator a pipeline runs
     // over its own event volumes: per (event_type, hour) bucket, flag
     // hours whose event count or value mass deviates from that type's
@@ -364,6 +392,23 @@ object EventAnalytics extends QueryModule {
          FROM spine s LEFT JOIN hourly ON hourly.event_type = s.event_type
            AND hourly.h = s.h
          ORDER BY s.event_type, s.h""",
+    // The identical integer recurrence as a recursive CTE over the
+    // per-user row sequence — recursion depth = the longest per-user
+    // series; the final row per user is the arg-max rn.
+    "q_ts_ewma" ->
+      """WITH RECURSIVE e AS (SELECT user_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         rec AS (
+           SELECT user_id, rn, cents AS ewma FROM e WHERE rn = 1
+           UNION ALL
+           SELECT e.user_id, e.rn, (e.cents + r.ewma) // 2
+           FROM rec r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+         SELECT r.user_id, r.rn AS n_events, r.ewma AS ewma_cents
+         FROM rec r
+         JOIN (SELECT user_id, MAX(rn) AS m FROM rec GROUP BY user_id) x
+           ON x.user_id = r.user_id AND r.rn = x.m
+         ORDER BY r.user_id""",
     // Same integer cross-multiplied 2σ test; CASTs keep DuckDB's HUGEINT
     // sums inside BIGINT so the comparison arithmetic matches Spark's.
     "q_events_anomaly" -> anomalySql,
