@@ -811,6 +811,25 @@ object GraphQueries extends QueryModule {
         .select((col("prev") + col("d")).as("n_triangles"))
     }),
 
+    // Minimum-spanning-forest construction — 2 bounded Borůvka rounds
+    // over the canonical undirected ring graph with deterministic
+    // 1..7 weights ([[GraphOps.boruvka]]): per round every component
+    // picks its minimum incident outgoing edge (lexicographic (w, a, b)
+    // tie-break, so the choice is engine-portable) and contracts through
+    // the chosen set. Bounded rounds = the q_graph_kcore fixed-unroll
+    // discipline, which lets the oracle replay the identical per-round
+    // choices; GraphSpec separately runs rounds to convergence and pins
+    // the forest weight against in-memory Kruskal.
+    "q_graph_msf" -> ((s, dir) => {
+      val und = ringEdges(s, dir).filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+        .withColumn("w", (lit(1) + (col("a") * 3 + col("b")) % 7).cast("long"))
+      val (_, chosen) = GraphOps.boruvka(s, und, 2)
+      chosen.orderBy("round", "a", "b")
+    }),
+
     // DIRECTED strongly connected components (coloring FW-BW rounds,
     // [[GraphOps.stronglyConnectedComponents]]) over the block-cycle
     // graph: one row per component. The oracle is an honest
@@ -1321,6 +1340,44 @@ object GraphQueries extends QueryModule {
                  FROM e WHERE src <> dst)
          SELECT COUNT(*) AS n_triangles
          FROM und x JOIN und y ON x.b = y.a JOIN und z ON z.a = x.a AND z.b = y.b""",
+    // Two Borůvka rounds replayed exactly: per-component min outgoing
+    // edge via ROW_NUMBER over (w, a, b), contraction via a min-label
+    // reachability closure over each round's chosen set.
+    "q_graph_msf" -> {
+      val ringE =
+        """SELECT c_custkey AS src, (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst FROM customer
+           UNION ALL SELECT c_custkey, (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer
+           UNION ALL SELECT c_custkey, (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer"""
+      def round(i: Int, labels: String) =
+        s"""x$i AS (SELECT ew.a, ew.b, ew.w, la.comp AS ca, lb.comp AS cb
+              FROM ew JOIN $labels la ON la.v = ew.a
+                      JOIN $labels lb ON lb.v = ew.b
+              WHERE la.comp <> lb.comp),
+            i$i AS (SELECT ca AS comp, w, a, b, ca, cb FROM x$i
+                    UNION ALL SELECT cb AS comp, w, a, b, ca, cb FROM x$i),
+            c$i AS (SELECT DISTINCT w, a, b, ca, cb FROM (
+                      SELECT comp, w, a, b, ca, cb,
+                        ROW_NUMBER() OVER (PARTITION BY comp ORDER BY w, a, b) AS rn
+                      FROM i$i) WHERE rn = 1),
+            g$i AS (SELECT ca AS x, cb AS y FROM c$i UNION SELECT cb, ca FROM c$i),
+            r$i AS (SELECT x, x AS root FROM (SELECT DISTINCT x FROM g$i)
+                    UNION SELECT g$i.y, r$i.root FROM r$i JOIN g$i ON g$i.x = r$i.x),
+            m$i AS (SELECT x, MIN(root) AS nc FROM r$i GROUP BY x)"""
+      s"""WITH RECURSIVE e0 AS ($ringE),
+          ew AS (SELECT a, b, 1 + (a*3 + b) % 7 AS w FROM
+            (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+             FROM e0 WHERE src <> dst)),
+          l0 AS (SELECT DISTINCT v, v AS comp
+                 FROM (SELECT a AS v FROM ew UNION ALL SELECT b FROM ew)),
+          ${round(1, "l0")},
+          l1 AS (SELECT l0.v, COALESCE(m1.nc, l0.comp) AS comp
+                 FROM l0 LEFT JOIN m1 ON m1.x = l0.comp),
+          ${round(2, "l1")}
+          SELECT CAST(1 AS INT) AS round, a, b, CAST(w AS BIGINT) AS w FROM c1
+          UNION ALL
+          SELECT CAST(2 AS INT), a, b, CAST(w AS BIGINT) FROM c2
+          ORDER BY round, a, b"""
+    },
     // Incremental maintenance must equal the full enumeration of the NEW
     // snapshot — the oracle is q_graph_triangles' complete-graph wedge
     // count and knows nothing about the delta construction.

@@ -1287,6 +1287,70 @@ object GraphOps {
     levels
   }
 
+  /** Bounded Borůvka rounds over a canonical undirected weighted edge set
+    * `(a, b, w)` (a<b) — THE minimum-spanning-forest algorithm that fits
+    * BSP execution (Kruskal needs a sequential union-find, Prim a
+    * sequential frontier; Borůvka's per-round work is two vertex-keyed
+    * joins + one per-component min + one contraction, all shuffle-
+    * parallel, and the component count at least halves per round, so
+    * O(log V) rounds finish the forest). Each round: every component
+    * picks its minimum incident OUTGOING edge — deterministic via
+    * lexicographic (w, a, b), so ties never make the choice engine- or
+    * partition-order-dependent — the chosen edges join the forest, and
+    * components contract through [[connectedComponents]] on the
+    * component-level graph (chosen edges only — contraction input is one
+    * edge per live component, never the full graph). Rounds are BOUNDED
+    * (the fixed-unroll discipline of q_graph_kcore/labelprop, which is
+    * what lets the DuckDB oracle replay the identical per-round choices);
+    * run with `rounds ≥ log2(V)` to reach the complete forest, which
+    * GraphSpec pins against in-memory Kruskal by total weight.
+    * Returns (labels `(v, comp)` after the last round,
+    * chosen `(round, a, b, w)` — the forest edges so far).
+    */
+  def boruvka(spark: SparkSession, und: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
+    val e = und.select(col("a").cast("long"), col("b").cast("long"),
+      col("w").cast("long")).localCheckpoint(true)
+    var labels = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .distinct().withColumn("comp", col("v")).localCheckpoint(true)
+    val chosenRounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val la = labels.select(col("v").as("a"), col("comp").as("ca"))
+      val lb = labels.select(col("v").as("b"), col("comp").as("cb"))
+      val outgoing = e.join(la, Seq("a")).join(lb, Seq("b"))
+        .filter(col("ca") =!= col("cb"))
+      // every edge is incident to BOTH endpoint components; min of the
+      // (w, a, b, ...) struct is the deterministic per-component choice
+      val pick = struct(col("w"), col("a"), col("b"), col("ca"), col("cb"))
+      val chosen = outgoing
+        .select(col("ca").as("comp"), pick.as("e"))
+        .union(outgoing.select(col("cb").as("comp"), pick.as("e")))
+        .groupBy("comp").agg(min("e").as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"), col("e.w").as("w"),
+          col("e.ca").as("ca"), col("e.cb").as("cb"))
+        .distinct().localCheckpoint(true)
+      if (chosen.isEmpty) done = true
+      else {
+        chosenRounds += chosen.select(lit(r).as("round"), col("a"), col("b"), col("w"))
+        // contract on the COMPONENT graph: |edges| = |chosen| ≤ live comps
+        val ce = chosen.select(col("ca").as("src"), col("cb").as("dst"))
+        val remap = connectedComponents(spark,
+            ce.union(ce.select(col("dst").as("src"), col("src").as("dst"))))
+          .select(col("v").as("comp"), col("comp").as("nc"))
+        labels = labels.join(remap, Seq("comp"), "left")
+          .select(col("v"), coalesce(col("nc"), col("comp")).as("comp"))
+          .localCheckpoint(true)
+      }
+      r += 1
+    }
+    val chosen = chosenRounds.reduceOption(_ union _).getOrElse(
+      e.sparkSession.emptyDataFrame
+        .select(lit(0).as("round"), lit(0L).as("a"), lit(0L).as("b"), lit(0L).as("w"))
+        .limit(0))
+    (labels, chosen)
+  }
+
   /** Distinct triangles that contain ≥1 inserted edge — the delta term of
     * INCREMENTAL triangle-count maintenance (the [[incrementalConnectedComponents]]
     * discipline applied to the motif family): every triangle of the new

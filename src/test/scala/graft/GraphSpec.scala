@@ -405,6 +405,40 @@ class GraphSpec extends SparkSpec {
       s"warm residual $warm must beat cold residual $cold")
   }
 
+  test("boruvka to convergence matches in-memory Kruskal forest weight") {
+    val edges = AdjacencyCodec.read(spark, s"$fixtures/G6.txt")
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .withColumn("w", ((col("a") * 5 + col("b") * 11) % 13 + 1).cast("long"))
+    val es = und.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // in-memory Kruskal with the same lexicographic (w, a, b) order
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    var kruskalW = 0L
+    var kruskalN = 0
+    es.sortBy { case (a, b, w) => (w, a, b) }.foreach { case (a, b, w) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { parent(ra) = rb; kruskalW += w; kruskalN += 1 }
+    }
+    val (labels, chosen) = GraphOps.boruvka(spark, und, 10)
+    val got = chosen.collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // MSF weight is unique (and so is the edge COUNT: V - components);
+    // the edge SET may differ between algorithms only under weight ties,
+    // which both resolve deterministically but along different orders
+    assert(got.map(_._3).sum == kruskalW,
+      s"Borůvka weight ${got.map(_._3).sum} != Kruskal weight $kruskalW")
+    assert(got.length == kruskalN, "forest edge count mismatch")
+    // after convergence every remaining edge is intra-component
+    val comps = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(es.forall { case (a, b, _) => comps(a) == comps(b) },
+      "an outgoing edge survived convergence")
+  }
+
   test("dagLayers: driver Kahn gate path == distributed BSP loop") {
     // same gate-equality discipline as connectedComponents: the two paths
     // must agree layer-for-layer on a real fixture DAG
