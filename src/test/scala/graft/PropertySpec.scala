@@ -132,6 +132,64 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("incremental maintenance == full recompute on random graph/delta splits") {
+    import spark.implicits._
+    // the whole-family property: for a random graph randomly split into
+    // (base, delta-inserts), maintenance from the base state must equal
+    // the full recompute on the union — for CC (symmetrized), BFS levels,
+    // and the triangle counter. This generalizes the hand-picked fixture
+    // cases in GraphSpec to arbitrary cascade shapes.
+    val splitGen = for {
+      edges <- graphGen
+      mask <- Gen.listOfN(edges.length, Gen.prob(0.7))
+    } yield (edges, mask)
+    for (((edges, mask), i) <- samples(splitGen, 6).zipWithIndex) {
+      val base = edges.zip(mask).collect { case (e, true) => e }
+      val delta = edges.zip(mask).collect { case (e, false) => e }
+      if (delta.nonEmpty) {
+        val all = edges.toDF("src", "dst")
+        val deltaDf = delta.toDF("src", "dst")
+        // CC over the symmetrized split
+        def sym(e: Seq[(Long, Long)]) = (e ++ e.map(_.swap)).toDF("src", "dst")
+        if (base.nonEmpty) {
+          val prevCc = GraphOps.connectedComponents(spark, sym(base))
+          val inc = GraphOps.incrementalConnectedComponents(spark, prevCc, sym(delta))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val full = GraphOps.connectedComponents(spark, sym(edges))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(inc == full, s"CC sample $i: $base + $delta")
+        }
+        // BFS levels from 0 (directed)
+        val prevLv = GraphOps.bfsLevels(spark, base.toDF("src", "dst"), 0L)
+        val incLv = GraphOps.incrementalBfsLevels(spark, all, prevLv, deltaDf)
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        val fullLv = GraphOps.bfsLevels(spark, all, 0L)
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        assert(incLv == fullLv, s"BFS sample $i: $base + $delta")
+        // triangle counter over the canonical undirected sets
+        def canon(e: Seq[(Long, Long)]) = e.filter(p => p._1 != p._2)
+          .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+        val undPrev = canon(base)
+        val undFull = canon(edges)
+        val inserted = undFull.diff(undPrev)
+        if (inserted.nonEmpty && undFull.nonEmpty) {
+          def tris(und: Seq[(Long, Long)]): Set[(Long, Long, Long)] = {
+            val es = und.toSet
+            (for {
+              (a, b) <- und; (c, d) <- und if c == b
+              if es.contains((a, d)) || es.contains((d, a))
+            } yield (a, b, d)).toSet
+          }
+          val deltaTris = GraphOps.triangleDelta(
+              undFull.toDF("a", "b"), inserted.toDF("a", "b"))
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+          assert(tris(undPrev).size + deltaTris.size == tris(undFull).size,
+            s"triangles sample $i: prev=${tris(undPrev)} delta=$deltaTris full=${tris(undFull)}")
+        }
+      }
+    }
+  }
+
   test("adjacency format round-trip: codec format → V2 parse == edge set (random graphs)") {
     // ties the driver-side writer grammar to the DSv2 reader grammar on
     // random matrices — the two parsers must never drift
