@@ -36,8 +36,10 @@ object GraphOps {
     * (much smaller) freshly-grown frontier. */
   val BroadcastSeenLimit: Long = 1000000L
 
-  /** One BFS expansion superstep, exposed for plan-shape tests: grow the
-    * frontier one hop along `e`, then prune already-seen vertices. BOTH
+  /** One FUSED two-level BFS superstep, exposed for plan-shape tests:
+    * grow the frontier TWO hops along `e` (frontier doubling — hop-2 is
+    * the hop-1 plan re-joined inside the same job, exactness argued at
+    * [[multiGraphExpandTwice]]), then prune already-seen vertices. BOTH
     * joins are size-gated on the row counts the loop already tracks:
     *  - the frontier join broadcasts only while `frontierCount` is under
     *    the gate — on a low-diameter scale-free graph the middle BFS level
@@ -48,17 +50,24 @@ object GraphOps {
     *  - the seen-set anti-join is broadcast only while `seenCount` is under
     *    `broadcastSeenLimit` — past it, seen grows to O(|V|) and the plan
     *    flips to a sort-merge anti-join (shuffle on v). */
-  private[graft] def expandOnce(e: DataFrame, f: DataFrame, seen: DataFrame,
-      level: Int, seenCount: Long, broadcastSeenLimit: Long,
+  private[graft] def expandTwice(e: DataFrame, f: DataFrame, seen: DataFrame,
+      seenCount: Long, broadcastSeenLimit: Long,
       frontierCount: Long = 0L): DataFrame = {
-    val fj = if (frontierCount <= broadcastSeenLimit) broadcast(f) else f.hint("merge")
-    val grown = e.join(fj, f("v") === e("src"))
-      .select(e("dst").as("v")).distinct()
-    val pruned =
-      if (seenCount <= broadcastSeenLimit)
-        grown.join(broadcast(seen), Seq("v"), "left_anti")
-      else grown.join(seen.hint("merge"), Seq("v"), "left_anti")
-    pruned.withColumn("level", lit(level))
+    def hop(fr0: DataFrame): DataFrame = {
+      val fr = fr0.select(col("v").as("fv"), col("level").as("fl"))
+      val fj = if (frontierCount <= broadcastSeenLimit) broadcast(fr)
+               else fr.hint("merge")
+      e.join(fj, e("src") === col("fv"))
+        .select(e("dst").as("v"), (col("fl") + 1).cast("int").as("level"))
+    }
+    // frontier doubling (see [[multiGraphExpandTwice]] for the exactness
+    // argument): hop-1 and hop-2 candidates union into one min-level
+    // group-by and ONE seen anti-join, so each barrier advances two levels
+    val hop1 = hop(f)
+    val cand = hop1.union(hop(hop1)).groupBy("v").agg(min("level").as("level"))
+    if (seenCount <= broadcastSeenLimit)
+      cand.join(broadcast(seen.select("v")), Seq("v"), "left_anti")
+    else cand.join(seen.select("v").hint("merge"), Seq("v"), "left_anti")
   }
 
   /** BFS levels from `start` over `edges(src: long, dst: long)`.
@@ -75,37 +84,27 @@ object GraphOps {
     var frontierCount = 1L
     var i = 0
     var done = false
-    // Each expansion is one scan of e with a size-gated frontier join plus
-    // the size-gated seen-set prune of expandOnce. The count() below reads
-    // the just-checkpointed frontier (cached RDD, no recompute) — it is
-    // the BSP termination check, the running seen-set size, AND the
-    // frontier size that drive the broadcast→shuffle flips.
-    def expand(f: DataFrame, seen: DataFrame, level: Int): DataFrame =
-      expandOnce(e, f, seen, level, seenCount, broadcastSeenLimit, frontierCount)
-        .localCheckpoint(true)
+    // ONE materialization + ONE count per TWO BFS levels (the fused
+    // two-hop superstep of expandTwice — frontier doubling, exactness
+    // argued at [[multiGraphExpandTwice]]). The count() reads the
+    // just-checkpointed frontier (cached RDD, no recompute) — it is the
+    // BSP termination check, the running seen-set size, AND the frontier
+    // size that drive the broadcast→shuffle flips.
     while (i < maxIter && !done) {
-      // Two hops per iteration: in local mode the cost of a superstep is
-      // dominated by fixed job-scheduling overhead, so batching two BSP
-      // barriers into one loop iteration halves wall time without changing
-      // semantics (hop-2 vertices are anti-joined against hop-1's).
-      val next1 = expand(frontier, levels, i + 1)
-      val n1 = next1.count()
-      if (n1 == 0) done = true
+      val next = expandTwice(e, frontier, levels, seenCount,
+        broadcastSeenLimit, frontierCount).localCheckpoint(true)
+      val n = next.count()
+      if (n == 0) done = true
       else {
-        seenCount += n1
-        frontierCount = n1
-        val seen1 = levels.union(next1)
-        val next2 = expand(next1, seen1, i + 2)
-        val n2 = next2.count()
-        seenCount += n2
-        frontierCount = n2
+        seenCount += n
+        frontierCount = n
         // Checkpoint the accumulated level set only every few iterations —
         // an eager checkpoint per superstep re-materializes all levels each
         // time (quadratic in depth); the frontier checkpoints above already
         // bound lineage growth to a few unions.
-        val u = seen1.union(next2)
+        val u = levels.union(next)
         levels = if (i % 4 >= 2) u.localCheckpoint(true) else u
-        if (n2 == 0) done = true else frontier = next2
+        frontier = next
       }
       i += 2
     }
@@ -119,8 +118,9 @@ object GraphOps {
     * one superstep advances ALL sources' frontiers with a single
     * frontier⋈edges join — s sources cost one loop of depth max-diameter,
     * not s sequential loops — and the (seed, v) key spreads the shuffle
-    * across sources so no single-source hotspot forms. Same two-hops-per-
-    * materialization and broadcast→shuffle seen-set gate as [[bfsLevels]].
+    * across sources so no single-source hotspot forms. Same fused
+    * two-levels-per-barrier superstep and broadcast→shuffle seen-set gate
+    * as [[bfsLevels]].
     * Returns `(seed, v, level)` for every vertex reachable from each seed.
     */
   def multiSourceBfs(spark: SparkSession, edges: DataFrame, seeds: Seq[Long],
@@ -132,33 +132,40 @@ object GraphOps {
     var frontier = levels
     var seenCount = seeds.size.toLong
     var frontierCount = seeds.size.toLong
-    def expand(f: DataFrame, seen: DataFrame, level: Int): DataFrame = {
-      val fj = if (frontierCount <= broadcastSeenLimit) broadcast(f) else f.hint("merge")
-      val grown = e.join(fj, f("v") === e("src"))
-        .select(col("seed"), e("dst").as("v")).distinct()
+    // the same fused two-level superstep as [[expandTwice]], with the
+    // seed riding the state key (one min-level group-by + one seen
+    // anti-join per TWO levels)
+    def expandTwiceSeeded(f: DataFrame, seen: DataFrame): DataFrame = {
+      def hop(fr0: DataFrame): DataFrame = {
+        val fr = fr0.select(col("seed").as("fs"), col("v").as("fv"),
+          col("level").as("fl"))
+        val fj = if (frontierCount <= broadcastSeenLimit) broadcast(fr)
+                 else fr.hint("merge")
+        e.join(fj, e("src") === col("fv"))
+          .select(col("fs").as("seed"), e("dst").as("v"),
+            (col("fl") + 1).cast("int").as("level"))
+      }
+      val hop1 = hop(f)
+      val cand = hop1.union(hop(hop1))
+        .groupBy("seed", "v").agg(min("level").as("level"))
       val pruned =
         if (seenCount <= broadcastSeenLimit)
-          grown.join(broadcast(seen.select("seed", "v")), Seq("seed", "v"), "left_anti")
-        else grown.join(seen.select("seed", "v").hint("merge"), Seq("seed", "v"), "left_anti")
-      pruned.withColumn("level", lit(level)).localCheckpoint(true)
+          cand.join(broadcast(seen.select("seed", "v")), Seq("seed", "v"), "left_anti")
+        else cand.join(seen.select("seed", "v").hint("merge"), Seq("seed", "v"), "left_anti")
+      pruned.localCheckpoint(true)
     }
     var i = 0
     var done = false
     while (i < maxIter && !done) {
-      val next1 = expand(frontier, levels, i + 1)
-      val n1 = next1.count()
-      if (n1 == 0) done = true
+      val next = expandTwiceSeeded(frontier, levels)
+      val n = next.count()
+      if (n == 0) done = true
       else {
-        seenCount += n1
-        frontierCount = n1
-        val seen1 = levels.union(next1)
-        val next2 = expand(next1, seen1, i + 2)
-        val n2 = next2.count()
-        seenCount += n2
-        frontierCount = n2
-        val u = seen1.union(next2)
+        seenCount += n
+        frontierCount = n
+        val u = levels.union(next)
         levels = if (i % 4 >= 2) u.localCheckpoint(true) else u
-        if (n2 == 0) done = true else frontier = next2
+        frontier = next
       }
       i += 2
     }
@@ -167,7 +174,7 @@ object GraphOps {
   }
 
   /** One FUSED two-level [[multiGraphBfs]] superstep, exposed (like
-    * [[expandOnce]]) so ScaleSpec can assert the scale invariants
+    * [[expandTwice]]) so ScaleSpec can assert the scale invariants
     * directly: the frontier join keys on BOTH (graph, src) — a graph-only
     * key would funnel each whole graph through one task — and both the
     * frontier and seen-set joins flip broadcast → shuffle past the size
@@ -1230,7 +1237,8 @@ object GraphOps {
     * improvements propagate along the full edge list — but every superstep
     * joins the edge list against ONLY the just-improved vertices, so the
     * work is sized by the delta's cascade region (at sf0.1 a 1% edge delta
-    * touches 817 of 15 000 vertices over 9 rounds), never the base graph.
+    * touches 817 of 15 000 vertices, two cascade hops per barrier), never
+    * the base graph.
     * Convergence to the exact fixpoint is guaranteed: the previous levels
     * over-estimate the new graph's levels everywhere (edge insertion is
     * monotone), labels are integers bounded below, and the BFS relaxation
@@ -1264,24 +1272,37 @@ object GraphOps {
     var i = 0
     while (n > 0 && i < maxIter) {
       // Merge this round's improvements into the state (full-outer min on
-      // the vertex key), then relax the improved vertices' out-edges
-      // against the merged state. Both frames are checkpointed per round,
-      // so lineage stays flat and the state frame — the only full-graph-
-      // sized object — is touched once per superstep by a key-local join.
+      // the vertex key), then relax TWO hops of the improvement cascade
+      // inside one job (the expandTwice frontier-doubling discipline
+      // applied to label correction): hop-1 proposals come from the
+      // improved vertices, hop-2 proposals from the hop-1 proposals —
+      // proposals are walk lengths so they never undershoot, non-improving
+      // candidates are filtered against the merged state, and any
+      // relaxation a discarded candidate would have seeded is re-proposed
+      // by a later frontier, so the fixpoint is unchanged while the
+      // barrier count halves. Both frames are checkpointed per round, so
+      // lineage stays flat and the state frame — the only full-graph-
+      // sized object — is touched once per round by a key-local join.
       levels = levels
         .join(frontier.select(col("v"), col("level").as("nl")), Seq("v"), "full")
         .select(col("v"), least(coalesce(col("level"), col("nl")),
           coalesce(col("nl"), col("level"))).as("level"))
         .localCheckpoint(true)
-      frontier = frontier.as("f").join(e, col("f.v") === e("src"))
-        .groupBy(e("dst").as("v"))
-        .agg((min(col("f.level")) + 1).cast("int").as("cand"))
+      def hop(fr: DataFrame): DataFrame = fr
+        .select(col("v").as("hv"), col("level").as("hl"))
+        .join(e.select(col("src").as("hsrc"), col("dst").as("hdst")),
+          col("hv") === col("hsrc"))
+        .groupBy(col("hdst").as("v"))
+        .agg((min("hl") + 1).cast("int").as("level"))
+      val h1 = hop(frontier)
+      frontier = h1.union(hop(h1))
+        .groupBy("v").agg(min("level").as("cand"))
         .join(levels.withColumnRenamed("level", "cur"), Seq("v"), "left")
         .filter(col("cur").isNull || col("cand") < col("cur"))
-        .select(col("v"), col("cand").as("level"))
+        .select(col("v"), col("cand").cast("int").as("level"))
         .localCheckpoint(true)
       n = frontier.count()
-      i += 1
+      i += 2
     }
     e.unpersist()
     levels

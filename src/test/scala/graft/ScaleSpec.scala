@@ -158,7 +158,7 @@ class ScaleSpec extends SparkSpec {
     val f = Seq((0L, 0)).toDF("v", "level")
     val seen = Seq((0L, 0)).toDF("v", "level")
     def planOf(seenCount: Long): String =
-      graft.plans.GraphOps.expandOnce(e, f, seen, 1, seenCount, 1000L)
+      graft.plans.GraphOps.expandTwice(e, f, seen, seenCount, 1000L)
         .queryExecution.executedPlan.toString
     val small = planOf(10L)
     assert(small.matches("(?s).*BroadcastHashJoin.*LeftAnti.*"),
@@ -269,7 +269,7 @@ class ScaleSpec extends SparkSpec {
     val f = Seq((0L, 0)).toDF("v", "level")
     val seen = Seq((0L, 0)).toDF("v", "level")
     def planOf(frontierCount: Long): String =
-      graft.plans.GraphOps.expandOnce(e, f, seen, 1, 10L, 1000L, frontierCount)
+      graft.plans.GraphOps.expandTwice(e, f, seen, 10L, 1000L, frontierCount)
         .queryExecution.executedPlan.toString
     // below the gate: the frontier Inner join broadcasts
     val small = planOf(10L)
