@@ -794,9 +794,25 @@ object GraphOps {
       // the materialized merged frame (lineage stays rooted there). The
       // frontier count doubles as the termination check (it replaces the
       // isEmpty probe — same action count per superstep).
-      val fj = if (frontierCount <= broadcastSeenLimit) broadcast(frontier) else frontier.hint("merge")
-      val cand = e.join(fj, frontier("v") === e("src"))
-        .select(e("dst").as("v"), (col("dist") + col("w")).as("nd"))
+      // TWO relaxation hops per barrier (the expandTwice frontier-doubling
+      // discipline applied to weighted label correction): hop-2 relaxes
+      // the hop-1 PROPOSALS — proposals are walk costs so they never
+      // undershoot, the full-outer min keeps only true improvements, and
+      // any relaxation a non-improving proposal would have seeded was
+      // already paid when its vertex last improved — so the fixpoint is
+      // unchanged and the round count halves (Bellman-Ford rounds = max
+      // hop count of shortest paths, the loop's entire cost at local[32]).
+      def hop(fr: DataFrame): DataFrame = {
+        val f2 = fr.select(col("v").as("hv"), col("nd").as("hd"))
+        val fj = if (frontierCount <= broadcastSeenLimit) broadcast(f2)
+                 else f2.hint("merge")
+        e.select(col("src").as("hsrc"), col("dst").as("hdst"), col("w").as("hw"))
+          .join(fj, col("hv") === col("hsrc"))
+          .select(col("hdst").as("v"), (col("hd") + col("hw")).as("nd"))
+          .groupBy("v").agg(min("nd").as("nd"))
+      }
+      val cand1 = hop(frontier.select(col("v"), col("dist").as("nd")))
+      val cand = cand1.union(hop(cand1))
         .groupBy("v").agg(min("nd").as("nd"))
       val merged = dist.as("d").join(cand.as("c"), Seq("v"), "full_outer")
         .select(col("v"),
@@ -808,7 +824,7 @@ object GraphOps {
       frontier = merged.filter(col("improved")).select("v", "dist")
       frontierCount = merged.filter(col("improved")).count()
       dist = merged.select("v", "dist")
-      i += 1
+      i += 2
     }
     e.unpersist()
     dist
