@@ -539,6 +539,35 @@ object GraphQueries extends QueryModule {
       GraphOps.sssp(s, e, 0L).orderBy("v")
     }),
 
+    // INCREMENTAL weighted-SSSP maintenance — the weighted member that
+    // completes the incremental family (BFS/CC/triangles/PageRank/SSSP):
+    // v1 drops every out-edge of ~1% of sources, v2 is the full weighted
+    // ring graph; the delta is recovered as a commit-log snapshot diff
+    // and new distances are maintained from (sssp(v1), delta) by
+    // delta-seeded weighted relaxation ([[GraphOps.incrementalSssp]]) —
+    // never re-solving v1. The oracle is q_graph_sssp's bounded-cost
+    // recursive walk over the COMPLETE graph: the hash compare IS the
+    // proof that incremental(prev, diff) == full(new_snapshot).
+    "q_graph_sssp_incremental" -> ((s, dir) => {
+      def weighted(e: DataFrame) = e.select(col("src"), col("dst"),
+        (lit(1) + (col("src") + col("dst")) % 5).as("w"))
+      val all = ringEdges(s, dir)
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_ssspinc_${java.lang.ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val v1 = VersionedGraphStore.commit(all.filter(col("src") % 97 =!= 1), base)
+      val v2 = VersionedGraphStore.commit(all, base)
+      val prevEdges = VersionedGraphStore.loadAt(s, base, v1)
+      val newEdges = VersionedGraphStore.loadAt(s, base, v2)
+      val inserted = newEdges
+        .join(prevEdges.select(col("src").as("psrc"), col("dst").as("pdst")),
+          col("src") === col("psrc") && col("dst") === col("pdst"), "left_anti")
+      val prev = GraphOps.sssp(s, weighted(prevEdges), 0L)
+      GraphOps.incrementalSssp(s, weighted(newEdges), prev, weighted(inserted))
+        .orderBy("v")
+    }),
+
     // Single-source Brandes dependency from vertex 0 — the per-source
     // slice of betweenness centrality (full betweenness = this pass summed
     // over sources, one independent pass each at scale). Forward σ sweep +
@@ -1425,6 +1454,22 @@ object GraphQueries extends QueryModule {
          SELECT deg, n_vertices, kind FROM (SELECT * FROM o UNION ALL SELECT * FROM i)
          ORDER BY kind, deg""",
     "q_graph_sssp" ->
+      """WITH RECURSIVE e AS (
+           SELECT c_custkey AS src, (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst FROM customer
+           UNION ALL SELECT c_custkey, (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer
+           UNION ALL SELECT c_custkey, (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer),
+         we AS (SELECT src, dst, 1 + (src + dst) % 5 AS w FROM e),
+         walk(v, d) AS (
+           SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+           UNION
+           SELECT we.dst, w.d + we.w FROM walk w JOIN we ON we.src = w.v
+           WHERE w.d + we.w <= 60),
+         best AS (SELECT v, MIN(d) AS dist FROM walk GROUP BY v)
+         SELECT v, dist FROM best ORDER BY v""",
+    // Incremental maintenance must equal the full solve of the NEW
+    // snapshot — the oracle is q_graph_sssp's complete-graph walk and
+    // knows nothing about the delta construction.
+    "q_graph_sssp_incremental" ->
       """WITH RECURSIVE e AS (
            SELECT c_custkey AS src, (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst FROM customer
            UNION ALL SELECT c_custkey, (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer

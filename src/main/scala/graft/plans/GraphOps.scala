@@ -1324,6 +1324,68 @@ object GraphOps {
     levels
   }
 
+  /** INCREMENTAL weighted-SSSP maintenance over INSERT-only edge deltas —
+    * [[incrementalBfsLevels]] generalized to weighted label correction
+    * (and the weighted member that completes the incremental family):
+    * inserting edges can only LOWER shortest-path costs or reach new
+    * vertices, so maintenance is a delta-seeded Bellman-Ford relaxation —
+    * each inserted (u,w,wt) with known dist(u) proposes dist(u)+wt, and
+    * improvements cascade along the full edge list with the same fused
+    * two-hops-per-barrier discipline as [[sssp]]; work is sized by the
+    * delta's cascade region, never the base graph. Exactness: previous
+    * distances over-estimate the new graph's everywhere (edge insertion
+    * is monotone), proposals are walk costs bounded below, and the
+    * Bellman-Ford fixpoint is unique — equality with a full re-solve is
+    * oracled end-to-end by q_graph_sssp_incremental. DELETIONS are out of
+    * scope by design, loudly, as in the whole family: removing an edge
+    * can RAISE costs, undecidable from (state, delta).
+    */
+  def incrementalSssp(spark: SparkSession, fullEdges: DataFrame,
+      prevDist: DataFrame, inserted: DataFrame, maxIter: Int = 100): DataFrame = {
+    val e = fullEdges.select(col("src").cast("long"), col("dst").cast("long"),
+      col("w").cast("long")).persist()
+    var dist = prevDist.select(col("v").cast("long").as("v"),
+      col("dist").cast("long").as("dist")).localCheckpoint(true)
+    // seed: relax ONLY the inserted edges against the previous state (an
+    // inserted edge from a still-unreachable source contributes nothing
+    // yet — a later cascade re-proposes it via the full edge list)
+    var frontier = inserted
+      .select(col("src").cast("long").as("u"), col("dst").cast("long").as("tv"),
+        col("w").cast("long").as("iw"))
+      .join(dist.select(col("v").as("u"), col("dist").as("ud")), Seq("u"))
+      .groupBy(col("tv").as("v")).agg(min(col("ud") + col("iw")).as("nd"))
+      .join(dist, Seq("v"), "left")
+      .filter(col("dist").isNull || col("nd") < col("dist"))
+      .select(col("v"), col("nd").as("dist"))
+      .localCheckpoint(true)
+    var n = frontier.count()
+    var i = 0
+    while (n > 0 && i < maxIter) {
+      dist = dist
+        .join(frontier.select(col("v"), col("dist").as("nl")), Seq("v"), "full")
+        .select(col("v"), least(coalesce(col("dist"), col("nl")),
+          coalesce(col("nl"), col("dist"))).as("dist"))
+        .localCheckpoint(true)
+      def hop(fr: DataFrame): DataFrame = fr
+        .select(col("v").as("hv"), col("dist").as("hd"))
+        .join(e.select(col("src").as("hsrc"), col("dst").as("hdst"),
+          col("w").as("hw")), col("hv") === col("hsrc"))
+        .groupBy(col("hdst").as("v"))
+        .agg(min(col("hd") + col("hw")).as("dist"))
+      val h1 = hop(frontier)
+      frontier = h1.union(hop(h1))
+        .groupBy("v").agg(min("dist").as("nd"))
+        .join(dist.withColumnRenamed("dist", "cur"), Seq("v"), "left")
+        .filter(col("cur").isNull || col("nd") < col("cur"))
+        .select(col("v"), col("nd").as("dist"))
+        .localCheckpoint(true)
+      n = frontier.count()
+      i += 2
+    }
+    e.unpersist()
+    dist
+  }
+
   /** Bounded Borůvka rounds over a canonical undirected weighted edge set
     * `(a, b, w)` (a<b) — THE minimum-spanning-forest algorithm that fits
     * BSP execution (Kruskal needs a sequential union-find, Prim a

@@ -166,6 +166,15 @@ class PropertySpec extends SparkSpec {
         val fullLv = GraphOps.bfsLevels(spark, all, 0L)
           .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
         assert(incLv == fullLv, s"BFS sample $i: $base + $delta")
+        // weighted SSSP from 0 (deterministic 1..5 weights)
+        def w(e: Seq[(Long, Long)]) =
+          e.map { case (s, d) => (s, d, 1L + (s + d) % 5) }.toDF("src", "dst", "w")
+        val prevD = GraphOps.sssp(spark, w(base), 0L)
+        val incD = GraphOps.incrementalSssp(spark, w(edges), prevD, w(delta))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val fullD = GraphOps.sssp(spark, w(edges), 0L)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(incD == fullD, s"SSSP sample $i: $base + $delta")
         // triangle counter over the canonical undirected sets
         def canon(e: Seq[(Long, Long)]) = e.filter(p => p._1 != p._2)
           .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
