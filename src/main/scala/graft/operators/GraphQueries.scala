@@ -409,6 +409,31 @@ object GraphQueries extends QueryModule {
       GraphOps.dagLayers(s, ringEdges(s, dir).filter(col("src") < col("dst")))
         .orderBy("v")),
 
+    // INCREMENTAL DAG-layer maintenance — the longest-path mirror of
+    // q_graph_bfs_incremental (inserts RAISE layers; a former source
+    // gaining an in-edge rises above 0): v1 drops the out-edges of ~1%
+    // of sources from the src<dst DAG, v2 is complete; new layers are
+    // maintained from (dagLayers(v1), diff) by delta-seeded MAX
+    // relaxation ([[GraphOps.incrementalDagLayers]]). The oracle is
+    // q_graph_dag_layers' full recursive walk over the COMPLETE DAG.
+    "q_graph_dag_layers_incremental" -> ((s, dir) => {
+      val all = ringEdges(s, dir).filter(col("src") < col("dst"))
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_daginc_${java.lang.ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val v1 = VersionedGraphStore.commit(all.filter(col("src") % 97 =!= 1), base)
+      val v2 = VersionedGraphStore.commit(all, base)
+      val prevEdges = VersionedGraphStore.loadAt(s, base, v1)
+      val newEdges = VersionedGraphStore.loadAt(s, base, v2)
+      val inserted = newEdges
+        .join(prevEdges.select(col("src").as("psrc"), col("dst").as("pdst")),
+          col("src") === col("psrc") && col("dst") === col("pdst"), "left_anti")
+      val prev = GraphOps.dagLayers(s, prevEdges)
+      GraphOps.incrementalDagLayers(s, newEdges, prev, inserted)
+        .orderBy("v")
+    }),
+
     // The same layering with the size gate FORCED to the distributed
     // Bellman-Ford-with-max BSP loop (driverSolveLimit = 0) — the
     // q_graph_cc_bsp discipline applied to dagLayers: the 100 TB path is
@@ -1216,6 +1241,20 @@ object GraphQueries extends QueryModule {
           $steps
           SELECT v, ROUND(pr, 6) AS pr FROM pr10 WHERE ROUND(pr, 6) >= 0.000001 ORDER BY v"""
     },
+    // The complete DAG's layers — the oracle knows nothing about the
+    // v1/delta split, so a wrong max-relaxation fails the compare.
+    "q_graph_dag_layers_incremental" ->
+      """WITH RECURSIVE e AS (
+           SELECT src, dst FROM (
+             SELECT c_custkey AS src, (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst FROM customer
+             UNION ALL SELECT c_custkey, (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer
+             UNION ALL SELECT c_custkey, (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer)
+           WHERE src < dst),
+         walk(v, d) AS (
+           SELECT DISTINCT src, 0 FROM e WHERE src NOT IN (SELECT dst FROM e)
+           UNION
+           SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.v WHERE w.d < 100)
+         SELECT v, CAST(MAX(d) AS BIGINT) AS layer FROM walk GROUP BY v ORDER BY v""",
     "q_graph_dag_layers" ->
       """WITH RECURSIVE e AS (
            SELECT src, dst FROM (

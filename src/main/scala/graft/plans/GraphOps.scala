@@ -1324,6 +1324,82 @@ object GraphOps {
     levels
   }
 
+  /** INCREMENTAL DAG-layer maintenance over INSERT-only edge deltas — the
+    * longest-path MIRROR of [[incrementalBfsLevels]]: inserting edges can
+    * only RAISE layers (more paths; a former source gaining an in-edge
+    * rises above 0), so maintenance is a delta-seeded MAX relaxation.
+    * Exactness mirrors the BFS argument reflected: previous layers
+    * UNDER-estimate the new DAG's everywhere (every v1 path survives into
+    * v2), each proposal layer(u)+1 is a genuine v2 path length so labels
+    * never overshoot, and along any longest path an exact-labeled
+    * predecessor keeps firing until the unique DAG fixpoint is reached.
+    * Old edges between un-improved vertices never need re-firing (the
+    * previous state already satisfied them), so work is sized by the
+    * delta's cascade region. Fused two cascade hops per barrier, as in
+    * the whole family. If the delta creates a CYCLE the relaxation would
+    * climb forever — the maxIter cap fails loudly instead of truncating.
+    * DELETIONS out of scope by design, loudly: removing an edge can lower
+    * layers, undecidable from (state, delta).
+    */
+  def incrementalDagLayers(spark: SparkSession, fullEdges: DataFrame,
+      prevLayers: DataFrame, inserted: DataFrame, maxIter: Int = 200): DataFrame = {
+    val e = fullEdges.select(col("src").cast("long"), col("dst").cast("long"))
+      .persist()
+    var layers = prevLayers.select(col("v").cast("long").as("v"),
+      col("layer").cast("long").as("layer")).localCheckpoint(true)
+    // Seed 1: relax the inserted edges against the previous state.
+    val proposals = inserted
+      .select(col("src").cast("long").as("u"), col("dst").cast("long").as("tv"))
+      .join(layers.select(col("v").as("u"), col("layer").as("ul")), Seq("u"))
+      .select(col("tv").as("v"), (col("ul") + 1).as("cand"))
+    // Seed 2: a vertex NEW to this snapshot with no in-edges anywhere is a
+    // v2 SOURCE — layer 0 by definition, and nothing would ever propose it
+    // (unlike the BFS/SSSP family, every DAG vertex carries a layer, so
+    // roots must self-seed; non-source new vertices then resolve through
+    // the cascade, whose pred chains terminate at seeded sources).
+    val newVerts = inserted.select(col("src").cast("long").as("v"))
+      .union(inserted.select(col("dst").cast("long").as("v"))).distinct()
+      .join(layers.select("v"), Seq("v"), "left_anti")
+    val newSources = newVerts
+      .join(e.select(col("dst").as("v")).distinct(), Seq("v"), "left_anti")
+      .select(col("v"), lit(0L).as("cand"))
+    var frontier = proposals.union(newSources)
+      .groupBy("v").agg(max("cand").as("cand"))
+      .join(layers, Seq("v"), "left")
+      .filter(col("layer").isNull || col("cand") > col("layer"))
+      .select(col("v"), col("cand").as("layer"))
+      .localCheckpoint(true)
+    var n = frontier.count()
+    var i = 0
+    while (n > 0 && i < maxIter) {
+      layers = layers
+        .join(frontier.select(col("v"), col("layer").as("nl")), Seq("v"), "full")
+        .select(col("v"), greatest(coalesce(col("layer"), col("nl")),
+          coalesce(col("nl"), col("layer"))).as("layer"))
+        .localCheckpoint(true)
+      def hop(fr: DataFrame): DataFrame = fr
+        .select(col("v").as("hv"), col("layer").as("hl"))
+        .join(e.select(col("src").as("hsrc"), col("dst").as("hdst")),
+          col("hv") === col("hsrc"))
+        .groupBy(col("hdst").as("v"))
+        .agg((max("hl") + 1).as("layer"))
+      val h1 = hop(frontier)
+      frontier = h1.union(hop(h1))
+        .groupBy("v").agg(max("layer").as("cand"))
+        .join(layers.withColumnRenamed("layer", "cur"), Seq("v"), "left")
+        .filter(col("cur").isNull || col("cand") > col("cur"))
+        .select(col("v"), col("cand").as("layer"))
+        .localCheckpoint(true)
+      n = frontier.count()
+      i += 2
+    }
+    e.unpersist()
+    if (n > 0) throw new IllegalStateException(
+      s"incrementalDagLayers did not converge in $maxIter rounds — the " +
+        "delta introduced a cycle or the longest path exceeds the cap")
+    layers
+  }
+
   /** INCREMENTAL weighted-SSSP maintenance over INSERT-only edge deltas —
     * [[incrementalBfsLevels]] generalized to weighted label correction
     * (and the weighted member that completes the incremental family):

@@ -175,6 +175,19 @@ class PropertySpec extends SparkSpec {
         val fullD = GraphOps.sssp(spark, w(edges), 0L)
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         assert(incD == fullD, s"SSSP sample $i: $base + $delta")
+        // DAG layers over the src<dst orientation (always acyclic)
+        val dagAll = edges.filter(p => p._1 < p._2).distinct
+        val dagBase = base.filter(p => p._1 < p._2).distinct
+        val dagDelta = dagAll.diff(dagBase)
+        if (dagAll.nonEmpty && dagDelta.nonEmpty) {
+          val prevL = GraphOps.dagLayers(spark, dagBase.toDF("src", "dst"))
+          val incL = GraphOps.incrementalDagLayers(spark,
+              dagAll.toDF("src", "dst"), prevL, dagDelta.toDF("src", "dst"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val fullL = GraphOps.dagLayers(spark, dagAll.toDF("src", "dst"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(incL == fullL, s"DAG sample $i: $dagBase + $dagDelta")
+        }
         // triangle counter over the canonical undirected sets
         def canon(e: Seq[(Long, Long)]) = e.filter(p => p._1 != p._2)
           .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
