@@ -323,6 +323,26 @@ object GraphQueries extends QueryModule {
       GraphOps.multiGraphBfs(s, multiGraphEdges(s, dir), 0L)
         .orderBy("graph", "v")),
 
+    // Multi-graph PageRank by KEY-SPACE PARTITIONING — the rank analog of
+    // q_graph_multi_cc's encoding discipline: encode vertex ids as
+    // g·OFFSET + v and run ONE [[GraphOps.pageRank]] over the disjoint
+    // union — the union is disconnected, so the power iteration evolves
+    // every graph's ranks independently and exactly (teleport is a
+    // per-vertex constant, contributions never cross components). 4
+    // parameterized expander variants (same table as q_graph_multi),
+    // 10 iterations, decoded back to (graph, v, pr). One rankLoop's
+    // barriers amortize across ALL graphs — the whole point of batching.
+    "q_graph_multi_pagerank" -> ((s, dir) => {
+      val off = 1000000L
+      val encoded = multiGraphEdges(s, dir)
+        .select((col("graph") * off + col("src")).as("src"),
+          (col("graph") * off + col("dst")).as("dst"))
+      GraphOps.pageRank(s, encoded, 10)
+        .select(expr(s"v div $off").as("graph"), (col("v") % off).as("v"),
+          round(col("pr"), 6).as("pr"))
+        .orderBy("graph", "v")
+    }),
+
     // Multi-graph CC by KEY-SPACE PARTITIONING — the complementary
     // multi-graph discipline to q_graph_multi's keyed BSP loop: when the
     // operator's state key is the vertex id itself, per-graph analytics
@@ -1153,6 +1173,38 @@ object GraphQueries extends QueryModule {
           pr0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS pr FROM verts),
           $steps
           SELECT v, ROUND(pr, 6) AS pr FROM pr10 ORDER BY v"""
+    },
+    // The identical unrolled recurrence over the ENCODED disjoint union —
+    // the oracle reproduces the key-space encoding, so a bug that let
+    // rank mass cross graphs would fail the compare.
+    "q_graph_multi_pagerank" -> {
+      val gs = multiGraphParams
+        .map { case (g, m2, a2) => s"($g,$m2,$a2)" }.mkString(",")
+      val steps = (1 to 10).map { i =>
+        s"""pr$i AS (
+             SELECT t.v, CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE)
+               * COALESCE(SUM(p.pr / dg.d), CAST(0 AS DOUBLE)) AS pr
+             FROM verts t
+             LEFT JOIN e ON e.dst = t.v
+             LEFT JOIN pr${i - 1} p ON p.v = e.src
+             LEFT JOIN deg dg ON dg.v = e.src
+             GROUP BY t.v)"""
+      }.mkString(",\n")
+      s"""WITH gs(gid, m2, a2) AS (SELECT * FROM (VALUES $gs)),
+          e AS (
+            SELECT gs.gid*1000000 + c_custkey AS src,
+              gs.gid*1000000 + (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst
+            FROM customer, gs
+            UNION ALL
+            SELECT gs.gid*1000000 + c_custkey,
+              gs.gid*1000000 + (c_custkey*gs.m2+gs.a2)%(SELECT COUNT(*) FROM customer)
+            FROM customer, gs),
+          verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+          deg AS (SELECT src AS v, COUNT(*) AS d FROM e GROUP BY src),
+          pr0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS pr FROM verts),
+          $steps
+          SELECT v // 1000000 AS graph, v % 1000000 AS v, ROUND(pr, 6) AS pr
+          FROM pr10 ORDER BY graph, v"""
     },
     "q_graph_pagerank_incremental" -> {
       // 10 unrolled iterations over the PREVIOUS edge set, then a warm
