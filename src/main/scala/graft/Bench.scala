@@ -210,9 +210,10 @@ object Bench {
       "q_stream_dedup_wm" -> ("4 sequential watermarked microbatches (late replay " +
         "2,3,1,4; chunk count IS the semantics - each chunk must see the prior " +
         "one's watermark) + state-store init: ~0.5s/batch scheduling floor at local[32]"),
-      "incremental_family" -> ("q_graph_{bfs,cc,triangles,pagerank}_incremental and " +
-        "q_dedup_incremental each CONSTRUCT the previous snapshot's stored state " +
-        "in-query (full BFS/CC/enumeration/10-iter ranks/signature build on v1) " +
+      "incremental_family" -> ("q_graph_{bfs,cc,triangles,pagerank,sssp,dag_layers}" +
+        "_incremental and q_dedup_incremental each CONSTRUCT the previous " +
+        "snapshot's stored state " +
+        "in-query (full BFS/CC/enumeration/10-iter ranks/SSSP/layering/signature build on v1) " +
         "before the maintenance step they demonstrate - a production pipeline " +
         "reads that state from storage, so the maintenance step alone is the " +
         "smaller fraction of each published time")
