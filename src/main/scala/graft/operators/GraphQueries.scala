@@ -149,6 +149,30 @@ object GraphQueries extends QueryModule {
     strip.union(clique).distinct()
   }
 
+  /** Stage a two-version commit-log store and recover the INSERT-only
+    * delta as a snapshot diff — the setup every incremental-maintenance
+    * query shares (v1 = `all` minus the `v1Filter`-rejected edges, v2 =
+    * `all`; the diff is a left-anti join on the (src, dst) edge key).
+    * Returns (prevEdges, newEdges, insertedDirected). One helper instead
+    * of a per-query copy so a future change to the diff key cannot drift
+    * between family members.
+    */
+  private def snapshotInsertDiff(s: SparkSession, dir: String, tag: String,
+      all: DataFrame, v1Keep: org.apache.spark.sql.Column): (DataFrame, DataFrame, DataFrame) = {
+    val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_${tag}_${java.lang.ProcessHandle.current().pid()}_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val v1 = VersionedGraphStore.commit(all.filter(v1Keep), base)
+    val v2 = VersionedGraphStore.commit(all, base)
+    val prev = VersionedGraphStore.loadAt(s, base, v1)
+    val cur = VersionedGraphStore.loadAt(s, base, v2)
+    val inserted = cur
+      .join(prev.select(col("src").as("psrc"), col("dst").as("pdst")),
+        col("src") === col("psrc") && col("dst") === col("pdst"), "left_anti")
+    (prev, cur, inserted)
+  }
+
   /** Seed sample for q_graph_closeness — shared with its oracle. */
   private val closenessSeeds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
 
@@ -334,6 +358,15 @@ object GraphQueries extends QueryModule {
     // barriers amortize across ALL graphs — the whole point of batching.
     "q_graph_multi_pagerank" -> ((s, dir) => {
       val off = 1000000L
+      // the encoding is only injective while every vertex id fits under
+      // the offset — at a scale factor where customers reach 1M ids the
+      // graphs would silently bleed rank mass into each other, so fail
+      // loudly instead (the fix at that scale is a bigger offset on BOTH
+      // sides — the oracle hardcodes the same 1e6)
+      val nCust = t(s, dir, "customer").count()
+      require(nCust < off,
+        s"q_graph_multi_pagerank: $nCust customers exceed the $off id " +
+          "offset - graphs would collide; raise the offset in query AND oracle")
       val encoded = multiGraphEdges(s, dir)
         .select((col("graph") * off + col("src")).as("src"),
           (col("graph") * off + col("dst")).as("dst"))
@@ -437,18 +470,9 @@ object GraphQueries extends QueryModule {
     // relaxation ([[GraphOps.incrementalDagLayers]]). The oracle is
     // q_graph_dag_layers' full recursive walk over the COMPLETE DAG.
     "q_graph_dag_layers_incremental" -> ((s, dir) => {
-      val all = ringEdges(s, dir).filter(col("src") < col("dst"))
-      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_daginc_${java.lang.ProcessHandle.current().pid()}_" +
-          dir.replaceAll("[^A-Za-z0-9]", "_")).toString
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
-      val v1 = VersionedGraphStore.commit(all.filter(col("src") % 97 =!= 1), base)
-      val v2 = VersionedGraphStore.commit(all, base)
-      val prevEdges = VersionedGraphStore.loadAt(s, base, v1)
-      val newEdges = VersionedGraphStore.loadAt(s, base, v2)
-      val inserted = newEdges
-        .join(prevEdges.select(col("src").as("psrc"), col("dst").as("pdst")),
-          col("src") === col("psrc") && col("dst") === col("pdst"), "left_anti")
+      val (prevEdges, newEdges, inserted) = snapshotInsertDiff(s, dir,
+        "daginc", ringEdges(s, dir).filter(col("src") < col("dst")),
+        col("src") % 97 =!= 1)
       val prev = GraphOps.dagLayers(s, prevEdges)
       GraphOps.incrementalDagLayers(s, newEdges, prev, inserted)
         .orderBy("v")
@@ -596,18 +620,8 @@ object GraphQueries extends QueryModule {
     "q_graph_sssp_incremental" -> ((s, dir) => {
       def weighted(e: DataFrame) = e.select(col("src"), col("dst"),
         (lit(1) + (col("src") + col("dst")) % 5).as("w"))
-      val all = ringEdges(s, dir)
-      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_ssspinc_${java.lang.ProcessHandle.current().pid()}_" +
-          dir.replaceAll("[^A-Za-z0-9]", "_")).toString
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
-      val v1 = VersionedGraphStore.commit(all.filter(col("src") % 97 =!= 1), base)
-      val v2 = VersionedGraphStore.commit(all, base)
-      val prevEdges = VersionedGraphStore.loadAt(s, base, v1)
-      val newEdges = VersionedGraphStore.loadAt(s, base, v2)
-      val inserted = newEdges
-        .join(prevEdges.select(col("src").as("psrc"), col("dst").as("pdst")),
-          col("src") === col("psrc") && col("dst") === col("pdst"), "left_anti")
+      val (prevEdges, newEdges, inserted) = snapshotInsertDiff(s, dir,
+        "ssspinc", ringEdges(s, dir), col("src") % 97 =!= 1)
       val prev = GraphOps.sssp(s, weighted(prevEdges), 0L)
       GraphOps.incrementalSssp(s, weighted(newEdges), prev, weighted(inserted))
         .orderBy("v")
@@ -794,17 +808,8 @@ object GraphQueries extends QueryModule {
       // (c+100) has (id-100) % 97 == 0; nation/region ids are < 100
       def held(c: org.apache.spark.sql.Column) =
         c >= 100 && (c - 100) % 97 === 0
-      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_ccinc_${java.lang.ProcessHandle.current().pid()}_" +
-          dir.replaceAll("[^A-Za-z0-9]", "_")).toString
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
-      val v1 = VersionedGraphStore.commit(
-        all.filter(!held(col("src")) && !held(col("dst"))), base)
-      val v2 = VersionedGraphStore.commit(all, base)
-      val prevEdges = VersionedGraphStore.loadAt(s, base, v1)
-      val inserted = VersionedGraphStore.loadAt(s, base, v2)
-        .join(prevEdges.select(col("src").as("psrc"), col("dst").as("pdst")),
-          col("src") === col("psrc") && col("dst") === col("pdst"), "left_anti")
+      val (prevEdges, _, inserted) = snapshotInsertDiff(s, dir, "ccinc",
+        all, !held(col("src")) && !held(col("dst")))
       val prevState = GraphOps.connectedComponents(s, prevEdges)
       GraphOps.incrementalConnectedComponents(s, prevState, inserted)
         .groupBy("comp")
@@ -825,18 +830,8 @@ object GraphQueries extends QueryModule {
     // graph: the hash compare IS the proof that incremental(prev, diff) ==
     // full(new_snapshot).
     "q_graph_bfs_incremental" -> ((s, dir) => {
-      val all = ringEdges(s, dir)
-      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_bfsinc_${java.lang.ProcessHandle.current().pid()}_" +
-          dir.replaceAll("[^A-Za-z0-9]", "_")).toString
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
-      val v1 = VersionedGraphStore.commit(all.filter(col("src") % 97 =!= 1), base)
-      val v2 = VersionedGraphStore.commit(all, base)
-      val prevEdges = VersionedGraphStore.loadAt(s, base, v1)
-      val newEdges = VersionedGraphStore.loadAt(s, base, v2)
-      val inserted = newEdges
-        .join(prevEdges.select(col("src").as("psrc"), col("dst").as("pdst")),
-          col("src") === col("psrc") && col("dst") === col("pdst"), "left_anti")
+      val (prevEdges, newEdges, inserted) = snapshotInsertDiff(s, dir,
+        "bfsinc", ringEdges(s, dir), col("src") % 97 =!= 1)
       val prev = GraphOps.bfsLevels(s, prevEdges, 0L)
       GraphOps.incrementalBfsLevels(s, newEdges, prev, inserted)
         .orderBy("v")
@@ -853,19 +848,14 @@ object GraphQueries extends QueryModule {
     // over the COMPLETE graph: the hash compare IS the proof that
     // prev_total + delta == full(new_snapshot).
     "q_graph_triangles_incremental" -> ((s, dir) => {
-      val all = ringEdges(s, dir)
-      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        s"graft_triinc_${java.lang.ProcessHandle.current().pid()}_" +
-          dir.replaceAll("[^A-Za-z0-9]", "_")).toString
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
-      val v1 = VersionedGraphStore.commit(all.filter(col("src") % 97 =!= 1), base)
-      val v2 = VersionedGraphStore.commit(all, base)
+      val (prevRaw, newRaw, _) = snapshotInsertDiff(s, dir, "triinc",
+        ringEdges(s, dir), col("src") % 97 =!= 1)
       def und(e: DataFrame) = e.filter(col("src") =!= col("dst"))
         .select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
         .distinct()
-      val undPrev = und(VersionedGraphStore.loadAt(s, base, v1)).localCheckpoint(true)
-      val undFull = und(VersionedGraphStore.loadAt(s, base, v2)).localCheckpoint(true)
+      val undPrev = und(prevRaw).localCheckpoint(true)
+      val undFull = und(newRaw).localCheckpoint(true)
       // a directed insert whose reverse already existed is not a new
       // canonical edge — diff at the canonical level, per triangleDelta's
       // contract

@@ -36,6 +36,17 @@ object GraphOps {
     * (much smaller) freshly-grown frontier. */
   val BroadcastSeenLimit: Long = 1000000L
 
+  /** Conservative growth allowance for the SECOND hop of a fused
+    * superstep: hop-2's probe side is hop-1's (deduplicated) candidate
+    * set, whose size is only known one barrier later — frontierCount is a
+    * round stale for it. Forcing a broadcast under the stale count alone
+    * would re-open exactly the flooding the gate exists to prevent (a
+    * 900k frontier × degree-20 fan-out is an 18M-row forced broadcast),
+    * so hop-2 broadcasts only while `frontierCount × this ≤ gate` — a
+    * frontier small enough that even this×-fold candidate growth stays
+    * inside the gate's intent — and merge-joins otherwise. */
+  val FusedHopFanoutAllowance: Long = 8L
+
   /** One FUSED two-level BFS superstep, exposed for plan-shape tests:
     * grow the frontier TWO hops along `e` (frontier doubling — hop-2 is
     * the hop-1 plan re-joined inside the same job, exactness argued at
@@ -53,18 +64,25 @@ object GraphOps {
   private[graft] def expandTwice(e: DataFrame, f: DataFrame, seen: DataFrame,
       seenCount: Long, broadcastSeenLimit: Long,
       frontierCount: Long = 0L): DataFrame = {
-    def hop(fr0: DataFrame): DataFrame = {
+    def hop(fr0: DataFrame, gateCount: Long): DataFrame = {
       val fr = fr0.select(col("v").as("fv"), col("level").as("fl"))
-      val fj = if (frontierCount <= broadcastSeenLimit) broadcast(fr)
+      val fj = if (gateCount <= broadcastSeenLimit) broadcast(fr)
                else fr.hint("merge")
       e.join(fj, e("src") === col("fv"))
         .select(e("dst").as("v"), (col("fl") + 1).cast("int").as("level"))
     }
     // frontier doubling (see [[multiGraphExpandTwice]] for the exactness
     // argument): hop-1 and hop-2 candidates union into one min-level
-    // group-by and ONE seen anti-join, so each barrier advances two levels
-    val hop1 = hop(f)
-    val cand = hop1.union(hop(hop1)).groupBy("v").agg(min("level").as("level"))
+    // group-by and ONE seen anti-join, so each barrier advances two
+    // levels. Hop-2's probe is hop-1 DEDUPLICATED (min-level per vertex —
+    // loses nothing, the final group-by takes the min anyway) and its
+    // broadcast gate carries the [[FusedHopFanoutAllowance]] because
+    // frontierCount is one round stale for it.
+    val hop1 = hop(f, frontierCount)
+      .groupBy("v").agg(min("level").as("level"))
+    val cand = hop1
+      .union(hop(hop1, frontierCount * FusedHopFanoutAllowance))
+      .groupBy("v").agg(min("level").as("level"))
     if (seenCount <= broadcastSeenLimit)
       cand.join(broadcast(seen.select("v")), Seq("v"), "left_anti")
     else cand.join(seen.select("v").hint("merge"), Seq("v"), "left_anti")
@@ -136,17 +154,21 @@ object GraphOps {
     // seed riding the state key (one min-level group-by + one seen
     // anti-join per TWO levels)
     def expandTwiceSeeded(f: DataFrame, seen: DataFrame): DataFrame = {
-      def hop(fr0: DataFrame): DataFrame = {
+      def hop(fr0: DataFrame, gateCount: Long): DataFrame = {
         val fr = fr0.select(col("seed").as("fs"), col("v").as("fv"),
           col("level").as("fl"))
-        val fj = if (frontierCount <= broadcastSeenLimit) broadcast(fr)
+        val fj = if (gateCount <= broadcastSeenLimit) broadcast(fr)
                  else fr.hint("merge")
         e.join(fj, e("src") === col("fv"))
           .select(col("fs").as("seed"), e("dst").as("v"),
             (col("fl") + 1).cast("int").as("level"))
       }
-      val hop1 = hop(f)
-      val cand = hop1.union(hop(hop1))
+      // hop-2 probes the DEDUPED hop-1 candidates under the stale-count
+      // fan-out allowance (see [[FusedHopFanoutAllowance]])
+      val hop1 = hop(f, frontierCount)
+        .groupBy("seed", "v").agg(min("level").as("level"))
+      val cand = hop1
+        .union(hop(hop1, frontierCount * FusedHopFanoutAllowance))
         .groupBy("seed", "v").agg(min("level").as("level"))
       val pruned =
         if (seenCount <= broadcastSeenLimit)
@@ -186,24 +208,29 @@ object GraphOps {
     * unreachable by any walk shorter than d (labels never undershoot) and
     * its shortest-path predecessor chain puts a label-exact parent in the
     * frontier of round ⌈d/2⌉ (the exact label is always among the
-    * candidates the min picks from). Hop-2 re-expands not-yet-pruned
-    * hop-1 candidates (bounded by frontier × out-degree) — the price of
-    * halving the barrier count, cheap next to a materialization at every
+    * candidates the min picks from). Hop-2 re-expands the DEDUPLICATED
+    * not-yet-pruned hop-1 candidate set under the
+    * [[FusedHopFanoutAllowance]] broadcast gate — the price of halving
+    * the barrier count, cheap next to a materialization at every
     * level. */
   private[graft] def multiGraphExpandTwice(e: DataFrame, f: DataFrame,
       seen: DataFrame, seenCount: Long, broadcastSeenLimit: Long,
       frontierCount: Long): DataFrame = {
-    def hop(fr0: DataFrame): DataFrame = {
+    def hop(fr0: DataFrame, gateCount: Long): DataFrame = {
       val fr = fr0.select(col("graph").as("fg"), col("v").as("fv"),
         col("level").as("fl"))
-      val fj = if (frontierCount <= broadcastSeenLimit) broadcast(fr)
+      val fj = if (gateCount <= broadcastSeenLimit) broadcast(fr)
                else fr.hint("merge")
       e.join(fj, e("graph") === col("fg") && e("src") === col("fv"))
         .select(e("graph"), e("dst").as("v"),
           (col("fl") + 1).cast("int").as("level"))
     }
-    val hop1 = hop(f)
-    val cand = hop1.union(hop(hop1))
+    // hop-2 probes the DEDUPED hop-1 candidates under the stale-count
+    // fan-out allowance (see [[FusedHopFanoutAllowance]])
+    val hop1 = hop(f, frontierCount)
+      .groupBy("graph", "v").agg(min("level").as("level"))
+    val cand = hop1
+      .union(hop(hop1, frontierCount * FusedHopFanoutAllowance))
       .groupBy("graph", "v").agg(min("level").as("level"))
     if (seenCount <= broadcastSeenLimit)
       cand.join(broadcast(seen.select("graph", "v")), Seq("graph", "v"), "left_anti")
@@ -802,17 +829,21 @@ object GraphOps {
       // already paid when its vertex last improved — so the fixpoint is
       // unchanged and the round count halves (Bellman-Ford rounds = max
       // hop count of shortest paths, the loop's entire cost at local[32]).
-      def hop(fr: DataFrame): DataFrame = {
+      def hop(fr: DataFrame, gateCount: Long): DataFrame = {
         val f2 = fr.select(col("v").as("hv"), col("nd").as("hd"))
-        val fj = if (frontierCount <= broadcastSeenLimit) broadcast(f2)
+        val fj = if (gateCount <= broadcastSeenLimit) broadcast(f2)
                  else f2.hint("merge")
         e.select(col("src").as("hsrc"), col("dst").as("hdst"), col("w").as("hw"))
           .join(fj, col("hv") === col("hsrc"))
           .select(col("hdst").as("v"), (col("hd") + col("hw")).as("nd"))
           .groupBy("v").agg(min("nd").as("nd"))
       }
-      val cand1 = hop(frontier.select(col("v"), col("dist").as("nd")))
-      val cand = cand1.union(hop(cand1))
+      // hop-2's probe size is only known a round later — gate its
+      // broadcast under the [[FusedHopFanoutAllowance]]
+      val cand1 = hop(frontier.select(col("v"), col("dist").as("nd")),
+        frontierCount)
+      val cand = cand1
+        .union(hop(cand1, frontierCount * FusedHopFanoutAllowance))
         .groupBy("v").agg(min("nd").as("nd"))
       val merged = dist.as("d").join(cand.as("c"), Seq("v"), "full_outer")
         .select(col("v"),
@@ -1241,6 +1272,59 @@ object GraphOps {
       .select(col("v"), coalesce(col("ncomp"), col("comp")).as("comp"))
   }
 
+  /** Shared delta-seeded label-correcting relaxation loop behind the
+    * whole incremental-maintenance family ([[incrementalBfsLevels]] /
+    * [[incrementalDagLayers]] / [[incrementalSssp]] — min-level, max-layer
+    * and min-cost are the same loop with the ordering flipped and the
+    * proposal expression swapped, so sharing it makes the loud
+    * non-convergence contract uniform BY CONSTRUCTION instead of by
+    * per-copy discipline). Round shape: merge the improvements into the
+    * state (full-outer `mergeBoth` on the vertex key — the state, the
+    * only full-graph-sized frame, is touched once per round by a
+    * key-local join), then relax TWO cascade hops inside one job (the
+    * expandTwice frontier-doubling discipline applied to label
+    * correction: proposals are genuine walk values so they never land on
+    * the wrong side of the true label, non-improving candidates are
+    * filtered against the merged state, and any relaxation a discarded
+    * candidate would have seeded is re-proposed by a later frontier — the
+    * fixpoint is unchanged while the barrier count halves). A cascade
+    * still live at `maxIter` THROWS — silently returning the truncated
+    * state would violate the family's exactness contract (and for DAG
+    * layering a live cascade can also mean the delta introduced a cycle).
+    * Frames are `(v, label)`; `hop` maps a frontier to its proposals.
+    */
+  private def labelCorrectLoop(opName: String, state0: DataFrame,
+      seed0: DataFrame, hop: DataFrame => DataFrame,
+      pick: Column => Column, better: (Column, Column) => Column,
+      mergeBoth: (Column, Column) => Column, maxIter: Int): DataFrame = {
+    var labels = state0.localCheckpoint(true)
+    var frontier = seed0.localCheckpoint(true)
+    var n = frontier.count()
+    var i = 0
+    while (n > 0 && i < maxIter) {
+      labels = labels
+        .join(frontier.select(col("v"), col("label").as("nl")), Seq("v"), "full")
+        .select(col("v"), mergeBoth(coalesce(col("label"), col("nl")),
+          coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val h1 = hop(frontier)
+      frontier = h1.union(hop(h1))
+        .groupBy("v").agg(pick(col("label")).as("cand"))
+        .join(labels.withColumnRenamed("label", "cur"), Seq("v"), "left")
+        .filter(col("cur").isNull || better(col("cand"), col("cur")))
+        .select(col("v"), col("cand").as("label"))
+        .localCheckpoint(true)
+      n = frontier.count()
+      i += 2
+    }
+    if (n > 0) throw new IllegalStateException(
+      s"$opName did not converge in $maxIter rounds - the improvement " +
+        "cascade exceeds the cap (for DAG layering this can also mean " +
+        "the delta introduced a cycle); raise maxIter or recompute from " +
+        "the new snapshot")
+    labels
+  }
+
   /** INCREMENTAL BFS-level maintenance over INSERT-only edge deltas — the
     * traversal-family consumer of the commit-log store's snapshot diffs
     * (the [[incrementalConnectedComponents]] pattern applied to A5's BFS,
@@ -1270,58 +1354,29 @@ object GraphOps {
       prevLevels: DataFrame, inserted: DataFrame, maxIter: Int = 50): DataFrame = {
     val e = fullEdges.select(col("src").cast("long"), col("dst").cast("long"))
       .persist()
-    var levels = prevLevels.select(col("v").cast("long").as("v"),
-      col("level").cast("int").as("level")).localCheckpoint(true)
+    val state0 = prevLevels.select(col("v").cast("long").as("v"),
+      col("level").cast("int").as("label"))
     // Seed: relax ONLY the inserted edges against the previous state. An
     // inserted edge whose source is (still) unreachable contributes nothing
     // yet — if a cascade later reaches it, the full-edge-list relaxation
-    // below re-proposes it, so no improvement is lost.
-    var frontier = inserted
+    // re-proposes it, so no improvement is lost.
+    val seed0 = inserted
       .select(col("src").cast("long").as("u"), col("dst").cast("long").as("w"))
-      .join(levels.select(col("v").as("u"), col("level").as("ul")), Seq("u"))
+      .join(state0.select(col("v").as("u"), col("label").as("ul")), Seq("u"))
       .groupBy(col("w").as("v")).agg((min("ul") + 1).cast("int").as("cand"))
-      .join(levels, Seq("v"), "left")
-      .filter(col("level").isNull || col("cand") < col("level"))
-      .select(col("v"), col("cand").as("level"))
-      .localCheckpoint(true)
-    var n = frontier.count()
-    var i = 0
-    while (n > 0 && i < maxIter) {
-      // Merge this round's improvements into the state (full-outer min on
-      // the vertex key), then relax TWO hops of the improvement cascade
-      // inside one job (the expandTwice frontier-doubling discipline
-      // applied to label correction): hop-1 proposals come from the
-      // improved vertices, hop-2 proposals from the hop-1 proposals —
-      // proposals are walk lengths so they never undershoot, non-improving
-      // candidates are filtered against the merged state, and any
-      // relaxation a discarded candidate would have seeded is re-proposed
-      // by a later frontier, so the fixpoint is unchanged while the
-      // barrier count halves. Both frames are checkpointed per round, so
-      // lineage stays flat and the state frame — the only full-graph-
-      // sized object — is touched once per round by a key-local join.
-      levels = levels
-        .join(frontier.select(col("v"), col("level").as("nl")), Seq("v"), "full")
-        .select(col("v"), least(coalesce(col("level"), col("nl")),
-          coalesce(col("nl"), col("level"))).as("level"))
-        .localCheckpoint(true)
-      def hop(fr: DataFrame): DataFrame = fr
-        .select(col("v").as("hv"), col("level").as("hl"))
-        .join(e.select(col("src").as("hsrc"), col("dst").as("hdst")),
-          col("hv") === col("hsrc"))
-        .groupBy(col("hdst").as("v"))
-        .agg((min("hl") + 1).cast("int").as("level"))
-      val h1 = hop(frontier)
-      frontier = h1.union(hop(h1))
-        .groupBy("v").agg(min("level").as("cand"))
-        .join(levels.withColumnRenamed("level", "cur"), Seq("v"), "left")
-        .filter(col("cur").isNull || col("cand") < col("cur"))
-        .select(col("v"), col("cand").cast("int").as("level"))
-        .localCheckpoint(true)
-      n = frontier.count()
-      i += 2
-    }
+      .join(state0, Seq("v"), "left")
+      .filter(col("label").isNull || col("cand") < col("label"))
+      .select(col("v"), col("cand").as("label"))
+    def hop(fr: DataFrame): DataFrame = fr
+      .select(col("v").as("hv"), col("label").as("hl"))
+      .join(e.select(col("src").as("hsrc"), col("dst").as("hdst")),
+        col("hv") === col("hsrc"))
+      .groupBy(col("hdst").as("v"))
+      .agg((min("hl") + 1).cast("int").as("label"))
+    val out = labelCorrectLoop("incrementalBfsLevels", state0, seed0, hop,
+      min, _ < _, least(_, _), maxIter)
     e.unpersist()
-    levels
+    out.select(col("v"), col("label").cast("int").as("level"))
   }
 
   /** INCREMENTAL DAG-layer maintenance over INSERT-only edge deltas — the
@@ -1345,12 +1400,12 @@ object GraphOps {
       prevLayers: DataFrame, inserted: DataFrame, maxIter: Int = 200): DataFrame = {
     val e = fullEdges.select(col("src").cast("long"), col("dst").cast("long"))
       .persist()
-    var layers = prevLayers.select(col("v").cast("long").as("v"),
-      col("layer").cast("long").as("layer")).localCheckpoint(true)
+    val state0 = prevLayers.select(col("v").cast("long").as("v"),
+      col("layer").cast("long").as("label"))
     // Seed 1: relax the inserted edges against the previous state.
     val proposals = inserted
       .select(col("src").cast("long").as("u"), col("dst").cast("long").as("tv"))
-      .join(layers.select(col("v").as("u"), col("layer").as("ul")), Seq("u"))
+      .join(state0.select(col("v").as("u"), col("label").as("ul")), Seq("u"))
       .select(col("tv").as("v"), (col("ul") + 1).as("cand"))
     // Seed 2: a vertex NEW to this snapshot with no in-edges anywhere is a
     // v2 SOURCE — layer 0 by definition, and nothing would ever propose it
@@ -1359,45 +1414,25 @@ object GraphOps {
     // the cascade, whose pred chains terminate at seeded sources).
     val newVerts = inserted.select(col("src").cast("long").as("v"))
       .union(inserted.select(col("dst").cast("long").as("v"))).distinct()
-      .join(layers.select("v"), Seq("v"), "left_anti")
+      .join(state0.select("v"), Seq("v"), "left_anti")
     val newSources = newVerts
       .join(e.select(col("dst").as("v")).distinct(), Seq("v"), "left_anti")
       .select(col("v"), lit(0L).as("cand"))
-    var frontier = proposals.union(newSources)
+    val seed0 = proposals.union(newSources)
       .groupBy("v").agg(max("cand").as("cand"))
-      .join(layers, Seq("v"), "left")
-      .filter(col("layer").isNull || col("cand") > col("layer"))
-      .select(col("v"), col("cand").as("layer"))
-      .localCheckpoint(true)
-    var n = frontier.count()
-    var i = 0
-    while (n > 0 && i < maxIter) {
-      layers = layers
-        .join(frontier.select(col("v"), col("layer").as("nl")), Seq("v"), "full")
-        .select(col("v"), greatest(coalesce(col("layer"), col("nl")),
-          coalesce(col("nl"), col("layer"))).as("layer"))
-        .localCheckpoint(true)
-      def hop(fr: DataFrame): DataFrame = fr
-        .select(col("v").as("hv"), col("layer").as("hl"))
-        .join(e.select(col("src").as("hsrc"), col("dst").as("hdst")),
-          col("hv") === col("hsrc"))
-        .groupBy(col("hdst").as("v"))
-        .agg((max("hl") + 1).as("layer"))
-      val h1 = hop(frontier)
-      frontier = h1.union(hop(h1))
-        .groupBy("v").agg(max("layer").as("cand"))
-        .join(layers.withColumnRenamed("layer", "cur"), Seq("v"), "left")
-        .filter(col("cur").isNull || col("cand") > col("cur"))
-        .select(col("v"), col("cand").as("layer"))
-        .localCheckpoint(true)
-      n = frontier.count()
-      i += 2
-    }
+      .join(state0, Seq("v"), "left")
+      .filter(col("label").isNull || col("cand") > col("label"))
+      .select(col("v"), col("cand").as("label"))
+    def hop(fr: DataFrame): DataFrame = fr
+      .select(col("v").as("hv"), col("label").as("hl"))
+      .join(e.select(col("src").as("hsrc"), col("dst").as("hdst")),
+        col("hv") === col("hsrc"))
+      .groupBy(col("hdst").as("v"))
+      .agg((max("hl") + 1).as("label"))
+    val out = labelCorrectLoop("incrementalDagLayers", state0, seed0, hop,
+      max, _ > _, greatest(_, _), maxIter)
     e.unpersist()
-    if (n > 0) throw new IllegalStateException(
-      s"incrementalDagLayers did not converge in $maxIter rounds — the " +
-        "delta introduced a cycle or the longest path exceeds the cap")
-    layers
+    out.withColumnRenamed("label", "layer")
   }
 
   /** INCREMENTAL weighted-SSSP maintenance over INSERT-only edge deltas —
@@ -1420,46 +1455,29 @@ object GraphOps {
       prevDist: DataFrame, inserted: DataFrame, maxIter: Int = 100): DataFrame = {
     val e = fullEdges.select(col("src").cast("long"), col("dst").cast("long"),
       col("w").cast("long")).persist()
-    var dist = prevDist.select(col("v").cast("long").as("v"),
-      col("dist").cast("long").as("dist")).localCheckpoint(true)
+    val state0 = prevDist.select(col("v").cast("long").as("v"),
+      col("dist").cast("long").as("label"))
     // seed: relax ONLY the inserted edges against the previous state (an
     // inserted edge from a still-unreachable source contributes nothing
     // yet — a later cascade re-proposes it via the full edge list)
-    var frontier = inserted
+    val seed0 = inserted
       .select(col("src").cast("long").as("u"), col("dst").cast("long").as("tv"),
         col("w").cast("long").as("iw"))
-      .join(dist.select(col("v").as("u"), col("dist").as("ud")), Seq("u"))
-      .groupBy(col("tv").as("v")).agg(min(col("ud") + col("iw")).as("nd"))
-      .join(dist, Seq("v"), "left")
-      .filter(col("dist").isNull || col("nd") < col("dist"))
-      .select(col("v"), col("nd").as("dist"))
-      .localCheckpoint(true)
-    var n = frontier.count()
-    var i = 0
-    while (n > 0 && i < maxIter) {
-      dist = dist
-        .join(frontier.select(col("v"), col("dist").as("nl")), Seq("v"), "full")
-        .select(col("v"), least(coalesce(col("dist"), col("nl")),
-          coalesce(col("nl"), col("dist"))).as("dist"))
-        .localCheckpoint(true)
-      def hop(fr: DataFrame): DataFrame = fr
-        .select(col("v").as("hv"), col("dist").as("hd"))
-        .join(e.select(col("src").as("hsrc"), col("dst").as("hdst"),
-          col("w").as("hw")), col("hv") === col("hsrc"))
-        .groupBy(col("hdst").as("v"))
-        .agg(min(col("hd") + col("hw")).as("dist"))
-      val h1 = hop(frontier)
-      frontier = h1.union(hop(h1))
-        .groupBy("v").agg(min("dist").as("nd"))
-        .join(dist.withColumnRenamed("dist", "cur"), Seq("v"), "left")
-        .filter(col("cur").isNull || col("nd") < col("cur"))
-        .select(col("v"), col("nd").as("dist"))
-        .localCheckpoint(true)
-      n = frontier.count()
-      i += 2
-    }
+      .join(state0.select(col("v").as("u"), col("label").as("ud")), Seq("u"))
+      .groupBy(col("tv").as("v")).agg(min(col("ud") + col("iw")).as("cand"))
+      .join(state0, Seq("v"), "left")
+      .filter(col("label").isNull || col("cand") < col("label"))
+      .select(col("v"), col("cand").as("label"))
+    def hop(fr: DataFrame): DataFrame = fr
+      .select(col("v").as("hv"), col("label").as("hd"))
+      .join(e.select(col("src").as("hsrc"), col("dst").as("hdst"),
+        col("w").as("hw")), col("hv") === col("hsrc"))
+      .groupBy(col("hdst").as("v"))
+      .agg(min(col("hd") + col("hw")).as("label"))
+    val out = labelCorrectLoop("incrementalSssp", state0, seed0, hop,
+      min, _ < _, least(_, _), maxIter)
     e.unpersist()
-    dist
+    out.withColumnRenamed("label", "dist")
   }
 
   /** Bounded Borůvka rounds over a canonical undirected weighted edge set
