@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
+import graft.sources.VersionedGraphStore
 
 /** Event-log analytics over `events` — the session/funnel/time-series
   * operators a product-analytics or feature-engineering pipeline runs on a
@@ -319,6 +320,96 @@ object EventAnalytics extends QueryModule {
                         + (CAST(n_b AS $dec) * q_b - CAST(s_b AS $dec) * s_b)
                           * n_a * n_a * n_a)""").as("significant"))
         .orderBy("scenario", "event_type")
+    }),
+
+    // Autocorrelation (ACF) of per-type hourly event volume at lags 1–3 —
+    // the seasonality probe a monitoring/forecasting pipeline runs before
+    // fitting anything. The series is the DENSE hourly count grid (the
+    // q_ts_gapfill spine, 0-filled — ACF over a gappy series is
+    // misaligned), and the estimator is kept in EXACT integers by
+    // cross-multiplying out the mean: with H hours and S = Σn,
+    // Σ(n_t−S/H)(n_{t+L}−S/H) scaled by H² is Σ d_t·d_{t+L} for
+    // d_t = H·n_t − S, so the query emits the (numerator, denominator)
+    // pair of r_L = Σd_t d_{t+L} / Σd_t² as bigints — engine-portable
+    // with no float, and the caller divides for presentation. Scale
+    // shape: one (type, hour) shuffle compacts the stream to the grid
+    // (≤ types×hours rows), then spine join + windows + the final agg all
+    // stay on the event_type partitioning; lags extend by adding lead
+    // columns, not passes.
+    "q_ts_acf" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // feeds bounds + the type list + the grid
+      val bounds = e.agg(min("h").as("h0"), max("h").as("h1"))
+      val spine = e.select("event_type").distinct()
+        .crossJoin(broadcast(bounds)) // 1-row scalar frame
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+      val dense = spine.join(e, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"), coalesce(col("n"), lit(0L)).as("n"))
+      val wAll = Window.partitionBy("event_type")
+      val wOrd = Window.partitionBy("event_type").orderBy("h")
+      val led = dense
+        .withColumn("d", count(lit(1)).over(wAll) * col("n") - sum("n").over(wAll))
+        .select(col("event_type"), col("d"),
+          lead("d", 1).over(wOrd).as("d1"),
+          lead("d", 2).over(wOrd).as("d2"),
+          lead("d", 3).over(wOrd).as("d3"))
+      led.select(col("event_type"), col("d"), explode(array(
+          struct(lit(1).as("lag_h"), col("d1").as("dl")),
+          struct(lit(2).as("lag_h"), col("d2").as("dl")),
+          struct(lit(3).as("lag_h"), col("d3").as("dl")))).as("p"))
+        .groupBy(col("event_type"), col("p.lag_h").as("lag_h"))
+        .agg(sum(when(col("p.dl").isNotNull, col("d") * col("p.dl"))).as("acf_num"),
+          sum(col("d") * col("d")).as("acf_den"))
+        .orderBy("event_type", "lag_h")
+    }),
+
+    // Schema EVOLUTION across commit-log versions (ADD COLUMN) — the
+    // r8-seeded CDC case: v1 commits (k, name), v2 commits the WIDENED
+    // (k, name, region). Each snapshot's parquet footer IS that version's
+    // schema contract, so `loadAt` serves v1 with 2 columns and the
+    // latest with 3 — time travel never retrofits new columns onto old
+    // data — and the cross-version history read aligns by NAME with the
+    // pre-ADD column as NULL (`unionByName(allowMissingColumns)`, the
+    // schema-merge scan every lakehouse history read performs). The
+    // emitted n_cols probes the SERVED schema, n_region_vals/region_sum
+    // probe the merged read (v1 rows must contribute zero region mass).
+    // The oracle recomputes both versions straight from `nation`.
+    "q_cdc_schema_evolution" -> ((s, dir) => {
+      import s.implicits._
+      val n = t(s, dir, "nation")
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_cdcschema_${java.lang.ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      // table state is RUN state: rebuilt each invocation so snapshot ids
+      // are deterministic (1 then 2)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val v1 = VersionedGraphStore.commit(
+        n.filter(col("n_nationkey") < 10)
+          .select(col("n_nationkey").cast("long").as("k"), col("n_name").as("name")),
+        base)
+      val v2 = VersionedGraphStore.commit(
+        n.select(col("n_nationkey").cast("long").as("k"), col("n_name").as("name"),
+          col("n_regionkey").cast("long").as("region")),
+        base)
+      val r1 = VersionedGraphStore.loadAt(s, base, v1)
+      val r2 = VersionedGraphStore.load(s, base)
+      // served-schema probe: column count as loadAt returned it (metadata,
+      // not data — a lit per version)
+      val ncols = Seq((v1, r1.columns.length), (v2, r2.columns.length))
+        .toDF("snapshot", "n_cols")
+      r1.withColumn("snapshot", lit(v1))
+        .unionByName(r2.withColumn("snapshot", lit(v2)), allowMissingColumns = true)
+        .groupBy("snapshot")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("region")).as("n_region_vals"),
+          coalesce(sum("region"), lit(0L)).as("region_sum"))
+        .join(broadcast(ncols), Seq("snapshot"))
+        .select(col("snapshot"), col("n_cols"), col("n_rows"),
+          col("n_region_vals"), col("region_sum"))
+        .orderBy("snapshot")
     })
   )
 
@@ -409,6 +500,49 @@ object EventAnalytics extends QueryModule {
          JOIN (SELECT user_id, MAX(rn) AS m FROM rec GROUP BY user_id) x
            ON x.user_id = r.user_id AND r.rn = x.m
          ORDER BY r.user_id""",
+    // The identical dense-grid/cross-multiplied estimator; CASTs keep
+    // DuckDB's HUGEINT window sums inside BIGINT to match Spark's longs.
+    "q_ts_acf" ->
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+             COUNT(*) AS n FROM events GROUP BY 1, 2),
+         bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hourly),
+         spine AS (SELECT t.event_type, unnest(generate_series(b.h0, b.h1,
+                     INTERVAL 1 HOUR)) AS h
+                   FROM (SELECT DISTINCT event_type FROM hourly) t
+                   CROSS JOIN bounds b),
+         dense AS (SELECT s.event_type, s.h, COALESCE(hourly.n, 0) AS n
+                   FROM spine s LEFT JOIN hourly
+                     ON hourly.event_type = s.event_type AND hourly.h = s.h),
+         dev AS (SELECT event_type, h,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type) * n
+                     - SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS d
+                 FROM dense),
+         led AS (SELECT event_type, d,
+                   LEAD(d, 1) OVER (PARTITION BY event_type ORDER BY h) AS d1,
+                   LEAD(d, 2) OVER (PARTITION BY event_type ORDER BY h) AS d2,
+                   LEAD(d, 3) OVER (PARTITION BY event_type ORDER BY h) AS d3
+                 FROM dev),
+         ex AS (SELECT event_type, d, 1 AS lag_h, d1 AS dl FROM led
+                UNION ALL SELECT event_type, d, 2, d2 FROM led
+                UNION ALL SELECT event_type, d, 3, d3 FROM led)
+         SELECT event_type, CAST(lag_h AS INT) AS lag_h,
+           CAST(SUM(CASE WHEN dl IS NOT NULL THEN d * dl END) AS BIGINT) AS acf_num,
+           CAST(SUM(d * d) AS BIGINT) AS acf_den
+         FROM ex GROUP BY event_type, lag_h
+         ORDER BY event_type, lag_h""",
+    // Both versions recomputed straight from nation; v1 is the
+    // n_nationkey < 10 subset at the NARROW (2-column) schema, so its
+    // history rows must contribute zero region mass.
+    "q_cdc_schema_evolution" ->
+      """SELECT CAST(1 AS BIGINT) AS snapshot, 2 AS n_cols,
+           COUNT(*) AS n_rows, CAST(0 AS BIGINT) AS n_region_vals,
+           CAST(0 AS BIGINT) AS region_sum
+         FROM nation WHERE n_nationkey < 10
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), 3, COUNT(*),
+           COUNT(n_regionkey), CAST(SUM(n_regionkey) AS BIGINT)
+         FROM nation
+         ORDER BY snapshot""",
     // Same integer cross-multiplied 2σ test; CASTs keep DuckDB's HUGEINT
     // sums inside BIGINT so the comparison arithmetic matches Spark's.
     "q_events_anomaly" -> anomalySql,

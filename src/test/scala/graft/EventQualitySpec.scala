@@ -479,4 +479,58 @@ class EventQualitySpec extends SparkSpec {
       }
     }
   }
+
+  test("acf: matches an in-memory dense-grid recompute; Cauchy-Schwarz bound holds") {
+    // epoch-hour truncation is tz-independent (whole-hour buckets of
+    // absolute epoch millis == date_trunc('hour') under the UTC session)
+    val events = Tables(spark, sfDir, "events")
+      .select("event_type", "ts").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime / 3600000L))
+    val h0 = events.map(_._2).min
+    val h1 = events.map(_._2).max
+    val hours = (h0 to h1).toArray
+    val byType = events.groupBy(_._1).view.mapValues { es =>
+      val cnt = es.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      hours.map(cnt.getOrElse(_, 0L))
+    }.toMap
+    val expected = byType.flatMap { case (tpe, n) =>
+      val hh = n.length.toLong
+      val ss = n.sum
+      val d = n.map(x => hh * x - ss)
+      (1 to 3).map { l =>
+        val num = (0 until d.length - l).map(t => d(t) * d(t + l)).sum
+        val den = d.map(x => x * x).sum
+        (tpe, l) -> ((num, den))
+      }
+    }
+    val got = EventAnalytics.queries("q_ts_acf")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Int]("lag_h")) ->
+        ((r.getAs[Long]("acf_num"), r.getAs[Long]("acf_den")))).toMap
+    assert(got == expected)
+    // |r_L| <= 1: the lagged numerator can never exceed the variance mass
+    got.values.foreach { case (num, den) =>
+      assert(den > 0 && math.abs(num) <= den)
+    }
+  }
+
+  test("cdc schema evolution: loadAt serves each version's own schema, merged read zero-fills") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_schemaevo_spec").toString
+    val v1 = graft.sources.VersionedGraphStore.commit(
+      Seq((1L, "a")).toDF("k", "name"), base)
+    val v2 = graft.sources.VersionedGraphStore.commit(
+      Seq((1L, "a", 7L), (2L, "b", 8L)).toDF("k", "name", "region"), base)
+    assert(graft.sources.VersionedGraphStore.loadAt(spark, base, v1)
+      .columns.toSeq == Seq("k", "name"))
+    assert(graft.sources.VersionedGraphStore.loadAt(spark, base, v2)
+      .columns.toSeq == Seq("k", "name", "region"))
+    val out = EventAnalytics.queries("q_cdc_schema_evolution")(spark, sfDir)
+      .collect().sortBy(_.getAs[Long]("snapshot"))
+    assert(out.map(r => (r.getAs[Long]("snapshot"), r.getAs[Int]("n_cols"))).toSeq
+      == Seq((1L, 2), (2L, 3)))
+    // narrow-schema history rows contribute zero region mass
+    assert(out.head.getAs[Long]("n_region_vals") == 0L
+      && out.head.getAs[Long]("region_sum") == 0L)
+    assert(out(1).getAs[Long]("n_region_vals") == out(1).getAs[Long]("n_rows"))
+  }
 }
