@@ -1224,6 +1224,96 @@ object GraphOps {
     labels
   }
 
+  /** Round cap shared by [[maximalIndependentSet]]'s two paths and the
+    * q_graph_mis oracle's fixed SQL unroll (rounds past convergence are
+    * empty no-ops on both sides; non-convergence within the cap is a loud
+    * failure, never a truncated result). */
+  private[graft] val MisRoundCap = 32
+
+  /** Deterministic MAXIMAL INDEPENDENT SET — Luby-style min-priority
+    * rounds under the fixed LCG priority p(v) = (v·1103515245 + 12345)
+    * mod 2³¹ (odd multiplier × power-of-two modulus ⇒ injective for
+    * v < 2³¹, so priority ties cannot occur): each round selects every
+    * ACTIVE vertex whose priority is strictly below every active
+    * neighbor's, adds it to the set, and deactivates its closed
+    * neighborhood. With a fixed injective priority the parallel fixpoint
+    * EQUALS the sequential greedy MIS in priority order, and the
+    * selection round is the vertex's depth in the greedy dependency
+    * chain — fully deterministic, so the oracle replays the identical
+    * rounds in SQL. Input edges may be directed/duplicated; self-loops
+    * are dropped (a self-looped vertex is its own neighbor and could
+    * never be selected); isolated vertices are out of scope (an edge
+    * list cannot carry them). Returns `(v, round)` for members, 1-based.
+    *
+    * Size-gated like [[connectedComponents]]: ≤`driverSolveLimit` edges
+    * run an in-memory simulation of the SAME rounds; past the gate the
+    * BSP loop runs — per round one active-pruned neighbor-min join, one
+    * selection filter, one closed-neighborhood anti-join, all keyed on
+    * the vertex. Expected O(log n) rounds on bounded-degree graphs
+    * (Luby); `maxRounds` bounds both paths loudly, matching the oracle's
+    * fixed unroll. q_graph_mis benches the gate path, q_graph_mis_bsp
+    * forces this loop (the q_graph_cc_bsp discipline).
+    */
+  def maximalIndependentSet(spark: SparkSession, edges: DataFrame,
+      maxRounds: Int = MisRoundCap,
+      driverSolveLimit: Long = DriverSolveEdgeLimit): DataFrame = {
+    import spark.implicits._
+    val e0 = edges.filter(col("src") =!= col("dst"))
+      .select(col("src").cast("long"), col("dst").cast("long"))
+    val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    val edgeCount = und.count() // gate + materializes the persist
+    def pri(v: Long): Long = (v * 1103515245L + 12345L) % 2147483648L
+    if (edgeCount <= driverSolveLimit) {
+      val arr = und.rdd.map(r => (r.getLong(0), r.getLong(1))).collect()
+      und.unpersist()
+      val adj = arr.groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+      val active = scala.collection.mutable.HashSet.empty[Long]
+      adj.keysIterator.foreach(active += _)
+      val out = Seq.newBuilder[(Long, Int)]
+      var r = 0
+      while (active.nonEmpty && r < maxRounds) {
+        r += 1
+        val sel = active.iterator.filter { v =>
+          val pv = pri(v)
+          adj(v).forall(u => !active.contains(u) || pri(u) > pv)
+        }.toArray
+        out ++= sel.map(v => (v, r))
+        sel.foreach { v => active -= v; adj(v).foreach(active -= _) }
+      }
+      require(active.isEmpty, s"MIS did not converge within $maxRounds rounds")
+      return out.result().toDF("v", "round")
+    }
+    val priCol = (c: org.apache.spark.sql.Column) =>
+      (c * 1103515245L + 12345L) % 2147483648L
+    var active = und.select(col("src").as("v")).distinct()
+      .withColumn("p", priCol(col("v"))).localCheckpoint(true)
+    var activeCount = active.count()
+    var result = Seq.empty[(Long, Int)].toDF("v", "round")
+    var r = 0
+    while (activeCount > 0 && r < maxRounds) {
+      r += 1
+      // min priority among ACTIVE neighbors of ACTIVE vertices
+      val nbrMin = und
+        .join(active.select(col("v").as("av")), col("src") === col("av"), "left_semi")
+        .join(active.select(col("v").as("dv"), col("p").as("dp")), col("dst") === col("dv"))
+        .groupBy(col("src").as("mv")).agg(min("dp").as("minp"))
+      val sel = active.join(nbrMin, col("v") === col("mv"), "left")
+        .filter(col("p") < coalesce(col("minp"), lit(Long.MaxValue)))
+        .select("v").localCheckpoint(true)
+      result = result.union(sel.select(col("v"), lit(r).as("round")))
+      val removed = sel
+        .union(und.join(sel.select(col("v").as("sv")), col("src") === col("sv"), "left_semi")
+          .select(col("dst").as("v")))
+        .distinct()
+      active = active.join(removed, Seq("v"), "left_anti").localCheckpoint(true)
+      activeCount = active.count()
+    }
+    und.unpersist()
+    require(activeCount == 0, s"MIS did not converge within $maxRounds rounds")
+    result
+  }
+
   /** INCREMENTAL connected-components maintenance over INSERT-only edge
     * deltas — the graph-analytics consumer of the commit-log store's
     * snapshot diffs: given the previous CC state `(v, comp)` (comp = min

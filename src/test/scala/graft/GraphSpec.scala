@@ -839,4 +839,23 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(again.sorted == edges.sorted)
   }
+
+  test("incremental betweenness: scoped re-sweep equals the full 5-seed Brandes readout") {
+    // the query's own hierarchy fixture, rebuilt independently
+    val n = Tables(spark, sfDir, "nation")
+    val c = Tables(spark, sfDir, "customer")
+    val fwd = n.select((col("n_nationkey") + 10).cast("long").as("src"),
+        col("n_regionkey").cast("long").as("dst"))
+      .union(c.select((col("c_custkey") + 100).cast("long").as("src"),
+        (col("c_nationkey") + 10).cast("long").as("dst")))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val full = GraphOps.multiSourceBrandes(spark, edges, Seq(0L, 1L, 2L, 3L, 4L))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val inc = graft.operators.GraphQueries
+      .queries("q_graph_betweenness_incremental")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(inc == full, "scoped(state, diff) == full(new_snapshot)")
+    // the fixture leaves real mass on the nation tier
+    assert(inc.values.exists(_ > 0))
+  }
 }
