@@ -721,6 +721,30 @@ object GraphQueries extends QueryModule {
         .orderBy("seed")
     }),
 
+    // DOUBLE-SWEEP diameter estimation (Magnien–Latapy–Habib): one BFS
+    // from a fixed start gives ecc(start) — already a lower bound — then
+    // a second sweep FROM THE FARTHEST VERTEX tightens it; on most real
+    // graph families the double sweep is exact or near-exact at the cost
+    // of TWO traversals instead of the all-pairs sweep an exact diameter
+    // needs (the 100 TB argument: |V| BFS runs are never happening).
+    // Sweep 1 is FREE here — the seed-0 slice of the shared σ-BFS cache;
+    // sweep 2 is one bfsLevels run seeded by a deterministic far-vertex
+    // choice (min id among the deepest level; the two max/min reads are
+    // metadata-sized scalars, same discipline as q_graph_ecc's cap
+    // check). Emits the probe trace, not just the bound, so the oracle
+    // pins the far-vertex CHOICE too.
+    "q_graph_diameter" -> ((s, dir) => {
+      val (ed, sig) = ringSigma(s, dir)
+      val l1 = sig.filter(col("seed") === 0L).select(col("v"), col("level"))
+        .localCheckpoint(true) // feeds the two scalar reads
+      val e1 = l1.agg(max("level")).head.getInt(0)
+      val far = l1.filter(col("level") === e1).agg(min("v")).head.getLong(0)
+      GraphOps.bfsLevels(s, ed, far)
+        .agg(max(col("level")).as("lvl"))
+        .select(lit(0L).as("start_v"), lit(e1).as("ecc_start"),
+          lit(far).as("far_v"), col("lvl").cast("int").as("diameter_lb"))
+    }),
+
     // Deterministic random-walk sampling (the node2vec/DeepWalk corpus
     // generator): one walk per seed, 4 steps; the "random" next hop is
     // the out-neighbor minimizing the portable hash of
@@ -788,6 +812,22 @@ object GraphQueries extends QueryModule {
         .groupBy("comp")
         .agg(count(lit(1)).as("n_members"), min("v").as("min_v"), max("v").as("max_v"))
         .orderBy("comp")),
+
+    // Deterministic MAXIMAL INDEPENDENT SET over the undirected ring
+    // graph — Luby's min-priority rounds under a fixed injective LCG
+    // priority, so the parallel fixpoint equals the sequential greedy MIS
+    // and both the membership AND the selection round are deterministic
+    // ([[GraphOps.maximalIndependentSet]]). The oracle replays the
+    // identical rounds as a fixed-depth CTE chain (rounds past
+    // convergence are empty no-ops; the Spark side require()s convergence
+    // within the same cap). q_graph_mis benches the size-gated driver
+    // simulation; q_graph_mis_bsp forces the distributed loop — the
+    // 100 TB path — per the q_graph_cc_bsp discipline.
+    "q_graph_mis" -> ((s, dir) =>
+      GraphOps.maximalIndependentSet(s, ringEdges(s, dir)).orderBy("v")),
+    "q_graph_mis_bsp" -> ((s, dir) =>
+      GraphOps.maximalIndependentSet(s, ringEdges(s, dir), driverSolveLimit = 0L)
+        .orderBy("v")),
 
     // INCREMENTAL CC maintenance end-to-end (r7 VERDICT stretch): the
     // hierarchy graph is committed to the VersionedGraphStore in two
@@ -1170,6 +1210,48 @@ object GraphQueries extends QueryModule {
         .orderBy("change")
     })
   )
+
+  /** q_graph_mis/-_bsp oracle: the identical min-priority rounds REPLAYED
+    * as a fixed [[GraphOps.MisRoundCap]]-deep CTE chain over the
+    * undirected ring graph — s_k = active vertices whose priority is a
+    * strict minimum among active neighbors, a_k = a_{k-1} minus s_k's
+    * closed neighborhood. Rounds past convergence are empty no-ops; the
+    * Spark side require()s convergence within the same cap, so the unroll
+    * can never truncate a real round. */
+  private lazy val misOracleSql: String = {
+    val cap = GraphOps.MisRoundCap
+    def p(x: String) = s"(($x * 1103515245 + 12345) % 2147483648)"
+    // every CTE is MATERIALIZED: a_k references a_{k-1} three times, so
+    // DuckDB's default inlining would expand the chain EXPONENTIALLY
+    // (3^cap copies of the scan — the "too many open files" failure mode)
+    val rounds = (1 to cap).map { k =>
+      s"""s$k AS MATERIALIZED (SELECT a.v FROM a${k - 1} a LEFT JOIN (
+             SELECT e.src AS v, MIN(${p("e.dst")}) AS mp
+             FROM e JOIN a${k - 1} d ON d.v = e.dst
+                    JOIN a${k - 1} m ON m.v = e.src
+             GROUP BY e.src) nb ON nb.v = a.v
+           WHERE ${p("a.v")} < COALESCE(nb.mp, 9223372036854775807)),
+         a$k AS MATERIALIZED (SELECT v FROM a${k - 1}
+           WHERE v NOT IN (SELECT v FROM s$k)
+             AND v NOT IN (SELECT e.dst FROM e JOIN s$k s ON s.v = e.src))"""
+    }.mkString(",\n")
+    val misUnion = (1 to cap).map(k => s"SELECT v, $k AS r FROM s$k")
+      .mkString(" UNION ALL ")
+    s"""WITH eraw AS MATERIALIZED (
+         SELECT CAST(c_custkey AS BIGINT) AS src,
+           CAST((c_custkey*2+1) % (SELECT COUNT(*) FROM customer) AS BIGINT) AS dst
+         FROM customer
+         UNION ALL SELECT c_custkey,
+           (c_custkey*5+7) % (SELECT COUNT(*) FROM customer) FROM customer
+         UNION ALL SELECT c_custkey,
+           (c_custkey*16+3) % (SELECT COUNT(*) FROM customer) FROM customer),
+       e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+           SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw)
+         WHERE src <> dst),
+       a0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),
+       $rounds
+       SELECT v, CAST(r AS INT) AS round FROM ($misUnion) ORDER BY v"""
+  }
 
   def oracles: Map[String, String] = Map(
     "q_graph_bfs" ->
@@ -1949,6 +2031,8 @@ object GraphQueries extends QueryModule {
          comp AS (SELECT v, MIN(root) AS comp FROM reach GROUP BY v)
          SELECT comp, COUNT(*) AS n_members, MIN(v) AS min_v, MAX(v) AS max_v
          FROM comp GROUP BY comp ORDER BY comp""",
+    "q_graph_mis" -> misOracleSql,
+    "q_graph_mis_bsp" -> misOracleSql,
     "q_graph_cc" ->
       s"""WITH RECURSIVE e AS ($hierEdgesSql),
          reach(v, root) AS (

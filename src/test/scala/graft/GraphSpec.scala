@@ -840,6 +840,34 @@ class GraphSpec extends SparkSpec {
     assert(again.sorted == edges.sorted)
   }
 
+  test("MIS: independent, maximal, gate == BSP, equals sequential greedy by priority") {
+    import spark.implicits._
+    def pri(v: Long) = (v * 1103515245L + 12345L) % 2147483648L
+    // hexagon + a chord + a pendant + a SELF-LOOP (7 must never be
+    // selected via its loop? no — self-loops are DROPPED, so 7-7 is
+    // ignored and 7 participates normally through 7-0)
+    val raw = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 0L), (0L, 3L), (7L, 0L), (7L, 7L))
+    val e = raw.toDF("src", "dst")
+    val gate = GraphOps.maximalIndependentSet(spark, e).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val bsp = GraphOps.maximalIndependentSet(spark, e, driverSolveLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(gate == bsp, "driver simulation and BSP loop replay identical rounds")
+    val und = raw.filter(p => p._1 != p._2).flatMap(p => Seq(p, p.swap)).distinct
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val mis = gate.keySet
+    for ((u, v) <- und) assert(!(mis(u) && mis(v)), s"edge $u-$v inside the MIS")
+    for (v <- adj.keys if !mis(v))
+      assert(adj(v).exists(mis), s"$v could still be added")
+    // the fixed-priority parallel fixpoint IS the sequential greedy MIS
+    val greedy = mutable.Set.empty[Long]
+    adj.keys.toSeq.sortBy(pri).foreach { v =>
+      if (!adj(v).exists(greedy)) greedy += v
+    }
+    assert(mis == greedy.toSet)
+  }
+
   test("incremental betweenness: scoped re-sweep equals the full 5-seed Brandes readout") {
     // the query's own hierarchy fixture, rebuilt independently
     val n = Tables(spark, sfDir, "nation")
