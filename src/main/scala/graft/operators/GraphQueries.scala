@@ -2033,6 +2033,22 @@ object GraphQueries extends QueryModule {
          FROM comp GROUP BY comp ORDER BY comp""",
     "q_graph_mis" -> misOracleSql,
     "q_graph_mis_bsp" -> misOracleSql,
+    // Both sweeps replayed: lv is the seed-0 walk, far the deterministic
+    // deepest-level min-id choice, walk2 the re-sweep from it.
+    "q_graph_diameter" ->
+      (ringWalkCte + """,
+         far AS (SELECT MIN(v) AS fv FROM lv
+                 WHERE level = (SELECT MAX(level) FROM lv)),
+         walk2(v, lvl) AS (
+           SELECT (SELECT fv FROM far), 0
+           UNION
+           SELECT e.dst, w.lvl+1 FROM walk2 w JOIN e ON e.src = w.v
+           WHERE w.lvl < 40),
+         lv2 AS (SELECT v, MIN(lvl) AS level FROM walk2 GROUP BY v)
+         SELECT CAST(0 AS BIGINT) AS start_v,
+           CAST((SELECT MAX(level) FROM lv) AS INT) AS ecc_start,
+           (SELECT fv FROM far) AS far_v,
+           CAST((SELECT MAX(level) FROM lv2) AS INT) AS diameter_lb"""),
     "q_graph_cc" ->
       s"""WITH RECURSIVE e AS ($hierEdgesSql),
          reach(v, root) AS (
