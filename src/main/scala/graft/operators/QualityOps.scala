@@ -191,6 +191,68 @@ object QualityOps extends QueryModule {
         .orderBy("pri")
     }),
 
+    // THETA-SKETCH SET OPERATIONS over KMV (bottom-k) sketches — the
+    // corpus-overlap estimator a dedup pipeline runs BEFORE committing to
+    // a full cross-corpus join: "how many distinct parts do two corpus
+    // slices share?" answered from two k=256 sketches instead of a
+    // distinct-join over everything. The slices are residue-defined
+    // (A = partkey % 3 > 0, B = partkey % 2 = 0 — the held-out-%97
+    // fixture discipline) so intersection, union, and both differences
+    // are all REAL: a row-predicate split saturates to identical part
+    // sets at ~30 rows/part. Algebra (Dasgupta et al.,
+    // Datasketches theta): θ = min of the two k-th smallest hashes; the
+    // sub-θ sample of each sketch is a uniform fraction-θ sample of its
+    // set, so |X| ≈ |sample < θ| / θ — union counts distinct sub-θ
+    // hashes, intersection the sub-θ hashes present in BOTH. Every
+    // number here is deterministic exact-integer arithmetic over the
+    // portable hash ([[graft.functions.PortableHash]]): estimates are
+    // n·2⁶⁰ div θ (DECIMAL internally, BIGINT out), so the oracle
+    // replays the estimator bit-for-bit; exact counts ride along for the
+    // accuracy spec (ties in EventQualitySpec, not the hash compare —
+    // identical estimators agree even when wrong). At 100 TB each side
+    // ships k 8-byte hashes regardless of row count and the only
+    // corpus-scale work is one distinct-project per side.
+    "q_sketch_theta" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 256
+      val pk = Tables(s, dir, "lineitem").select(col("l_partkey"))
+      val hh = graft.functions.PortableHash.hash60(col("l_partkey").cast("string"))
+      val sides = pk.filter(col("l_partkey") % 3 > 0)
+        .select(lit(true).as("a"), hh.as("h"))
+        .unionByName(pk.filter(col("l_partkey") % 2 === 0)
+          .select(lit(false).as("a"), hh.as("h")))
+        .distinct()
+        .localCheckpoint(true) // feeds the sketch build AND the exact counts
+      val w = Window.partitionBy("a").orderBy("h")
+      val sk = sides.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select("a", "h").localCheckpoint(true)
+      val kth = sk.groupBy("a").agg(max("h").as("kth"))
+      val kthA = kth.filter(col("a")).select(col("kth").as("kth_a"))
+      val kthB = kth.filter(!col("a")).select(col("kth").as("kth_b"))
+      val thetaF = kth.agg(min("kth").as("theta"))
+      val below = sk.crossJoin(broadcast(thetaF)) // 1-row scalar frame
+        .filter(col("h") < col("theta")).localCheckpoint(true)
+      val common = below.groupBy("h").agg(count(lit(1)).as("c"))
+        .filter(col("c") === 2).agg(count(lit(1)).as("n_common"))
+      val unionB = below.select("h").distinct().agg(count(lit(1)).as("n_union_below"))
+      val exact = sides.groupBy("h")
+        .agg(max(when(col("a"), 1).otherwise(0)).as("ina"),
+          max(when(!col("a"), 1).otherwise(0)).as("inb"))
+        .agg(count(lit(1)).as("exact_union"),
+          sum(when(col("ina") === 1 && col("inb") === 1, 1L).otherwise(0L))
+            .as("exact_inter"))
+      // all 1-row frames; 2^60 = 1152921504606846976 (hash60's domain)
+      kthA.crossJoin(kthB).crossJoin(thetaF).crossJoin(common)
+        .crossJoin(unionB).crossJoin(exact)
+        .select(lit(k).as("k"), col("kth_a"), col("kth_b"), col("theta"),
+          col("n_common"), col("n_union_below"),
+          expr("CAST((CAST(n_common AS DECIMAL(38,0)) * 1152921504606846976)" +
+            " div theta AS BIGINT)").as("est_inter"),
+          expr("CAST((CAST(n_union_below AS DECIMAL(38,0)) * 1152921504606846976)" +
+            " div theta AS BIGINT)").as("est_union"),
+          col("exact_inter"), col("exact_union"))
+    }),
+
     // Mergeable DISTINCT-COUNT state — the Datasketches HLL member of the
     // partial-state family (count/sum/min/max → q_agg_incremental,
     // quantiles → q_agg_quantile_state/_sketch, presence → q_agg_bitmap):
@@ -479,6 +541,45 @@ object QualityOps extends QueryModule {
     "q_agg_hll_state" ->
       """SELECT COUNT(DISTINCT o_custkey) AS n_exact,
          TRUE AS merged_within_5pct, TRUE AS onepass_within_5pct FROM orders""",
+    // The identical theta algebra over the identical portable-hash
+    // bottom-k samples; HUGEINT is DuckDB's exact domain for the n·2^60
+    // products (Spark uses DECIMAL(38,0)).
+    "q_sketch_theta" -> {
+      val h = graft.functions.PortableHash.sql("CAST(l_partkey AS VARCHAR)")
+      s"""WITH sides AS MATERIALIZED (
+           SELECT DISTINCT TRUE AS a, CAST($h AS BIGINT) AS hh
+           FROM lineitem WHERE l_partkey % 3 > 0
+           UNION
+           SELECT DISTINCT FALSE AS a, CAST($h AS BIGINT) AS hh
+           FROM lineitem WHERE l_partkey % 2 = 0),
+         sk AS MATERIALIZED (SELECT a, hh FROM (
+             SELECT a, hh, ROW_NUMBER() OVER (PARTITION BY a ORDER BY hh) AS rn
+             FROM sides)
+           WHERE rn <= 256),
+         kth AS (SELECT a, MAX(hh) AS kth FROM sk GROUP BY a),
+         th AS (SELECT MIN(kth) AS theta FROM kth),
+         below AS MATERIALIZED (
+           SELECT sk.a, sk.hh FROM sk CROSS JOIN th WHERE sk.hh < th.theta),
+         com AS (SELECT COUNT(*) AS n_common FROM (
+           SELECT hh FROM below GROUP BY hh HAVING COUNT(*) = 2)),
+         unb AS (SELECT COUNT(DISTINCT hh) AS n_union_below FROM below),
+         ex AS (SELECT COUNT(*) AS exact_union,
+             CAST(SUM(CASE WHEN na > 0 AND nb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS exact_inter
+           FROM (SELECT hh, SUM(CASE WHEN a THEN 1 ELSE 0 END) AS na,
+                   SUM(CASE WHEN a THEN 0 ELSE 1 END) AS nb
+                 FROM sides GROUP BY hh))
+         SELECT 256 AS k,
+           (SELECT kth FROM kth WHERE a) AS kth_a,
+           (SELECT kth FROM kth WHERE NOT a) AS kth_b,
+           th.theta AS theta, com.n_common, unb.n_union_below,
+           CAST((com.n_common::HUGEINT * 1152921504606846976) // th.theta
+             AS BIGINT) AS est_inter,
+           CAST((unb.n_union_below::HUGEINT * 1152921504606846976) // th.theta
+             AS BIGINT) AS est_union,
+           ex.exact_inter, ex.exact_union
+         FROM th, com, unb, ex"""
+    },
     // Bottom-k sample replicated exactly: one ROW_NUMBER over the portable
     // rank hash IS the sketch; both output paths read the same sample (the
     // KMV closure property the Spark side proves operationally), so the

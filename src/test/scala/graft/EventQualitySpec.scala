@@ -480,6 +480,19 @@ class EventQualitySpec extends SparkSpec {
     }
   }
 
+  test("theta sketch: estimates within 25% of exact; theta and bound invariants hold") {
+    val r = QualityOps.queries("q_sketch_theta")(spark, sfDir).collect().head
+    def g(n: String) = r.getAs[Long](n)
+    assert(g("theta") == math.min(g("kth_a"), g("kth_b")))
+    assert(g("n_common") <= g("n_union_below") && g("n_union_below") <= 512)
+    assert(g("exact_inter") > 0 && g("exact_inter") < g("exact_union"),
+      "fixture slices must really overlap AND really differ")
+    // hash-compare can't see accuracy (both engines replay the same
+    // estimator) — the 25% bound lives here
+    for ((e, x) <- Seq("est_inter" -> "exact_inter", "est_union" -> "exact_union"))
+      assert((g(e) - g(x)).abs * 4 <= g(x), s"$e=${g(e)} far from ${g(x)}")
+  }
+
   test("acf: matches an in-memory dense-grid recompute; Cauchy-Schwarz bound holds") {
     // epoch-hour truncation is tz-independent (whole-hour buckets of
     // absolute epoch millis == date_trunc('hour') under the UTC session)
