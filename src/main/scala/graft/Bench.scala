@@ -210,10 +210,11 @@ object Bench {
       "q_stream_dedup_wm" -> ("4 sequential watermarked microbatches (late replay " +
         "2,3,1,4; chunk count IS the semantics - each chunk must see the prior " +
         "one's watermark) + state-store init: ~0.5s/batch scheduling floor at local[32]"),
-      "incremental_family" -> ("q_graph_{bfs,cc,triangles,pagerank,sssp,dag_layers}" +
+      "incremental_family" -> ("q_graph_{bfs,cc,triangles,pagerank,sssp,dag_layers," +
+        "betweenness,closeness}" +
         "_incremental and q_dedup_incremental each CONSTRUCT the previous " +
         "snapshot's stored state " +
-        "in-query (full BFS/CC/enumeration/10-iter ranks/SSSP/layering/signature build on v1) " +
+        "in-query (full BFS/CC/enumeration/10-iter ranks/SSSP/layering/sigma-sweep/signature build on v1) " +
         "before the maintenance step they demonstrate - a production pipeline " +
         "reads that state from storage, so the maintenance step alone is the " +
         "smaller fraction of each published time")
@@ -227,7 +228,7 @@ object Bench {
     val cacheConsumers = Seq(
       "sigma_bfs" -> Seq("q_graph_bfs", "q_graph_dfs_leaves", "q_graph_khop",
         "q_graph_betweenness", "q_graph_betweenness_multi", "q_graph_closeness",
-        "q_graph_ecc", "q_graph_harmonic"),
+        "q_graph_ecc", "q_graph_harmonic", "q_graph_diameter"),
       "brandes_deltas" -> Seq("q_graph_betweenness", "q_graph_betweenness_multi"),
       "labelprop" -> Seq("q_graph_labelprop", "q_graph_modularity"),
       "lsh_pairs" -> Seq("q_dedup_minhash", "q_dedup_cluster"),

@@ -176,6 +176,61 @@ object GraphQueries extends QueryModule {
   /** Seed sample for q_graph_closeness — shared with its oracle. */
   private val closenessSeeds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
 
+  /** The affected-seed maintenance sweep shared by the incremental
+    * betweenness/closeness queries. Stages the hierarchy graph (five
+    * components, one per region) in two commit-log versions — v1 missing
+    * the nation edges of ~9% of customers in regions 0–1, v2 complete —
+    * recovers the inserted delta as a snapshot diff, computes the stored
+    * per-(seed, v) σ state over v1 for the five region seeds, and
+    * classifies each seed: UNAFFECTED iff level_s(u)+1 > level_s(w) for
+    * every inserted (u, w) (∞ when unreachable — no shortest path from s
+    * can use the edge, so s's DAG is bit-identical and its stored slice
+    * is reused verbatim); affected seeds re-run the batched forward
+    * sweep on the new graph, cost ∝ |affected|, not the seed sample. By
+    * construction seeds 2–4 are unaffected — require()d loudly so
+    * fixture drift that degrades the scoping to a full recompute fails
+    * instead of silently passing. */
+  private case class ScopedSweep(edPrev: DataFrame, edNew: DataFrame,
+      affected: Seq[Long], reuse: Seq[Long],
+      sigPrev: DataFrame, sigNew: DataFrame) {
+    def sigAll: DataFrame =
+      sigNew.unionByName(sigPrev.filter(col("seed").isin(reuse: _*)))
+  }
+  private def scopedSeedSweep(s: SparkSession, dir: String, tag: String): ScopedSweep = {
+    val all = hierEdges(s, dir)
+    // metadata-sized (≤25 rows): the nation ids of regions 0–1
+    val r01 = t(s, dir, "nation").filter(col("n_regionkey") <= 1)
+      .select((col("n_nationkey") + 10).cast("long"))
+      .collect().map(_.getLong(0)).toSeq
+    def heldC(c: org.apache.spark.sql.Column) = c >= 100 && (c - 100) % 11 === 0
+    val heldEdge = (heldC(col("src")) && col("dst").isin(r01: _*)) ||
+      (heldC(col("dst")) && col("src").isin(r01: _*))
+    val (prevEdges, newEdges, inserted) =
+      snapshotInsertDiff(s, dir, tag, all, !heldEdge)
+    val seeds = closenessSeeds // the five region vertices
+    val edPrev = prevEdges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().localCheckpoint(true)
+    val sigPrev = GraphOps.multiSourceBfsSigma(s, edPrev, seeds).localCheckpoint(true)
+    // affected-seed gate: one delta⋈state join, seed-count-sized result
+    val ins = inserted.select(col("src").cast("long"), col("dst").cast("long"))
+    val affected = ins
+      .join(sigPrev.select(col("seed"), col("v").as("uv"), col("level").as("ul")),
+        col("uv") === col("src"))
+      .join(sigPrev.select(col("seed").as("wseed"), col("v").as("wv"),
+        col("level").as("wl")),
+        col("wseed") === col("seed") && col("wv") === col("dst"), "left")
+      .filter(col("ul") + 1 <= coalesce(col("wl"), lit(Int.MaxValue)))
+      .select("seed").distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val reuse = seeds.diff(affected)
+    require(affected.nonEmpty && reuse.nonEmpty,
+      s"fixture no longer demonstrates scoped maintenance (affected=$affected)" +
+        " - rebalance the held-out regions")
+    val edNew = newEdges.select(col("src").cast("long"), col("dst").cast("long"))
+      .distinct().localCheckpoint(true)
+    val sigNew = GraphOps.multiSourceBfsSigma(s, edNew, affected).localCheckpoint(true)
+    ScopedSweep(edPrev, edNew, affected, reuse, sigPrev, sigNew)
+  }
+
   /** Walk length for q_graph_walks (fixed — the oracle unrolls it). */
   private val walkSteps = 4
 
@@ -897,42 +952,29 @@ object GraphQueries extends QueryModule {
     // the hash compare IS the proof that scoped(state, diff) ==
     // full(new_snapshot).
     "q_graph_betweenness_incremental" -> ((s, dir) => {
-      val all = hierEdges(s, dir)
-      // metadata-sized (≤25 rows): the nation ids of regions 0–1
-      val r01 = t(s, dir, "nation").filter(col("n_regionkey") <= 1)
-        .select((col("n_nationkey") + 10).cast("long"))
-        .collect().map(_.getLong(0)).toSeq
-      def heldC(c: org.apache.spark.sql.Column) = c >= 100 && (c - 100) % 11 === 0
-      val heldEdge = (heldC(col("src")) && col("dst").isin(r01: _*)) ||
-        (heldC(col("dst")) && col("src").isin(r01: _*))
-      val (prevEdges, newEdges, inserted) =
-        snapshotInsertDiff(s, dir, "bcinc", all, !heldEdge)
-      val seeds = Seq(0L, 1L, 2L, 3L, 4L) // the five region vertices
-      val edPrev = prevEdges.select(col("src").cast("long"), col("dst").cast("long"))
-        .distinct().localCheckpoint(true)
-      val sigPrev = GraphOps.multiSourceBfsSigma(s, edPrev, seeds).localCheckpoint(true)
-      val delPrev = GraphOps.multiBrandesDeltas(s, edPrev, sigPrev)
-      // affected-seed gate: one delta⋈state join, seed-count-sized result
-      val ins = inserted.select(col("src").cast("long"), col("dst").cast("long"))
-      val affected = ins
-        .join(sigPrev.select(col("seed"), col("v").as("uv"), col("level").as("ul")),
-          col("uv") === col("src"))
-        .join(sigPrev.select(col("seed").as("wseed"), col("v").as("wv"),
-          col("level").as("wl")),
-          col("wseed") === col("seed") && col("wv") === col("dst"), "left")
-        .filter(col("ul") + 1 <= coalesce(col("wl"), lit(Int.MaxValue)))
-        .select("seed").distinct().collect().map(_.getLong(0)).toSeq.sorted
-      val reuse = seeds.diff(affected)
-      require(affected.nonEmpty && reuse.nonEmpty,
-        s"fixture no longer demonstrates scoped maintenance (affected=$affected)" +
-          " - rebalance the held-out regions")
-      val edNew = newEdges.select(col("src").cast("long"), col("dst").cast("long"))
-        .distinct().localCheckpoint(true)
-      val sigNew = GraphOps.multiSourceBfsSigma(s, edNew, affected).localCheckpoint(true)
-      val delNew = GraphOps.multiBrandesDeltas(s, edNew, sigNew)
-      val sigAll = sigNew.unionByName(sigPrev.filter(col("seed").isin(reuse: _*)))
-      val delAll = delNew.unionByName(delPrev.filter(col("dseed").isin(reuse: _*)))
-      GraphOps.multiBrandesFinal(sigAll, delAll).orderBy("v")
+      val sw = scopedSeedSweep(s, dir, "bcinc")
+      val delPrev = GraphOps.multiBrandesDeltas(s, sw.edPrev, sw.sigPrev)
+      val delNew = GraphOps.multiBrandesDeltas(s, sw.edNew, sw.sigNew)
+      val delAll = delNew.unionByName(
+        delPrev.filter(col("dseed").isin(sw.reuse: _*)))
+      GraphOps.multiBrandesFinal(sw.sigAll, delAll).orderBy("v")
+    }),
+
+    // INCREMENTAL closeness — the second consumer of the affected-seed
+    // gate: the same scoped forward re-sweep (no backward pass needed),
+    // then the q_graph_closeness readout over reused-plus-recomputed
+    // σ frames. Demonstrates that the gate amortizes across EVERY
+    // σ-cache centrality: once the affected set is known, each
+    // additional maintained metric costs only its readout. Oracle =
+    // closed-form closeness of the COMPLETE hierarchy graph (seed r
+    // reaches its nations at distance 1, their customers at 2).
+    "q_graph_closeness_incremental" -> ((s, dir) => {
+      val sw = scopedSeedSweep(s, dir, "clinc")
+      sw.sigAll.groupBy("seed")
+        .agg(count(lit(1)).as("n_reached"), sum("level").as("total_dist"))
+        .withColumn("closeness_e6",
+          expr("((n_reached - 1) * 1000000) div total_dist"))
+        .orderBy("seed")
     }),
 
     // INCREMENTAL triangle-count maintenance — the motif-family consumer
@@ -1270,6 +1312,21 @@ object GraphQueries extends QueryModule {
     "q_graph_bfs_incremental" ->
       (ringWalkCte + """
          SELECT v, CAST(level AS INT) AS level FROM lv ORDER BY v"""),
+    // Closed-form closeness of the COMPLETE hierarchy graph: seed r
+    // reaches itself (d0), its nations (d1), their customers (d2).
+    "q_graph_closeness_incremental" ->
+      """WITH nr AS (SELECT CAST(n_regionkey AS BIGINT) AS r, COUNT(*) AS nn
+             FROM nation GROUP BY 1),
+         cr AS (SELECT CAST(n_regionkey AS BIGINT) AS r, COUNT(*) AS nc
+             FROM customer JOIN nation ON n_nationkey = c_nationkey GROUP BY 1),
+         base AS (SELECT CAST(r_regionkey AS BIGINT) AS seed,
+             COALESCE(nn, 0) AS nn, COALESCE(nc, 0) AS nc
+           FROM region LEFT JOIN nr ON nr.r = r_regionkey
+                       LEFT JOIN cr ON cr.r = r_regionkey)
+         SELECT seed, CAST(1 + nn + nc AS BIGINT) AS n_reached,
+           CAST(nn + 2*nc AS BIGINT) AS total_dist,
+           CAST((nn + nc) * 1000000 // (nn + 2*nc) AS BIGINT) AS closeness_e6
+         FROM base ORDER BY seed""",
     // Full 5-seed Brandes over the COMPLETE hierarchy graph, closed-form:
     // the depth-2 trees (region -> its nations -> their customers) make
     // every σ = 1, δ(nation) = its customer count, δ = 0 elsewhere (each
