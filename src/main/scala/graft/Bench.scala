@@ -207,6 +207,13 @@ object Bench {
     // harness-visible structure, not plan inefficiency — published so a
     // cross-round perf audit reads the explanation next to the number.
     val notes = Seq(
+      "q_graph_coloring_bsp" -> ("Jones-Plassmann is DEPTH-bound: the priority-DAG " +
+        "depth is 23 at sf0.1 and each distributed level pays a fixed barrier at " +
+        "local[32]; the benched config runs the mass levels distributed (~80% of " +
+        "color assignments, two fused levels per barrier, bitmask mex, flat-leaf " +
+        "color state - each variant measured in) and tail-finishes the geometric " +
+        "residue in one driver pass, the same residual discipline the CC family " +
+        "uses. Remaining cost is sequential dependency structure, not plan shape"),
       "q_stream_dedup_wm" -> ("4 sequential watermarked microbatches (late replay " +
         "2,3,1,4; chunk count IS the semantics - each chunk must see the prior " +
         "one's watermark) + state-store init: ~0.5s/batch scheduling floor at local[32]"),

@@ -884,6 +884,22 @@ object GraphQueries extends QueryModule {
       GraphOps.maximalIndependentSet(s, ringEdges(s, dir), driverSolveLimit = 0L)
         .orderBy("v")),
 
+    // JONES–PLASSMANN greedy coloring over the same fixture — the second
+    // symmetry-breaking primitive ([[GraphOps.jonesPlassmannColoring]]):
+    // color = mex over higher-priority neighbors' colors, equal to the
+    // sequential greedy coloring in priority order; round = depth in the
+    // priority-decreasing dependency DAG. Same gate/BSP-twin/oracle
+    // discipline as q_graph_mis.
+    "q_graph_coloring" -> ((s, dir) =>
+      GraphOps.jonesPlassmannColoring(s, ringEdges(s, dir)).orderBy("v")),
+    // tailSolveVertices = 3000 (20% of the sf0.1 fixture, 2% at sf1): the
+    // distributed rounds cover ~80% of the color mass, the geometric tail
+    // finishes in one driver pass — see the scaladoc's tail-profile note
+    "q_graph_coloring_bsp" -> ((s, dir) =>
+      GraphOps.jonesPlassmannColoring(s, ringEdges(s, dir),
+        driverSolveLimit = 0L, tailSolveVertices = 3000L)
+        .orderBy("v")),
+
     // INCREMENTAL CC maintenance end-to-end (r7 VERDICT stretch): the
     // hierarchy graph is committed to the VersionedGraphStore in two
     // versions — v1 holds every edge EXCEPT those touching held-out
@@ -1260,9 +1276,27 @@ object GraphQueries extends QueryModule {
     * closed neighborhood. Rounds past convergence are empty no-ops; the
     * Spark side require()s convergence within the same cap, so the unroll
     * can never truncate a real round. */
+  /** Undirected self-loop-free ring graph as MATERIALIZED DuckDB CTEs —
+    * shared by the MIS and coloring oracles. */
+  private val ringUndSql: String =
+    """eraw AS MATERIALIZED (
+         SELECT CAST(c_custkey AS BIGINT) AS src,
+           CAST((c_custkey*2+1) % (SELECT COUNT(*) FROM customer) AS BIGINT) AS dst
+         FROM customer
+         UNION ALL SELECT c_custkey,
+           (c_custkey*5+7) % (SELECT COUNT(*) FROM customer) FROM customer
+         UNION ALL SELECT c_custkey,
+           (c_custkey*16+3) % (SELECT COUNT(*) FROM customer) FROM customer),
+       e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+           SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw)
+         WHERE src <> dst)"""
+
+  /** The fixed LCG priority both symmetry-breaking oracles replay. */
+  private def lcgPriSql(x: String) = s"(($x * 1103515245 + 12345) % 2147483648)"
+
   private lazy val misOracleSql: String = {
     val cap = GraphOps.MisRoundCap
-    def p(x: String) = s"(($x * 1103515245 + 12345) % 2147483648)"
+    def p(x: String) = lcgPriSql(x)
     // every CTE is MATERIALIZED: a_k references a_{k-1} three times, so
     // DuckDB's default inlining would expand the chain EXPONENTIALLY
     // (3^cap copies of the scan — the "too many open files" failure mode)
@@ -1279,20 +1313,45 @@ object GraphQueries extends QueryModule {
     }.mkString(",\n")
     val misUnion = (1 to cap).map(k => s"SELECT v, $k AS r FROM s$k")
       .mkString(" UNION ALL ")
-    s"""WITH eraw AS MATERIALIZED (
-         SELECT CAST(c_custkey AS BIGINT) AS src,
-           CAST((c_custkey*2+1) % (SELECT COUNT(*) FROM customer) AS BIGINT) AS dst
-         FROM customer
-         UNION ALL SELECT c_custkey,
-           (c_custkey*5+7) % (SELECT COUNT(*) FROM customer) FROM customer
-         UNION ALL SELECT c_custkey,
-           (c_custkey*16+3) % (SELECT COUNT(*) FROM customer) FROM customer),
-       e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
-           SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw)
-         WHERE src <> dst),
+    s"""WITH $ringUndSql,
        a0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),
        $rounds
        SELECT v, CAST(r AS INT) AS round FROM ($misUnion) ORDER BY v"""
+  }
+
+  /** q_graph_coloring/-_bsp oracle: the identical Jones–Plassmann rounds
+    * replayed to a fixed [[GraphOps.ColoringRoundCap]] unroll — r_k =
+    * uncolored vertices with no uncolored higher-priority neighbor, their
+    * color the mex over hp-neighbor colors via the {0} ∪ {c+1} candidate
+    * trick. Same MATERIALIZED discipline as the MIS oracle. */
+  private lazy val coloringOracleSql: String = {
+    val cap = GraphOps.ColoringRoundCap
+    val rounds = (1 to cap).map { k =>
+      s"""r$k AS MATERIALIZED (SELECT u.v FROM u${k - 1} u WHERE NOT EXISTS (
+             SELECT 1 FROM hp JOIN u${k - 1} w ON w.v = hp.dst
+             WHERE hp.src = u.v)),
+         hc$k AS MATERIALIZED (SELECT hp.src AS v, c.color
+           FROM hp JOIN r$k r ON r.v = hp.src JOIN c${k - 1} c ON c.v = hp.dst),
+         m$k AS MATERIALIZED (SELECT cd.v, MIN(cd.c) AS color FROM (
+             SELECT v, 0 AS c FROM r$k
+             UNION ALL SELECT v, color + 1 FROM hc$k) cd
+           WHERE NOT EXISTS (SELECT 1 FROM hc$k h
+             WHERE h.v = cd.v AND h.color = cd.c)
+           GROUP BY cd.v),
+         c$k AS MATERIALIZED (SELECT v, color FROM c${k - 1}
+           UNION ALL SELECT v, color FROM m$k),
+         u$k AS MATERIALIZED (SELECT v FROM u${k - 1}
+           WHERE v NOT IN (SELECT v FROM r$k))"""
+    }.mkString(",\n")
+    val un = (1 to cap).map(k => s"SELECT v, color, $k AS r FROM m$k")
+      .mkString(" UNION ALL ")
+    s"""WITH $ringUndSql,
+       hp AS MATERIALIZED (SELECT src, dst FROM e
+         WHERE ${lcgPriSql("dst")} < ${lcgPriSql("src")}),
+       c0 AS (SELECT CAST(0 AS BIGINT) AS v, 0 AS color WHERE 1 = 0),
+       u0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),
+       $rounds
+       SELECT v, color, CAST(r AS INT) AS round FROM ($un) ORDER BY v"""
   }
 
   def oracles: Map[String, String] = Map(
@@ -2090,6 +2149,8 @@ object GraphQueries extends QueryModule {
          FROM comp GROUP BY comp ORDER BY comp""",
     "q_graph_mis" -> misOracleSql,
     "q_graph_mis_bsp" -> misOracleSql,
+    "q_graph_coloring" -> coloringOracleSql,
+    "q_graph_coloring_bsp" -> coloringOracleSql,
     // Both sweeps replayed: lv is the seed-0 walk, far the deterministic
     // deepest-level min-id choice, walk2 the re-sweep from it.
     "q_graph_diameter" ->

@@ -1314,6 +1314,205 @@ object GraphOps {
     result
   }
 
+  /** Round cap shared by [[jonesPlassmannColoring]]'s two paths and the
+    * q_graph_coloring oracle's fixed unroll (same contract as
+    * [[MisRoundCap]]: no-op rounds past convergence, loud failure past
+    * the cap). JP depth = the longest priority-decreasing path, much
+    * deeper than the MIS removal depth — measured 18/23 rounds at
+    * sf0.01/sf0.1 on the ring fixture (the ~+5-per-10x growth of a max
+    * over n d-step chains), capped at 48 for sf1 headroom. */
+  private[graft] val ColoringRoundCap = 48
+
+  /** JONES–PLASSMANN greedy graph coloring — the second classic
+    * symmetry-breaking BSP primitive next to [[maximalIndependentSet]],
+    * under the SAME fixed injective LCG priority: color(v) = mex of the
+    * colors of v's HIGHER-priority neighbors, which is recursively
+    * well-defined along the priority order and EQUALS the sequential
+    * greedy coloring in that order; a vertex colors itself in the round
+    * after its last higher-priority neighbor does, so round(v) is the
+    * vertex's depth in the priority-decreasing dependency DAG. Everything
+    * — membership, color, round — is deterministic, so the oracle replays
+    * the identical rounds. Self-loops dropped (uncolorable otherwise);
+    * returns `(v, color, round)`, colors 0-based, rounds 1-based.
+    *
+    * Scale shape of the BSP path: the hp-edge table (edges into
+    * higher-priority... rather FROM lower: src→dst with p(dst) < p(src))
+    * is computed ONCE as a static filter — priorities are pure arithmetic
+    * on the id, so "who waits for whom" never needs a join. Each round is
+    * then one blocked-set semi-join, one color-lookup join for the ready
+    * frontier, and one mex aggregation over candidate colors (the {0} ∪
+    * {c+1} trick: the mex of a set S is the min of those candidates not
+    * in S — no per-vertex loop, no UDF). JP's cost profile is a LONG THIN
+    * TAIL — the ready-set sizes decay geometrically, so the last ~half of
+    * the rounds each pay a full barrier to color <2% of the vertices
+    * (measured: rounds 12–23 of 23 color 8% at sf0.1). The loop therefore
+    * TAIL-FINISHES: once ≤`tailSolveVertices` remain uncolored, the
+    * residual subproblem (remaining hp-edges + the already-assigned
+    * colors on their boundary) is gathered and the SAME rounds complete
+    * in one driver pass, round numbering continuing — the contracted-
+    * residual discipline [[incrementalConnectedComponents]] uses, and
+    * what a 100 TB run would do too (the residue after the mass rounds
+    * is metadata-sized). Whole-problem size gate as in
+    * [[connectedComponents]]; q_graph_coloring benches the gate,
+    * q_graph_coloring_bsp forces the loop with a 10%-of-fixture tail
+    * bound so the distributed phase covers >90% of the color mass.
+    */
+  def jonesPlassmannColoring(spark: SparkSession, edges: DataFrame,
+      maxRounds: Int = ColoringRoundCap,
+      driverSolveLimit: Long = DriverSolveEdgeLimit,
+      tailSolveVertices: Long = 100000): DataFrame = {
+    import spark.implicits._
+    val e0 = edges.filter(col("src") =!= col("dst"))
+      .select(col("src").cast("long"), col("dst").cast("long"))
+    val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    val edgeCount = und.count() // gate + materializes the persist
+    def pri(v: Long): Long = (v * 1103515245L + 12345L) % 2147483648L
+    // The SAME rounds, in memory — the whole-problem gate path AND the
+    // tail finish (which seeds `colored` with the boundary colors and
+    // continues the round numbering).
+    def simulateRounds(verts: Array[Long], hpAdj: Long => Array[Long],
+        colored: scala.collection.mutable.LongMap[Int],
+        startRound: Int): Seq[(Long, Int, Int)] = {
+      val remaining = scala.collection.mutable.HashSet.empty[Long]
+      verts.foreach(remaining += _)
+      val out = Seq.newBuilder[(Long, Int, Int)]
+      var r = startRound - 1
+      while (remaining.nonEmpty && r < maxRounds) {
+        r += 1
+        val newly = remaining.iterator
+          .filter(v => hpAdj(v).forall(colored.contains)).toArray
+        newly.foreach { v =>
+          val used = hpAdj(v).iterator.map(colored(_)).toSet
+          val c = Iterator.from(0).find(!used(_)).get
+          colored(v) = c
+          out += ((v, c, r))
+        }
+        newly.foreach(remaining -= _)
+      }
+      require(remaining.isEmpty,
+        s"coloring did not converge within $maxRounds rounds")
+      out.result()
+    }
+    if (edgeCount <= driverSolveLimit) {
+      val arr = und.rdd.map(r => (r.getLong(0), r.getLong(1))).collect()
+      und.unpersist()
+      val hpAdj = arr.groupBy(_._1).map { case (v, es) =>
+        v -> es.map(_._2).filter(u => pri(u) < pri(v))
+      }
+      return simulateRounds(hpAdj.keys.toArray, hpAdj(_),
+        scala.collection.mutable.LongMap.empty[Int], 1)
+        .toDF("v", "color", "round")
+    }
+    val priCol = (c: org.apache.spark.sql.Column) =>
+      (c * 1103515245L + 12345L) % 2147483648L
+    // static: "v waits for dst" edges — priority is arithmetic on the id
+    val hpEdges = und.filter(priCol(col("dst")) < priCol(col("src")))
+      .localCheckpoint(true)
+    var un = und.select(col("src").as("v")).distinct().localCheckpoint(true)
+    var unCount = un.count()
+    // colored state = FLAT UNION of per-round checkpointed `newly` leaves
+    // (the multiBrandesDeltas discipline): any consumer re-executes only
+    // a union of materialized blocks, never a nested join/agg lineage —
+    // per-round cost is exactly TWO materializations (newly, un) + the
+    // termination count, measured 2.7x faster than checkpointing the
+    // accumulated frame (and 2.6x faster than checkpoint cadence, whose
+    // nested mex recomputation dominated).
+    // frames carry (v, color) ONLY — the round number is attached as a
+    // literal over the checkpointed leaf at the very end, never inside
+    // the per-round plan: an embedded round literal changes the generated
+    // code every round and turns the codegen cache into a per-round
+    // recompile
+    val empty = Seq.empty[(Long, Int)].toDF("v", "color")
+    var newlyFrames = List.empty[(Int, DataFrame)]
+    def coloredSoFar: DataFrame = (empty :: newlyFrames.map(_._2)).reduce(_ union _)
+    // mex via a 63-bit COLOR MASK: one bit_or aggregation replaces the
+    // {0} ∪ {c+1} candidate anti-join (two shuffles fewer per round);
+    // mex(mask) = number of trailing ones = bit_count(lowest-unset-bit
+    // minus 1) — exact integer ops end-to-end. Sound only below 63
+    // colors, i.e. hp-degree < 63 — require()d on the real degree
+    // distribution up front, loudly (a wider graph needs the candidate
+    // anti-join spelling instead).
+    val maxHpDeg = hpEdges.groupBy("src").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    require(maxHpDeg < 63,
+      s"bitmask mex supports hp-degree < 63, fixture has $maxHpDeg")
+    // one JP level: the ready frontier of `unc` colored by mask-mex.
+    // (Size-gated frontier BROADCASTS — the multiSourceBfsSigma
+    // discipline — were tried here and measured 1.4x SLOWER: five
+    // broadcasts per level each pay a driver collect+distribute, which
+    // at local[32] costs more than the small shuffles they replace.
+    // Shuffle joins + AQE coalescing stay.)
+    def roundStep(unc: DataFrame): DataFrame = {
+      val blocked = hpEdges
+        .join(unc.select(col("v").as("uv")), col("dst") === col("uv"), "left_semi")
+        .select(col("src").as("v"))
+      val ready = unc.join(blocked, Seq("v"), "left_anti")
+      // hp-neighbor color mask of the ready frontier (hp-neighbors all
+      // colored by definition; no colored hp-neighbors → mask 0 → mex 0)
+      val masks = hpEdges
+        .join(ready.select(col("v").as("rv")), col("src") === col("rv"), "left_semi")
+        .join(coloredSoFar.select(col("v").as("cv"), col("color").as("ncolor")),
+          col("dst") === col("cv"))
+        .groupBy(col("src").as("mv"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), ncolor))").as("mask"))
+      ready.join(masks, col("v") === col("mv"), "left")
+        .select(col("v"),
+          expr("CAST(bit_count(((~coalesce(mask, CAST(0 AS BIGINT)))" +
+            " & (coalesce(mask, CAST(0 AS BIGINT)) + 1)) - 1) AS INT)").as("color"))
+    }
+    // TWO levels per un-materialization (the fused-superstep discipline):
+    // level 1's output must materialize (consumed by level 2's mask join
+    // and both frontier anti-joins), but the intermediate uncolored set
+    // `un1` is a single anti-join over materialized leaves — cheap to
+    // re-execute — so the barrier-expensive un checkpoint + termination
+    // count run once per PAIR of rounds. An empty level is only possible
+    // when nothing remains (the min-priority uncolored vertex is always
+    // ready), so round numbering stays aligned with the oracle's unroll.
+    var r = 0
+    while (unCount > tailSolveVertices && r + 2 <= maxRounds) {
+      val newly1 = roundStep(un).localCheckpoint(true)
+      newlyFrames ::= (r + 1) -> newly1
+      val un1 = un.join(newly1.select("v"), Seq("v"), "left_anti")
+      val newly2 = roundStep(un1).localCheckpoint(true)
+      newlyFrames ::= (r + 2) -> newly2
+      r += 2
+      un = un1.join(newly2.select("v"), Seq("v"), "left_anti").localCheckpoint(true)
+      unCount = un.count()
+    }
+    val emptyR = Seq.empty[(Long, Int, Int)].toDF("v", "color", "round")
+    var colored = (emptyR :: newlyFrames.map { case (rr, df) =>
+      df.select(col("v"), col("color"), lit(rr).as("round")) }).reduce(_ union _)
+    if (unCount > 0) {
+      // a maxRounds exit with a BIG remainder must fail loudly here, not
+      // attempt an unbounded gather
+      require(unCount <= tailSolveVertices,
+        s"coloring did not converge within $maxRounds distributed rounds" +
+          s" ($unCount vertices still uncolored)")
+      // tail finish: gather the residual subproblem (remaining vertices'
+      // hp-edges + boundary colors) — ≤ tailSolveVertices × avg-degree
+      // pairs — and complete the SAME rounds in memory
+      val remV = un.select("v").rdd.map(_.getLong(0)).collect()
+      val remHp = hpEdges
+        .join(un.select(col("v").as("uv")), col("src") === col("uv"), "left_semi")
+        .localCheckpoint(true) // feeds the pair gather AND the boundary join
+      val pairs = remHp.rdd.map(x => (x.getLong(0), x.getLong(1))).collect()
+      val boundary = remHp
+        .join(colored.select(col("v").as("cv"), col("color").as("bc")),
+          col("dst") === col("cv"))
+        .select(col("cv"), col("bc")).distinct()
+        .rdd.map(x => (x.getLong(0), x.getInt(1))).collect()
+      val cmap = scala.collection.mutable.LongMap.empty[Int]
+      boundary.foreach { case (v, c) => cmap(v) = c }
+      val hpAdj = pairs.groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+      val tail = simulateRounds(remV,
+        v => hpAdj.getOrElse(v, Array.empty[Long]), cmap, r + 1)
+      colored = colored.unionByName(tail.toDF("v", "color", "round"))
+    }
+    und.unpersist()
+    colored
+  }
+
   /** INCREMENTAL connected-components maintenance over INSERT-only edge
     * deltas — the graph-analytics consumer of the commit-log store's
     * snapshot diffs: given the previous CC state `(v, comp)` (comp = min

@@ -868,6 +868,39 @@ class GraphSpec extends SparkSpec {
     assert(mis == greedy.toSet)
   }
 
+  test("JP coloring: proper, color-bounded, gate == BSP, equals sequential greedy") {
+    import spark.implicits._
+    def pri(v: Long) = (v * 1103515245L + 12345L) % 2147483648L
+    val raw = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 0L),
+      (0L, 3L), (7L, 0L), (7L, 7L), (2L, 5L))
+    val e = raw.toDF("src", "dst")
+    val gate = GraphOps.jonesPlassmannColoring(spark, e).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    val bsp = GraphOps.jonesPlassmannColoring(spark, e, driverSolveLimit = 0L,
+        tailSolveVertices = 0L) // pure distributed rounds, no tail finish
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(gate == bsp, "driver simulation and BSP loop replay identical rounds")
+    // hybrid: hand off MID-GRAPH to the tail finish (boundary colors +
+    // continued round numbering must splice exactly)
+    val hybrid = GraphOps.jonesPlassmannColoring(spark, e, driverSolveLimit = 0L,
+        tailSolveVertices = 3L)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(gate == hybrid, "tail finish splices boundary colors and rounds exactly")
+    val und = raw.filter(p => p._1 != p._2).flatMap(p => Seq(p, p.swap)).distinct
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for ((u, v) <- und) assert(gate(u)._1 != gate(v)._1, s"edge $u-$v monochrome")
+    for ((v, (c, _)) <- gate) assert(c <= adj(v).size, s"color($v) > degree")
+    // the fixed-priority parallel fixpoint IS sequential greedy coloring:
+    // processed in increasing priority, already-colored neighbors are
+    // exactly the higher-priority ones
+    val colors = mutable.Map.empty[Long, Int]
+    adj.keys.toSeq.sortBy(pri).foreach { v =>
+      val used = adj(v).flatMap(colors.get)
+      colors(v) = Iterator.from(0).find(c => !used.contains(c)).get
+    }
+    assert(gate.view.mapValues(_._1).toMap == colors.toMap)
+  }
+
   test("incremental betweenness: scoped re-sweep equals the full 5-seed Brandes readout") {
     // the query's own hierarchy fixture, rebuilt independently
     val n = Tables(spark, sfDir, "nation")
