@@ -884,6 +884,49 @@ object GraphQueries extends QueryModule {
       GraphOps.maximalIndependentSet(s, ringEdges(s, dir), driverSolveLimit = 0L)
         .orderBy("v")),
 
+    // INCREMENTAL MIS maintenance — the symmetry-breaking member of the
+    // incremental family ([[GraphOps.incrementalMaximalIndependentSet]]):
+    // v1 drops the ring edges whose endpoints BOTH sit in the top
+    // priority-value decile (a low-priority-band delta — its downstream
+    // dependency cone is shallow by construction, the locality a real
+    // ingest batch usually has), v2 restores them; the new MIS is
+    // maintained from (MIS(v1), diff) by replaying decisions inside the
+    // cone only, old memberships reused verbatim outside it —
+    // maxConeFraction = 0.5 require()s the scoping stays real. The
+    // oracle is the FULL new graph's round replay (membership
+    // projection): the hash compare IS the proof that
+    // scoped(state, diff) == full(new_snapshot).
+    "q_graph_mis_incremental" -> ((s, dir) => {
+      def pri(c: org.apache.spark.sql.Column) =
+        (c * 1103515245L + 12345L) % 2147483648L
+      val highP = lit(2147483648L / 10L * 9L)
+      val held = pri(col("src")) > highP && pri(col("dst")) > highP
+      val (prevEdges, newEdges, inserted) =
+        snapshotInsertDiff(s, dir, "misinc", ringEdges(s, dir), !held)
+      // stored state stand-in: the previous snapshot's MIS
+      val prevMis = GraphOps.maximalIndependentSet(s, prevEdges)
+      GraphOps.incrementalMaximalIndependentSet(s, newEdges, prevEdges,
+        prevMis, inserted, maxConeFraction = 0.5).orderBy("v")
+    }),
+
+    // INCREMENTAL coloring maintenance — the coloring twin over the SAME
+    // dependency cone ([[GraphOps.incrementalColoring]]): old colors are
+    // reused verbatim outside the cone, the greedy mex replays inside it
+    // seeded by the boundary colors. Same fixture/delta/scoping contract
+    // as q_graph_mis_incremental; the oracle is the FULL new graph's
+    // round replay projected to (v, color).
+    "q_graph_coloring_incremental" -> ((s, dir) => {
+      def pri(c: org.apache.spark.sql.Column) =
+        (c * 1103515245L + 12345L) % 2147483648L
+      val highP = lit(2147483648L / 10L * 9L)
+      val held = pri(col("src")) > highP && pri(col("dst")) > highP
+      val (prevEdges, newEdges, inserted) =
+        snapshotInsertDiff(s, dir, "colinc", ringEdges(s, dir), !held)
+      val prevColors = GraphOps.jonesPlassmannColoring(s, prevEdges)
+      GraphOps.incrementalColoring(s, newEdges, prevEdges, prevColors,
+        inserted, maxConeFraction = 0.5).orderBy("v")
+    }),
+
     // JONES–PLASSMANN greedy coloring over the same fixture — the second
     // symmetry-breaking primitive ([[GraphOps.jonesPlassmannColoring]]):
     // color = mex over higher-priority neighbors' colors, equal to the
@@ -1294,7 +1337,12 @@ object GraphQueries extends QueryModule {
   /** The fixed LCG priority both symmetry-breaking oracles replay. */
   private def lcgPriSql(x: String) = s"(($x * 1103515245 + 12345) % 2147483648)"
 
-  private lazy val misOracleSql: String = {
+  private lazy val misOracleSql: String = misOracle(withRound = true)
+  /** Membership-only spelling for the incremental-maintenance query
+    * (round numbers are not maintained across deltas — see
+    * [[GraphOps.incrementalMaximalIndependentSet]]). */
+  private lazy val misMembersOracleSql: String = misOracle(withRound = false)
+  private def misOracle(withRound: Boolean): String = {
     val cap = GraphOps.MisRoundCap
     def p(x: String) = lcgPriSql(x)
     // every CTE is MATERIALIZED: a_k references a_{k-1} three times, so
@@ -1313,10 +1361,11 @@ object GraphQueries extends QueryModule {
     }.mkString(",\n")
     val misUnion = (1 to cap).map(k => s"SELECT v, $k AS r FROM s$k")
       .mkString(" UNION ALL ")
+    val sel = if (withRound) "SELECT v, CAST(r AS INT) AS round" else "SELECT v"
     s"""WITH $ringUndSql,
        a0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),
        $rounds
-       SELECT v, CAST(r AS INT) AS round FROM ($misUnion) ORDER BY v"""
+       $sel FROM ($misUnion) ORDER BY v"""
   }
 
   /** q_graph_coloring/-_bsp oracle: the identical Jones–Plassmann rounds
@@ -1324,7 +1373,10 @@ object GraphQueries extends QueryModule {
     * uncolored vertices with no uncolored higher-priority neighbor, their
     * color the mex over hp-neighbor colors via the {0} ∪ {c+1} candidate
     * trick. Same MATERIALIZED discipline as the MIS oracle. */
-  private lazy val coloringOracleSql: String = {
+  private lazy val coloringOracleSql: String = coloringOracle(withRound = true)
+  /** (v, color)-only spelling for the incremental-maintenance query. */
+  private lazy val coloringMembersOracleSql: String = coloringOracle(withRound = false)
+  private def coloringOracle(withRound: Boolean): String = {
     val cap = GraphOps.ColoringRoundCap
     val rounds = (1 to cap).map { k =>
       s"""r$k AS MATERIALIZED (SELECT u.v FROM u${k - 1} u WHERE NOT EXISTS (
@@ -1345,13 +1397,15 @@ object GraphQueries extends QueryModule {
     }.mkString(",\n")
     val un = (1 to cap).map(k => s"SELECT v, color, $k AS r FROM m$k")
       .mkString(" UNION ALL ")
+    val sel = if (withRound) "SELECT v, color, CAST(r AS INT) AS round"
+      else "SELECT v, color"
     s"""WITH $ringUndSql,
        hp AS MATERIALIZED (SELECT src, dst FROM e
          WHERE ${lcgPriSql("dst")} < ${lcgPriSql("src")}),
        c0 AS (SELECT CAST(0 AS BIGINT) AS v, 0 AS color WHERE 1 = 0),
        u0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),
        $rounds
-       SELECT v, color, CAST(r AS INT) AS round FROM ($un) ORDER BY v"""
+       $sel FROM ($un) ORDER BY v"""
   }
 
   def oracles: Map[String, String] = Map(
@@ -2149,8 +2203,10 @@ object GraphQueries extends QueryModule {
          FROM comp GROUP BY comp ORDER BY comp""",
     "q_graph_mis" -> misOracleSql,
     "q_graph_mis_bsp" -> misOracleSql,
+    "q_graph_mis_incremental" -> misMembersOracleSql,
     "q_graph_coloring" -> coloringOracleSql,
     "q_graph_coloring_bsp" -> coloringOracleSql,
+    "q_graph_coloring_incremental" -> coloringMembersOracleSql,
     // Both sweeps replayed: lv is the seed-0 walk, far the deterministic
     // deepest-level min-id choice, walk2 the re-sweep from it.
     "q_graph_diameter" ->

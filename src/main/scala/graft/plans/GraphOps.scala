@@ -1314,6 +1314,179 @@ object GraphOps {
     result
   }
 
+  /** INCREMENTAL MIS maintenance over INSERT-only edge deltas — the
+    * symmetry-breaking member of the incremental family: given the
+    * previous snapshot's MIS (the [[maximalIndependentSet]] contract) and
+    * the edges inserted since, returns the new graph's MIS WITHOUT
+    * re-running the rounds over the old graph.
+    *
+    * Theory: under the fixed injective priority, v's membership is a
+    * function of its higher-priority neighbors' memberships ONLY (greedy
+    * recursion along the priority order). An inserted edge (a, b) changes
+    * exactly the HIGHER-p endpoint's input; any consequence propagates
+    * strictly DOWNSTREAM along priority-decreasing edges. The maintenance
+    * step therefore (1) seeds the changed-input vertices (plus vertices
+    * new to the snapshot), (2) expands their downstream DEPENDENCY CONE
+    * over the new graph's hp-DAG with a BSP frontier loop (per-round work
+    * ∝ frontier, not graph), (3) gathers the cone's hp-adjacency plus the
+    * OLD memberships on its boundary — cone-sized, require()d under
+    * `coneGatherLimit` — and (4) replays the greedy decisions inside the
+    * cone in one driver pass. Memberships outside the cone are reused
+    * VERBATIM. The cone is the CONSERVATIVE closure (potential, not
+    * actual, change): a delta among low-priority vertices has a shallow
+    * cone, while a highest-priority delta degenerates toward a full
+    * replay — the same honest contract as warm-start PageRank: the bound
+    * is structural, and the caller's delta locality determines the win.
+    * DELETIONS are out of scope loudly (removing an edge can flip an
+    * UPSTREAM exclusion, which cannot be decided from (state, delta)).
+    *
+    * `maxConeFraction` lets a caller require the scoping to be REAL
+    * (cone strictly smaller than the graph) — fixture drift that
+    * degrades maintenance to a full replay then fails instead of
+    * silently passing. Returns `(v)` — members of the new MIS (round
+    * numbers are not maintained: an inserted dependency can delay a
+    * vertex's round without changing any membership).
+    */
+  /** The gathered downstream-dependency-cone subproblem shared by the
+    * incremental MIS and coloring maintainers: cone vertex frame (for the
+    * state splice), cone vertices + their FULL hp-adjacency in memory,
+    * and the boundary frame (hp-neighbors outside the cone, whose OLD
+    * state is valid on the new graph by the cone invariant). Empty cone
+    * ⇒ coneVerts empty and the caller returns the previous state verbatim. */
+  private case class HpCone(coneDf: DataFrame, coneVerts: Array[Long],
+      hpAdj: Map[Long, Array[Long]], boundaryDf: DataFrame)
+
+  /** Build the conservative change cone of an insert-only delta under the
+    * fixed LCG priority — see [[incrementalMaximalIndependentSet]] for
+    * the theory and the honesty contract of `maxConeFraction`. */
+  private def hpDependencyCone(spark: SparkSession, newEdges: DataFrame,
+      prevEdges: DataFrame, inserted: DataFrame, maxRounds: Int,
+      coneGatherLimit: Long, maxConeFraction: Double): HpCone = {
+    import spark.implicits._
+    val priCol = (c: org.apache.spark.sql.Column) =>
+      (c * 1103515245L + 12345L) % 2147483648L
+    val e0 = newEdges.filter(col("src") =!= col("dst"))
+      .select(col("src").cast("long"), col("dst").cast("long"))
+    val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    val totalV = und.select("src").distinct().count()
+    // dependency edges on the NEW graph: src's decision waits on dst
+    val hpEdges = und.filter(priCol(col("dst")) < priCol(col("src")))
+      .localCheckpoint(true)
+    // seeds: the higher-priority-VALUE (= later-deciding) endpoint of
+    // each inserted edge — the only endpoint whose input set changed —
+    // plus any vertex absent from the previous snapshot
+    val insSeeds = inserted.filter(col("src") =!= col("dst"))
+      .select(when(priCol(col("src")) > priCol(col("dst")), col("src"))
+        .otherwise(col("dst")).cast("long").as("v"))
+    // SAME normalization as the full operators (self-loops dropped): a
+    // vertex that existed only via a self-loop was OUTSIDE the previous
+    // universe and must be treated as new, not as unaffected
+    val prevVerts = prevEdges.filter(col("src") =!= col("dst"))
+      .select(col("src").cast("long").as("v"))
+      .union(prevEdges.filter(col("src") =!= col("dst"))
+        .select(col("dst").cast("long").as("v"))).distinct()
+    val newVerts = und.select(col("src").as("v")).distinct()
+      .join(prevVerts, Seq("v"), "left_anti")
+    var cone = insSeeds.unionByName(newVerts).distinct().localCheckpoint(true)
+    var frontier = cone
+    var coneCount = cone.count()
+    var grew = coneCount > 0
+    var r = 0
+    while (grew && r < maxRounds) {
+      r += 1
+      val next = hpEdges
+        .join(frontier.select(col("v").as("fv")), col("dst") === col("fv"), "left_semi")
+        .select(col("src").as("v")).distinct()
+        .join(cone, Seq("v"), "left_anti").localCheckpoint(true)
+      val n = next.count()
+      if (n == 0) grew = false
+      else {
+        cone = cone.union(next).localCheckpoint(true)
+        coneCount += n
+        frontier = next
+        require(coneCount <= coneGatherLimit,
+          s"dependency cone exceeded the $coneGatherLimit-vertex gather limit")
+      }
+    }
+    require(!grew, s"dependency cone did not close within $maxRounds waves")
+    require(coneCount <= totalV * maxConeFraction,
+      s"cone covers $coneCount of $totalV vertices - the delta no longer" +
+        " demonstrates scoped maintenance")
+    if (coneCount == 0)
+      return HpCone(cone, Array.empty, Map.empty, cone.limit(0))
+    // gather the cone subproblem: its full hp-adjacency + the boundary
+    // vertex set (both bounded by cone x degree)
+    val coneHp = hpEdges
+      .join(cone.select(col("v").as("cv")), col("src") === col("cv"), "left_semi")
+      .localCheckpoint(true) // feeds the pair gather AND the boundary frame
+    val pairs = coneHp.rdd.map(x => (x.getLong(0), x.getLong(1))).collect()
+    val boundaryDf = coneHp.select(col("dst").as("v")).distinct()
+      .join(cone, Seq("v"), "left_anti")
+    val coneVerts = cone.rdd.map(_.getLong(0)).collect()
+    val hpAdj = pairs.groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    HpCone(cone, coneVerts, hpAdj, boundaryDf)
+  }
+
+  def incrementalMaximalIndependentSet(spark: SparkSession, newEdges: DataFrame,
+      prevEdges: DataFrame, prevMis: DataFrame, inserted: DataFrame,
+      maxRounds: Int = MisRoundCap, coneGatherLimit: Long = 200000L,
+      maxConeFraction: Double = 1.0): DataFrame = {
+    import spark.implicits._
+    def pri(v: Long): Long = (v * 1103515245L + 12345L) % 2147483648L
+    val c = hpDependencyCone(spark, newEdges, prevEdges, inserted,
+      maxRounds, coneGatherLimit, maxConeFraction)
+    if (c.coneVerts.isEmpty) return prevMis.select(col("v").cast("long"))
+    // old memberships on the boundary remain valid on the new graph
+    val member = scala.collection.mutable.HashSet.empty[Long]
+    c.boundaryDf.join(prevMis.select(col("v")), Seq("v"), "left_semi")
+      .rdd.map(_.getLong(0)).collect().foreach(member += _)
+    c.coneVerts.sortBy(pri).foreach { v =>
+      // in-cone hp-neighbors are already decided (processed in priority
+      // order); boundary hp-neighbors carry their old membership
+      if (!c.hpAdj.getOrElse(v, Array.empty[Long]).exists(member)) member += v
+    }
+    val coneMembers = c.coneVerts.filter(member).sorted
+    prevMis.select(col("v").cast("long"))
+      .join(c.coneDf, Seq("v"), "left_anti")
+      .unionByName(coneMembers.toSeq.toDF("v"))
+  }
+
+  /** INCREMENTAL Jones–Plassmann maintenance — the coloring twin of
+    * [[incrementalMaximalIndependentSet]], over the SAME dependency cone:
+    * colors are a function of higher-priority neighbors' colors only, so
+    * outside the cone the old colors are valid verbatim and inside it the
+    * greedy mex replays in one driver pass seeded by the boundary colors.
+    * Returns `(v, color)` — rounds are not maintained (an inserted
+    * dependency can delay a round without changing any color). */
+  def incrementalColoring(spark: SparkSession, newEdges: DataFrame,
+      prevEdges: DataFrame, prevColors: DataFrame, inserted: DataFrame,
+      maxRounds: Int = ColoringRoundCap, coneGatherLimit: Long = 200000L,
+      maxConeFraction: Double = 1.0): DataFrame = {
+    import spark.implicits._
+    def pri(v: Long): Long = (v * 1103515245L + 12345L) % 2147483648L
+    val prevVC = prevColors.select(col("v").cast("long"), col("color").cast("int"))
+    val c = hpDependencyCone(spark, newEdges, prevEdges, inserted,
+      maxRounds, coneGatherLimit, maxConeFraction)
+    if (c.coneVerts.isEmpty) return prevVC
+    val colorOf = scala.collection.mutable.LongMap.empty[Int]
+    c.boundaryDf.join(prevVC, Seq("v"))
+      .rdd.map(x => (x.getLong(0), x.getInt(1))).collect()
+      .foreach { case (v, col) => colorOf(v) = col }
+    c.coneVerts.sortBy(pri).foreach { v =>
+      val used = c.hpAdj.getOrElse(v, Array.empty[Long]).iterator.flatMap { u =>
+        // every hp-neighbor is decided: in-cone ones earlier in this
+        // loop, boundary ones by their old color — a miss is a bug
+        Some(colorOf.getOrElse(u,
+          throw new IllegalStateException(s"undecided hp-neighbor $u of $v")))
+      }.toSet
+      colorOf(v) = Iterator.from(0).find(!used(_)).get
+    }
+    val coneColored = c.coneVerts.sorted.map(v => (v, colorOf(v))).toSeq
+    prevVC.join(c.coneDf, Seq("v"), "left_anti")
+      .unionByName(coneColored.toDF("v", "color"))
+  }
+
   /** Round cap shared by [[jonesPlassmannColoring]]'s two paths and the
     * q_graph_coloring oracle's fixed unroll (same contract as
     * [[MisRoundCap]]: no-op rounds past convergence, loud failure past

@@ -188,6 +188,25 @@ class PropertySpec extends SparkSpec {
             .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
           assert(incL == fullL, s"DAG sample $i: $dagBase + $dagDelta")
         }
+        // MIS membership (the symmetry-breaking family member): the
+        // cone-scoped replay must equal the full min-priority fixpoint
+        if (base.nonEmpty) {
+          val prevMis = GraphOps.maximalIndependentSet(spark, base.toDF("src", "dst"))
+          val incM = GraphOps.incrementalMaximalIndependentSet(spark, all,
+              base.toDF("src", "dst"), prevMis, deltaDf)
+            .collect().map(_.getLong(0)).toSet
+          val fullM = GraphOps.maximalIndependentSet(spark, all)
+            .collect().map(_.getLong(0)).toSet
+          assert(incM == fullM, s"MIS sample $i: $base + $delta")
+          // coloring twin over the same cone
+          val prevCol = GraphOps.jonesPlassmannColoring(spark, base.toDF("src", "dst"))
+          val incC = GraphOps.incrementalColoring(spark, all,
+              base.toDF("src", "dst"), prevCol, deltaDf)
+            .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+          val fullC = GraphOps.jonesPlassmannColoring(spark, all)
+            .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+          assert(incC == fullC, s"coloring sample $i: $base + $delta")
+        }
         // triangle counter over the canonical undirected sets
         def canon(e: Seq[(Long, Long)]) = e.filter(p => p._1 != p._2)
           .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
