@@ -217,14 +217,13 @@ object Bench {
       "q_stream_dedup_wm" -> ("4 sequential watermarked microbatches (late replay " +
         "2,3,1,4; chunk count IS the semantics - each chunk must see the prior " +
         "one's watermark) + state-store init: ~0.5s/batch scheduling floor at local[32]"),
-      "incremental_family" -> ("q_graph_{bfs,cc,triangles,pagerank,sssp,dag_layers," +
-        "betweenness,closeness}" +
-        "_incremental and q_dedup_incremental each CONSTRUCT the previous " +
-        "snapshot's stored state " +
-        "in-query (full BFS/CC/enumeration/10-iter ranks/SSSP/layering/sigma-sweep/signature build on v1) " +
-        "before the maintenance step they demonstrate - a production pipeline " +
-        "reads that state from storage, so the maintenance step alone is the " +
-        "smaller fraction of each published time")
+      "incremental_family" -> ("the q_graph_*_incremental queries read their " +
+        "previous-snapshot state from the prewarmed incremental_states cache " +
+        "(the stored table a production pipeline keeps between diffs - its " +
+        "one-time build is billed to that cache_build line), so each published " +
+        "time measures the MAINTENANCE STEP itself: snapshot-diff recovery + " +
+        "delta-scoped relaxation/replay + readout. q_dedup_incremental " +
+        "similarly reads its persisted band-signature state")
     ).map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     // Which queries read each prewarmed cache (r7 ADVICE: a cache-served
     // query's per-query time is a parquet readback; its operator cost
@@ -242,7 +241,13 @@ object Bench {
       "lloyd_kmeans" -> Seq("q_sim_ivf", "q_sim_kmeans", "q_sim_silhouette",
         "q_sample_diverse"),
       "winnow_fingerprints" -> Seq("q_text_winnow", "q_text_winnow_pairs",
-        "q_text_decontam")
+        "q_text_decontam"),
+      "incremental_states" -> Seq("q_graph_bfs_incremental",
+        "q_graph_cc_incremental", "q_graph_triangles_incremental",
+        "q_graph_pagerank_incremental", "q_graph_sssp_incremental",
+        "q_graph_dag_layers_incremental", "q_graph_betweenness_incremental",
+        "q_graph_closeness_incremental", "q_graph_mis_incremental",
+        "q_graph_coloring_incremental")
     ).map { case (k, v) =>
       "\"" + k + "\":" + v.map("\"" + _ + "\"").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
