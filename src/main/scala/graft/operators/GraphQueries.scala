@@ -157,25 +157,37 @@ object GraphQueries extends QueryModule {
     * of a per-query copy so a future change to the diff key cannot drift
     * between family members.
     */
+  private val stageNonce: String =
+    java.lang.ProcessHandle.current().pid() + "_" +
+      java.lang.Long.toHexString(System.nanoTime())
+  private val stageLock = new Object
   private def snapshotInsertDiff(s: SparkSession, dir: String, tag: String,
       all: DataFrame, v1Keep: org.apache.spark.sql.Column): (DataFrame, DataFrame, DataFrame) = {
+    // nonce, not bare pid: a recycled pid with a persistent tmpdir (or a
+    // regenerated corpus at the same path) must never satisfy the reuse
+    // check with a STALE store from another JVM
     val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_${tag}_${java.lang.ProcessHandle.current().pid()}_" +
+      s"graft_${tag}_${stageNonce}_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")).toString
-    // IDEMPOTENT per process: the pid-tagged path is fresh per JVM and
+    // IDEMPOTENT per process: the nonce-tagged path is fresh per JVM and
     // the fixture content per (dir, tag) is deterministic, so an
     // already-staged two-version store is REUSED — a delete+restage here
     // would invalidate frames an in-flight caller (e.g. a query whose
     // lazily-built state cache re-enters this helper) already planned
-    // against the old snapshot directories.
-    val staged = VersionedGraphStore.versions(base)
-    val (v1, v2) =
+    // against the old snapshot directories. The check-then-stage section
+    // is locked: two first-callers racing the same tag would otherwise
+    // interleave four commits and every later reader would take two
+    // identical v1 snapshots (an empty `inserted` masquerading as a
+    // maintained no-op delta).
+    val (v1, v2) = stageLock.synchronized {
+      val staged = VersionedGraphStore.versions(base)
       if (staged.size >= 2) (staged(0), staged(1))
       else {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
         (VersionedGraphStore.commit(all.filter(v1Keep), base),
           VersionedGraphStore.commit(all, base))
       }
+    }
     val prev = VersionedGraphStore.loadAt(s, base, v1)
     val cur = VersionedGraphStore.loadAt(s, base, v2)
     val inserted = cur
@@ -201,7 +213,7 @@ object GraphQueries extends QueryModule {
     * construction seeds 2–4 are unaffected — require()d loudly so
     * fixture drift that degrades the scoping to a full recompute fails
     * instead of silently passing. */
-  private case class ScopedSweep(edPrev: DataFrame, edNew: DataFrame,
+  private case class ScopedSweep(edNew: DataFrame,
       affected: Seq[Long], reuse: Seq[Long],
       sigPrev: DataFrame, sigNew: DataFrame) {
     def sigAll: DataFrame =
@@ -238,7 +250,12 @@ object GraphQueries extends QueryModule {
     * maintenance result must equal the full recompute of the NEW
     * snapshot. */
   private val incStateCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Builder dependencies, resolved BEFORE entering the map computation —
+    * a builder that re-entered computeIfAbsent on the same map would be
+    * the recursive update the ConcurrentHashMap contract forbids. */
+  private val incStateDeps = Map("centinc_del" -> Seq("centinc_sig"))
   private def cachedIncState(s: SparkSession, dir: String, tag: String): DataFrame = {
+    incStateDeps.getOrElse(tag, Nil).foreach(cachedIncState(s, dir, _))
     val path = incStateCache.computeIfAbsent(s"$dir:$tag", _ => {
       val p = s"${sys.props("java.io.tmpdir")}/graft_incstate_" +
         java.lang.ProcessHandle.current().pid() + "_" + tag + "_" +
@@ -283,13 +300,16 @@ object GraphQueries extends QueryModule {
         snapshotInsertDiff(s, dir, "daginc",
           ringEdges(s, dir).filter(col("src") < col("dst")),
           col("src") % 97 =!= 1)._1)),
-      "bcinc_sig" -> (() => GraphOps.multiSourceBfsSigma(s,
-        scopedPrev("bcinc").localCheckpoint(true), closenessSeeds)),
-      "clinc_sig" -> (() => GraphOps.multiSourceBfsSigma(s,
-        scopedPrev("clinc").localCheckpoint(true), closenessSeeds)),
-      "bcinc_del" -> (() => GraphOps.multiBrandesDeltas(s,
-        scopedPrev("bcinc").localCheckpoint(true),
-        cachedIncState(s, dir, "bcinc_sig").localCheckpoint(true))),
+      // ONE scoped fixture serves BOTH incremental centralities (the
+      // whole point of the affected-seed gate: each extra centrality
+      // costs only its readout) — a single staged store + sigma state
+      "centinc_sig" -> (() => GraphOps.multiSourceBfsSigma(s,
+        scopedPrev("centinc").localCheckpoint(true), closenessSeeds)),
+      "centinc_del" -> (() => GraphOps.multiBrandesDeltas(s,
+        scopedPrev("centinc").localCheckpoint(true),
+        // dependency pre-resolved by incStateDeps: read the entry directly
+        s.read.parquet(incStateCache.get(s"$dir:centinc_sig"))
+          .localCheckpoint(true))),
       "misinc" -> (() => GraphOps.maximalIndependentSet(s,
         snapshotInsertDiff(s, dir, "misinc", ringEdges(s, dir),
           !lowBandHeldEdge)._1)),
@@ -309,13 +329,11 @@ object GraphQueries extends QueryModule {
     (heldC(col("src")) && col("dst").isin(r01: _*)) ||
       (heldC(col("dst")) && col("src").isin(r01: _*))
   }
-  private def scopedSeedSweep(s: SparkSession, dir: String, tag: String): ScopedSweep = {
-    val (prevEdges, newEdges, inserted) =
-      snapshotInsertDiff(s, dir, tag, hierEdges(s, dir), !scopedHeldEdge(s, dir))
+  private def scopedSeedSweep(s: SparkSession, dir: String): ScopedSweep = {
+    val (_, newEdges, inserted) =
+      snapshotInsertDiff(s, dir, "centinc", hierEdges(s, dir), !scopedHeldEdge(s, dir))
     val seeds = closenessSeeds // the five region vertices
-    val edPrev = prevEdges.select(col("src").cast("long"), col("dst").cast("long"))
-      .distinct().localCheckpoint(true)
-    val sigPrev = cachedIncState(s, dir, s"${tag}_sig").localCheckpoint(true)
+    val sigPrev = cachedIncState(s, dir, "centinc_sig").localCheckpoint(true)
     // affected-seed gate: one delta⋈state join, seed-count-sized result
     val ins = inserted.select(col("src").cast("long"), col("dst").cast("long"))
     val affected = ins
@@ -333,7 +351,7 @@ object GraphQueries extends QueryModule {
     val edNew = newEdges.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct().localCheckpoint(true)
     val sigNew = GraphOps.multiSourceBfsSigma(s, edNew, affected).localCheckpoint(true)
-    ScopedSweep(edPrev, edNew, affected, reuse, sigPrev, sigNew)
+    ScopedSweep(edNew, affected, reuse, sigPrev, sigNew)
   }
 
   /** Walk length for q_graph_walks (fixed — the oracle unrolls it). */
@@ -440,8 +458,8 @@ object GraphQueries extends QueryModule {
       { lpLabelsCached(s, dir, hierEdges(s, dir).localCheckpoint(true)); () }),
     // every incremental-maintenance query's previous-snapshot state —
     // the stored tables a production pipeline reads before applying a
-    // diff; sorted keys put bcinc_del's sig dependency first regardless
-    // (the builder recurses through cachedIncState)
+    // diff; centinc_del's sig dependency is pre-resolved by incStateDeps
+    // regardless of build order
     "incremental_states" -> ((s, dir) =>
       incStateBuilders(s, dir).keys.toSeq.sorted
         .foreach(tag => cachedIncState(s, dir, tag))))
@@ -1109,8 +1127,8 @@ object GraphQueries extends QueryModule {
     // the hash compare IS the proof that scoped(state, diff) ==
     // full(new_snapshot).
     "q_graph_betweenness_incremental" -> ((s, dir) => {
-      val sw = scopedSeedSweep(s, dir, "bcinc")
-      val delPrev = cachedIncState(s, dir, "bcinc_del") // stored deltas
+      val sw = scopedSeedSweep(s, dir)
+      val delPrev = cachedIncState(s, dir, "centinc_del") // stored deltas
       val delNew = GraphOps.multiBrandesDeltas(s, sw.edNew, sw.sigNew)
       val delAll = delNew.unionByName(
         delPrev.filter(col("dseed").isin(sw.reuse: _*)))
@@ -1126,7 +1144,7 @@ object GraphQueries extends QueryModule {
     // closed-form closeness of the COMPLETE hierarchy graph (seed r
     // reaches its nations at distance 1, their customers at 2).
     "q_graph_closeness_incremental" -> ((s, dir) => {
-      val sw = scopedSeedSweep(s, dir, "clinc")
+      val sw = scopedSeedSweep(s, dir)
       sw.sigAll.groupBy("seed")
         .agg(count(lit(1)).as("n_reached"), sum("level").as("total_dist"))
         .withColumn("closeness_e6",

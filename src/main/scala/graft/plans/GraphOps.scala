@@ -1391,6 +1391,11 @@ object GraphOps {
     var cone = insSeeds.unionByName(newVerts).distinct().localCheckpoint(true)
     var frontier = cone
     var coneCount = cone.count()
+    // the limit must bound the SEED set too: a huge delta whose cone
+    // never grows past its seeds would otherwise reach the driver gather
+    // with no size check at all
+    require(coneCount <= coneGatherLimit,
+      s"dependency cone exceeded the $coneGatherLimit-vertex gather limit")
     var grew = coneCount > 0
     var r = 0
     while (grew && r < maxRounds) {
@@ -1430,7 +1435,11 @@ object GraphOps {
 
   def incrementalMaximalIndependentSet(spark: SparkSession, newEdges: DataFrame,
       prevEdges: DataFrame, prevMis: DataFrame, inserted: DataFrame,
-      maxRounds: Int = MisRoundCap, coneGatherLimit: Long = 200000L,
+      // cone waves advance one hp-DAG hop each, so their bound is the
+      // DAG-depth cap (48), NOT the O(log n) MIS round cap — a deep
+      // high-priority delta must not fail on input the full operator
+      // handles fine
+      maxRounds: Int = ColoringRoundCap, coneGatherLimit: Long = 200000L,
       maxConeFraction: Double = 1.0): DataFrame = {
     import spark.implicits._
     def pri(v: Long): Long = (v * 1103515245L + 12345L) % 2147483648L
