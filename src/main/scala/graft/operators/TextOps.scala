@@ -374,6 +374,41 @@ object TextOps extends QueryModule {
         .limit(20)
     }),
 
+    // PMI collocation RANKING — the statistically-scored counterpart of
+    // q_text_cooccur (raw pair counts rank common-word pairs first; PMI
+    // ranks ADJACENT pairs that co-occur more than their unigram
+    // frequencies predict — the standard collocation signal). Log-free
+    // exact arithmetic: with positional probabilities, ranking by
+    // PMI(a,b) = log(n_ab·N/(c_a·c_b)) is ranking by the integer lift
+    // n_ab·N/(c_a·c_b) (e6 fixed point, integer div) — engine-portable
+    // with no log/float. Support floor is the conventional ABSOLUTE
+    // n_ab ≥ 5 (a proportional gate tracks document count, but bigram
+    // mass does not scale with documents on a mutating corpus — the sf1
+    // fixture made a #docs-proportional gate empty); top-20 ties break
+    // on (a, b). Scale shape: one bigram explode + one (a, b) count
+    // shuffle; the unigram frame is vocabulary-sized and broadcasts.
+    "q_text_pmi" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(size(toks) >= 2)
+        .select(toks.as("ts")).localCheckpoint(true) // feeds uni + bigrams
+      val uni = docs.select(explode(col("ts")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // feeds the total AND two lookups
+      val nTok = uni.agg(sum("c").as("n"))
+      val bi = docs.select(explode(arrays_zip(
+          slice(col("ts"), lit(1), size(col("ts")) - 1),
+          slice(col("ts"), lit(2), size(col("ts")) - 1))).as("p"))
+        .select(col("p.0").as("a"), col("p.1").as("b"))
+      bi.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 5)
+        .join(broadcast(uni.select(col("tok").as("a"), col("c").as("c_a"))), Seq("a"))
+        .join(broadcast(uni.select(col("tok").as("b"), col("c").as("c_b"))), Seq("b"))
+        .crossJoin(broadcast(nTok))
+        .select(col("a"), col("b"), col("n_ab"), col("c_a"), col("c_b"),
+          expr("n_ab * n * 1000000 div (c_a * c_b)").as("lift_e6"))
+        .orderBy(col("lift_e6").desc, col("a"), col("b"))
+        .limit(20)
+    }),
+
     // BPE-ish regex tokenization: lowercase, then split into word pieces /
     // digit runs / single punctuation marks — the pre-tokenization pass a
     // byte-pair tokenizer runs before merges. Counts per class per doc;
@@ -794,6 +829,22 @@ object TextOps extends QueryModule {
                GROUP BY x.tok, y.tok)
          SELECT a, b, n_docs FROM p
          ORDER BY n_docs DESC, a, b LIMIT 20""",
+    // The identical bigram extraction, support gate, and integer lift.
+    "q_text_pmi" ->
+      """WITH tk AS (SELECT string_split(text, ' ') AS ts FROM documents
+                     WHERE len(string_split(text, ' ')) >= 2),
+         uni AS (SELECT tok, COUNT(*) AS c FROM (
+             SELECT unnest(ts) AS tok FROM tk) GROUP BY tok),
+         nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+         bi AS (SELECT unnest(ts[1:len(ts)-1]) AS a,
+                       unnest(ts[2:len(ts)]) AS b FROM tk),
+         bn AS (SELECT a, b, COUNT(*) AS n_ab FROM bi GROUP BY a, b)
+         SELECT bn.a, bn.b, bn.n_ab, ua.c AS c_a, ub.c AS c_b,
+           CAST(bn.n_ab * nt.n * 1000000 // (ua.c * ub.c) AS BIGINT) AS lift_e6
+         FROM bn JOIN uni ua ON ua.tok = bn.a JOIN uni ub ON ub.tok = bn.b
+         CROSS JOIN nt
+         WHERE bn.n_ab >= 5
+         ORDER BY lift_e6 DESC, bn.a, bn.b LIMIT 20""",
     "q_text_tokens_bpe" ->
       """WITH p AS (SELECT doc_id,
              regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]') AS pieces
