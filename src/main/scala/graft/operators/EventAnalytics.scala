@@ -366,6 +366,36 @@ object EventAnalytics extends QueryModule {
         .orderBy("event_type", "lag_h")
     }),
 
+    // RETENTION VACUUM over the commit-log store — the table-maintenance
+    // job every lakehouse runs: three versions committed, the oldest
+    // vacuumed away (keepLast = 2; graceMs = 0 is legal here because the
+    // query holds exclusive access — the concurrent-writer grace period
+    // is exercised in GraphSpec), then the SURVIVING history read back
+    // with per-version stats. The oracle recomputes v2/v3 straight from
+    // `nation`: a vacuum that dropped the wrong snapshot, left v1
+    // readable, or corrupted a survivor's data flips the compare; the
+    // require() pins that exactly v1 was collected.
+    "q_cdc_vacuum" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("k"))
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_cdcvac_${java.lang.ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      // table state is RUN state: rebuilt each invocation so ids are
+      // deterministic (1, 2, 3)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val v1 = VersionedGraphStore.commit(n.filter(col("k") < 5), base)
+      val v2 = VersionedGraphStore.commit(n.filter(col("k") < 10), base)
+      val v3 = VersionedGraphStore.commit(n, base)
+      val dropped = VersionedGraphStore.vacuum(base, keepLast = 2, graceMs = 0)
+      require(dropped == Seq(v1), s"vacuum collected $dropped, expected Seq($v1)")
+      VersionedGraphStore.versions(base).map { v =>
+        VersionedGraphStore.loadAt(s, base, v)
+          .agg(count(lit(1)).as("n_rows"), sum("k").as("key_sum"))
+          .select(lit(v).as("snapshot"), col("n_rows"), col("key_sum"))
+      }.reduce(_ unionByName _).orderBy("snapshot")
+    }),
+
     // Schema EVOLUTION across commit-log versions (ADD COLUMN) — the
     // r8-seeded CDC case: v1 commits (k, name), v2 commits the WIDENED
     // (k, name, region). Each snapshot's parquet footer IS that version's
@@ -530,6 +560,16 @@ object EventAnalytics extends QueryModule {
            CAST(SUM(d * d) AS BIGINT) AS acf_den
          FROM ex GROUP BY event_type, lag_h
          ORDER BY event_type, lag_h""",
+    // Survivors recomputed straight from nation (v2 = k < 10, v3 = all);
+    // v1 must be gone or the row set differs.
+    "q_cdc_vacuum" ->
+      """SELECT CAST(2 AS BIGINT) AS snapshot, COUNT(*) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+         FROM nation WHERE n_nationkey < 10
+         UNION ALL
+         SELECT CAST(3 AS BIGINT), COUNT(*), CAST(SUM(n_nationkey) AS BIGINT)
+         FROM nation
+         ORDER BY snapshot""",
     // Both versions recomputed straight from nation; v1 is the
     // n_nationkey < 10 subset at the NARROW (2-column) schema, so its
     // history rows must contribute zero region mass.
