@@ -160,7 +160,10 @@ object GraphQueries extends QueryModule {
   private val stageNonce: String =
     java.lang.ProcessHandle.current().pid() + "_" +
       java.lang.Long.toHexString(System.nanoTime())
-  private val stageLock = new Object
+  // per-base locks: racing first-callers of the SAME tag must serialize,
+  // but unrelated tags touch disjoint nonce-tagged directories and must
+  // not block each other across two full parquet-write jobs
+  private val stageLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def snapshotInsertDiff(s: SparkSession, dir: String, tag: String,
       all: DataFrame, v1Keep: org.apache.spark.sql.Column): (DataFrame, DataFrame, DataFrame) = {
     // nonce, not bare pid: a recycled pid with a persistent tmpdir (or a
@@ -179,7 +182,7 @@ object GraphQueries extends QueryModule {
     // interleave four commits and every later reader would take two
     // identical v1 snapshots (an empty `inserted` masquerading as a
     // maintained no-op delta).
-    val (v1, v2) = stageLock.synchronized {
+    val (v1, v2) = stageLocks.computeIfAbsent(base, _ => new Object).synchronized {
       val staged = VersionedGraphStore.versions(base)
       if (staged.size >= 2) (staged(0), staged(1))
       else {
@@ -307,8 +310,12 @@ object GraphQueries extends QueryModule {
         scopedPrev("centinc").localCheckpoint(true), closenessSeeds)),
       "centinc_del" -> (() => GraphOps.multiBrandesDeltas(s,
         scopedPrev("centinc").localCheckpoint(true),
-        // dependency pre-resolved by incStateDeps: read the entry directly
-        s.read.parquet(incStateCache.get(s"$dir:centinc_sig"))
+        // dependency pre-resolved by incStateDeps: read the entry
+        // directly, failing LOUDLY at construction if the two sources of
+        // truth (this read, the deps map) ever drift
+        s.read.parquet(Option(incStateCache.get(s"$dir:centinc_sig"))
+            .getOrElse(throw new IllegalStateException(
+              "centinc_sig not built - register the dependency in incStateDeps")))
           .localCheckpoint(true))),
       "misinc" -> (() => GraphOps.maximalIndependentSet(s,
         snapshotInsertDiff(s, dir, "misinc", ringEdges(s, dir),

@@ -404,7 +404,11 @@ object TextOps extends QueryModule {
         .join(broadcast(uni.select(col("tok").as("b"), col("c").as("c_b"))), Seq("b"))
         .crossJoin(broadcast(nTok))
         .select(col("a"), col("b"), col("n_ab"), col("c_a"), col("c_b"),
-          expr("n_ab * n * 1000000 div (c_a * c_b)").as("lift_e6"))
+          // DECIMAL(38,0) product domain (the q_sketch_theta discipline):
+          // n_ab*N*1e6 exceeds Long at ~10x sf1 and non-ANSI Spark would
+          // wrap SILENTLY where DuckDB errors loudly
+          expr("CAST(CAST(n_ab AS DECIMAL(38,0)) * n * 1000000" +
+            " div (CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)").as("lift_e6"))
         .orderBy(col("lift_e6").desc, col("a"), col("b"))
         .limit(20)
     }),
@@ -840,7 +844,8 @@ object TextOps extends QueryModule {
                        unnest(ts[2:len(ts)]) AS b FROM tk),
          bn AS (SELECT a, b, COUNT(*) AS n_ab FROM bi GROUP BY a, b)
          SELECT bn.a, bn.b, bn.n_ab, ua.c AS c_a, ub.c AS c_b,
-           CAST(bn.n_ab * nt.n * 1000000 // (ua.c * ub.c) AS BIGINT) AS lift_e6
+           CAST(bn.n_ab::HUGEINT * nt.n * 1000000
+                // (ua.c::HUGEINT * ub.c) AS BIGINT) AS lift_e6
          FROM bn JOIN uni ua ON ua.tok = bn.a JOIN uni ub ON ub.tok = bn.b
          CROSS JOIN nt
          WHERE bn.n_ab >= 5
