@@ -33,6 +33,39 @@ object EventAnalytics extends QueryModule {
     * stage-event strictly follows their entry into the previous stage. */
   private val funnelStages = Seq("signup", "view", "click", "purchase")
 
+  /** Loud per-key collect guard for q_ts_ewma (the cone-gather
+    * discipline): the exact order-dependent recurrence REQUIRES each
+    * user's full history in one row, which is fine at user-history
+    * cardinality but a silent single-row memory blowup on a hot key at
+    * 100 TB. Past this bound the query fails visibly (raise_error)
+    * instead of OOMing an executor. 1e6 events ≈ tens of MB per row —
+    * loud well before the executor limit. */
+  private[graft] val EwmaMaxEventsPerKey: Long = 1000000L
+
+  /** The guarded per-user EWMA fold — extracted so the spec can drive the
+    * guard with a hot-key frame. Input: (user_id, ts, event_id, value). */
+  private[graft] def ewmaGuarded(df: DataFrame, maxPerKey: Long): DataFrame = {
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    df.select(col("user_id"),
+        struct(col("ts"), col("event_id"), cents.as("cents")).as("rec"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(col("rec"))).as("recs"))
+      .select(col("user_id"),
+        size(col("recs")).cast("long").as("n_events"),
+        expr(s"""IF(size(recs) <= ${maxPerKey}L,
+                 aggregate(transform(recs, r -> r.cents),
+                   named_struct('started', false, 'acc', CAST(0 AS BIGINT)),
+                   (a, x) -> named_struct('started', true,
+                     'acc', IF(a.started, (x + a.acc) div 2, x)),
+                   a -> a.acc),
+                 raise_error(concat('q_ts_ewma: user ',
+                   CAST(user_id AS STRING), ' has ',
+                   CAST(size(recs) AS STRING),
+                   ' events - exceeds the per-key collect guard ',
+                   '${maxPerKey}')))""").as("ewma_cents"))
+      .orderBy("user_id")
+  }
+
   /** The anomaly oracle SQL — shared verbatim by q_events_anomaly and
     * q_stream_anomaly (whose batch-equivalence claim IS this identity). */
   private[graft] val anomalySql: String =
@@ -225,23 +258,11 @@ object EventAnalytics extends QueryModule {
     // higher-order `aggregate` runs the fold — no UDF, no driver loop.
     // For an UNBOUNDED per-key series the same fold moves to
     // mapGroupsWithState (q_stream_stateful's shape); for bounded series
-    // (sessions, user histories) the array fold is the cheaper plan.
-    "q_ts_ewma" -> ((s, dir) => {
-      val cents = floor(col("value") * 100 + 0.5).cast("long")
-      t(s, dir, "events")
-        .select(col("user_id"),
-          struct(col("ts"), col("event_id"), cents.as("cents")).as("rec"))
-        .groupBy("user_id")
-        .agg(sort_array(collect_list(col("rec"))).as("recs"))
-        .select(col("user_id"),
-          size(col("recs")).cast("long").as("n_events"),
-          expr("""aggregate(transform(recs, r -> r.cents),
-                   named_struct('started', false, 'acc', CAST(0 AS BIGINT)),
-                   (a, x) -> named_struct('started', true,
-                     'acc', IF(a.started, (x + a.acc) div 2, x)),
-                   a -> a.acc)""").as("ewma_cents"))
-        .orderBy("user_id")
-    }),
+    // (sessions, user histories) the array fold is the cheaper plan — a
+    // hot key past [[EwmaMaxEventsPerKey]] fails LOUDLY (raise_error in
+    // the fold branch), not by executor OOM.
+    "q_ts_ewma" -> ((s, dir) =>
+      ewmaGuarded(t(s, dir, "events"), EwmaMaxEventsPerKey)),
 
     // Metric anomaly detection — the monitoring operator a pipeline runs
     // over its own event volumes: per (event_type, hour) bucket, flag
@@ -361,8 +382,14 @@ object EventAnalytics extends QueryModule {
           struct(lit(2).as("lag_h"), col("d2").as("dl")),
           struct(lit(3).as("lag_h"), col("d3").as("dl")))).as("p"))
         .groupBy(col("event_type"), col("p.lag_h").as("lag_h"))
-        .agg(sum(when(col("p.dl").isNotNull, col("d") * col("p.dl"))).as("acf_num"),
-          sum(col("d") * col("d")).as("acf_den"))
+        // DECIMAL(38,0) product/sum domain (the q_text_pmi discipline):
+        // the d·d products wrap SILENTLY in non-ANSI bigint at larger
+        // scales, where the oracle's HUGEINT→BIGINT cast errors loudly
+        .agg(sum(when(col("p.dl").isNotNull,
+            col("d").cast("decimal(38,0)") * col("p.dl")))
+            .cast("long").as("acf_num"),
+          sum(col("d").cast("decimal(38,0)") * col("d"))
+            .cast("long").as("acf_den"))
         .orderBy("event_type", "lag_h")
     }),
 

@@ -164,6 +164,10 @@ object GraphQueries extends QueryModule {
   // but unrelated tags touch disjoint nonce-tagged directories and must
   // not block each other across two full parquet-write jobs
   private val stageLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  // bases whose staged row counts have been verified against a caller's
+  // fixture this process — see the reuse guard in snapshotInsertDiff
+  private val verifiedStores =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def snapshotInsertDiff(s: SparkSession, dir: String, tag: String,
       all: DataFrame, v1Keep: org.apache.spark.sql.Column): (DataFrame, DataFrame, DataFrame) = {
     // nonce, not bare pid: a recycled pid with a persistent tmpdir (or a
@@ -184,8 +188,25 @@ object GraphQueries extends QueryModule {
     // maintained no-op delta).
     val (v1, v2) = stageLocks.computeIfAbsent(base, _ => new Object).synchronized {
       val staged = VersionedGraphStore.versions(base)
-      if (staged.size >= 2) (staged(0), staged(1))
-      else {
+      if (staged.size >= 2) {
+        // Reuse guard (r8 ADVICE): reuse is keyed only by (tag, dir) — a
+        // caller passing a DIFFERENT `all`/`v1Keep` under an existing tag
+        // must fail loudly, not silently read the stale store. Verified
+        // once per base per process (four cheap counts on first reuse).
+        if (!verifiedStores.contains(base)) {
+          val expV1 = all.filter(v1Keep).count()
+          val expV2 = all.count()
+          val gotV1 = VersionedGraphStore.loadAt(s, base, staged(0)).count()
+          val gotV2 = VersionedGraphStore.loadAt(s, base, staged(1)).count()
+          require(gotV1 == expV1 && gotV2 == expV2,
+            s"snapshotInsertDiff($tag): staged store row counts " +
+              s"(v1=$gotV1, v2=$gotV2) do not match this caller's fixture " +
+              s"(v1=$expV1, v2=$expV2) - tag reused with a different " +
+              "fixture definition")
+          verifiedStores.add(base)
+        }
+        (staged(0), staged(1))
+      } else {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
         (VersionedGraphStore.commit(all.filter(v1Keep), base),
           VersionedGraphStore.commit(all, base))
@@ -271,6 +292,7 @@ object GraphQueries extends QueryModule {
   private def incStateBuilders(s: SparkSession, dir: String): Map[String, () => DataFrame] = {
     def weighted(e: DataFrame) = e.select(col("src"), col("dst"),
       (lit(1) + (col("src") + col("dst")) % 5).as("w"))
+    // (key-set drift check vs incStateTags is at the end of this method)
     def scopedPrev(tag: String): DataFrame =
       snapshotInsertDiff(s, dir, tag, hierEdges(s, dir), !scopedHeldEdge(s, dir))._1
         .select(col("src").cast("long"), col("dst").cast("long")).distinct()
@@ -323,7 +345,8 @@ object GraphQueries extends QueryModule {
       "colinc" -> (() => GraphOps.jonesPlassmannColoring(s,
         snapshotInsertDiff(s, dir, "colinc", ringEdges(s, dir),
           !lowBandHeldEdge)._1)))
-  }
+  } ensuring (_.keySet == incStateTags.toSet,
+    "incStateBuilders drifted from incStateTags - update both")
 
   /** Held-edge predicate for the scoped-sweep fixture — single-sourced
     * between [[scopedSeedSweep]] and the state-cache builders. */
@@ -458,18 +481,26 @@ object GraphQueries extends QueryModule {
     * number hid which sweep regressed). Order matters: `brandes_deltas`
     * consumes `sigma_bfs`, so listed after it — its timed cost is the
     * BACKWARD sweep only, not a re-run of the forward one. */
+  /** The incremental-state tags, STATIC so the bench can bill each
+    * builder to its own named cache_build line (r8 VERDICT #5: one
+    * 27.8 s `incremental_states` line hid which of the 10 builders
+    * regressed). [[incStateBuilders]] require()s its key set equals this
+    * list, so the two sources of truth fail loudly on drift. */
+  private[graft] val incStateTags: Seq[String] = Seq("bfsinc", "ccinc",
+    "triinc", "princ", "ssspinc", "daginc", "centinc_sig", "centinc_del",
+    "misinc", "colinc")
+
   def namedCaches: Seq[(String, (SparkSession, String) => Unit)] = Seq(
-    "sigma_bfs" -> ((s, dir) => { ringSigma(s, dir); () }),
-    "brandes_deltas" -> ((s, dir) => { ringDeltas(s, dir); () }),
-    "labelprop" -> ((s, dir) =>
-      { lpLabelsCached(s, dir, hierEdges(s, dir).localCheckpoint(true)); () }),
+    "sigma_bfs" -> ((s: SparkSession, dir: String) => { ringSigma(s, dir); () }),
+    "brandes_deltas" -> ((s: SparkSession, dir: String) => { ringDeltas(s, dir); () }),
+    "labelprop" -> ((s: SparkSession, dir: String) =>
+      { lpLabelsCached(s, dir, hierEdges(s, dir).localCheckpoint(true)); () })) ++
     // every incremental-maintenance query's previous-snapshot state —
     // the stored tables a production pipeline reads before applying a
-    // diff; centinc_del's sig dependency is pre-resolved by incStateDeps
-    // regardless of build order
-    "incremental_states" -> ((s, dir) =>
-      incStateBuilders(s, dir).keys.toSeq.sorted
-        .foreach(tag => cachedIncState(s, dir, tag))))
+    // diff — one named line PER state builder; centinc_del's sig
+    // dependency is pre-resolved by incStateDeps regardless of order
+    incStateTags.map(tag => s"incstate_$tag" ->
+      ((s: SparkSession, dir: String) => { cachedIncState(s, dir, tag); () }))
 
   /** Build every process-level cache this module owns (σ sweep, backward
     * deltas, labelprop assignment) — invoked OUTSIDE the per-query timers

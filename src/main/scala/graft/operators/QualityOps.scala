@@ -30,6 +30,21 @@ object QualityOps extends QueryModule {
     floor(col("o_totalprice") * 100 + 0.5).cast("long"),
     unix_micros(col("o_orderdate").cast("timestamp")), col("o_orderpriority"))
 
+  /** Mergeable bottom-k (KMV) sample of the `h` column per `a` group:
+    * [[graft.functions.BottomKQuantileAgg]] under explode, returning the
+    * k smallest hashes per side as (a, h) rows. A groupBy AGGREGATE, not
+    * a window sort (the r8 scale-killer spelling): partials build
+    * map-side and ship k pairs per partition regardless of corpus size.
+    * Input must be distinct on (a, h) for window-top-k equality.
+    * Extracted so ScaleSpec can assert the plan shape pre-checkpoint. */
+  private[graft] def thetaBottomK(sides: DataFrame, k: Int): DataFrame = {
+    import graft.functions.QuantileSketch
+    sides.groupBy("a")
+      .agg(QuantileSketch.sketch(array(col("h"), col("h")), k).as("samp"))
+      .select(col("a"), explode(col("samp")).as("p"))
+      .select(col("a"), col("p").getItem(0).as("h"))
+  }
+
   /** DuckDB oracle shared by q_entity_resolution and its forced-BSP twin. */
   private lazy val entityResolutionSql: String =
     s"""WITH RECURSIVE d AS (SELECT DISTINCT p_name AS name FROM part),
@@ -200,7 +215,8 @@ object QualityOps extends QueryModule {
     // fixture discipline) so intersection, union, and both differences
     // are all REAL: a row-predicate split saturates to identical part
     // sets at ~30 rows/part. Algebra (Dasgupta et al.,
-    // Datasketches theta): θ = min of the two k-th smallest hashes; the
+    // Datasketches theta): θ = min of the two k-th smallest hashes
+    // (2^60 — exact mode — for a side with fewer than k distinct); the
     // sub-θ sample of each sketch is a uniform fraction-θ sample of its
     // set, so |X| ≈ |sample < θ| / θ — union counts distinct sub-θ
     // hashes, intersection the sub-θ hashes present in BOTH. Every
@@ -213,7 +229,6 @@ object QualityOps extends QueryModule {
     // ships k 8-byte hashes regardless of row count and the only
     // corpus-scale work is one distinct-project per side.
     "q_sketch_theta" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val k = 256
       val pk = Tables(s, dir, "lineitem").select(col("l_partkey"))
       val hh = graft.functions.PortableHash.hash60(col("l_partkey").cast("string"))
@@ -223,10 +238,18 @@ object QualityOps extends QueryModule {
           .select(lit(false).as("a"), hh.as("h")))
         .distinct()
         .localCheckpoint(true) // feeds the sketch build AND the exact counts
-      val w = Window.partitionBy("a").orderBy("h")
-      val sk = sides.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-        .select("a", "h").localCheckpoint(true)
-      val kth = sk.groupBy("a").agg(max("h").as("kth"))
+      // Mergeable bottom-k per side via [[thetaBottomK]] (NOT a window
+      // sort — that spelling put each side's entire distinct-hash set
+      // through ONE task; the r8 scale-killer). sides is distinct on
+      // (a, h), so the sample equals the window top-k exactly.
+      val sk = thetaBottomK(sides, k).localCheckpoint(true)
+      // An UNSATURATED side (< k distinct hashes) is in exact mode:
+      // theta = 2^60 (the full hash domain), so its estimates are the
+      // exact counts — the standard theta-sketch rule; min-of-kth alone
+      // would bias small-slice estimates low.
+      val kth = sk.groupBy("a").agg(
+        when(count(lit(1)) < k, lit(1152921504606846976L))
+          .otherwise(max("h")).as("kth"))
       val kthA = kth.filter(col("a")).select(col("kth").as("kth_a"))
       val kthB = kth.filter(!col("a")).select(col("kth").as("kth_b"))
       val thetaF = kth.agg(min("kth").as("theta"))
@@ -556,7 +579,8 @@ object QualityOps extends QueryModule {
              SELECT a, hh, ROW_NUMBER() OVER (PARTITION BY a ORDER BY hh) AS rn
              FROM sides)
            WHERE rn <= 256),
-         kth AS (SELECT a, MAX(hh) AS kth FROM sk GROUP BY a),
+         kth AS (SELECT a, CASE WHEN COUNT(*) < 256 THEN 1152921504606846976
+             ELSE MAX(hh) END AS kth FROM sk GROUP BY a),
          th AS (SELECT MIN(kth) AS theta FROM kth),
          below AS MATERIALIZED (
            SELECT sk.a, sk.hh FROM sk CROSS JOIN th WHERE sk.hh < th.theta),

@@ -386,7 +386,10 @@ object TextOps extends QueryModule {
     // mass does not scale with documents on a mutating corpus — the sf1
     // fixture made a #docs-proportional gate empty); top-20 ties break
     // on (a, b). Scale shape: one bigram explode + one (a, b) count
-    // shuffle; the unigram frame is vocabulary-sized and broadcasts.
+    // shuffle; the unigram joins are UNHINTED — vocabulary is unbounded
+    // in corpus size (web-scale text has 1e8+ distinct tokens), so a
+    // forced broadcast would OOM the driver exactly at target scale; AQE
+    // broadcasts the frame on its own whenever stats say it is small.
     "q_text_pmi" -> ((s, dir) => {
       val docs = t(s, dir, "documents").filter(size(toks) >= 2)
         .select(toks.as("ts")).localCheckpoint(true) // feeds uni + bigrams
@@ -400,8 +403,8 @@ object TextOps extends QueryModule {
         .select(col("p.0").as("a"), col("p.1").as("b"))
       bi.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
         .filter(col("n_ab") >= 5)
-        .join(broadcast(uni.select(col("tok").as("a"), col("c").as("c_a"))), Seq("a"))
-        .join(broadcast(uni.select(col("tok").as("b"), col("c").as("c_b"))), Seq("b"))
+        .join(uni.select(col("tok").as("a"), col("c").as("c_a")), Seq("a"))
+        .join(uni.select(col("tok").as("b"), col("c").as("c_b")), Seq("b"))
         .crossJoin(broadcast(nTok))
         .select(col("a"), col("b"), col("n_ab"), col("c_a"), col("c_b"),
           // DECIMAL(38,0) product domain (the q_sketch_theta discipline):

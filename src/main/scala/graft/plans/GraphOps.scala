@@ -1230,6 +1230,26 @@ object GraphOps {
     * failure, never a truncated result). */
   private[graft] val MisRoundCap = 32
 
+  /** Loud domain gate for every LCG-priority consumer: p(v) =
+    * (v·1103515245 + 12345) mod 2³¹ is injective ONLY on 0 ≤ v < 2³¹
+    * (its full period). Outside that domain two ADJACENT vertices can
+    * tie, and the greedy-by-priority operators diverge silently —
+    * [[maximalIndependentSet]] would at least fail its convergence
+    * require, but [[jonesPlassmannColoring]] would emit an improper
+    * coloring (a tied pair lands in neither hp direction, both become
+    * ready in round 1, both can take the same mex color) and the
+    * incremental cone replays' sortBy(pri) order becomes ambiguous.
+    * `und` is the symmetrized edge frame, so `src` covers every vertex;
+    * the one cheap agg rides the persist the caller already paid for. */
+  private def requireLcgPriorityDomain(und: DataFrame, op: String): Unit = {
+    val r = und.agg(min(col("src")).as("lo"), max(col("src")).as("hi")).collect()(0)
+    if (!r.isNullAt(0))
+      require(r.getLong(0) >= 0L && r.getLong(1) < 2147483648L,
+        s"$op: vertex ids span [${r.getLong(0)}, ${r.getLong(1)}], outside " +
+          "the LCG priority's injective domain [0, 2^31) - adjacent " +
+          "priorities could tie and greedy-by-priority order is undefined")
+  }
+
   /** Deterministic MAXIMAL INDEPENDENT SET — Luby-style min-priority
     * rounds under the fixed LCG priority p(v) = (v·1103515245 + 12345)
     * mod 2³¹ (odd multiplier × power-of-two modulus ⇒ injective for
@@ -1263,6 +1283,7 @@ object GraphOps {
     val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
     val edgeCount = und.count() // gate + materializes the persist
+    requireLcgPriorityDomain(und, "maximalIndependentSet")
     def pri(v: Long): Long = (v * 1103515245L + 12345L) % 2147483648L
     if (edgeCount <= driverSolveLimit) {
       val arr = und.rdd.map(r => (r.getLong(0), r.getLong(1))).collect()
@@ -1370,6 +1391,7 @@ object GraphOps {
     val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
     val totalV = und.select("src").distinct().count()
+    requireLcgPriorityDomain(und, "hpDependencyCone")
     // dependency edges on the NEW graph: src's decision waits on dst
     val hpEdges = und.filter(priCol(col("dst")) < priCol(col("src")))
       .localCheckpoint(true)
@@ -1549,6 +1571,7 @@ object GraphOps {
     val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
     val edgeCount = und.count() // gate + materializes the persist
+    requireLcgPriorityDomain(und, "jonesPlassmannColoring")
     def pri(v: Long): Long = (v * 1103515245L + 12345L) % 2147483648L
     // The SAME rounds, in memory — the whole-problem gate path AND the
     // tail finish (which seeds `colored` with the boundary colors and

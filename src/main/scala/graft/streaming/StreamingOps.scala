@@ -208,9 +208,40 @@ object StreamingOps extends QueryModule {
     val last = graft.sources.VersionedGraphStore.latestMeta(state)
       .map(_.toLong).getOrElse(-1L)
     if (batchId <= last) return
-    graft.sources.VersionedGraphStore.commit(merged, state,
+    // Per-phase attribution (r8 VERDICT #4 — the CDC family's >2x was
+    // unattributable between drift and real manifest overhead): the MERGE
+    // compute is forced by a localCheckpoint (one in-memory
+    // materialization of the per-batch state — bounded, the same frame
+    // the commit writes anyway), then the commit-log write (full-state
+    // parquet + manifest link) is timed separately. Both accumulate into
+    // [[CdcPhases]], published by the bench as `cdc_phases`.
+    val t0 = System.nanoTime()
+    val m = merged.localCheckpoint(true)
+    val t1 = System.nanoTime()
+    graft.sources.VersionedGraphStore.commit(m, state,
       meta = Some(batchId.toString))
-    ()
+    val t2 = System.nanoTime()
+    CdcPhases.record(t1 - t0, t2 - t1)
+  }
+
+  /** Process-level accumulator splitting every [[applyBatchIdempotent]]
+    * microbatch into MERGE-compute vs commit-log-write time — the
+    * per-phase breakdown that makes a CDC-family wall-time move
+    * attributable from the bench JSON alone. */
+  private[graft] object CdcPhases {
+    private val mergeNs = new java.util.concurrent.atomic.AtomicLong
+    private val commitNs = new java.util.concurrent.atomic.AtomicLong
+    private val batches = new java.util.concurrent.atomic.AtomicLong
+    def record(merge: Long, commit: Long): Unit = {
+      mergeNs.addAndGet(merge); commitNs.addAndGet(commit)
+      batches.incrementAndGet(); ()
+    }
+    /** JSON fragment for the bench line (cumulative across the run). */
+    def json: String = {
+      def s(ns: Long) = BigDecimal(ns / 1e9)
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+      s"""{"merge_sec":${s(mergeNs.get)},"commit_sec":${s(commitNs.get)},"batches":${batches.get}}"""
+    }
   }
 
   /** Latest committed CDC state under the commit log, if any batch has

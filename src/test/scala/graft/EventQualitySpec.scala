@@ -309,6 +309,27 @@ class EventQualitySpec extends SparkSpec {
     }
   }
 
+  test("ewma guard: a hot key past the per-key collect bound fails loudly") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val evs = (1 to 100).map(i =>
+      (7L, new java.sql.Timestamp(ts0.getTime + i * 1000L), i.toLong, i.toDouble))
+      .toDF("user_id", "ts", "event_id", "value")
+    // below the guard: the fold runs and matches the in-memory recurrence
+    val ok = EventAnalytics.ewmaGuarded(evs, 100L).collect()
+    assert(ok.length == 1 && ok(0).getLong(1) == 100L)
+    val expect = (1 to 100).map(_ * 100L).reduceLeft((a, x) => (x + a) / 2)
+    assert(ok(0).getLong(2) == expect)
+    // past the guard: loud raise_error, not a silent single-row blowup
+    val err = intercept[Exception] {
+      EventAnalytics.ewmaGuarded(evs, 99L).collect()
+    }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: causes(t.getCause)
+    assert(causes(err).exists(m => m != null && m.contains("per-key collect guard")),
+      s"expected the guard message in: ${causes(err).mkString(" | ")}")
+  }
+
   test("phash: reported pairs respect the hamming bound and include exact duplicates") {
     val pairs = Multimodal.queries("q_mm_phash")(spark, sfDir).collect()
     assert(pairs.forall(_.getAs[Int]("hamming") <= 8))

@@ -247,6 +247,38 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("r8 weak fixes: theta bottom-k is a mergeable aggregate, PMI unigram joins unhinted") {
+    import org.apache.spark.sql.expressions.Window
+    // q_sketch_theta (r8 weak): the bottom-k build must be the mergeable
+    // BottomKQuantileAgg with a map-side partial phase — the window
+    // spelling funneled each side's entire distinct-hash set through one
+    // task (a corpus-sized frame into a Window with 2 partition keys).
+    val sides = spark.range(5000)
+      .select((col("id") % 2 === 0).as("a"), (col("id") * 37 % 4999).as("h"))
+      .distinct()
+    val bk = graft.operators.QualityOps.thetaBottomK(sides, 16)
+    val pp = bk.queryExecution.executedPlan.toString
+    assert(!pp.contains("Window"),
+      s"theta bottom-k must not plan a window sort:\n${pp.take(800)}")
+    assert(pp.toLowerCase.contains("partial_bottomkquantileagg"),
+      s"expected a map-side partial bottom-k aggregate:\n${pp.take(800)}")
+    // and it equals the window formulation exactly (input distinct on (a,h))
+    val w = Window.partitionBy("a").orderBy("h")
+    val win = sides.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 16).select("a", "h")
+    assert(bk.exceptAll(win).isEmpty && win.exceptAll(bk).isEmpty)
+    // q_text_pmi (r8 weak): vocabulary is unbounded in corpus size — the
+    // unigram equi joins must carry no broadcast hint (AQE broadcasts
+    // small frames from stats on its own; the hint would not flip off at
+    // 100x). The 1-row total frame rides a Cross join, not these.
+    val pmi = SparkEntry.queries("q_text_pmi")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    val equiJoins = pmi.linesIterator.filter(_.contains("Join Inner")).toSeq
+    assert(equiJoins.nonEmpty, s"expected unigram equi joins in:\n${pmi.take(800)}")
+    assert(equiJoins.forall(l => !l.toLowerCase.contains("broadcast")),
+      s"unigram joins must be unhinted:\n${equiJoins.mkString("\n")}")
+  }
+
   test("dynamic partition pruning fires on the partitioned fact scan") {
     val df = SparkEntry.queries("q_join_dpp")(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
