@@ -309,6 +309,7 @@ object Bench {
         "q_text_decontam"),
       "incstate_bfsinc" -> Seq("q_graph_bfs_incremental"),
       "incstate_ccinc" -> Seq("q_graph_cc_incremental"),
+      "incstate_ccdel" -> Seq("q_graph_cc_incremental_del"),
       "incstate_triinc" -> Seq("q_graph_triangles_incremental"),
       "incstate_princ" -> Seq("q_graph_pagerank_incremental"),
       "incstate_ssspinc" -> Seq("q_graph_sssp_incremental"),

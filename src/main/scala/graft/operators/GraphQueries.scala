@@ -168,8 +168,10 @@ object GraphQueries extends QueryModule {
   // fixture this process — see the reuse guard in snapshotInsertDiff
   private val verifiedStores =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private def snapshotInsertDiff(s: SparkSession, dir: String, tag: String,
-      all: DataFrame, v1Keep: org.apache.spark.sql.Column): (DataFrame, DataFrame, DataFrame) = {
+  /** Stage (or reuse) the two-version commit-log store for a fixture:
+    * v1 = `v1Frame`, v2 = `v2Frame`. Returns the two loaded snapshots. */
+  private def snapshotTwoVersions(s: SparkSession, dir: String, tag: String,
+      v1Frame: => DataFrame, v2Frame: => DataFrame): (DataFrame, DataFrame) = {
     // nonce, not bare pid: a recycled pid with a persistent tmpdir (or a
     // regenerated corpus at the same path) must never satisfy the reuse
     // check with a STALE store from another JVM
@@ -190,16 +192,16 @@ object GraphQueries extends QueryModule {
       val staged = VersionedGraphStore.versions(base)
       if (staged.size >= 2) {
         // Reuse guard (r8 ADVICE): reuse is keyed only by (tag, dir) — a
-        // caller passing a DIFFERENT `all`/`v1Keep` under an existing tag
-        // must fail loudly, not silently read the stale store. Verified
-        // once per base per process (four cheap counts on first reuse).
+        // caller passing a DIFFERENT fixture under an existing tag must
+        // fail loudly, not silently read the stale store. Verified once
+        // per base per process (four cheap counts on first reuse).
         if (!verifiedStores.contains(base)) {
-          val expV1 = all.filter(v1Keep).count()
-          val expV2 = all.count()
+          val expV1 = v1Frame.count()
+          val expV2 = v2Frame.count()
           val gotV1 = VersionedGraphStore.loadAt(s, base, staged(0)).count()
           val gotV2 = VersionedGraphStore.loadAt(s, base, staged(1)).count()
           require(gotV1 == expV1 && gotV2 == expV2,
-            s"snapshotInsertDiff($tag): staged store row counts " +
+            s"snapshotTwoVersions($tag): staged store row counts " +
               s"(v1=$gotV1, v2=$gotV2) do not match this caller's fixture " +
               s"(v1=$expV1, v2=$expV2) - tag reused with a different " +
               "fixture definition")
@@ -208,16 +210,31 @@ object GraphQueries extends QueryModule {
         (staged(0), staged(1))
       } else {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
-        (VersionedGraphStore.commit(all.filter(v1Keep), base),
-          VersionedGraphStore.commit(all, base))
+        (VersionedGraphStore.commit(v1Frame, base),
+          VersionedGraphStore.commit(v2Frame, base))
       }
     }
-    val prev = VersionedGraphStore.loadAt(s, base, v1)
-    val cur = VersionedGraphStore.loadAt(s, base, v2)
-    val inserted = cur
-      .join(prev.select(col("src").as("psrc"), col("dst").as("pdst")),
-        col("src") === col("psrc") && col("dst") === col("pdst"), "left_anti")
-    (prev, cur, inserted)
+    (VersionedGraphStore.loadAt(s, base, v1), VersionedGraphStore.loadAt(s, base, v2))
+  }
+
+  /** Edge-key anti-join: rows of `a` absent from `b`. */
+  private def edgeMinus(a: DataFrame, b: DataFrame): DataFrame = a
+    .join(b.select(col("src").as("xsrc"), col("dst").as("xdst")),
+      col("src") === col("xsrc") && col("dst") === col("xdst"), "left_anti")
+
+  private def snapshotInsertDiff(s: SparkSession, dir: String, tag: String,
+      all: DataFrame, v1Keep: org.apache.spark.sql.Column): (DataFrame, DataFrame, DataFrame) = {
+    val (prev, cur) = snapshotTwoVersions(s, dir, tag, all.filter(v1Keep), all)
+    (prev, cur, edgeMinus(cur, prev))
+  }
+
+  /** Two-sided snapshot diff for delete-bearing fixtures: v1/v2 are
+    * arbitrary frames; returns (prev, cur, inserted, deleted). */
+  private def snapshotDeleteDiff(s: SparkSession, dir: String, tag: String,
+      v1Frame: => DataFrame, v2Frame: => DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (prev, cur) = snapshotTwoVersions(s, dir, tag, v1Frame, v2Frame)
+    (prev, cur, edgeMinus(cur, prev), edgeMinus(prev, cur))
   }
 
   /** Seed sample for q_graph_closeness — shared with its oracle. */
@@ -249,6 +266,27 @@ object GraphQueries extends QueryModule {
   private def ccHeldEdge: org.apache.spark.sql.Column = {
     def held(c: org.apache.spark.sql.Column) = c >= 100 && (c - 100) % 97 === 0
     held(col("src")) || held(col("dst"))
+  }
+
+  /** Delete-bearing fixture of q_graph_cc_incremental_del. v1 is the FULL
+    * hierarchy graph; v2 drops every nation↔region edge of region 4
+    * (splitting that component into per-nation stars and isolating the
+    * region node entirely — it must VANISH from the edge-defined
+    * universe) and inserts region0↔region1 (merging two untouched
+    * components through the contracted glue) plus an edge from region
+    * 4's lowest nation to region node 3 (merging a split-off star into an
+    * untouched component — the S↔outside glue path). Region/nation ids
+    * are scale-invariant (dims copy unchanged in the sf1 derivation). */
+  private def ccDelMinNation4(s: SparkSession, dir: String): Long =
+    t(s, dir, "nation").filter(col("n_regionkey") === 4)
+      .agg(min((col("n_nationkey") + 10).cast("long"))).collect()(0).getLong(0)
+  private def ccDelV2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mn4 = ccDelMinNation4(s, dir)
+    hierEdges(s, dir).filter(
+      !((col("src") === 4 && col("dst").between(10, 99)) ||
+        (col("dst") === 4 && col("src").between(10, 99))))
+      .unionByName(Seq((0L, 1L), (1L, 0L), (mn4, 3L), (3L, mn4)).toDF("src", "dst"))
   }
 
   /** Held-out predicate of the symmetry-breaking incremental fixtures:
@@ -302,6 +340,9 @@ object GraphQueries extends QueryModule {
           col("src") % 97 =!= 1)._1, 0L)),
       "ccinc" -> (() => GraphOps.connectedComponents(s,
         snapshotInsertDiff(s, dir, "ccinc", hierEdges(s, dir), !ccHeldEdge)._1)),
+      // previous CC labels of the delete-bearing fixture (v1 = full graph)
+      "ccdel" -> (() => GraphOps.connectedComponents(s,
+        snapshotDeleteDiff(s, dir, "ccdel", hierEdges(s, dir), ccDelV2(s, dir))._1)),
       // the stored triangle COUNTER of the previous snapshot (1 row)
       "triinc" -> (() => {
         val prevRaw = snapshotInsertDiff(s, dir, "triinc", ringEdges(s, dir),
@@ -487,8 +528,8 @@ object GraphQueries extends QueryModule {
     * regressed). [[incStateBuilders]] require()s its key set equals this
     * list, so the two sources of truth fail loudly on drift. */
   private[graft] val incStateTags: Seq[String] = Seq("bfsinc", "ccinc",
-    "triinc", "princ", "ssspinc", "daginc", "centinc_sig", "centinc_del",
-    "misinc", "colinc")
+    "ccdel", "triinc", "princ", "ssspinc", "daginc", "centinc_sig",
+    "centinc_del", "misinc", "colinc")
 
   def namedCaches: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "sigma_bfs" -> ((s: SparkSession, dir: String) => { ringSigma(s, dir); () }),
@@ -1120,6 +1161,27 @@ object GraphQueries extends QueryModule {
         hierEdges(s, dir), !ccHeldEdge)
       val prevState = cachedIncState(s, dir, "ccinc") // stored (v, comp)
       GraphOps.incrementalConnectedComponents(s, prevState, inserted)
+        .groupBy("comp")
+        .agg(count(lit(1)).as("n_members"), min("v").as("min_v"), max("v").as("max_v"))
+        .orderBy("comp")
+    }),
+
+    // DELETION-bearing incremental CC maintenance (r8 VERDICT #7 — real
+    // CDC streams delete, and until now every maintainer was insert-only):
+    // v1 is the full hierarchy graph, v2 deletes region 4's nation↔region
+    // edges (splitting its component into per-nation stars and VANISHING
+    // the isolated region node) and inserts two merges (region0↔region1,
+    // lowest-region-4-nation↔region3). The maintainer recomputes ONLY the
+    // delete-affected components' subgraph plus the contracted insert
+    // glue ([[GraphOps.incrementalConnectedComponentsDelete]]); the
+    // oracle is the full recursive CTE over v2 — the hash compare IS the
+    // proof that incremental(prev, diff+, diff-) == full(new snapshot).
+    "q_graph_cc_incremental_del" -> ((s, dir) => {
+      val (_, cur, inserted, deleted) = snapshotDeleteDiff(s, dir, "ccdel",
+        hierEdges(s, dir), ccDelV2(s, dir))
+      val prevState = cachedIncState(s, dir, "ccdel") // stored (v, comp)
+      GraphOps.incrementalConnectedComponentsDelete(s, cur, prevState,
+          inserted, deleted)
         .groupBy("comp")
         .agg(count(lit(1)).as("n_members"), min("v").as("min_v"), max("v").as("max_v"))
         .orderBy("comp")
@@ -2387,6 +2449,30 @@ object GraphQueries extends QueryModule {
            SELECT src, src FROM e
            UNION
            SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.v),
+         comp AS (SELECT v, MIN(root) AS comp FROM reach GROUP BY v)
+         SELECT comp, COUNT(*) AS n_members, MIN(v) AS min_v, MAX(v) AS max_v
+         FROM comp GROUP BY comp ORDER BY comp""",
+    // The full recompute over the DELETE-bearing v2 snapshot — the oracle
+    // replays the fixture's edge algebra directly (drop region 4's
+    // nation↔region edges, add the two merge inserts) and re-derives
+    // every component from scratch; a maintainer that failed to split,
+    // vanish the isolated node, or glue an insert fails the compare.
+    "q_graph_cc_incremental_del" ->
+      s"""WITH RECURSIVE e AS ($hierEdgesSql),
+         mn4 AS (SELECT CAST(MIN(n_nationkey+10) AS BIGINT) AS v
+                 FROM nation WHERE n_regionkey = 4),
+         v2 AS MATERIALIZED (
+           SELECT src, dst FROM e
+           WHERE NOT (src = 4 AND dst BETWEEN 10 AND 99)
+             AND NOT (dst = 4 AND src BETWEEN 10 AND 99)
+           UNION ALL SELECT CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+           UNION ALL SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+           UNION ALL SELECT v, CAST(3 AS BIGINT) FROM mn4
+           UNION ALL SELECT CAST(3 AS BIGINT), v FROM mn4),
+         reach(v, root) AS (
+           SELECT src, src FROM v2
+           UNION
+           SELECT v2.dst, r.root FROM reach r JOIN v2 ON v2.src = r.v),
          comp AS (SELECT v, MIN(root) AS comp FROM reach GROUP BY v)
          SELECT comp, COUNT(*) AS n_members, MIN(v) AS min_v, MAX(v) AS max_v
          FROM comp GROUP BY comp ORDER BY comp""",

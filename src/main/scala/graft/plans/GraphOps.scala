@@ -1766,6 +1766,80 @@ object GraphOps {
       .select(col("v"), coalesce(col("ncomp"), col("comp")).as("comp"))
   }
 
+  /** DELETION-aware incremental CC maintenance (r8 VERDICT #7 — the
+    * insert-only family's first delete-bearing member): given the previous
+    * state `(v, comp)` (comp = min member id, the [[connectedComponents]]
+    * contract), the NEW snapshot's edges, and the two-sided diff
+    * (`inserted` = new∖old, `deleted` = old∖new), returns the new state
+    * recomputing ONLY the delete-affected components.
+    *
+    * Why deletes can't ride the contracted-graph path: an insert only
+    * MERGES components (state-level information), but a delete may SPLIT
+    * one, which is a reachability question over the surviving edges. The
+    * scoped answer: let A = components touched by any deleted endpoint
+    * and S = their member vertices. An OLD edge never crosses the S
+    * boundary (an edge implies same old component, and deleted edges have
+    * both endpoints in S by the same argument), so the new graph is
+    * exactly [S-induced new edges] ⊎ [untouched outside components] ⊎
+    * [inserted edges]. CC re-runs on R = S-induced new edges ∪ ALL
+    * inserted edges (cost ∝ affected components + delta, never the full
+    * graph — the iterative traversal is the expensive part and it is
+    * S-scoped); then a CONTRACTED pass glues R-labels of R-vertices
+    * outside S to their old component labels (each label is already its
+    * part's min member id, so the min over a glued group IS the global
+    * min — the same compositional argument as the insert-only path).
+    * Vertices of S with no surviving edge drop out, matching a full
+    * recompute over an edge-defined universe. The one full-edge-set cost
+    * is the pair of semi-joins extracting S-induced edges — one scan, no
+    * traversal; a production layout partitions the edge table by
+    * component id so this read is partition-pruned instead. Oracled
+    * end-to-end by q_graph_cc_incremental_del (hash-compared against the
+    * full recompute over the new snapshot). */
+  def incrementalConnectedComponentsDelete(spark: SparkSession,
+      newEdges: DataFrame, prevState: DataFrame,
+      inserted: DataFrame, deleted: DataFrame,
+      maxIter: Int = 50,
+      driverSolveLimit: Long = DriverSolveEdgeLimit): DataFrame = {
+    def sym(e: DataFrame): DataFrame = {
+      val e0 = e.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    }
+    val pv = prevState.select(col("v").cast("long").as("v"),
+      col("comp").cast("long").as("comp")).localCheckpoint(true)
+    val ins = sym(inserted)
+    // affected components: any component touching a deleted endpoint
+    // (delta-sized probe into the state, then a comp-keyed semi-join)
+    val affComps = sym(deleted).select(col("src").as("v")).distinct()
+      .join(pv, Seq("v")).select("comp").distinct()
+    val sVerts = pv.join(affComps, Seq("comp"), "left_semi")
+      .select("v").localCheckpoint(true)
+    // R: new-graph edges inside S, plus every inserted edge
+    val rEdges = sym(newEdges)
+      .join(sVerts.select(col("v").as("src")), Seq("src"), "left_semi")
+      .join(sVerts.select(col("v").as("dst")), Seq("dst"), "left_semi")
+      .unionByName(ins).distinct()
+    val rLabels = connectedComponents(spark, rEdges, maxIter, driverSolveLimit)
+      .localCheckpoint(true)
+    // glue: R-vertices OUTSIDE S tie their R-label to their old component
+    // (new vertices have no old component and correctly contribute none)
+    val glue = rLabels.select(col("v"), col("comp").as("rl"))
+      .join(sVerts, Seq("v"), "left_anti")
+      .join(pv.select(col("v"), col("comp").as("oc")), Seq("v"))
+      .select(col("rl").as("src"), col("oc").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    // contracted CC over labels only — delta-scale, not graph-scale
+    val remap = connectedComponents(spark, glue, maxIter, driverSolveLimit)
+      .select(col("v").as("lab"), col("comp").as("nlab"))
+    def remapped(vl: DataFrame): DataFrame = vl
+      .join(remap, Seq("lab"), "left")
+      .select(col("v"), coalesce(col("nlab"), col("lab")).as("comp"))
+    val outside = pv.join(sVerts, Seq("v"), "left_anti")
+      .join(rLabels.select("v"), Seq("v"), "left_anti")
+    remapped(outside.select(col("v"), col("comp").as("lab")))
+      .unionByName(remapped(rLabels.select(col("v"), col("comp").as("lab"))))
+  }
+
   /** Shared delta-seeded label-correcting relaxation loop behind the
     * whole incremental-maintenance family ([[incrementalBfsLevels]] /
     * [[incrementalDagLayers]] / [[incrementalSssp]] — min-level, max-layer

@@ -311,6 +311,33 @@ class GraphSpec extends SparkSpec {
     assert(inc(11L) == 1L && inc(31L) == 20L && inc(41L) == 40L)
   }
 
+  test("incrementalConnectedComponentsDelete == full CC (split, vanish, glue-merge)") {
+    import spark.implicits._
+    def sym(e: Seq[(Long, Long)]) = (e ++ e.map(_.swap)).toDF("src", "dst")
+    // base: a chain {1,2,3,4}, a pair {10,11}, a pair {20,21}
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
+    // new: delete (2,3) → SPLIT into {1,2} and {3,4}; delete (10,11) → 10
+    // and 11 VANISH from the edge-defined universe; insert (4,20) → the
+    // split-off {3,4} glues onto the untouched {20,21} component
+    val newE = Seq((1L, 2L), (3L, 4L), (20L, 21L), (4L, 20L))
+    val ins = Seq((4L, 20L))
+    val del = Seq((2L, 3L), (10L, 11L))
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prev = GraphOps.connectedComponents(spark, sym(base))
+    val inc = toMap(GraphOps.incrementalConnectedComponentsDelete(
+      spark, sym(newE), prev, sym(ins), sym(del)))
+    val full = toMap(GraphOps.connectedComponents(spark, sym(newE)))
+    assert(inc == full, "delete-aware maintenance diverges from the full recompute")
+    assert(!inc.contains(10L) && !inc.contains(11L),
+      "vertices with no surviving edge must vanish")
+    assert(inc(1L) == 1L && inc(2L) == 1L && inc(4L) == 3L && inc(21L) == 3L)
+    // and through the forced-BSP CC paths too
+    val incBsp = toMap(GraphOps.incrementalConnectedComponentsDelete(
+      spark, sym(newE), prev, sym(ins), sym(del), driverSolveLimit = 0L))
+    assert(incBsp == full, "BSP path diverges")
+  }
+
   test("incrementalBfsLevels(state, delta) == full BFS on the merged graph") {
     import spark.implicits._
     def df(e: Seq[(Long, Long)]) = e.toDF("src", "dst")
