@@ -467,6 +467,112 @@ object EventAnalytics extends QueryModule {
         .select(col("snapshot"), col("n_cols"), col("n_rows"),
           col("n_region_vals"), col("region_sum"))
         .orderBy("snapshot")
+    }),
+
+    // Schema MIGRATION across commit-log versions (RENAME + type-widen —
+    // the r8 VERDICT #8 cases beyond ADD COLUMN): v1 commits (k INT,
+    // name), v2 commits the column RENAMED k→nation_key and WIDENED to
+    // BIGINT, carrying the rename in the version's manifest metadata
+    // ("rename:k>nation_key" — the column-mapping record a lakehouse
+    // keeps, since name alignment alone cannot see a rename). The
+    // history read folds every later version's rename mapping over each
+    // earlier snapshot, casts to the latest schema's types (the legal
+    // widening direction), and unions by name; per-snapshot key sums
+    // prove the values survived both the rename and the widen. Each
+    // loadAt still serves its OWN schema (the key_type probe).
+    "q_cdc_schema_migration" -> ((s, dir) => {
+      import s.implicits._
+      val n = t(s, dir, "nation")
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_cdcmig_${java.lang.ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      // table state is RUN state: rebuilt each invocation so snapshot ids
+      // are deterministic (1 then 2)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val v1 = VersionedGraphStore.commit(
+        n.filter(col("n_nationkey") < 10)
+          .select(col("n_nationkey").cast("int").as("k"), col("n_name").as("name")),
+        base)
+      val v2 = VersionedGraphStore.commit(
+        n.select(col("n_nationkey").cast("long").as("nation_key"),
+          col("n_name").as("name")),
+        base, meta = Some("rename:k>nation_key"))
+      val r1 = VersionedGraphStore.loadAt(s, base, v1)
+      val r2 = VersionedGraphStore.load(s, base)
+      // column-mapping fold: every rename recorded by a later version
+      // applies to earlier snapshots; then widen to the latest types
+      val renames = VersionedGraphStore.versions(base)
+        .flatMap(v => VersionedGraphStore.metaAt(base, v))
+        .filter(_.startsWith("rename:"))
+        .map { m => val Array(o, nn) = m.stripPrefix("rename:").split(">"); (o, nn) }
+      val latest = r2.schema
+      def aligned(df: DataFrame): DataFrame = {
+        val ren = renames.foldLeft(df) { case (d, (o, nn)) =>
+          if (d.columns.contains(o)) d.withColumnRenamed(o, nn) else d }
+        ren.select(ren.columns.map(c => col(c).cast(latest(c).dataType).as(c)): _*)
+      }
+      val probes = Seq(
+        (v1, r1.columns.length, r1.schema("k").dataType.simpleString),
+        (v2, r2.columns.length, r2.schema("nation_key").dataType.simpleString))
+        .toDF("snapshot", "n_cols", "key_type")
+      aligned(r1).withColumn("snapshot", lit(v1))
+        .unionByName(aligned(r2).withColumn("snapshot", lit(v2)))
+        .groupBy("snapshot")
+        .agg(count(lit(1)).as("n_rows"), sum("nation_key").as("key_sum"))
+        .join(broadcast(probes), Seq("snapshot"))
+        .select(col("snapshot"), col("n_cols"), col("key_type"),
+          col("n_rows"), col("key_sum"))
+        .orderBy("snapshot")
+    }),
+
+    // Snapshot COMPACTION to the latest schema (the other r8 VERDICT #8
+    // case): after an ADD-COLUMN evolution, old snapshots still serve the
+    // narrow schema, so every history read pays the name-align-and-
+    // backfill path forever. The compaction job rewrites v1's data files
+    // in the LATEST schema (absent column NULL) under the SAME version id
+    // and metadata ([[VersionedGraphStore.rewriteSnapshot]] — write new
+    // dir, atomically replace the manifest), after which a STRICT
+    // unionByName (no allowMissingColumns — it would have thrown before)
+    // proves history is schema-uniform, and the vacuum sweep collects the
+    // orphaned pre-compaction dir while keeping both live versions. */
+    "q_cdc_compaction" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_cdccomp_${java.lang.ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val v1 = VersionedGraphStore.commit(
+        n.filter(col("n_nationkey") < 10)
+          .select(col("n_nationkey").cast("long").as("k"), col("n_name").as("name")),
+        base)
+      val v2 = VersionedGraphStore.commit(
+        n.select(col("n_nationkey").cast("long").as("k"), col("n_name").as("name"),
+          col("n_regionkey").cast("long").as("region")),
+        base)
+      val narrow = VersionedGraphStore.loadAt(s, base, v1)
+      require(narrow.columns.length == 2,
+        "pre-compaction v1 must serve its own narrow schema")
+      val latestCols = VersionedGraphStore.load(s, base).columns
+      val upgraded = narrow.withColumn("region", lit(null).cast("long"))
+        .select(latestCols.map(col): _*)
+      val orphan = VersionedGraphStore.rewriteSnapshot(upgraded, base, v1)
+      val r1 = VersionedGraphStore.loadAt(s, base, v1)
+      val r2 = VersionedGraphStore.load(s, base)
+      require(r1.schema == r2.schema,
+        s"compaction must unify history schemas: ${r1.schema} vs ${r2.schema}")
+      // keepLast=2 keeps BOTH versions; the sweep may only collect the
+      // orphaned pre-compaction dir (graceMs=0: exclusive access here)
+      val dropped = VersionedGraphStore.vacuum(base, keepLast = 2, graceMs = 0)
+      require(dropped.isEmpty, s"vacuum dropped live versions: $dropped")
+      require(!new java.io.File(base, orphan).exists,
+        "the orphaned pre-compaction snapshot dir must be swept")
+      r1.withColumn("snapshot", lit(v1))
+        .unionByName(r2.withColumn("snapshot", lit(v2))) // STRICT: uniform schema
+        .groupBy("snapshot")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("region")).as("n_region_vals"),
+          coalesce(sum("region"), lit(0L)).as("region_sum"))
+        .orderBy("snapshot")
     })
   )
 
@@ -607,6 +713,29 @@ object EventAnalytics extends QueryModule {
          FROM nation WHERE n_nationkey < 10
          UNION ALL
          SELECT CAST(2 AS BIGINT), 3, COUNT(*),
+           COUNT(n_regionkey), CAST(SUM(n_regionkey) AS BIGINT)
+         FROM nation
+         ORDER BY snapshot""",
+    // Both versions recomputed straight from nation; the rename+widen
+    // history read must surface v1's INT keys under the new BIGINT name.
+    "q_cdc_schema_migration" ->
+      """SELECT CAST(1 AS BIGINT) AS snapshot, 2 AS n_cols,
+           'int' AS key_type, COUNT(*) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+         FROM nation WHERE n_nationkey < 10
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), 2, 'bigint', COUNT(*),
+           CAST(SUM(n_nationkey) AS BIGINT)
+         FROM nation
+         ORDER BY snapshot""",
+    // Post-compaction history: v1 serves the LATEST schema with zero
+    // region mass (NULL backfill), v2 the real region values.
+    "q_cdc_compaction" ->
+      """SELECT CAST(1 AS BIGINT) AS snapshot, COUNT(*) AS n_rows,
+           CAST(0 AS BIGINT) AS n_region_vals, CAST(0 AS BIGINT) AS region_sum
+         FROM nation WHERE n_nationkey < 10
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), COUNT(*),
            COUNT(n_regionkey), CAST(SUM(n_regionkey) AS BIGINT)
          FROM nation
          ORDER BY snapshot""",

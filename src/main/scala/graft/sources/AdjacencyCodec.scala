@@ -147,6 +147,30 @@ object VersionedGraphStore {
     v
   }
 
+  /** In-place snapshot COMPACTION: rewrite `version`'s data files (e.g.
+    * to the table's latest schema) while preserving the version id and
+    * its committed metadata — the lakehouse "rewrite data files"
+    * maintenance job. The new snapshot dir is written first, then the
+    * manifest is REPLACED by an atomic rename, so a concurrent reader
+    * sees either the old or the new file set, never a mix; the orphaned
+    * old dir is left for [[vacuum]]'s unreferenced-dir sweep (grace-
+    * period protected against in-flight readers). Returns the orphaned
+    * snapshot dir name. */
+  def rewriteSnapshot(df: DataFrame, path: String, version: Long): String = {
+    val md = manifestDir(path)
+    val old = manifestLines(path, version)
+    val oldSnap = old.head.trim
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "")
+    val snap = s"snap-$nonce"
+    df.write.mode("overwrite").parquet(new java.io.File(path, snap).toString)
+    val tmp = new java.io.File(md, s".tmp-$nonce").toPath
+    java.nio.file.Files.writeString(tmp, (snap +: old.drop(1)).mkString("\n"))
+    java.nio.file.Files.move(tmp,
+      new java.io.File(md, f"v$version%08d.manifest").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    oldSnap
+  }
+
   /** Time-travel read of snapshot `version`. */
   def loadAt(spark: SparkSession, path: String, version: Long): DataFrame = {
     val snap = manifestLines(path, version).head.trim
