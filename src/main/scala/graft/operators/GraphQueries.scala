@@ -115,6 +115,26 @@ object GraphQueries extends QueryModule {
        UNION ALL SELECT CAST(c_custkey+100 AS BIGINT), CAST(c_nationkey+10 AS BIGINT) FROM customer
        UNION ALL SELECT CAST(c_nationkey+10 AS BIGINT), CAST(c_custkey+100 AS BIGINT) FROM customer"""
 
+  /** Shared CC oracle (q_graph_cc / _bsp / _incremental): components of
+    * the hierarchy graph via reachability from HUB roots only (ids < 100
+    * = region/nation nodes). Equal to the full transitive closure ON
+    * THIS FIXTURE because every component contains a hub (customers
+    * attach only to nations) and customer ids are offset +100, so a
+    * component's min member IS its min hub — and the reach frame shrinks
+    * from Σ|C|² rows (infeasible in DuckDB at sf1's ~30k-member
+    * components) to ≤ 30·V, which is what lets the incremental family's
+    * full-recompute oracles run the sf1 hash compare. The delete-bearing
+    * twin applies the same restriction to its v2 CTE. */
+  private val ccOracleSql =
+    s"""WITH RECURSIVE e AS ($hierEdgesSql),
+       reach(v, root) AS (
+         SELECT src, src FROM e WHERE src < 100
+         UNION
+         SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.v),
+       comp AS (SELECT v, MIN(root) AS comp FROM reach GROUP BY v)
+       SELECT comp, COUNT(*) AS n_members, MIN(v) AS min_v, MAX(v) AS max_v
+       FROM comp GROUP BY comp ORDER BY comp"""
+
   /** Symmetrized hierarchy edges: nation↔region, customer↔nation. */
   private def hierEdges(s: SparkSession, dir: String): DataFrame = {
     val n = t(s, dir, "nation")
@@ -1142,6 +1162,15 @@ object GraphQueries extends QueryModule {
       GraphOps.jonesPlassmannColoring(s, ringEdges(s, dir),
         driverSolveLimit = 0L, tailSolveVertices = 3000L)
         .orderBy("v")),
+    // SPECULATIVE coloring (Gebremedhin–Manne), forced-BSP like the other
+    // _bsp twins: 7 conflict-resolution rounds replace JP's 23 depth-bound
+    // levels (measured — the r8 stretch item); proper but intentionally
+    // NOT the sequential-greedy coloring (q_graph_coloring keeps that
+    // contract). The oracle replays the identical tentative/conflict/
+    // commit rounds, so membership, colors, AND commit rounds all hash.
+    "q_graph_coloring_spec" -> ((s, dir) =>
+      GraphOps.speculativeColoring(s, ringEdges(s, dir), driverSolveLimit = 0L)
+        .orderBy("v")),
 
     // INCREMENTAL CC maintenance end-to-end (r7 VERDICT stretch): the
     // hierarchy graph is committed to the VersionedGraphStore in two
@@ -1582,6 +1611,49 @@ object GraphQueries extends QueryModule {
     * uncolored vertices with no uncolored higher-priority neighbor, their
     * color the mex over hp-neighbor colors via the {0} ∪ {c+1} candidate
     * trick. Same MATERIALIZED discipline as the MIS oracle. */
+  /** Replay of the SPECULATIVE (Gebremedhin–Manne) coloring rounds: per
+    * round every uncolored vertex takes the mex over COMMITTED neighbor
+    * colors ({0} ∪ {c+1} candidate anti-join — the coloringOracle mex
+    * spelling), then of each adjacent equal-TENTATIVE-color pair the
+    * higher-LCG-priority endpoint uncolors. Rounds past convergence are
+    * empty no-ops, matching the operator's fixed cap. */
+  private lazy val specColoringOracleSql: String = {
+    val cap = GraphOps.SpecColoringRoundCap
+    val rounds = (1 to cap).map { k =>
+      val tentative = if (k == 1)
+        // round 1 is a hashed GUESS (pri % 8) — with no committed colors
+        // every mex is 0 and every edge conflicts (see the operator)
+        s"""t1 AS MATERIALIZED (SELECT v,
+             CAST(${lcgPriSql("v")} % 8 AS INT) AS color FROM u0)"""
+      else
+        s"""nc$k AS MATERIALIZED (SELECT e.src AS v, c.color
+             FROM e JOIN u${k - 1} u ON u.v = e.src JOIN c${k - 1} c ON c.v = e.dst),
+           t$k AS MATERIALIZED (SELECT cd.v, MIN(cd.c) AS color FROM (
+               SELECT v, 0 AS c FROM u${k - 1}
+               UNION ALL SELECT v, color + 1 FROM nc$k) cd
+             WHERE NOT EXISTS (SELECT 1 FROM nc$k h
+               WHERE h.v = cd.v AND h.color = cd.c)
+             GROUP BY cd.v)"""
+      s"""$tentative,
+         l$k AS MATERIALIZED (SELECT DISTINCT e.src AS v
+           FROM e JOIN t$k a ON a.v = e.src JOIN t$k b ON b.v = e.dst
+           WHERE a.color = b.color
+             AND ${lcgPriSql("e.src")} > ${lcgPriSql("e.dst")}),
+         m$k AS MATERIALIZED (SELECT v, color FROM t$k
+           WHERE v NOT IN (SELECT v FROM l$k)),
+         c$k AS MATERIALIZED (SELECT v, color FROM c${k - 1}
+           UNION ALL SELECT v, color FROM m$k),
+         u$k AS MATERIALIZED (SELECT v FROM l$k)"""
+    }.mkString(",\n")
+    val un = (1 to cap).map(k => s"SELECT v, color, $k AS r FROM m$k")
+      .mkString(" UNION ALL ")
+    s"""WITH $ringUndSql,
+       c0 AS (SELECT CAST(0 AS BIGINT) AS v, 0 AS color WHERE 1 = 0),
+       u0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),
+       $rounds
+       SELECT v, color, CAST(r AS INT) AS round FROM ($un) ORDER BY v"""
+  }
+
   private lazy val coloringOracleSql: String = coloringOracle(withRound = true)
   /** (v, color)-only spelling for the incremental-maintenance query. */
   private lazy val coloringMembersOracleSql: String = coloringOracle(withRound = false)
@@ -2401,20 +2473,13 @@ object GraphQueries extends QueryModule {
            SELECT * FROM w0 ${(1 to walkSteps).map(i => s"UNION ALL SELECT * FROM w$i").mkString(" ")})
          ORDER BY seed, step"""
     },
-    "q_graph_cc_bsp" ->
-      s"""WITH RECURSIVE e AS ($hierEdgesSql),
-         reach(v, root) AS (
-           SELECT src, src FROM e
-           UNION
-           SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.v),
-         comp AS (SELECT v, MIN(root) AS comp FROM reach GROUP BY v)
-         SELECT comp, COUNT(*) AS n_members, MIN(v) AS min_v, MAX(v) AS max_v
-         FROM comp GROUP BY comp ORDER BY comp""",
+    "q_graph_cc_bsp" -> ccOracleSql,
     "q_graph_mis" -> misOracleSql,
     "q_graph_mis_bsp" -> misOracleSql,
     "q_graph_mis_incremental" -> misMembersOracleSql,
     "q_graph_coloring" -> coloringOracleSql,
     "q_graph_coloring_bsp" -> coloringOracleSql,
+    "q_graph_coloring_spec" -> specColoringOracleSql,
     "q_graph_coloring_incremental" -> coloringMembersOracleSql,
     // Both sweeps replayed: lv is the seed-0 walk, far the deterministic
     // deepest-level min-id choice, walk2 the re-sweep from it.
@@ -2432,26 +2497,10 @@ object GraphQueries extends QueryModule {
            CAST((SELECT MAX(level) FROM lv) AS INT) AS ecc_start,
            (SELECT fv FROM far) AS far_v,
            CAST((SELECT MAX(level) FROM lv2) AS INT) AS diameter_lb"""),
-    "q_graph_cc" ->
-      s"""WITH RECURSIVE e AS ($hierEdgesSql),
-         reach(v, root) AS (
-           SELECT src, src FROM e
-           UNION
-           SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.v),
-         comp AS (SELECT v, MIN(root) AS comp FROM reach GROUP BY v)
-         SELECT comp, COUNT(*) AS n_members, MIN(v) AS min_v, MAX(v) AS max_v
-         FROM comp GROUP BY comp ORDER BY comp""",
+    "q_graph_cc" -> ccOracleSql,
     // The FULL graph's components — the oracle knows nothing about the
     // v1/delta split, so a wrong incremental merge fails the compare.
-    "q_graph_cc_incremental" ->
-      s"""WITH RECURSIVE e AS ($hierEdgesSql),
-         reach(v, root) AS (
-           SELECT src, src FROM e
-           UNION
-           SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.v),
-         comp AS (SELECT v, MIN(root) AS comp FROM reach GROUP BY v)
-         SELECT comp, COUNT(*) AS n_members, MIN(v) AS min_v, MAX(v) AS max_v
-         FROM comp GROUP BY comp ORDER BY comp""",
+    "q_graph_cc_incremental" -> ccOracleSql,
     // The full recompute over the DELETE-bearing v2 snapshot — the oracle
     // replays the fixture's edge algebra directly (drop region 4's
     // nation↔region edges, add the two merge inserts) and re-derives
@@ -2470,7 +2519,7 @@ object GraphQueries extends QueryModule {
            UNION ALL SELECT v, CAST(3 AS BIGINT) FROM mn4
            UNION ALL SELECT CAST(3 AS BIGINT), v FROM mn4),
          reach(v, root) AS (
-           SELECT src, src FROM v2
+           SELECT src, src FROM v2 WHERE src < 100
            UNION
            SELECT v2.dst, r.root FROM reach r JOIN v2 ON v2.src = r.v),
          comp AS (SELECT v, MIN(root) AS comp FROM reach GROUP BY v)

@@ -1718,6 +1718,141 @@ object GraphOps {
     colored
   }
 
+  /** Round cap shared by [[speculativeColoring]]'s two paths and the
+    * q_graph_coloring_spec oracle's fixed unroll (the ring fixture
+    * converges in 3/4/5/5 rounds at sf0.001/0.01/0.1/1 under the hashed
+    * round-1 guess — measured; rounds past convergence are no-ops on
+    * both sides, non-convergence within the cap is loud). */
+  private[graft] val SpecColoringRoundCap = 12
+
+  /** SPECULATIVE graph coloring — Gebremedhin–Manne conflict-resolution
+    * rounds, the barrier-count answer to Jones–Plassmann's depth-bound
+    * weakness (the r8 stretch item): JP pays one barrier per priority-DAG
+    * level (depth 23 on the sf0.1 ring fixture), while speculation lets
+    * every uncolored vertex pick a color each round and uncolors only the
+    * loser of each tentative conflict. Round 1 is a HASHED GUESS
+    * (pri % 8): a mex start has no committed colors, so every vertex
+    * picks 0 and EVERY edge conflicts — the tuning ledger's numbers at
+    * sf0.1, each measured: mex start = 7 rounds but round-2 uncolored
+    * 12379/15000 and 9.1 s (REJECTED); hashed start = 5 rounds, round-2
+    * uncolored 2628, 7.3 s ≈ JP-BSP's 7.4 s at local[32]. The tie is the
+    * expected local-mode result — barriers cost ~nothing in one JVM, so
+    * halving them pays nothing here; on a multi-executor cluster the
+    * barrier count IS the cost driver and 5 synchronization rounds vs
+    * JP's 12 fused (depth 23) is the scale win this operator exists for.
+    * Determinism (the replayable-oracle requirement): tentative colors
+    * are a pure function of the committed state, and the conflict rule is
+    * fixed — of two adjacent SAME-tentative-color vertices the HIGHER LCG
+    * priority uncolors (priorities injective on [0, 2^31), gated loudly),
+    * so the final coloring and each vertex's commit round replay
+    * bit-for-bit in SQL. The result is a proper coloring but NOT the
+    * sequential-greedy one — q_graph_coloring keeps that contract.
+    * Progress is guaranteed (the min-priority uncolored vertex never
+    * loses a conflict), `maxRounds` bounds both paths loudly. Per
+    * distributed round: one committed-neighbor bitmask mex (bit_or
+    * aggregate — full degree < 63 require()d, the JP gate on the real
+    * degree distribution) and one tentative×tentative conflict join keyed
+    * on the edge — both shrink with the uncolored set.
+    * Returns `(v, color, round)`, round = commit round, 1-based. */
+  def speculativeColoring(spark: SparkSession, edges: DataFrame,
+      maxRounds: Int = SpecColoringRoundCap,
+      driverSolveLimit: Long = DriverSolveEdgeLimit): DataFrame = {
+    import spark.implicits._
+    val e0 = edges.filter(col("src") =!= col("dst"))
+      .select(col("src").cast("long"), col("dst").cast("long"))
+    val und = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    val edgeCount = und.count() // gate + materializes the persist
+    requireLcgPriorityDomain(und, "speculativeColoring")
+    def pri(v: Long): Long = (v * 1103515245L + 12345L) % 2147483648L
+    if (edgeCount <= driverSolveLimit) {
+      val arr = und.rdd.map(r => (r.getLong(0), r.getLong(1))).collect()
+      und.unpersist()
+      val adj = arr.groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+      val color = scala.collection.mutable.LongMap.empty[Int]
+      val out = Seq.newBuilder[(Long, Int, Int)]
+      var un = adj.keySet
+      var r = 0
+      while (un.nonEmpty && r < maxRounds) {
+        r += 1
+        val tent = un.iterator.map { v =>
+          if (r == 1) v -> (pri(v) % 8).toInt
+          else {
+            val used = adj(v).iterator.flatMap(color.get).toSet
+            v -> Iterator.from(0).find(c => !used(c)).get
+          }
+        }.toMap
+        val losers = tent.keysIterator.filter { v =>
+          adj(v).exists(u => tent.get(u).contains(tent(v)) && pri(v) > pri(u))
+        }.toSet
+        (tent.keySet -- losers).foreach { v =>
+          color(v) = tent(v); out += ((v, tent(v), r))
+        }
+        un = losers
+      }
+      require(un.isEmpty,
+        s"speculative coloring did not converge within $maxRounds rounds")
+      return out.result().toDF("v", "color", "round")
+    }
+    val priCol = (c: org.apache.spark.sql.Column) =>
+      (c * 1103515245L + 12345L) % 2147483648L
+    val maxDeg = und.groupBy("src").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    require(maxDeg < 63,
+      s"bitmask mex supports degree < 63, fixture has $maxDeg")
+    // committed state = flat union of per-round checkpointed leaves (the
+    // jonesPlassmannColoring discipline — consumers re-execute a union of
+    // materialized blocks, never a nested lineage)
+    val empty = Seq.empty[(Long, Int)].toDF("v", "color")
+    var newlyFrames = List.empty[(Int, DataFrame)]
+    def committed: DataFrame = (empty :: newlyFrames.map(_._2)).reduce(_ union _)
+    var un = und.select(col("src").as("v")).distinct().localCheckpoint(true)
+    var unCount = un.count()
+    var r = 0
+    while (unCount > 0 && r < maxRounds) {
+      r += 1
+      // Round 1: a hashed GUESS (pri % 8) instead of the mex — with no
+      // committed colors every mex is 0 and EVERY edge conflicts, which
+      // measured as the variant's dominant cost (round-2 uncolored
+      // 12379 → 2628 of 15000 at sf0.1 under the guess). Rounds ≥ 2:
+      // mex over COMMITTED neighbor colors (no colored neighbor → mask
+      // 0 → mex 0).
+      val tent = (if (r == 1)
+        un.select(col("v"), (priCol(col("v")) % 8).cast("int").as("color"))
+      else {
+        val masks = und
+          .join(un.select(col("v").as("uv")), col("src") === col("uv"), "left_semi")
+          .join(committed.select(col("v").as("cv"), col("color").as("ncolor")),
+            col("dst") === col("cv"))
+          .groupBy(col("src").as("mv"))
+          .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), ncolor))").as("mask"))
+        un.join(masks, col("v") === col("mv"), "left")
+          .select(col("v"),
+            expr("CAST(bit_count(((~coalesce(mask, CAST(0 AS BIGINT)))" +
+              " & (coalesce(mask, CAST(0 AS BIGINT)) + 1)) - 1) AS INT)").as("color"))
+      }).localCheckpoint(true)
+      // conflicts: adjacent equal TENTATIVE colors; the higher priority
+      // endpoint uncolors (und is symmetric, so one directed read
+      // per pair suffices: keep the src side when it is the loser)
+      val losers = und
+        .join(tent.select(col("v").as("src"), col("color").as("ca")), Seq("src"))
+        .join(tent.select(col("v").as("dst"), col("color").as("cb")), Seq("dst"))
+        .filter(col("ca") === col("cb") && priCol(col("src")) > priCol(col("dst")))
+        .select(col("src").as("v")).distinct().localCheckpoint(true)
+      val newly = tent.join(losers, Seq("v"), "left_anti").localCheckpoint(true)
+      newlyFrames ::= r -> newly
+      un = losers
+      unCount = un.count()
+    }
+    require(unCount == 0,
+      s"speculative coloring did not converge within $maxRounds rounds" +
+        s" ($unCount vertices still uncolored)")
+    und.unpersist()
+    val emptyR = Seq.empty[(Long, Int, Int)].toDF("v", "color", "round")
+    (emptyR :: newlyFrames.map { case (rr, df) =>
+      df.select(col("v"), col("color"), lit(rr).as("round")) }).reduce(_ union _)
+  }
+
   /** INCREMENTAL connected-components maintenance over INSERT-only edge
     * deltas — the graph-analytics consumer of the commit-log store's
     * snapshot diffs: given the previous CC state `(v, comp)` (comp = min

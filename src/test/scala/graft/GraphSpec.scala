@@ -928,6 +928,33 @@ class GraphSpec extends SparkSpec {
     assert(gate.view.mapValues(_._1).toMap == colors.toMap)
   }
 
+  test("speculative coloring: proper, gate == BSP, fewer rounds than JP depth") {
+    import spark.implicits._
+    val raw = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 0L),
+      (0L, 3L), (7L, 0L), (7L, 7L), (2L, 5L))
+    val e = raw.toDF("src", "dst")
+    val gate = GraphOps.speculativeColoring(spark, e).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    val bsp = GraphOps.speculativeColoring(spark, e, driverSolveLimit = 0L)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(gate == bsp, "driver simulation and BSP loop replay identical rounds")
+    val und = raw.filter(p => p._1 != p._2).flatMap(p => Seq(p, p.swap)).distinct
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for ((u, v) <- und) assert(gate(u)._1 != gate(v)._1, s"edge $u-$v monochrome")
+    // round-1 winners keep their hashed guess (< 8) regardless of degree;
+    // every later round is a mex, bounded by the vertex degree
+    for ((v, (c, _)) <- gate)
+      assert(c <= math.max(7, adj(v).size), s"color($v) outside guess∪mex bound")
+    // the point of speculation: commit rounds stay within the cap and
+    // undercut the priority-DAG depth the JP loop is bound to
+    val specRounds = gate.values.map(_._2).max
+    val jpRounds = GraphOps.jonesPlassmannColoring(spark, e).collect()
+      .map(_.getInt(2)).max
+    assert(specRounds <= GraphOps.SpecColoringRoundCap)
+    assert(specRounds <= jpRounds,
+      s"speculation should not need more rounds than JP depth ($specRounds vs $jpRounds)")
+  }
+
   test("incremental betweenness: scoped re-sweep equals the full 5-seed Brandes readout") {
     // the query's own hierarchy fixture, rebuilt independently
     val n = Tables(spark, sfDir, "nation")
