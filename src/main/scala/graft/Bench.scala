@@ -308,6 +308,7 @@ object Bench {
       "winnow_fingerprints" -> Seq("q_text_winnow", "q_text_winnow_pairs",
         "q_text_decontam"),
       "incstate_bfsinc" -> Seq("q_graph_bfs_incremental"),
+      "incstate_bfsdel" -> Seq("q_graph_bfs_incremental_del"),
       "incstate_ccinc" -> Seq("q_graph_cc_incremental"),
       "incstate_ccdel" -> Seq("q_graph_cc_incremental_del"),
       "incstate_triinc" -> Seq("q_graph_triangles_incremental"),

@@ -309,6 +309,18 @@ object GraphQueries extends QueryModule {
       .unionByName(Seq((0L, 1L), (1L, 0L), (mn4, 3L), (3L, mn4)).toDF("src", "dst"))
   }
 
+  /** Delete-bearing fixture of q_graph_bfs_incremental_del: v2 drops all
+    * out-edges of ring vertices with src % 13 == 5 and inserts two
+    * seed-adjacent shortcuts — measured on the fixture: 44/627 stored
+    * levels raised at sf0.01/sf0.1, 3 vertices disconnected, hundreds
+    * lowered by the shortcuts, max level within the oracle's walk cap. */
+  private def bfsDelV2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = t(s, dir, "customer").count()
+    ringEdges(s, dir).filter(col("src") % 13 =!= 5)
+      .unionByName(Seq((1L, 2L * v / 3), (2L, v / 3)).toDF("src", "dst"))
+  }
+
   /** Held-out predicate of the symmetry-breaking incremental fixtures:
     * ring edges whose endpoints BOTH sit in the top priority-value decile
     * — a low-priority-band delta whose dependency cone is shallow. */
@@ -358,6 +370,10 @@ object GraphQueries extends QueryModule {
       "bfsinc" -> (() => GraphOps.bfsLevels(s,
         snapshotInsertDiff(s, dir, "bfsinc", ringEdges(s, dir),
           col("src") % 97 =!= 1)._1, 0L)),
+      // previous levels of the delete-bearing fixture (v1 = full ring)
+      "bfsdel" -> (() => GraphOps.bfsLevels(s,
+        snapshotDeleteDiff(s, dir, "bfsdel", ringEdges(s, dir),
+          bfsDelV2(s, dir))._1, 0L)),
       "ccinc" -> (() => GraphOps.connectedComponents(s,
         snapshotInsertDiff(s, dir, "ccinc", hierEdges(s, dir), !ccHeldEdge)._1)),
       // previous CC labels of the delete-bearing fixture (v1 = full graph)
@@ -547,8 +563,8 @@ object GraphQueries extends QueryModule {
     * 27.8 s `incremental_states` line hid which of the 10 builders
     * regressed). [[incStateBuilders]] require()s its key set equals this
     * list, so the two sources of truth fail loudly on drift. */
-  private[graft] val incStateTags: Seq[String] = Seq("bfsinc", "ccinc",
-    "ccdel", "triinc", "princ", "ssspinc", "daginc", "centinc_sig",
+  private[graft] val incStateTags: Seq[String] = Seq("bfsinc", "bfsdel",
+    "ccinc", "ccdel", "triinc", "princ", "ssspinc", "daginc", "centinc_sig",
     "centinc_del", "misinc", "colinc")
 
   def namedCaches: Seq[(String, (SparkSession, String) => Unit)] = Seq(
@@ -1236,6 +1252,24 @@ object GraphQueries extends QueryModule {
         .orderBy("v")
     }),
 
+    // DELETION-bearing incremental BFS maintenance — the traversal twin
+    // of q_graph_cc_incremental_del: v2 drops every out-edge of vertices
+    // with src % 13 == 5 (~8% of the ring — raising 44/627 stored levels
+    // at sf0.01/0.1 and disconnecting 3 vertices, both measured) and
+    // inserts two seed-adjacent shortcuts (lowering hundreds more). The
+    // maintainer invalidates ONLY the support-chain cascade of the
+    // deleted edges (delta-scoped waves), then one shared min-relaxation
+    // re-levels the unsettled region and applies the insert improvements
+    // ([[GraphOps.incrementalBfsLevelsDelete]]); the oracle walks the v2
+    // edge algebra from scratch.
+    "q_graph_bfs_incremental_del" -> ((s, dir) => {
+      val (_, cur, inserted, deleted) = snapshotDeleteDiff(s, dir, "bfsdel",
+        ringEdges(s, dir), bfsDelV2(s, dir))
+      val prev = cachedIncState(s, dir, "bfsdel") // stored (v, level) table
+      GraphOps.incrementalBfsLevelsDelete(s, cur, prev, inserted, deleted)
+        .orderBy("v")
+    }),
+
     // INCREMENTAL sampled-betweenness maintenance — the warm re-sweep
     // SCOPED TO AFFECTED SEEDS (the r8-seeded design: no exact
     // state+delta algebra exists for Brandes, so the honest maintenance
@@ -1706,6 +1740,31 @@ object GraphQueries extends QueryModule {
     "q_graph_bfs_incremental" ->
       (ringWalkCte + """
          SELECT v, CAST(level AS INT) AS level FROM lv ORDER BY v"""),
+    // The v2 edge algebra walked from scratch: the delete band removed,
+    // the two shortcut inserts added — a maintainer that kept a stale
+    // level, missed a raise, or emitted a disconnected vertex fails.
+    "q_graph_bfs_incremental_del" ->
+      """WITH RECURSIVE e0 AS (
+           SELECT CAST(c_custkey AS BIGINT) AS src,
+             CAST((c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS BIGINT) AS dst
+           FROM customer
+           UNION ALL SELECT c_custkey,
+             (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer
+           UNION ALL SELECT c_custkey,
+             (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer),
+         v2 AS MATERIALIZED (
+           SELECT src, dst FROM e0 WHERE src % 13 <> 5
+           UNION ALL SELECT CAST(1 AS BIGINT),
+             CAST(2*(SELECT COUNT(*) FROM customer)//3 AS BIGINT)
+           UNION ALL SELECT CAST(2 AS BIGINT),
+             CAST((SELECT COUNT(*) FROM customer)//3 AS BIGINT)),
+         walk(v, lvl) AS (
+           SELECT CAST(0 AS BIGINT), 0
+           UNION
+           SELECT v2.dst, w.lvl+1 FROM walk w JOIN v2 ON v2.src = w.v
+           WHERE w.lvl < 40),
+         lv AS (SELECT v, MIN(lvl) AS level FROM walk GROUP BY v)
+         SELECT v, CAST(level AS INT) AS level FROM lv ORDER BY v""",
     // Closed-form closeness of the COMPLETE hierarchy graph: seed r
     // reaches itself (d0), its nations (d1), their customers (d2).
     "q_graph_closeness_incremental" ->

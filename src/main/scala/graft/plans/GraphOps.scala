@@ -2082,6 +2082,108 @@ object GraphOps {
     out.select(col("v"), col("label").cast("int").as("level"))
   }
 
+  /** DELETION-aware incremental BFS-level maintenance — the traversal
+    * member of the delete-bearing family (with
+    * [[incrementalConnectedComponentsDelete]]): deleting an edge can
+    * RAISE levels or disconnect vertices, undecidable from (state, delta)
+    * without knowing whether an alternative parent survives. The scoped
+    * answer (the Ramalingam–Reps shape): a stored level stays VALID iff
+    * the vertex keeps a SUPPORT CHAIN to the seed — a surviving parent at
+    * level−1 that is itself supported. The UNSETTLED set grows by
+    * delta-scoped waves (per-wave work ∝ frontier, never the graph):
+    * wave 0 = heads of deleted edges left with no surviving level−1
+    * parent outside the unsettled set, wave i+1 = support-children of
+    * wave i failing the same check (a child wrongly kept by a
+    * not-yet-unsettled parent is re-examined the wave that parent falls).
+    * Settled levels are valid UPPER BOUNDS on the new graph (their
+    * support chain IS a surviving path of that length); unsettled levels
+    * are discarded and recomputed by the family's shared min-relaxation
+    * ([[labelCorrectLoop]]) seeded with the settled boundary AND the
+    * inserted-edge relaxation — one fixpoint serves both diff sides, and
+    * inserts may lower settled levels too. Unsettled vertices no
+    * surviving path reaches drop out, matching the full recompute's
+    * edge-defined reachable set. */
+  def incrementalBfsLevelsDelete(spark: SparkSession, newEdges: DataFrame,
+      prevLevels: DataFrame, inserted: DataFrame, deleted: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    import spark.implicits._
+    val e = newEdges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint(true)
+    val pv = prevLevels.select(col("v").cast("long").as("v"),
+      col("level").cast("int").as("level")).localCheckpoint(true)
+    val del = deleted.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val emptyU = Seq.empty[(Long, Int)].toDF("v", "level")
+    var uFrames = List.empty[DataFrame]
+    def unsettledAll: DataFrame = (emptyU :: uFrames).reduce(_ union _)
+    // cand rows (v, level) that keep NO supporter outside the unsettled
+    // set: a supporter is a surviving edge (p, v) with stored
+    // level(p) = level(v) − 1 (deleted edges are absent from `e`, so
+    // they can never support)
+    def dropSupported(cand: DataFrame, unsettled: DataFrame): DataFrame = {
+      val supported = cand
+        .join(e.select(col("src").as("p"), col("dst").as("v")), Seq("v"))
+        .join(pv.select(col("v").as("p"), col("level").as("pl")), Seq("p"))
+        .filter(col("pl") === col("level") - 1)
+        .join(unsettled.select(col("v").as("p")), Seq("p"), "left_anti")
+        .select("v").distinct()
+      cand.join(supported, Seq("v"), "left_anti")
+    }
+    val cand0 = del
+      .join(pv.select(col("v").as("src"), col("level").as("ul")), Seq("src"))
+      .join(pv.select(col("v").as("dst"), col("level").as("wl")), Seq("dst"))
+      .filter(col("wl") === col("ul") + 1)
+      .select(col("dst").as("v"), col("wl").as("level")).distinct()
+    var frontier = dropSupported(cand0, emptyU).localCheckpoint(true)
+    var n = frontier.count()
+    var waves = 0
+    while (n > 0 && waves < maxIter) {
+      waves += 1
+      uFrames ::= frontier
+      // support-children of the newly-unsettled frontier, not yet marked
+      val cand = e
+        .join(frontier.select(col("v").as("src"), col("level").as("fl")), Seq("src"))
+        .join(pv.select(col("v").as("dst"), col("level").as("xl")), Seq("dst"))
+        .filter(col("xl") === col("fl") + 1)
+        .select(col("dst").as("v"), col("xl").as("level")).distinct()
+        .join(unsettledAll.select("v"), Seq("v"), "left_anti")
+      frontier = dropSupported(cand, unsettledAll).localCheckpoint(true)
+      n = frontier.count()
+    }
+    require(n == 0,
+      s"unsettled cascade still live after $maxIter waves — raise maxIter")
+    val unsettled = unsettledAll.select("v").localCheckpoint(true)
+    val state0 = pv.join(unsettled, Seq("v"), "left_anti")
+      .select(col("v"), col("level").cast("int").as("label"))
+      .localCheckpoint(true)
+    // seeds: (a) settled boundary proposals into the unsettled region,
+    // (b) the inserted-edge relaxation (the insert-only path's seed) —
+    // an insert from an unsettled/unreached source contributes later via
+    // the full-edge-list propagation, so no improvement is lost
+    val seedBoundary = e
+      .join(state0.select(col("v").as("src"), col("label").as("pl")), Seq("src"))
+      .join(unsettled.select(col("v").as("dst")), Seq("dst"), "left_semi")
+      .groupBy(col("dst").as("v")).agg((min("pl") + 1).cast("int").as("label"))
+    val seedIns = inserted
+      .select(col("src").cast("long").as("u"), col("dst").cast("long").as("w"))
+      .join(state0.select(col("v").as("u"), col("label").as("ul")), Seq("u"))
+      .groupBy(col("w").as("v")).agg((min("ul") + 1).cast("int").as("label"))
+    val seed0 = seedBoundary.unionByName(seedIns)
+      .groupBy("v").agg(min("label").cast("int").as("label"))
+      .join(state0.select(col("v"), col("label").as("cur")), Seq("v"), "left")
+      .filter(col("cur").isNull || col("label") < col("cur"))
+      .select("v", "label")
+    def hop(fr: DataFrame): DataFrame = fr
+      .select(col("v").as("hv"), col("label").as("hl"))
+      .join(e.select(col("src").as("hsrc"), col("dst").as("hdst")),
+        col("hv") === col("hsrc"))
+      .groupBy(col("hdst").as("v"))
+      .agg((min("hl") + 1).cast("int").as("label"))
+    labelCorrectLoop("incrementalBfsLevelsDelete", state0, seed0, hop,
+      min, _ < _, least(_, _), maxIter)
+      .select(col("v"), col("label").cast("int").as("level"))
+  }
+
   /** INCREMENTAL DAG-layer maintenance over INSERT-only edge deltas — the
     * longest-path MIRROR of [[incrementalBfsLevels]]: inserting edges can
     * only RAISE layers (more paths; a former source gaining an in-edge

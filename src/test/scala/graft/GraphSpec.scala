@@ -311,6 +311,30 @@ class GraphSpec extends SparkSpec {
     assert(inc(11L) == 1L && inc(31L) == 20L && inc(41L) == 40L)
   }
 
+  test("incrementalBfsLevelsDelete == full BFS (raise, cascade, vanish, insert-lower)") {
+    import spark.implicits._
+    def df(e: Seq[(Long, Long)]) = e.toDF("src", "dst")
+    // base: chain 0→1→2→3→4 plus a shortcut 0→3 (level(3)=1, level(4)=2)
+    // and a spur 1→10 (level 2)
+    val base = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 3L), (1L, 10L))
+    // new: delete the shortcut 0→3 → levels of 3 and 4 RAISE through the
+    // support cascade (3: 1→3, 4: 2→4); delete 1→10 → vertex 10 VANISHES;
+    // insert 0→4 → level(4) LOWERS to 1 (the raise and the lower fight
+    // over the same vertex — the single fixpoint must pick 1)
+    val newE = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 4L))
+    val ins = Seq((0L, 4L))
+    val del = Seq((0L, 3L), (1L, 10L))
+    def toMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val prev = GraphOps.bfsLevels(spark, df(base), 0L)
+    val inc = toMap(GraphOps.incrementalBfsLevelsDelete(
+      spark, df(newE), prev, df(ins), df(del)))
+    val full = toMap(GraphOps.bfsLevels(spark, df(newE), 0L))
+    assert(inc == full, s"delete-aware maintenance diverges: $inc vs $full")
+    assert(!inc.contains(10L), "vertex with no surviving path must vanish")
+    assert(inc(3L) == 3 && inc(4L) == 1)
+  }
+
   test("incrementalConnectedComponentsDelete == full CC (split, vanish, glue-merge)") {
     import spark.implicits._
     def sym(e: Seq[(Long, Long)]) = (e ++ e.map(_.swap)).toDF("src", "dst")
