@@ -312,6 +312,7 @@ object Bench {
       "incstate_ccinc" -> Seq("q_graph_cc_incremental"),
       "incstate_ccdel" -> Seq("q_graph_cc_incremental_del"),
       "incstate_triinc" -> Seq("q_graph_triangles_incremental"),
+      "incstate_tridel" -> Seq("q_graph_triangles_incremental_del"),
       "incstate_princ" -> Seq("q_graph_pagerank_incremental"),
       "incstate_ssspinc" -> Seq("q_graph_sssp_incremental"),
       "incstate_daginc" -> Seq("q_graph_dag_layers_incremental"),
@@ -319,7 +320,9 @@ object Bench {
         "q_graph_closeness_incremental"),
       "incstate_centinc_del" -> Seq("q_graph_betweenness_incremental"),
       "incstate_misinc" -> Seq("q_graph_mis_incremental"),
-      "incstate_colinc" -> Seq("q_graph_coloring_incremental")
+      "incstate_colinc" -> Seq("q_graph_coloring_incremental"),
+      "incstate_misdel" -> Seq("q_graph_mis_incremental_del"),
+      "incstate_coldel" -> Seq("q_graph_coloring_incremental_del")
     ).map { case (k, v) =>
       "\"" + k + "\":" + v.map("\"" + _ + "\"").mkString("[", ",", "]")
     }.mkString("{", ",", "}")

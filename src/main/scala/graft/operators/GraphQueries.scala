@@ -393,6 +393,21 @@ object GraphQueries extends QueryModule {
             col("a") === col("ca") && col("c") === col("cb"), "left_semi")
           .agg(count(lit(1)).as("prev"))
       }),
+      // the delete-bearing fixture's stored counter (v1 = full ring) —
+      // same store as bfsdel, its own state line
+      "tridel" -> (() => {
+        val prevRaw = snapshotDeleteDiff(s, dir, "bfsdel", ringEdges(s, dir),
+          bfsDelV2(s, dir))._1
+        val undPrev = prevRaw.filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct().localCheckpoint(true)
+        undPrev.as("x").join(undPrev.as("y"), col("x.b") === col("y.a"))
+          .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))
+          .join(undPrev.select(col("a").as("ca"), col("b").as("cb")),
+            col("a") === col("ca") && col("c") === col("cb"), "left_semi")
+          .agg(count(lit(1)).as("prev"))
+      }),
       "princ" -> (() => GraphOps.pageRank(s,
         ringEdges(s, dir).filter(col("src") % 97 =!= 1), 10)),
       "ssspinc" -> (() => GraphOps.sssp(s, weighted(
@@ -421,7 +436,15 @@ object GraphQueries extends QueryModule {
           !lowBandHeldEdge)._1)),
       "colinc" -> (() => GraphOps.jonesPlassmannColoring(s,
         snapshotInsertDiff(s, dir, "colinc", ringEdges(s, dir),
-          !lowBandHeldEdge)._1)))
+          !lowBandHeldEdge)._1)),
+      // the delete-bearing symmetry-breaking states (v1 = FULL ring; one
+      // shared "sbdel" store, two state lines)
+      "misdel" -> (() => GraphOps.maximalIndependentSet(s,
+        snapshotDeleteDiff(s, dir, "sbdel", ringEdges(s, dir),
+          ringEdges(s, dir).filter(!lowBandHeldEdge))._1)),
+      "coldel" -> (() => GraphOps.jonesPlassmannColoring(s,
+        snapshotDeleteDiff(s, dir, "sbdel", ringEdges(s, dir),
+          ringEdges(s, dir).filter(!lowBandHeldEdge))._1)))
   } ensuring (_.keySet == incStateTags.toSet,
     "incStateBuilders drifted from incStateTags - update both")
 
@@ -564,8 +587,8 @@ object GraphQueries extends QueryModule {
     * regressed). [[incStateBuilders]] require()s its key set equals this
     * list, so the two sources of truth fail loudly on drift. */
   private[graft] val incStateTags: Seq[String] = Seq("bfsinc", "bfsdel",
-    "ccinc", "ccdel", "triinc", "princ", "ssspinc", "daginc", "centinc_sig",
-    "centinc_del", "misinc", "colinc")
+    "ccinc", "ccdel", "triinc", "tridel", "princ", "ssspinc", "daginc",
+    "centinc_sig", "centinc_del", "misinc", "colinc", "misdel", "coldel")
 
   def namedCaches: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "sigma_bfs" -> ((s: SparkSession, dir: String) => { ringSigma(s, dir); () }),
@@ -1163,6 +1186,32 @@ object GraphQueries extends QueryModule {
         inserted, maxConeFraction = 0.5).orderBy("v")
     }),
 
+    // DELETION-bearing symmetry-breaking maintenance — the EXACT INVERSE
+    // of the insert fixtures (v1 = full ring, v2 = ring minus the
+    // low-priority band): a deleted dependency changes the same vertex an
+    // inserted one does (the later-deciding endpoint), so the SAME
+    // conservative hp-cone serves both diff sides and the replay simply
+    // never sees the deleted edges ([[GraphOps
+    // .incrementalMaximalIndependentSetDelete]]). One shared two-version
+    // store ("sbdel") serves both queries; oracles are the full
+    // round replays over the v2 edge algebra.
+    "q_graph_mis_incremental_del" -> ((s, dir) => {
+      val (prevEdges, newEdges, inserted, deleted) = snapshotDeleteDiff(
+        s, dir, "sbdel", ringEdges(s, dir),
+        ringEdges(s, dir).filter(!lowBandHeldEdge))
+      val prevMis = cachedIncState(s, dir, "misdel") // stored MIS of v1
+      GraphOps.incrementalMaximalIndependentSetDelete(s, newEdges, prevEdges,
+        prevMis, inserted, deleted, maxConeFraction = 0.5).orderBy("v")
+    }),
+    "q_graph_coloring_incremental_del" -> ((s, dir) => {
+      val (prevEdges, newEdges, inserted, deleted) = snapshotDeleteDiff(
+        s, dir, "sbdel", ringEdges(s, dir),
+        ringEdges(s, dir).filter(!lowBandHeldEdge))
+      val prevColors = cachedIncState(s, dir, "coldel") // stored colors of v1
+      GraphOps.incrementalColoringDelete(s, newEdges, prevEdges, prevColors,
+        inserted, deleted, maxConeFraction = 0.5).orderBy("v")
+    }),
+
     // JONES–PLASSMANN greedy coloring over the same fixture — the second
     // symmetry-breaking primitive ([[GraphOps.jonesPlassmannColoring]]):
     // color = mex over higher-priority neighbors' colors, equal to the
@@ -1344,6 +1393,38 @@ object GraphQueries extends QueryModule {
         .agg(count(lit(1)).as("d"))
       prevTotal.crossJoin(delta)
         .select((col("prev") + col("d")).as("n_triangles"))
+    }),
+
+    // DELETION-bearing incremental triangle maintenance — pure set
+    // algebra, no cascade: a triangle of the new snapshot that is NOT in
+    // the old one must use an inserted edge (all its edges live in v2),
+    // and a vanished triangle must use a deleted edge (all its edges
+    // lived in v1); triangles in BOTH touch neither diff side. So
+    // new = prev + |tri(v2) ∋ ins| − |tri(v1) ∋ del| — two delta-probe
+    // wedge joins ([[GraphOps.triangleDelta]] against each snapshot's
+    // adjacency), never a re-enumeration. Shares the bfsdel two-version
+    // store (one staging serves both maintainers); the oracle counts v2's
+    // triangles from scratch.
+    "q_graph_triangles_incremental_del" -> ((s, dir) => {
+      val (prevRaw, newRaw, _, _) = snapshotDeleteDiff(s, dir, "bfsdel",
+        ringEdges(s, dir), bfsDelV2(s, dir))
+      def und(e: DataFrame) = e.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val undPrev = und(prevRaw).localCheckpoint(true)
+      val undFull = und(newRaw).localCheckpoint(true)
+      // diff at the canonical level (triangleDelta's contract): a
+      // directed change whose reverse survives is not a canonical change
+      val insertedCanon = undFull.join(undPrev, Seq("a", "b"), "left_anti")
+      val deletedCanon = undPrev.join(undFull, Seq("a", "b"), "left_anti")
+      val prevTotal = cachedIncState(s, dir, "tridel")
+      val added = GraphOps.triangleDelta(undFull, insertedCanon)
+        .agg(count(lit(1)).as("ad"))
+      val removed = GraphOps.triangleDelta(undPrev, deletedCanon)
+        .agg(count(lit(1)).as("rm"))
+      prevTotal.crossJoin(added).crossJoin(removed)
+        .select((col("prev") + col("ad") - col("rm")).as("n_triangles"))
     }),
 
     // Minimum-spanning-forest construction — 2 bounded Borůvka rounds
@@ -1609,12 +1690,39 @@ object GraphQueries extends QueryModule {
   /** The fixed LCG priority both symmetry-breaking oracles replay. */
   private def lcgPriSql(x: String) = s"(($x * 1103515245 + 12345) % 2147483648)"
 
+  /** v2 edge CTE of the symmetry-breaking DELETE fixtures: the ring minus
+    * every edge whose BOTH endpoints sit in the top priority-value decile
+    * — the exact inverse of the misinc/colinc insert fixture (same
+    * [[lowBandHeldEdge]] band, applied as a removal). */
+  private val ringUndMinusLowBandSql: String = {
+    val hi = 2147483648L / 10L * 9L
+    s"""eraw AS MATERIALIZED (
+         SELECT CAST(c_custkey AS BIGINT) AS src,
+           CAST((c_custkey*2+1) % (SELECT COUNT(*) FROM customer) AS BIGINT) AS dst
+         FROM customer
+         UNION ALL SELECT c_custkey,
+           (c_custkey*5+7) % (SELECT COUNT(*) FROM customer) FROM customer
+         UNION ALL SELECT c_custkey,
+           (c_custkey*16+3) % (SELECT COUNT(*) FROM customer) FROM customer),
+       e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+           SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw)
+         WHERE src <> dst
+           AND NOT (${lcgPriSql("src")} > $hi AND ${lcgPriSql("dst")} > $hi))"""
+  }
+
   private lazy val misOracleSql: String = misOracle(withRound = true)
   /** Membership-only spelling for the incremental-maintenance query
     * (round numbers are not maintained across deltas — see
     * [[GraphOps.incrementalMaximalIndependentSet]]). */
   private lazy val misMembersOracleSql: String = misOracle(withRound = false)
-  private def misOracle(withRound: Boolean): String = {
+  /** Delete-fixture spellings: the same round replays over the v2 edge
+    * algebra (ring minus the low-priority band). */
+  private lazy val misMembersDelOracleSql: String =
+    misOracle(withRound = false, edgeCte = ringUndMinusLowBandSql)
+  private lazy val coloringMembersDelOracleSql: String =
+    coloringOracle(withRound = false, edgeCte = ringUndMinusLowBandSql)
+  private def misOracle(withRound: Boolean,
+      edgeCte: String = ringUndSql): String = {
     val cap = GraphOps.MisRoundCap
     def p(x: String) = lcgPriSql(x)
     // every CTE is MATERIALIZED: a_k references a_{k-1} three times, so
@@ -1634,7 +1742,7 @@ object GraphQueries extends QueryModule {
     val misUnion = (1 to cap).map(k => s"SELECT v, $k AS r FROM s$k")
       .mkString(" UNION ALL ")
     val sel = if (withRound) "SELECT v, CAST(r AS INT) AS round" else "SELECT v"
-    s"""WITH $ringUndSql,
+    s"""WITH $edgeCte,
        a0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),
        $rounds
        $sel FROM ($misUnion) ORDER BY v"""
@@ -1691,7 +1799,8 @@ object GraphQueries extends QueryModule {
   private lazy val coloringOracleSql: String = coloringOracle(withRound = true)
   /** (v, color)-only spelling for the incremental-maintenance query. */
   private lazy val coloringMembersOracleSql: String = coloringOracle(withRound = false)
-  private def coloringOracle(withRound: Boolean): String = {
+  private def coloringOracle(withRound: Boolean,
+      edgeCte: String = ringUndSql): String = {
     val cap = GraphOps.ColoringRoundCap
     val rounds = (1 to cap).map { k =>
       s"""r$k AS MATERIALIZED (SELECT u.v FROM u${k - 1} u WHERE NOT EXISTS (
@@ -1714,7 +1823,7 @@ object GraphQueries extends QueryModule {
       .mkString(" UNION ALL ")
     val sel = if (withRound) "SELECT v, color, CAST(r AS INT) AS round"
       else "SELECT v, color"
-    s"""WITH $ringUndSql,
+    s"""WITH $edgeCte,
        hp AS MATERIALIZED (SELECT src, dst FROM e
          WHERE ${lcgPriSql("dst")} < ${lcgPriSql("src")}),
        c0 AS (SELECT CAST(0 AS BIGINT) AS v, 0 AS color WHERE 1 = 0),
@@ -2113,6 +2222,26 @@ object GraphQueries extends QueryModule {
            UNION ALL SELECT c_custkey, (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer),
          und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
                  FROM e WHERE src <> dst)
+         SELECT COUNT(*) AS n_triangles
+         FROM und x JOIN und y ON x.b = y.a JOIN und z ON z.a = x.a AND z.b = y.b""",
+    // v2's triangles counted from scratch — the maintainer's two-sided
+    // (+ins / −del) counter algebra must land on the same number.
+    "q_graph_triangles_incremental_del" ->
+      """WITH e0 AS (
+           SELECT CAST(c_custkey AS BIGINT) AS src,
+             CAST((c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS BIGINT) AS dst
+           FROM customer
+           UNION ALL SELECT c_custkey,
+             (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer
+           UNION ALL SELECT c_custkey,
+             (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer),
+         v2 AS (SELECT src, dst FROM e0 WHERE src % 13 <> 5
+           UNION ALL SELECT CAST(1 AS BIGINT),
+             CAST(2*(SELECT COUNT(*) FROM customer)//3 AS BIGINT)
+           UNION ALL SELECT CAST(2 AS BIGINT),
+             CAST((SELECT COUNT(*) FROM customer)//3 AS BIGINT)),
+         und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                 FROM v2 WHERE src <> dst)
          SELECT COUNT(*) AS n_triangles
          FROM und x JOIN und y ON x.b = y.a JOIN und z ON z.a = x.a AND z.b = y.b""",
     // Two Borůvka rounds replayed exactly: per-component min outgoing
@@ -2536,6 +2665,8 @@ object GraphQueries extends QueryModule {
     "q_graph_mis" -> misOracleSql,
     "q_graph_mis_bsp" -> misOracleSql,
     "q_graph_mis_incremental" -> misMembersOracleSql,
+    "q_graph_mis_incremental_del" -> misMembersDelOracleSql,
+    "q_graph_coloring_incremental_del" -> coloringMembersDelOracleSql,
     "q_graph_coloring" -> coloringOracleSql,
     "q_graph_coloring_bsp" -> coloringOracleSql,
     "q_graph_coloring_spec" -> specColoringOracleSql,

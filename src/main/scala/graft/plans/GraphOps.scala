@@ -1518,6 +1518,49 @@ object GraphOps {
       .unionByName(coneColored.toDF("v", "color"))
   }
 
+  /** New-snapshot vertex universe (symmetrized, self-loops dropped) —
+    * the delete-aware wrappers restrict carried-over state to it. */
+  private def edgeUniverse(edges: DataFrame): DataFrame = {
+    val e0 = edges.filter(col("src") =!= col("dst"))
+      .select(col("src").cast("long"), col("dst").cast("long"))
+    e0.select(col("src").as("v"))
+      .union(e0.select(col("dst").as("v"))).distinct()
+  }
+
+  private def diffUnion(inserted: DataFrame, deleted: DataFrame): DataFrame =
+    inserted.select(col("src").cast("long"), col("dst").cast("long"))
+      .unionByName(deleted.select(col("src").cast("long"), col("dst").cast("long")))
+
+  /** DELETION-aware twins of the symmetry-breaking maintainers. Decisions
+    * are functions of HIGHER-priority neighbors only, and a deleted
+    * dependency changes exactly the same vertex an inserted one does —
+    * the later-deciding endpoint — so the SAME conservative hp-cone
+    * serves both diff sides: seed it with inserted ∪ deleted and the
+    * cone expansion + greedy replay already run on the NEW graph (a
+    * deleted edge is simply absent from the replay's dependencies). The
+    * one delete-specific obligation is the UNIVERSE: a vertex whose every
+    * edge was deleted vanishes from the edge-defined output, so the
+    * carried-over old state is restricted to the new snapshot's vertex
+    * set (cone output is already new-graph-scoped). */
+  def incrementalMaximalIndependentSetDelete(spark: SparkSession,
+      newEdges: DataFrame, prevEdges: DataFrame, prevMis: DataFrame,
+      inserted: DataFrame, deleted: DataFrame,
+      maxRounds: Int = ColoringRoundCap, coneGatherLimit: Long = 200000L,
+      maxConeFraction: Double = 1.0): DataFrame =
+    incrementalMaximalIndependentSet(spark, newEdges, prevEdges, prevMis,
+      diffUnion(inserted, deleted), maxRounds, coneGatherLimit, maxConeFraction)
+      .join(edgeUniverse(newEdges), Seq("v"), "left_semi")
+
+  /** See [[incrementalMaximalIndependentSetDelete]] — the coloring twin. */
+  def incrementalColoringDelete(spark: SparkSession,
+      newEdges: DataFrame, prevEdges: DataFrame, prevColors: DataFrame,
+      inserted: DataFrame, deleted: DataFrame,
+      maxRounds: Int = ColoringRoundCap, coneGatherLimit: Long = 200000L,
+      maxConeFraction: Double = 1.0): DataFrame =
+    incrementalColoring(spark, newEdges, prevEdges, prevColors,
+      diffUnion(inserted, deleted), maxRounds, coneGatherLimit, maxConeFraction)
+      .join(edgeUniverse(newEdges), Seq("v"), "left_semi")
+
   /** Round cap shared by [[jonesPlassmannColoring]]'s two paths and the
     * q_graph_coloring oracle's fixed unroll (same contract as
     * [[MisRoundCap]]: no-op rounds past convergence, loud failure past

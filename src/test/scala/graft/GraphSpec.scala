@@ -979,6 +979,36 @@ class GraphSpec extends SparkSpec {
       s"speculation should not need more rounds than JP depth ($specRounds vs $jpRounds)")
   }
 
+  test("delete-aware MIS/coloring maintenance == full recompute (mixed diff, vanish)") {
+    import spark.implicits._
+    def df(e: Seq[(Long, Long)]) = e.toDF("src", "dst")
+    // base: a 6-cycle + chord + pendant pair (20,21)
+    val base = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 0L),
+      (0L, 3L), (20L, 21L))
+    // new: delete the chord and the pendant pair (20,21 VANISH),
+    // insert (2,5) and a fresh pendant (4,30)
+    val newE = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 0L),
+      (2L, 5L), (4L, 30L))
+    val ins = Seq((2L, 5L), (4L, 30L))
+    val del = Seq((0L, 3L), (20L, 21L))
+    val prevMis = GraphOps.maximalIndependentSet(spark, df(base))
+    val prevCol = GraphOps.jonesPlassmannColoring(spark, df(base))
+      .select(col("v"), col("color"))
+    val misInc = GraphOps.incrementalMaximalIndependentSetDelete(
+      spark, df(newE), df(base), prevMis, df(ins), df(del))
+      .collect().map(_.getLong(0)).toSet
+    val misFull = GraphOps.maximalIndependentSet(spark, df(newE))
+      .collect().map(_.getLong(0)).toSet
+    assert(misInc == misFull, s"MIS maintenance diverges: $misInc vs $misFull")
+    assert(!misInc.contains(20L) && !misInc.contains(21L), "vanished pair leaked")
+    val colInc = GraphOps.incrementalColoringDelete(
+      spark, df(newE), df(base), prevCol, df(ins), df(del))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val colFull = GraphOps.jonesPlassmannColoring(spark, df(newE))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(colInc == colFull, s"coloring maintenance diverges: $colInc vs $colFull")
+  }
+
   test("incremental betweenness: scoped re-sweep equals the full 5-seed Brandes readout") {
     // the query's own hierarchy fixture, rebuilt independently
     val n = Tables(spark, sfDir, "nation")
