@@ -314,7 +314,9 @@ object Bench {
       "incstate_triinc" -> Seq("q_graph_triangles_incremental"),
       "incstate_tridel" -> Seq("q_graph_triangles_incremental_del"),
       "incstate_princ" -> Seq("q_graph_pagerank_incremental"),
+      "incstate_prdel" -> Seq("q_graph_pagerank_incremental_del"),
       "incstate_ssspinc" -> Seq("q_graph_sssp_incremental"),
+      "incstate_ssspdel" -> Seq("q_graph_sssp_incremental_del"),
       "incstate_daginc" -> Seq("q_graph_dag_layers_incremental"),
       "incstate_centinc_sig" -> Seq("q_graph_betweenness_incremental",
         "q_graph_closeness_incremental"),

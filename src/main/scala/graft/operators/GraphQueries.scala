@@ -410,9 +410,18 @@ object GraphQueries extends QueryModule {
       }),
       "princ" -> (() => GraphOps.pageRank(s,
         ringEdges(s, dir).filter(col("src") % 97 =!= 1), 10)),
+      // stored ranks of the delete-bearing fixture's v1 (= full ring)
+      "prdel" -> (() => GraphOps.pageRank(s,
+        snapshotDeleteDiff(s, dir, "bfsdel", ringEdges(s, dir),
+          bfsDelV2(s, dir))._1, 10)),
       "ssspinc" -> (() => GraphOps.sssp(s, weighted(
         snapshotInsertDiff(s, dir, "ssspinc", ringEdges(s, dir),
           col("src") % 97 =!= 1)._1), 0L)),
+      // stored distances of the delete-bearing fixture (v1 = full ring;
+      // shares the bfsdel store)
+      "ssspdel" -> (() => GraphOps.sssp(s, weighted(
+        snapshotDeleteDiff(s, dir, "bfsdel", ringEdges(s, dir),
+          bfsDelV2(s, dir))._1), 0L)),
       "daginc" -> (() => GraphOps.dagLayers(s,
         snapshotInsertDiff(s, dir, "daginc",
           ringEdges(s, dir).filter(col("src") < col("dst")),
@@ -587,8 +596,9 @@ object GraphQueries extends QueryModule {
     * regressed). [[incStateBuilders]] require()s its key set equals this
     * list, so the two sources of truth fail loudly on drift. */
   private[graft] val incStateTags: Seq[String] = Seq("bfsinc", "bfsdel",
-    "ccinc", "ccdel", "triinc", "tridel", "princ", "ssspinc", "daginc",
-    "centinc_sig", "centinc_del", "misinc", "colinc", "misdel", "coldel")
+    "ccinc", "ccdel", "triinc", "tridel", "princ", "prdel", "ssspinc",
+    "ssspdel", "daginc", "centinc_sig", "centinc_del", "misinc", "colinc",
+    "misdel", "coldel")
 
   def namedCaches: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "sigma_bfs" -> ((s: SparkSession, dir: String) => { ringSigma(s, dir); () }),
@@ -761,6 +771,21 @@ object GraphQueries extends QueryModule {
       val all = ringEdges(s, dir)
       val prev = cachedIncState(s, dir, "princ") // stored (v, pr) ranks
       GraphOps.pageRankWarmStart(s, all, prev, 3)
+        .select(col("v"), round(col("pr"), 6).as("pr"))
+        .orderBy("v")
+    }),
+
+    // DELETE-bearing warm-start PageRank: the warm resume is DIFF-
+    // AGNOSTIC (it re-runs the power iteration on whatever the new
+    // snapshot is — no per-edge delta reasoning to get wrong), so the
+    // same 3 warm steps serve a delete-bearing diff; what changes is
+    // only the fixture (v1 = full ring, v2 = the bfsdel algebra) and the
+    // stored-rank state.
+    "q_graph_pagerank_incremental_del" -> ((s, dir) => {
+      val (_, cur, _, _) = snapshotDeleteDiff(s, dir, "bfsdel",
+        ringEdges(s, dir), bfsDelV2(s, dir))
+      val prev = cachedIncState(s, dir, "prdel") // stored ranks of v1
+      GraphOps.pageRankWarmStart(s, cur, prev, 3)
         .select(col("v"), round(col("pr"), 6).as("pr"))
         .orderBy("v")
     }),
@@ -947,6 +972,24 @@ object GraphQueries extends QueryModule {
         "ssspinc", ringEdges(s, dir), col("src") % 97 =!= 1)
       val prev = cachedIncState(s, dir, "ssspinc") // stored (v, dist)
       GraphOps.incrementalSssp(s, weighted(newEdges), prev, weighted(inserted))
+        .orderBy("v")
+    }),
+
+    // DELETION-bearing incremental SSSP — the weighted twin of
+    // q_graph_bfs_incremental_del over the SAME two-version store: a
+    // stored distance stays valid iff a TIGHT parent survives
+    // (dist(p) + w = dist(v), p itself supported); the support cascade
+    // invalidates exactly the distances the deleted edges carried, one
+    // shared min-relaxation re-solves them and applies the insert
+    // improvements ([[GraphOps.incrementalSsspDelete]]).
+    "q_graph_sssp_incremental_del" -> ((s, dir) => {
+      def weighted(e: DataFrame) = e.select(col("src"), col("dst"),
+        (lit(1) + (col("src") + col("dst")) % 5).as("w"))
+      val (_, cur, inserted, deleted) = snapshotDeleteDiff(s, dir, "bfsdel",
+        ringEdges(s, dir), bfsDelV2(s, dir))
+      val prev = cachedIncState(s, dir, "ssspdel") // stored (v, dist)
+      GraphOps.incrementalSsspDelete(s, weighted(cur), prev,
+        weighted(inserted), weighted(deleted))
         .orderBy("v")
     }),
 
@@ -1687,6 +1730,45 @@ object GraphQueries extends QueryModule {
            SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw)
          WHERE src <> dst)"""
 
+  private val prRingESql =
+    """SELECT CAST(c_custkey AS BIGINT) AS src, CAST((c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS BIGINT) AS dst FROM customer
+       UNION ALL SELECT c_custkey, (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer
+       UNION ALL SELECT c_custkey, (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer"""
+
+  /** Shared warm-start PageRank oracle: 10 unrolled cold iterations over
+    * e1, warm init on e2's vertex set (COALESCE to the cold 1.0 for
+    * unseen vertices), 3 unrolled iterations over e2 — exactly the
+    * recurrence [[GraphOps.pageRankWarmStart]] runs; every literal cast
+    * to DOUBLE as in q_graph_pagerank. `prelude` must define CTEs e1
+    * (previous snapshot) and e2 (new snapshot). */
+  private def warmStartPrOracle(prelude: String): String = {
+    def step(out: String, in: String, e: String, verts: String,
+        deg: String) =
+      s"""$out AS (
+           SELECT t.v, CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE)
+             * COALESCE(SUM(p.pr / dg.d), CAST(0 AS DOUBLE)) AS pr
+           FROM $verts t
+           LEFT JOIN $e ON $e.dst = t.v
+           LEFT JOIN $in p ON p.v = $e.src
+           LEFT JOIN $deg dg ON dg.v = $e.src
+           GROUP BY t.v)"""
+    val cold = (1 to 10).map(i =>
+      step(s"p$i", s"p${i - 1}", "e1", "v1", "d1")).mkString(",\n")
+    val warm = (1 to 3).map(i =>
+      step(s"w$i", s"w${i - 1}", "e2", "v2", "d2")).mkString(",\n")
+    s"""WITH $prelude,
+        v1 AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e1 UNION ALL SELECT dst FROM e1)),
+        d1 AS (SELECT src AS v, COUNT(*) AS d FROM e1 GROUP BY src),
+        p0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS pr FROM v1),
+        $cold,
+        v2 AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e2 UNION ALL SELECT dst FROM e2)),
+        d2 AS (SELECT src AS v, COUNT(*) AS d FROM e2 GROUP BY src),
+        w0 AS (SELECT v2.v, COALESCE(p10.pr, CAST(1.0 AS DOUBLE)) AS pr
+               FROM v2 LEFT JOIN p10 ON p10.v = v2.v),
+        $warm
+        SELECT v, ROUND(pr, 6) AS pr FROM w3 ORDER BY v"""
+  }
+
   /** The fixed LCG priority both symmetry-breaking oracles replay. */
   private def lcgPriSql(x: String) = s"(($x * 1103515245 + 12345) % 2147483648)"
 
@@ -1970,43 +2052,22 @@ object GraphQueries extends QueryModule {
           SELECT v // 1000000 AS graph, v % 1000000 AS v, ROUND(pr, 6) AS pr
           FROM pr10 ORDER BY graph, v"""
     },
-    "q_graph_pagerank_incremental" -> {
-      // 10 unrolled iterations over the PREVIOUS edge set, then a warm
-      // init on the new vertex set (COALESCE to the cold 1.0 for unseen
-      // vertices) and 3 unrolled iterations over the FULL edge set —
-      // exactly the recurrence pageRankWarmStart runs; every literal
-      // cast to DOUBLE as in q_graph_pagerank.
-      val ringE =
-        """SELECT c_custkey AS src, (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst FROM customer
-           UNION ALL SELECT c_custkey, (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer
-           UNION ALL SELECT c_custkey, (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer"""
-      def step(out: String, in: String, e: String, verts: String,
-          deg: String) =
-        s"""$out AS (
-             SELECT t.v, CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE)
-               * COALESCE(SUM(p.pr / dg.d), CAST(0 AS DOUBLE)) AS pr
-             FROM $verts t
-             LEFT JOIN $e ON $e.dst = t.v
-             LEFT JOIN $in p ON p.v = $e.src
-             LEFT JOIN $deg dg ON dg.v = $e.src
-             GROUP BY t.v)"""
-      val cold = (1 to 10).map(i =>
-        step(s"p$i", s"p${i - 1}", "e1", "v1", "d1")).mkString(",\n")
-      val warm = (1 to 3).map(i =>
-        step(s"w$i", s"w${i - 1}", "e2", "v2", "d2")).mkString(",\n")
-      s"""WITH e2 AS ($ringE),
-          e1 AS (SELECT src, dst FROM e2 WHERE src % 97 <> 1),
-          v1 AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e1 UNION ALL SELECT dst FROM e1)),
-          d1 AS (SELECT src AS v, COUNT(*) AS d FROM e1 GROUP BY src),
-          p0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS pr FROM v1),
-          $cold,
-          v2 AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e2 UNION ALL SELECT dst FROM e2)),
-          d2 AS (SELECT src AS v, COUNT(*) AS d FROM e2 GROUP BY src),
-          w0 AS (SELECT v2.v, COALESCE(p10.pr, CAST(1.0 AS DOUBLE)) AS pr
-                 FROM v2 LEFT JOIN p10 ON p10.v = v2.v),
-          $warm
-          SELECT v, ROUND(pr, 6) AS pr FROM w3 ORDER BY v"""
-    },
+    "q_graph_pagerank_incremental" -> warmStartPrOracle(
+      // e2 = the full ring, e1 = the held-out previous snapshot
+      s"""e2 AS ($prRingESql),
+          e1 AS (SELECT src, dst FROM e2 WHERE src % 97 <> 1)"""),
+    // Warm start is DIFF-AGNOSTIC — resuming the power iteration on the
+    // new snapshot needs no per-edge delta reasoning, so deletes ride the
+    // same 10-cold-then-3-warm recurrence: e1 = the full ring (the stored
+    // ranks), e2 = the delete-bearing v2 algebra.
+    "q_graph_pagerank_incremental_del" -> warmStartPrOracle(
+      s"""e0 AS ($prRingESql),
+          e1 AS (SELECT src, dst FROM e0),
+          e2 AS (SELECT src, dst FROM e0 WHERE src % 13 <> 5
+            UNION ALL SELECT CAST(1 AS BIGINT),
+              CAST(2*(SELECT COUNT(*) FROM customer)//3 AS BIGINT)
+            UNION ALL SELECT CAST(2 AS BIGINT),
+              CAST((SELECT COUNT(*) FROM customer)//3 AS BIGINT))"""),
     "q_graph_pagerank_weighted" -> {
       // Same unrolled recurrence as q_graph_pagerank with weighted mass:
       // contribution = pr·w/Σw(src); every literal cast to DOUBLE so
@@ -2350,6 +2411,30 @@ object GraphQueries extends QueryModule {
            UNION ALL SELECT c_custkey, (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer
            UNION ALL SELECT c_custkey, (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer),
          we AS (SELECT src, dst, 1 + (src + dst) % 5 AS w FROM e),
+         walk(v, d) AS (
+           SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+           UNION
+           SELECT we.dst, w.d + we.w FROM walk w JOIN we ON we.src = w.v
+           WHERE w.d + we.w <= 60),
+         best AS (SELECT v, MIN(d) AS dist FROM walk GROUP BY v)
+         SELECT v, dist FROM best ORDER BY v""",
+    // The v2 edge algebra's weighted walk from scratch (max true dist 33
+    // at sf0.1 — the ≤ 60 cap has headroom even with the delete raises).
+    "q_graph_sssp_incremental_del" ->
+      """WITH RECURSIVE e0 AS (
+           SELECT CAST(c_custkey AS BIGINT) AS src,
+             CAST((c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS BIGINT) AS dst
+           FROM customer
+           UNION ALL SELECT c_custkey,
+             (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer
+           UNION ALL SELECT c_custkey,
+             (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer),
+         v2 AS (SELECT src, dst FROM e0 WHERE src % 13 <> 5
+           UNION ALL SELECT CAST(1 AS BIGINT),
+             CAST(2*(SELECT COUNT(*) FROM customer)//3 AS BIGINT)
+           UNION ALL SELECT CAST(2 AS BIGINT),
+             CAST((SELECT COUNT(*) FROM customer)//3 AS BIGINT)),
+         we AS (SELECT src, dst, 1 + (src + dst) % 5 AS w FROM v2),
          walk(v, d) AS (
            SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
            UNION

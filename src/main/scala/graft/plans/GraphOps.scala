@@ -2328,6 +2328,95 @@ object GraphOps {
     out.withColumnRenamed("label", "dist")
   }
 
+  /** DELETION-aware incremental weighted-SSSP maintenance — the weighted
+    * generalization of [[incrementalBfsLevelsDelete]] (BFS is the w ≡ 1
+    * special case): a stored distance stays VALID iff its support chain
+    * survives — a parent p with a surviving edge (p, w) of weight pw such
+    * that dist(p) + pw = dist(w), p itself supported. The unsettled set
+    * grows by the same delta-scoped waves (wave 0 = heads of deleted
+    * edges whose last tight parent died; wave i+1 = tight children of
+    * wave i with no tight parent left outside the set), settled distances
+    * are valid upper bounds (their support chain IS a surviving path of
+    * that cost), and one shared min-relaxation re-solves the unsettled
+    * region while applying the inserted-edge improvements. Vertices no
+    * surviving path reaches drop out. */
+  def incrementalSsspDelete(spark: SparkSession, newEdges: DataFrame,
+      prevDist: DataFrame, inserted: DataFrame, deleted: DataFrame,
+      maxIter: Int = 100): DataFrame = {
+    import spark.implicits._
+    val e = newEdges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .localCheckpoint(true)
+    val pv = prevDist.select(col("v").cast("long").as("v"),
+      col("dist").cast("long").as("dist")).localCheckpoint(true)
+    val del = deleted.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+    val emptyU = Seq.empty[(Long, Long)].toDF("v", "dist")
+    var uFrames = List.empty[DataFrame]
+    def unsettledAll: DataFrame = (emptyU :: uFrames).reduce(_ union _)
+    // cand rows (v, dist) that keep NO tight parent outside the unsettled
+    // set: a tight parent is a surviving edge (p, v, pw) with stored
+    // dist(p) + pw = dist(v)
+    def dropSupported(cand: DataFrame, unsettled: DataFrame): DataFrame = {
+      val supported = cand
+        .join(e.select(col("src").as("p"), col("dst").as("v"),
+          col("w").as("pw")), Seq("v"))
+        .join(pv.select(col("v").as("p"), col("dist").as("pd")), Seq("p"))
+        .filter(col("pd") + col("pw") === col("dist"))
+        .join(unsettled.select(col("v").as("p")), Seq("p"), "left_anti")
+        .select("v").distinct()
+      cand.join(supported, Seq("v"), "left_anti")
+    }
+    val cand0 = del
+      .join(pv.select(col("v").as("src"), col("dist").as("ud")), Seq("src"))
+      .join(pv.select(col("v").as("dst"), col("dist").as("wd")), Seq("dst"))
+      .filter(col("wd") === col("ud") + col("w"))
+      .select(col("dst").as("v"), col("wd").as("dist")).distinct()
+    var frontier = dropSupported(cand0, emptyU).localCheckpoint(true)
+    var n = frontier.count()
+    var waves = 0
+    while (n > 0 && waves < maxIter) {
+      waves += 1
+      uFrames ::= frontier
+      val cand = e
+        .join(frontier.select(col("v").as("src"), col("dist").as("fd")), Seq("src"))
+        .join(pv.select(col("v").as("dst"), col("dist").as("xd")), Seq("dst"))
+        .filter(col("xd") === col("fd") + col("w"))
+        .select(col("dst").as("v"), col("xd").as("dist")).distinct()
+        .join(unsettledAll.select("v"), Seq("v"), "left_anti")
+      frontier = dropSupported(cand, unsettledAll).localCheckpoint(true)
+      n = frontier.count()
+    }
+    require(n == 0,
+      s"unsettled cascade still live after $maxIter waves — raise maxIter")
+    val unsettled = unsettledAll.select("v").localCheckpoint(true)
+    val state0 = pv.join(unsettled, Seq("v"), "left_anti")
+      .select(col("v"), col("dist").as("label")).localCheckpoint(true)
+    val seedBoundary = e
+      .join(state0.select(col("v").as("src"), col("label").as("pd")), Seq("src"))
+      .join(unsettled.select(col("v").as("dst")), Seq("dst"), "left_semi")
+      .groupBy(col("dst").as("v")).agg(min(col("pd") + col("w")).as("label"))
+    val seedIns = inserted
+      .select(col("src").cast("long").as("u"), col("dst").cast("long").as("tv"),
+        col("w").cast("long").as("iw"))
+      .join(state0.select(col("v").as("u"), col("label").as("ud")), Seq("u"))
+      .groupBy(col("tv").as("v")).agg(min(col("ud") + col("iw")).as("label"))
+    val seed0 = seedBoundary.unionByName(seedIns)
+      .groupBy("v").agg(min("label").as("label"))
+      .join(state0.select(col("v"), col("label").as("cur")), Seq("v"), "left")
+      .filter(col("cur").isNull || col("label") < col("cur"))
+      .select("v", "label")
+    def hop(fr: DataFrame): DataFrame = fr
+      .select(col("v").as("hv"), col("label").as("hd"))
+      .join(e.select(col("src").as("hsrc"), col("dst").as("hdst"),
+        col("w").as("hw")), col("hv") === col("hsrc"))
+      .groupBy(col("hdst").as("v"))
+      .agg(min(col("hd") + col("hw")).as("label"))
+    labelCorrectLoop("incrementalSsspDelete", state0, seed0, hop,
+      min, _ < _, least(_, _), maxIter)
+      .withColumnRenamed("label", "dist")
+  }
+
   /** Bounded Borůvka rounds over a canonical undirected weighted edge set
     * `(a, b, w)` (a<b) — THE minimum-spanning-forest algorithm that fits
     * BSP execution (Kruskal needs a sequential union-find, Prim a

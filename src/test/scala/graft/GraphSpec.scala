@@ -335,6 +335,29 @@ class GraphSpec extends SparkSpec {
     assert(inc(3L) == 3 && inc(4L) == 1)
   }
 
+  test("incrementalSsspDelete == full SSSP (tight-parent cascade, vanish, insert-lower)") {
+    import spark.implicits._
+    def df(e: Seq[(Long, Long, Long)]) = e.toDF("src", "dst", "w")
+    // base: 0→1 (w1), 1→2 (w1), 2→3 (w1), plus a cheap shortcut 0→2 (w1)
+    // so dist(2)=1, dist(3)=2; a spur 1→10 (w1)
+    val base = Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (0L, 2L, 1L),
+      (1L, 10L, 1L))
+    // new: delete the shortcut (dist(2) raises 1→2 through the tight
+    // cascade, dist(3) 2→3); delete the spur (10 vanishes); insert a
+    // direct 0→3 (w2) — the raise and the lower meet at vertex 3 (min 2)
+    val newE = Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L), (0L, 3L, 2L))
+    val ins = Seq((0L, 3L, 2L))
+    val del = Seq((0L, 2L, 1L), (1L, 10L, 1L))
+    def toMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prev = GraphOps.sssp(spark, df(base), 0L)
+    val inc = toMap(GraphOps.incrementalSsspDelete(
+      spark, df(newE), prev, df(ins), df(del)))
+    val full = toMap(GraphOps.sssp(spark, df(newE), 0L))
+    assert(inc == full, s"delete-aware SSSP diverges: $inc vs $full")
+    assert(!inc.contains(10L) && inc(2L) == 2L && inc(3L) == 2L)
+  }
+
   test("incrementalConnectedComponentsDelete == full CC (split, vanish, glue-merge)") {
     import spark.implicits._
     def sym(e: Seq[(Long, Long)]) = (e ++ e.map(_.swap)).toDF("src", "dst")
