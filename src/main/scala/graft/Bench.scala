@@ -318,6 +318,7 @@ object Bench {
       "incstate_ssspinc" -> Seq("q_graph_sssp_incremental"),
       "incstate_ssspdel" -> Seq("q_graph_sssp_incremental_del"),
       "incstate_daginc" -> Seq("q_graph_dag_layers_incremental"),
+      "incstate_dagdel" -> Seq("q_graph_dag_layers_incremental_del"),
       "incstate_centinc_sig" -> Seq("q_graph_betweenness_incremental",
         "q_graph_closeness_incremental"),
       "incstate_centinc_del" -> Seq("q_graph_betweenness_incremental"),

@@ -426,6 +426,10 @@ object GraphQueries extends QueryModule {
         snapshotInsertDiff(s, dir, "daginc",
           ringEdges(s, dir).filter(col("src") < col("dst")),
           col("src") % 97 =!= 1)._1)),
+      // stored layers of the delete-bearing fixture's v1 DAG orientation
+      "dagdel" -> (() => GraphOps.dagLayers(s,
+        snapshotDeleteDiff(s, dir, "bfsdel", ringEdges(s, dir),
+          bfsDelV2(s, dir))._1.filter(col("src") < col("dst")))),
       // ONE scoped fixture serves BOTH incremental centralities (the
       // whole point of the affected-seed gate: each extra centrality
       // costs only its readout) — a single staged store + sigma state
@@ -597,8 +601,8 @@ object GraphQueries extends QueryModule {
     * list, so the two sources of truth fail loudly on drift. */
   private[graft] val incStateTags: Seq[String] = Seq("bfsinc", "bfsdel",
     "ccinc", "ccdel", "triinc", "tridel", "princ", "prdel", "ssspinc",
-    "ssspdel", "daginc", "centinc_sig", "centinc_del", "misinc", "colinc",
-    "misdel", "coldel")
+    "ssspdel", "daginc", "dagdel", "centinc_sig", "centinc_del", "misinc",
+    "colinc", "misdel", "coldel")
 
   def namedCaches: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "sigma_bfs" -> ((s: SparkSession, dir: String) => { ringSigma(s, dir); () }),
@@ -823,6 +827,23 @@ object GraphQueries extends QueryModule {
         col("src") % 97 =!= 1)
       val prev = cachedIncState(s, dir, "daginc") // stored (v, layer)
       GraphOps.incrementalDagLayers(s, newEdges, prev, inserted)
+        .orderBy("v")
+    }),
+
+    // DELETION-bearing incremental DAG layering — the longest-path
+    // mirror of q_graph_bfs_incremental_del over the SAME store's
+    // increasing-id orientation: deletes LOWER layers (or mint new
+    // sources), so the argmax support cascade invalidates exactly the
+    // layers the deleted edges carried; the MAX re-relaxation re-derives
+    // them from the surviving sources and applies the insert raises
+    // ([[GraphOps.incrementalDagLayersDelete]]).
+    "q_graph_dag_layers_incremental_del" -> ((s, dir) => {
+      def dag(e: DataFrame) = e.filter(col("src") < col("dst"))
+      val (_, cur, inserted, deleted) = snapshotDeleteDiff(s, dir, "bfsdel",
+        ringEdges(s, dir), bfsDelV2(s, dir))
+      val prev = cachedIncState(s, dir, "dagdel") // stored (v, layer)
+      GraphOps.incrementalDagLayersDelete(s, dag(cur), prev,
+        dag(inserted), dag(deleted))
         .orderBy("v")
     }),
 
@@ -2127,6 +2148,27 @@ object GraphQueries extends QueryModule {
              UNION ALL SELECT c_custkey, (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer
              UNION ALL SELECT c_custkey, (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer)
            WHERE src < dst),
+         walk(v, d) AS (
+           SELECT DISTINCT src, 0 FROM e WHERE src NOT IN (SELECT dst FROM e)
+           UNION
+           SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.v WHERE w.d < 100)
+         SELECT v, CAST(MAX(d) AS BIGINT) AS layer FROM walk GROUP BY v ORDER BY v""",
+    // The v2 algebra's increasing-id DAG re-layered from scratch.
+    "q_graph_dag_layers_incremental_del" ->
+      """WITH RECURSIVE e0 AS (
+           SELECT CAST(c_custkey AS BIGINT) AS src,
+             CAST((c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS BIGINT) AS dst
+           FROM customer
+           UNION ALL SELECT c_custkey,
+             (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer
+           UNION ALL SELECT c_custkey,
+             (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer),
+         v2 AS (SELECT src, dst FROM e0 WHERE src % 13 <> 5
+           UNION ALL SELECT CAST(1 AS BIGINT),
+             CAST(2*(SELECT COUNT(*) FROM customer)//3 AS BIGINT)
+           UNION ALL SELECT CAST(2 AS BIGINT),
+             CAST((SELECT COUNT(*) FROM customer)//3 AS BIGINT)),
+         e AS (SELECT src, dst FROM v2 WHERE src < dst),
          walk(v, d) AS (
            SELECT DISTINCT src, 0 FROM e WHERE src NOT IN (SELECT dst FROM e)
            UNION

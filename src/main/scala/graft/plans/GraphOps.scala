@@ -2283,6 +2283,99 @@ object GraphOps {
     out.withColumnRenamed("label", "layer")
   }
 
+  /** DELETION-aware incremental DAG-layer maintenance — the longest-path
+    * mirror of [[incrementalBfsLevelsDelete]] with the SAME support-
+    * cascade shape (a tight parent here is layer(p) + 1 = layer(w)):
+    * deleting edges can LOWER layers or turn vertices into sources, so a
+    * stored layer stays valid iff its argmax support chain survives —
+    * then it is still ATTAINED in the new DAG (a genuine lower bound the
+    * MAX relaxation can only raise via inserts). The unsettled set grows
+    * by the same delta-scoped waves; re-relaxation seeds are (a) the
+    * settled parents of unsettled vertices, (b) unsettled vertices with
+    * NO surviving in-edge — new sources self-seed layer 0, the
+    * [[incrementalDagLayers]] lesson — and (c) the inserted-edge
+    * proposals. Output is restricted to the new edge-defined universe so
+    * fully-deleted vertices vanish. A delta that creates a cycle climbs
+    * past the cap and fails loudly, as in the insert-only path. */
+  def incrementalDagLayersDelete(spark: SparkSession, newEdges: DataFrame,
+      prevLayers: DataFrame, inserted: DataFrame, deleted: DataFrame,
+      maxIter: Int = 200): DataFrame = {
+    import spark.implicits._
+    val e = newEdges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint(true)
+    val pv = prevLayers.select(col("v").cast("long").as("v"),
+      col("layer").cast("long").as("layer")).localCheckpoint(true)
+    val del = deleted.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val emptyU = Seq.empty[(Long, Long)].toDF("v", "layer")
+    var uFrames = List.empty[DataFrame]
+    def unsettledAll: DataFrame = (emptyU :: uFrames).reduce(_ union _)
+    def dropSupported(cand: DataFrame, unsettled: DataFrame): DataFrame = {
+      val supported = cand
+        .join(e.select(col("src").as("p"), col("dst").as("v")), Seq("v"))
+        .join(pv.select(col("v").as("p"), col("layer").as("pl")), Seq("p"))
+        .filter(col("pl") + 1 === col("layer"))
+        .join(unsettled.select(col("v").as("p")), Seq("p"), "left_anti")
+        .select("v").distinct()
+      cand.join(supported, Seq("v"), "left_anti")
+    }
+    val cand0 = del
+      .join(pv.select(col("v").as("src"), col("layer").as("ul")), Seq("src"))
+      .join(pv.select(col("v").as("dst"), col("layer").as("wl")), Seq("dst"))
+      .filter(col("wl") === col("ul") + 1)
+      .select(col("dst").as("v"), col("wl").as("layer")).distinct()
+    var frontier = dropSupported(cand0, emptyU).localCheckpoint(true)
+    var n = frontier.count()
+    var waves = 0
+    while (n > 0 && waves < maxIter) {
+      waves += 1
+      uFrames ::= frontier
+      val cand = e
+        .join(frontier.select(col("v").as("src"), col("layer").as("fl")), Seq("src"))
+        .join(pv.select(col("v").as("dst"), col("layer").as("xl")), Seq("dst"))
+        .filter(col("xl") === col("fl") + 1)
+        .select(col("dst").as("v"), col("xl").as("layer")).distinct()
+        .join(unsettledAll.select("v"), Seq("v"), "left_anti")
+      frontier = dropSupported(cand, unsettledAll).localCheckpoint(true)
+      n = frontier.count()
+    }
+    require(n == 0,
+      s"unsettled cascade still live after $maxIter waves — raise maxIter")
+    val unsettled = unsettledAll.select("v").localCheckpoint(true)
+    val state0 = pv.join(unsettled, Seq("v"), "left_anti")
+      .select(col("v"), col("layer").as("label")).localCheckpoint(true)
+    // (a) settled parents propose into the unsettled region
+    val seedBoundary = e
+      .join(state0.select(col("v").as("src"), col("label").as("pl")), Seq("src"))
+      .join(unsettled.select(col("v").as("dst")), Seq("dst"), "left_semi")
+      .groupBy(col("dst").as("v")).agg((max("pl") + 1).as("label"))
+    // (b) unsettled vertices with NO surviving in-edge are new sources
+    val seedSources = unsettled
+      .join(e.select(col("dst").as("v")).distinct(), Seq("v"), "left_anti")
+      .select(col("v"), lit(0L).as("label"))
+    // (c) inserted-edge proposals against the settled state (an insert
+    // from an unlabeled source fires later via the full-edge propagation)
+    val seedIns = inserted
+      .select(col("src").cast("long").as("u"), col("dst").cast("long").as("w"))
+      .join(state0.select(col("v").as("u"), col("label").as("ul")), Seq("u"))
+      .groupBy(col("w").as("v")).agg((max("ul") + 1).as("label"))
+    val seed0 = seedBoundary.unionByName(seedSources).unionByName(seedIns)
+      .groupBy("v").agg(max("label").as("label"))
+      .join(state0.select(col("v"), col("label").as("cur")), Seq("v"), "left")
+      .filter(col("cur").isNull || col("label") > col("cur"))
+      .select("v", "label")
+    def hop(fr: DataFrame): DataFrame = fr
+      .select(col("v").as("hv"), col("label").as("hl"))
+      .join(e.select(col("src").as("hsrc"), col("dst").as("hdst")),
+        col("hv") === col("hsrc"))
+      .groupBy(col("hdst").as("v"))
+      .agg((max("hl") + 1).as("label"))
+    labelCorrectLoop("incrementalDagLayersDelete", state0, seed0, hop,
+      max, _ > _, greatest(_, _), maxIter)
+      .withColumnRenamed("label", "layer")
+      .join(edgeUniverse(newEdges), Seq("v"), "left_semi")
+  }
+
   /** INCREMENTAL weighted-SSSP maintenance over INSERT-only edge deltas —
     * [[incrementalBfsLevels]] generalized to weighted label correction
     * (and the weighted member that completes the incremental family):

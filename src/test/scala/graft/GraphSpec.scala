@@ -358,6 +358,28 @@ class GraphSpec extends SparkSpec {
     assert(!inc.contains(10L) && inc(2L) == 2L && inc(3L) == 2L)
   }
 
+  test("incrementalDagLayersDelete == full layering (lower, new source, vanish, raise)") {
+    import spark.implicits._
+    def df(e: Seq[(Long, Long)]) = e.toDF("src", "dst")
+    // base DAG: 0→1→2→3 chain, plus 0→2 (so layer(2)=2 via 0→1→2),
+    // 5→6 pendant, and 0→5 (layer(5)=1, layer(6)=2)
+    val base = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 2L), (5L, 6L), (0L, 5L))
+    // new: delete 1→2 (layer(2) LOWERS 2→1 via 0→2, layer(3) 3→2);
+    // delete 0→5 (5 becomes a NEW SOURCE: layer 1→0, 6: 2→1);
+    // delete 5→6? no — keep; insert 3→7 (new vertex, layer raise chain)
+    val newE = Seq((0L, 1L), (2L, 3L), (0L, 2L), (5L, 6L), (3L, 7L))
+    val ins = Seq((3L, 7L))
+    val del = Seq((1L, 2L), (0L, 5L))
+    def toMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prev = GraphOps.dagLayers(spark, df(base))
+    val inc = toMap(GraphOps.incrementalDagLayersDelete(
+      spark, df(newE), prev, df(ins), df(del)))
+    val full = toMap(GraphOps.dagLayers(spark, df(newE)))
+    assert(inc == full, s"delete-aware layering diverges: $inc vs $full")
+    assert(inc(2L) == 1L && inc(3L) == 2L && inc(5L) == 0L && inc(7L) == 3L)
+  }
+
   test("incrementalConnectedComponentsDelete == full CC (split, vanish, glue-merge)") {
     import spark.implicits._
     def sym(e: Seq[(Long, Long)]) = (e ++ e.map(_.swap)).toDF("src", "dst")
