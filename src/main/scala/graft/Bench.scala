@@ -322,6 +322,9 @@ object Bench {
       "incstate_centinc_sig" -> Seq("q_graph_betweenness_incremental",
         "q_graph_closeness_incremental"),
       "incstate_centinc_del" -> Seq("q_graph_betweenness_incremental"),
+      "incstate_centdel_sig" -> Seq("q_graph_betweenness_incremental_del",
+        "q_graph_closeness_incremental_del"),
+      "incstate_centdel_del" -> Seq("q_graph_betweenness_incremental_del"),
       "incstate_misinc" -> Seq("q_graph_mis_incremental"),
       "incstate_colinc" -> Seq("q_graph_coloring_incremental"),
       "incstate_misdel" -> Seq("q_graph_mis_incremental_del"),

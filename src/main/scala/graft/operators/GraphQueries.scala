@@ -347,7 +347,8 @@ object GraphQueries extends QueryModule {
   /** Builder dependencies, resolved BEFORE entering the map computation —
     * a builder that re-entered computeIfAbsent on the same map would be
     * the recursive update the ConcurrentHashMap contract forbids. */
-  private val incStateDeps = Map("centinc_del" -> Seq("centinc_sig"))
+  private val incStateDeps = Map("centinc_del" -> Seq("centinc_sig"),
+    "centdel_del" -> Seq("centdel_sig"))
   private def cachedIncState(s: SparkSession, dir: String, tag: String): DataFrame = {
     incStateDeps.getOrElse(tag, Nil).foreach(cachedIncState(s, dir, _))
     val path = incStateCache.computeIfAbsent(s"$dir:$tag", _ => {
@@ -444,6 +445,15 @@ object GraphQueries extends QueryModule {
             .getOrElse(throw new IllegalStateException(
               "centinc_sig not built - register the dependency in incStateDeps")))
           .localCheckpoint(true))),
+      // the delete-bearing centrality fixture's states (v1 = FULL hier)
+      "centdel_sig" -> (() => GraphOps.multiSourceBfsSigma(s,
+        scopedDelPrev(s, dir).localCheckpoint(true), closenessSeeds)),
+      "centdel_del" -> (() => GraphOps.multiBrandesDeltas(s,
+        scopedDelPrev(s, dir).localCheckpoint(true),
+        s.read.parquet(Option(incStateCache.get(s"$dir:centdel_sig"))
+            .getOrElse(throw new IllegalStateException(
+              "centdel_sig not built - register the dependency in incStateDeps")))
+          .localCheckpoint(true))),
       "misinc" -> (() => GraphOps.maximalIndependentSet(s,
         snapshotInsertDiff(s, dir, "misinc", ringEdges(s, dir),
           !lowBandHeldEdge)._1)),
@@ -475,11 +485,38 @@ object GraphQueries extends QueryModule {
   private def scopedSeedSweep(s: SparkSession, dir: String): ScopedSweep = {
     val (_, newEdges, inserted) =
       snapshotInsertDiff(s, dir, "centinc", hierEdges(s, dir), !scopedHeldEdge(s, dir))
+    scopedSweepFrom(s, dir, "centinc_sig", newEdges, inserted)
+  }
+
+  /** The delete fixture's v1 (= the FULL hierarchy graph), normalized —
+    * single-sourced between the state builders and the sweep. */
+  private def scopedDelPrev(s: SparkSession, dir: String): DataFrame =
+    snapshotDeleteDiff(s, dir, "centdel", hierEdges(s, dir),
+      hierEdges(s, dir).filter(!scopedHeldEdge(s, dir)))._1
+      .select(col("src").cast("long"), col("dst").cast("long")).distinct()
+
+  /** Delete-bearing twin of [[scopedSeedSweep]] — the INVERTED fixture
+    * (v1 = full hierarchy, v2 = the held graph) with the diff's DELETED
+    * side feeding the SAME gate: a deleted (u, w) affects seed s iff it
+    * was TIGHT in s's previous DAG (level_s(u) + 1 = level_s(w) — an
+    * edge every path-destroying delete must sit on), and for an edge
+    * that EXISTED in v1 the triangle inequality makes the insert gate's
+    * `ul + 1 <= wl` exactly that tightness test, so one expression
+    * serves both diff sides. Unaffected seeds reuse their stored σ/δ
+    * verbatim (their DAGs are bit-identical on the new graph). */
+  private def scopedSeedSweepDelete(s: SparkSession, dir: String): ScopedSweep = {
+    val (_, newEdges, _, deleted) = snapshotDeleteDiff(s, dir, "centdel",
+      hierEdges(s, dir), hierEdges(s, dir).filter(!scopedHeldEdge(s, dir)))
+    scopedSweepFrom(s, dir, "centdel_sig", newEdges, deleted)
+  }
+
+  private def scopedSweepFrom(s: SparkSession, dir: String, sigTag: String,
+      newEdges: DataFrame, probe: DataFrame): ScopedSweep = {
     val seeds = closenessSeeds // the five region vertices
-    val sigPrev = cachedIncState(s, dir, "centinc_sig").localCheckpoint(true)
+    val sigPrev = cachedIncState(s, dir, sigTag).localCheckpoint(true)
     // affected-seed gate: one delta⋈state join, seed-count-sized result
-    val ins = inserted.select(col("src").cast("long"), col("dst").cast("long"))
-    val affected = ins
+    val pr = probe.select(col("src").cast("long"), col("dst").cast("long"))
+    val affected = pr
       .join(sigPrev.select(col("seed"), col("v").as("uv"), col("level").as("ul")),
         col("uv") === col("src"))
       .join(sigPrev.select(col("seed").as("wseed"), col("v").as("wv"),
@@ -601,8 +638,8 @@ object GraphQueries extends QueryModule {
     * list, so the two sources of truth fail loudly on drift. */
   private[graft] val incStateTags: Seq[String] = Seq("bfsinc", "bfsdel",
     "ccinc", "ccdel", "triinc", "tridel", "princ", "prdel", "ssspinc",
-    "ssspdel", "daginc", "dagdel", "centinc_sig", "centinc_del", "misinc",
-    "colinc", "misdel", "coldel")
+    "ssspdel", "daginc", "dagdel", "centinc_sig", "centinc_del",
+    "centdel_sig", "centdel_del", "misinc", "colinc", "misdel", "coldel")
 
   def namedCaches: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "sigma_bfs" -> ((s: SparkSession, dir: String) => { ringSigma(s, dir); () }),
@@ -1428,6 +1465,30 @@ object GraphQueries extends QueryModule {
         .orderBy("seed")
     }),
 
+    // DELETE-bearing incremental centralities — the inverted fixture
+    // (v1 = full hierarchy, v2 = the held graph) through the SAME
+    // affected-seed gate ([[scopedSeedSweepDelete]]): a deleted edge
+    // affects a seed iff it was TIGHT in that seed's stored DAG, which
+    // for an edge that existed in v1 is the insert gate's exact
+    // expression. Seeds 2–4 provably reuse their stored σ/δ verbatim
+    // (require()d); the oracles recompute the HELD graph closed-form.
+    "q_graph_betweenness_incremental_del" -> ((s, dir) => {
+      val sw = scopedSeedSweepDelete(s, dir)
+      val delPrev = cachedIncState(s, dir, "centdel_del") // stored deltas
+      val delNew = GraphOps.multiBrandesDeltas(s, sw.edNew, sw.sigNew)
+      val delAll = delNew.unionByName(
+        delPrev.filter(col("dseed").isin(sw.reuse: _*)))
+      GraphOps.multiBrandesFinal(sw.sigAll, delAll).orderBy("v")
+    }),
+    "q_graph_closeness_incremental_del" -> ((s, dir) => {
+      val sw = scopedSeedSweepDelete(s, dir)
+      sw.sigAll.groupBy("seed")
+        .agg(count(lit(1)).as("n_reached"), sum("level").as("total_dist"))
+        .withColumn("closeness_e6",
+          expr("((n_reached - 1) * 1000000) div total_dist"))
+        .orderBy("seed")
+    }),
+
     // INCREMENTAL triangle-count maintenance — the motif-family consumer
     // of the commit-log store's snapshot diffs: v1 drops every out-edge
     // of ~1% of sources, v2 is the full ring graph; the previous
@@ -1992,6 +2053,24 @@ object GraphQueries extends QueryModule {
            CAST(nn + 2*nc AS BIGINT) AS total_dist,
            CAST((nn + nc) * 1000000 // (nn + 2*nc) AS BIGINT) AS closeness_e6
          FROM base ORDER BY seed""",
+    // Closed-form closeness of the HELD graph (the delete fixture's v2):
+    // region 0–1 customers with c_custkey % 11 = 0 lost their only edges
+    // and vanish from those seeds' reach; regions 2–4 are untouched.
+    "q_graph_closeness_incremental_del" ->
+      """WITH nr AS (SELECT CAST(n_regionkey AS BIGINT) AS r, COUNT(*) AS nn
+             FROM nation GROUP BY 1),
+         cr AS (SELECT CAST(n_regionkey AS BIGINT) AS r, COUNT(*) AS nc
+             FROM customer JOIN nation ON n_nationkey = c_nationkey
+             WHERE NOT (c_custkey % 11 = 0 AND n_regionkey <= 1)
+             GROUP BY 1),
+         base AS (SELECT CAST(r_regionkey AS BIGINT) AS seed,
+             COALESCE(nn, 0) AS nn, COALESCE(nc, 0) AS nc
+           FROM region LEFT JOIN nr ON nr.r = r_regionkey
+                       LEFT JOIN cr ON cr.r = r_regionkey)
+         SELECT seed, CAST(1 + nn + nc AS BIGINT) AS n_reached,
+           CAST(nn + 2*nc AS BIGINT) AS total_dist,
+           CAST((nn + nc) * 1000000 // (nn + 2*nc) AS BIGINT) AS closeness_e6
+         FROM base ORDER BY seed""",
     // Full 5-seed Brandes over the COMPLETE hierarchy graph, closed-form:
     // the depth-2 trees (region -> its nations -> their customers) make
     // every σ = 1, δ(nation) = its customer count, δ = 0 elsewhere (each
@@ -2000,6 +2079,21 @@ object GraphQueries extends QueryModule {
     "q_graph_betweenness_incremental" ->
       """WITH cust AS (SELECT CAST(c_custkey + 100 AS BIGINT) AS v,
                CAST(c_nationkey + 10 AS BIGINT) AS nv FROM customer),
+         bcn AS (SELECT nv, COUNT(*) AS c FROM cust GROUP BY nv),
+         uni AS (SELECT CAST(r_regionkey AS BIGINT) AS v FROM region
+                 UNION ALL SELECT CAST(n_nationkey + 10 AS BIGINT) FROM nation
+                 UNION ALL SELECT v FROM cust)
+         SELECT u.v, ROUND(CAST(COALESCE(b.c, 0) AS DOUBLE), 6) AS bc
+         FROM uni u LEFT JOIN bcn b ON b.nv = u.v
+         ORDER BY u.v""",
+    // Full 5-seed Brandes over the HELD graph (the delete fixture's v2):
+    // the vanished region 0–1 customers leave both the δ sums and the
+    // output universe.
+    "q_graph_betweenness_incremental_del" ->
+      """WITH cust AS (SELECT CAST(c_custkey + 100 AS BIGINT) AS v,
+               CAST(c_nationkey + 10 AS BIGINT) AS nv
+             FROM customer JOIN nation ON n_nationkey = c_nationkey
+             WHERE NOT (c_custkey % 11 = 0 AND n_regionkey <= 1)),
          bcn AS (SELECT nv, COUNT(*) AS c FROM cust GROUP BY nv),
          uni AS (SELECT CAST(r_regionkey AS BIGINT) AS v FROM region
                  UNION ALL SELECT CAST(n_nationkey + 10 AS BIGINT) FROM nation
