@@ -328,7 +328,8 @@ object Bench {
       "incstate_misinc" -> Seq("q_graph_mis_incremental"),
       "incstate_colinc" -> Seq("q_graph_coloring_incremental"),
       "incstate_misdel" -> Seq("q_graph_mis_incremental_del"),
-      "incstate_coldel" -> Seq("q_graph_coloring_incremental_del")
+      "incstate_coldel" -> Seq("q_graph_coloring_incremental_del"),
+      "lsh_ingest_pairs" -> Seq("q_dedup_incremental_del")
     ).map { case (k, v) =>
       "\"" + k + "\":" + v.map("\"" + _ + "\"").mkString("[", ",", "]")
     }.mkString("{", ",", "}")

@@ -159,7 +159,9 @@ object Dedup extends QueryModule {
     // ingest-pipeline state kept between batches; built once per corpus
     // so the query time measures the INGEST step (new-batch signatures +
     // candidate joins + exact verify), not rebuilding the state
-    "lsh_ingest_state" -> ((s, dir) => { lshIngestState(s, dir); () }))
+    "lsh_ingest_state" -> ((s, dir) => { lshIngestState(s, dir); () }),
+    // the stored verified pair set the delete-bearing maintenance prunes
+    "lsh_ingest_pairs" -> ((s, dir) => { lshIngestPairs(s, dir); () }))
   def prewarmCaches(s: SparkSession, dir: String): Unit =
     namedCaches.foreach(_._2(s, dir))
 
@@ -175,6 +177,34 @@ object Dedup extends QueryModule {
         java.lang.ProcessHandle.current().pid() + "_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
       bandSignatures(t(s, dir, "documents").filter(!ingestIsNew))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+    s.read.parquet(p)
+  }
+
+  /** The stored VERIFIED PAIR SET of the 80% corpus — the second piece of
+    * ingest state the delete-bearing maintenance keeps between batches
+    * (retiring a document must also retire its pairs, which is an
+    * anti-join on the stored pair table, never a re-verify). Built from
+    * the state signatures' own banded candidates + the exact verify. */
+  private val lshPairsStateCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def lshIngestPairs(s: SparkSession, dir: String): DataFrame = {
+    val p = lshPairsStateCache.computeIfAbsent(dir, _ => {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_lshpairs_" +
+        java.lang.ProcessHandle.current().pid() + "_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val sigs = lshIngestState(s, dir)
+      val cand = sigs.as("x").join(sigs.as("y"),
+          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db")).distinct()
+        .localCheckpoint(true)
+      val candDocs = cand.select(col("da").as("doc_id"))
+        .union(cand.select(col("db").as("doc_id"))).distinct()
+      val sh = shingles(t(s, dir, "documents").filter(!ingestIsNew)
+        .join(candDocs, Seq("doc_id"), "left_semi")).localCheckpoint(true)
+      jaccardPairs(sh, lshThreshold, Some(cand), preMaterialized = true)
         .write.mode("overwrite").parquet(path)
       path
     })
@@ -268,6 +298,40 @@ object Dedup extends QueryModule {
       val sh = shingles(docs.join(candDocs, Seq("doc_id"), "left_semi"))
         .localCheckpoint(true)
       jaccardPairs(sh, lshThreshold, Some(cand), preMaterialized = true)
+    }),
+
+    // DELETE-bearing incremental dedup — the takedown + ingest batch a
+    // production corpus actually applies: documents with doc_id % 7 == 3
+    // RETIRE from the old corpus (their signatures AND stored pairs drop
+    // by delta-sized anti-joins — never a re-verify), while the % 5 == 4
+    // batch ingests against the SURVIVING signatures exactly as in
+    // q_dedup_incremental. Output = the full surviving pair set:
+    // (stored pairs minus retired-touching) ⊎ (new-batch pairs), which
+    // the oracle checks against an exact-Jaccard recompute over the v2
+    // corpus — a leaked retired pair or a missed ingest pair both flip
+    // the compare.
+    "q_dedup_incremental_del" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val retired = col("doc_id") % 7 === 3 // applies to the OLD corpus
+      val sigsLive = lshIngestState(s, dir).filter(!(col("doc_id") % 7 === 3))
+      val survivors = lshIngestPairs(s, dir)
+        .filter(!(col("da") % 7 === 3) && !(col("db") % 7 === 3))
+      val nb = bandSignatures(docs.filter(ingestIsNew)).localCheckpoint(true)
+      val vsOld = nb.as("n").join(sigsLive.as("o"),
+          col("n.band") === col("o.band") && col("n.sig") === col("o.sig"))
+        .select(least(col("n.doc_id"), col("o.doc_id")).as("da"),
+          greatest(col("n.doc_id"), col("o.doc_id")).as("db"))
+      val vsNew = nb.as("x").join(nb.as("y"),
+          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      val cand = vsOld.union(vsNew).distinct().localCheckpoint(true)
+      val candDocs = cand.select(col("da").as("doc_id"))
+        .union(cand.select(col("db").as("doc_id"))).distinct()
+      val sh = shingles(docs.join(candDocs, Seq("doc_id"), "left_semi"))
+        .localCheckpoint(true)
+      val newPairs = jaccardPairs(sh, lshThreshold, Some(cand), preMaterialized = true)
+      survivors.unionByName(newPairs).orderBy("da", "db")
     }),
 
     // Exact n-gram Jaccard similarity (the LSH verify stage standalone),
@@ -393,6 +457,16 @@ object Dedup extends QueryModule {
          WHERE CAST(c AS DOUBLE)/(sa.n+sb.n-c) >= $lshThreshold
            AND (da % 5 = 4 OR db % 5 = 4)
          ORDER BY da, db""",
+    // Exact-Jaccard recompute over the v2 corpus (old survivors + the
+    // ingest batch) — no side restriction: the FULL maintained pair set.
+    "q_dedup_incremental_del" ->
+      ("WITH " +
+        shingleCtes("documents WHERE doc_id % 5 = 4 OR doc_id % 7 <> 3") +
+        s"""
+         SELECT da, db, ROUND(CAST(c AS DOUBLE)/(sa.n+sb.n-c), 4) AS jaccard
+         FROM iv JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+         WHERE CAST(c AS DOUBLE)/(sa.n+sb.n-c) >= $lshThreshold
+         ORDER BY da, db"""),
     // Same exact-Jaccard pair graph, then min-label components via a
     // recursive reachability CTE (the SQL spelling of label propagation).
     "q_dedup_cluster" ->
