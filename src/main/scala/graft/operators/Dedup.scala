@@ -191,7 +191,10 @@ object Dedup extends QueryModule {
   private val lshPairsStateCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def lshIngestPairs(s: SparkSession, dir: String): DataFrame = {
     val p = lshPairsStateCache.computeIfAbsent(dir, _ => {
-      val path = s"${sys.props("java.io.tmpdir")}/graft_lshpairs_" +
+      // prefix must differ from minhashPairsCached's graft_lshpairs_*:
+      // the two caches sharing one path silently served the 80%-corpus
+      // pair set to q_dedup_cluster in the first full r9 verify
+      val path = s"${sys.props("java.io.tmpdir")}/graft_lshingestpairs_" +
         java.lang.ProcessHandle.current().pid() + "_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
       val sigs = lshIngestState(s, dir)
