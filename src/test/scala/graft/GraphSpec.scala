@@ -405,6 +405,13 @@ class GraphSpec extends SparkSpec {
     val incBsp = toMap(GraphOps.incrementalConnectedComponentsDelete(
       spark, sym(newE), prev, sym(ins), sym(del), driverSolveLimit = 0L))
     assert(incBsp == full, "BSP path diverges")
+    // pure-delete diff (empty insert side → empty glue graph): the split
+    // and the vanish must still land without the contracted merge pass
+    val newE2 = Seq((1L, 2L), (3L, 4L), (20L, 21L))
+    val incDelOnly = toMap(GraphOps.incrementalConnectedComponentsDelete(
+      spark, sym(newE2), prev, sym(Seq.empty[(Long, Long)]), sym(del)))
+    val fullDelOnly = toMap(GraphOps.connectedComponents(spark, sym(newE2)))
+    assert(incDelOnly == fullDelOnly, "pure-delete diff diverges")
   }
 
   test("incrementalBfsLevels(state, delta) == full BFS on the merged graph") {
