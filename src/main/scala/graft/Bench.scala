@@ -288,7 +288,15 @@ object Bench {
         "builder billed to its own named cache_build line), so each published " +
         "time measures the MAINTENANCE STEP itself: snapshot-diff recovery + " +
         "delta-scoped relaxation/replay + readout. q_dedup_incremental " +
-        "similarly reads its persisted band-signature state")
+        "similarly reads its persisted band-signature state"),
+      "incremental_del_family" -> ("the *_incremental_del maintainers are " +
+        "BARRIER-bound, not data-bound: the support-cascade waves pay one " +
+        "barrier per cascade level (~25 levels on this fixture) with " +
+        "frontier-sized work each, so at sf0.1 they can cost MORE than the " +
+        "full recompute (q_graph_dag_layers_incremental_del ~11s vs ~4s " +
+        "full) - the crossover favors maintenance when |E| dwarfs " +
+        "cascade*diameter, i.e. exactly at the 100TB scale these exist " +
+        "for; per-wave work never scales with the base graph")
     ).map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     // Which queries read each prewarmed cache (r7 ADVICE: a cache-served
     // query's per-query time is a parquet readback; its operator cost
