@@ -103,14 +103,28 @@ object Bench {
     // Previous-round per-query times (BENCH_FULL.json, written by the
     // prior full run): the reference for the >1.5x re-sample policy below.
     // Absent/corrupt file → empty map (first round, or a fresh checkout).
+    // The baseline is only valid at the SAME scale factor — an sf1 run
+    // compared against sf0.1 priors flags every query "regressed" and
+    // triples the suite (observed on the first sf1 refresh) — and the
+    // read mirrors the writer's repo-then-cwd fallback so the feature
+    // isn't silently inert on a non-/root/repo checkout.
     val prior: Map[String, Double] = try {
-      val p = java.nio.file.Paths.get("/root/repo/BENCH_FULL.json")
+      val repo = java.nio.file.Paths.get("/root/repo/BENCH_FULL.json")
+      val p = if (java.nio.file.Files.isRegularFile(repo)) repo
+        else java.nio.file.Paths.get("BENCH_FULL.json")
       if (!java.nio.file.Files.isRegularFile(p)) Map.empty
       else {
-        val node = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(java.nio.file.Files.readString(p)).get("queries")
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(p))
+        val sfNode = root.get("sf")
+        val node = root.get("queries")
         if (node == null) Map.empty
-        else {
+        else if (sfNode == null || sfNode.asText() != sfDir) {
+          System.err.println(s"[bench] prior BENCH_FULL is for sf " +
+            s"'${Option(sfNode).map(_.asText()).getOrElse("?")}', this run is " +
+            s"'$sfDir' - regression re-sampling disabled")
+          Map.empty
+        } else {
           val b = Map.newBuilder[String, Double]
           node.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asDouble())
           b.result()

@@ -43,26 +43,32 @@ object EventAnalytics extends QueryModule {
   private[graft] val EwmaMaxEventsPerKey: Long = 1000000L
 
   /** The guarded per-user EWMA fold — extracted so the spec can drive the
-    * guard with a hot-key frame. Input: (user_id, ts, event_id, value). */
+    * guard with a hot-key frame. Input: (user_id, ts, event_id, value).
+    * The guard fires in the PRE-aggregation projection (per-key counts
+    * joined back, raise_error on the row scan) so a hot key fails before
+    * collect_list ever materializes its array — a post-collect size check
+    * only protects the narrow band where the array still fit. The count
+    * pass shares the fold's user_id partitioning, so it adds one cheap
+    * agg, not a second wide shuffle. */
   private[graft] def ewmaGuarded(df: DataFrame, maxPerKey: Long): DataFrame = {
-    val cents = floor(col("value") * 100 + 0.5).cast("long")
-    df.select(col("user_id"),
-        struct(col("ts"), col("event_id"), cents.as("cents")).as("rec"))
+    val counts = df.groupBy("user_id").agg(count(lit(1)).as("_n"))
+    df.join(counts, Seq("user_id"))
+      .withColumn("cents", expr(s"""IF(_n <= ${maxPerKey}L,
+          CAST(floor(value * 100 + 0.5) AS BIGINT),
+          raise_error(concat('q_ts_ewma: user ', CAST(user_id AS STRING),
+            ' has ', CAST(_n AS STRING),
+            ' events - exceeds the per-key collect guard ${maxPerKey}')))"""))
+      .select(col("user_id"),
+        struct(col("ts"), col("event_id"), col("cents")).as("rec"))
       .groupBy("user_id")
       .agg(sort_array(collect_list(col("rec"))).as("recs"))
       .select(col("user_id"),
         size(col("recs")).cast("long").as("n_events"),
-        expr(s"""IF(size(recs) <= ${maxPerKey}L,
-                 aggregate(transform(recs, r -> r.cents),
-                   named_struct('started', false, 'acc', CAST(0 AS BIGINT)),
-                   (a, x) -> named_struct('started', true,
-                     'acc', IF(a.started, (x + a.acc) div 2, x)),
-                   a -> a.acc),
-                 raise_error(concat('q_ts_ewma: user ',
-                   CAST(user_id AS STRING), ' has ',
-                   CAST(size(recs) AS STRING),
-                   ' events - exceeds the per-key collect guard ',
-                   '${maxPerKey}')))""").as("ewma_cents"))
+        expr("""aggregate(transform(recs, r -> r.cents),
+                 named_struct('started', false, 'acc', CAST(0 AS BIGINT)),
+                 (a, x) -> named_struct('started', true,
+                   'acc', IF(a.started, (x + a.acc) div 2, x)),
+                 a -> a.acc)""").as("ewma_cents"))
       .orderBy("user_id")
   }
 
@@ -259,8 +265,8 @@ object EventAnalytics extends QueryModule {
     // For an UNBOUNDED per-key series the same fold moves to
     // mapGroupsWithState (q_stream_stateful's shape); for bounded series
     // (sessions, user histories) the array fold is the cheaper plan — a
-    // hot key past [[EwmaMaxEventsPerKey]] fails LOUDLY (raise_error in
-    // the fold branch), not by executor OOM.
+    // hot key past [[EwmaMaxEventsPerKey]] fails LOUDLY on the row scan
+    // (pre-collect raise_error), not by executor OOM mid-collect.
     "q_ts_ewma" -> ((s, dir) =>
       ewmaGuarded(t(s, dir, "events"), EwmaMaxEventsPerKey)),
 

@@ -1834,22 +1834,36 @@ object GraphQueries extends QueryModule {
            LEFT JOIN $in p ON p.v = $e.src
            LEFT JOIN $deg dg ON dg.v = $e.src
            GROUP BY t.v)"""
+    // vertex CTEs named vs1/vs2 — a prelude may define an EDGE CTE "v2"
+    // (the shared bfsDelV2Sql does), and DuckDB rejects duplicate names
     val cold = (1 to 10).map(i =>
-      step(s"p$i", s"p${i - 1}", "e1", "v1", "d1")).mkString(",\n")
+      step(s"p$i", s"p${i - 1}", "e1", "vs1", "d1")).mkString(",\n")
     val warm = (1 to 3).map(i =>
-      step(s"w$i", s"w${i - 1}", "e2", "v2", "d2")).mkString(",\n")
+      step(s"w$i", s"w${i - 1}", "e2", "vs2", "d2")).mkString(",\n")
     s"""WITH $prelude,
-        v1 AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e1 UNION ALL SELECT dst FROM e1)),
+        vs1 AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e1 UNION ALL SELECT dst FROM e1)),
         d1 AS (SELECT src AS v, COUNT(*) AS d FROM e1 GROUP BY src),
-        p0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS pr FROM v1),
+        p0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS pr FROM vs1),
         $cold,
-        v2 AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e2 UNION ALL SELECT dst FROM e2)),
+        vs2 AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e2 UNION ALL SELECT dst FROM e2)),
         d2 AS (SELECT src AS v, COUNT(*) AS d FROM e2 GROUP BY src),
-        w0 AS (SELECT v2.v, COALESCE(p10.pr, CAST(1.0 AS DOUBLE)) AS pr
-               FROM v2 LEFT JOIN p10 ON p10.v = v2.v),
+        w0 AS (SELECT vs2.v, COALESCE(p10.pr, CAST(1.0 AS DOUBLE)) AS pr
+               FROM vs2 LEFT JOIN p10 ON p10.v = vs2.v),
         $warm
         SELECT v, ROUND(pr, 6) AS pr FROM w3 ORDER BY v"""
   }
+
+  /** The bfsdel fixture's v2 edge algebra (ring minus the src%13==5 band
+    * + the two shortcut inserts) as the DuckDB CTE pair `e0, v2` —
+    * single-sourced across the five delete-fixture oracles so a tweak to
+    * [[bfsDelV2]] changes exactly one SQL constant. */
+  private lazy val bfsDelV2Sql: String =
+    s"""e0 AS MATERIALIZED ($prRingESql),
+       v2 AS MATERIALIZED (SELECT src, dst FROM e0 WHERE src % 13 <> 5
+         UNION ALL SELECT CAST(1 AS BIGINT),
+           CAST(2*(SELECT COUNT(*) FROM customer)//3 AS BIGINT)
+         UNION ALL SELECT CAST(2 AS BIGINT),
+           CAST((SELECT COUNT(*) FROM customer)//3 AS BIGINT))"""
 
   /** The fixed LCG priority both symmetry-breaking oracles replay. */
   private def lcgPriSql(x: String) = s"(($x * 1103515245 + 12345) % 2147483648)"
@@ -2017,20 +2031,7 @@ object GraphQueries extends QueryModule {
     // the two shortcut inserts added — a maintainer that kept a stale
     // level, missed a raise, or emitted a disconnected vertex fails.
     "q_graph_bfs_incremental_del" ->
-      """WITH RECURSIVE e0 AS (
-           SELECT CAST(c_custkey AS BIGINT) AS src,
-             CAST((c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS BIGINT) AS dst
-           FROM customer
-           UNION ALL SELECT c_custkey,
-             (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer
-           UNION ALL SELECT c_custkey,
-             (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer),
-         v2 AS MATERIALIZED (
-           SELECT src, dst FROM e0 WHERE src % 13 <> 5
-           UNION ALL SELECT CAST(1 AS BIGINT),
-             CAST(2*(SELECT COUNT(*) FROM customer)//3 AS BIGINT)
-           UNION ALL SELECT CAST(2 AS BIGINT),
-             CAST((SELECT COUNT(*) FROM customer)//3 AS BIGINT)),
+      s"""WITH RECURSIVE $bfsDelV2Sql,
          walk(v, lvl) AS (
            SELECT CAST(0 AS BIGINT), 0
            UNION
@@ -2176,13 +2177,9 @@ object GraphQueries extends QueryModule {
     // same 10-cold-then-3-warm recurrence: e1 = the full ring (the stored
     // ranks), e2 = the delete-bearing v2 algebra.
     "q_graph_pagerank_incremental_del" -> warmStartPrOracle(
-      s"""e0 AS ($prRingESql),
+      s"""$bfsDelV2Sql,
           e1 AS (SELECT src, dst FROM e0),
-          e2 AS (SELECT src, dst FROM e0 WHERE src % 13 <> 5
-            UNION ALL SELECT CAST(1 AS BIGINT),
-              CAST(2*(SELECT COUNT(*) FROM customer)//3 AS BIGINT)
-            UNION ALL SELECT CAST(2 AS BIGINT),
-              CAST((SELECT COUNT(*) FROM customer)//3 AS BIGINT))"""),
+          e2 AS (SELECT src, dst FROM v2)"""),
     "q_graph_pagerank_weighted" -> {
       // Same unrolled recurrence as q_graph_pagerank with weighted mass:
       // contribution = pr·w/Σw(src); every literal cast to DOUBLE so
@@ -2249,19 +2246,7 @@ object GraphQueries extends QueryModule {
          SELECT v, CAST(MAX(d) AS BIGINT) AS layer FROM walk GROUP BY v ORDER BY v""",
     // The v2 algebra's increasing-id DAG re-layered from scratch.
     "q_graph_dag_layers_incremental_del" ->
-      """WITH RECURSIVE e0 AS (
-           SELECT CAST(c_custkey AS BIGINT) AS src,
-             CAST((c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS BIGINT) AS dst
-           FROM customer
-           UNION ALL SELECT c_custkey,
-             (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer
-           UNION ALL SELECT c_custkey,
-             (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer),
-         v2 AS (SELECT src, dst FROM e0 WHERE src % 13 <> 5
-           UNION ALL SELECT CAST(1 AS BIGINT),
-             CAST(2*(SELECT COUNT(*) FROM customer)//3 AS BIGINT)
-           UNION ALL SELECT CAST(2 AS BIGINT),
-             CAST((SELECT COUNT(*) FROM customer)//3 AS BIGINT)),
+      s"""WITH RECURSIVE $bfsDelV2Sql,
          e AS (SELECT src, dst FROM v2 WHERE src < dst),
          walk(v, d) AS (
            SELECT DISTINCT src, 0 FROM e WHERE src NOT IN (SELECT dst FROM e)
@@ -2424,19 +2409,7 @@ object GraphQueries extends QueryModule {
     // v2's triangles counted from scratch — the maintainer's two-sided
     // (+ins / −del) counter algebra must land on the same number.
     "q_graph_triangles_incremental_del" ->
-      """WITH e0 AS (
-           SELECT CAST(c_custkey AS BIGINT) AS src,
-             CAST((c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS BIGINT) AS dst
-           FROM customer
-           UNION ALL SELECT c_custkey,
-             (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer
-           UNION ALL SELECT c_custkey,
-             (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer),
-         v2 AS (SELECT src, dst FROM e0 WHERE src % 13 <> 5
-           UNION ALL SELECT CAST(1 AS BIGINT),
-             CAST(2*(SELECT COUNT(*) FROM customer)//3 AS BIGINT)
-           UNION ALL SELECT CAST(2 AS BIGINT),
-             CAST((SELECT COUNT(*) FROM customer)//3 AS BIGINT)),
+      s"""WITH $bfsDelV2Sql,
          und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
                  FROM v2 WHERE src <> dst)
          SELECT COUNT(*) AS n_triangles
@@ -2557,19 +2530,7 @@ object GraphQueries extends QueryModule {
     // The v2 edge algebra's weighted walk from scratch (max true dist 33
     // at sf0.1 — the ≤ 60 cap has headroom even with the delete raises).
     "q_graph_sssp_incremental_del" ->
-      """WITH RECURSIVE e0 AS (
-           SELECT CAST(c_custkey AS BIGINT) AS src,
-             CAST((c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS BIGINT) AS dst
-           FROM customer
-           UNION ALL SELECT c_custkey,
-             (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer
-           UNION ALL SELECT c_custkey,
-             (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer),
-         v2 AS (SELECT src, dst FROM e0 WHERE src % 13 <> 5
-           UNION ALL SELECT CAST(1 AS BIGINT),
-             CAST(2*(SELECT COUNT(*) FROM customer)//3 AS BIGINT)
-           UNION ALL SELECT CAST(2 AS BIGINT),
-             CAST((SELECT COUNT(*) FROM customer)//3 AS BIGINT)),
+      s"""WITH RECURSIVE $bfsDelV2Sql,
          we AS (SELECT src, dst, 1 + (src + dst) % 5 AS w FROM v2),
          walk(v, d) AS (
            SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)

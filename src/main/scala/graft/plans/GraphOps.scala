@@ -2125,6 +2125,60 @@ object GraphOps {
     out.select(col("v"), col("label").cast("int").as("level"))
   }
 
+  /** Shared delta-scoped SUPPORT CASCADE of the delete-bearing traversal
+    * maintainers (BFS levels / weighted SSSP / DAG layers — one
+    * tightness algebra: a parent p supports child v iff a surviving edge
+    * (p, v, w) satisfies lab(p) + w = lab(v), with w ≡ 1 for the
+    * unweighted/unit-step members; min-vs-max direction only matters to
+    * the RE-relaxation, not to which stored labels the deletes
+    * invalidate). Wave 0 = heads of deleted edges left with no tight
+    * parent outside the unsettled set; wave i+1 = tight children of wave
+    * i failing the same check (a child wrongly kept by a not-yet-fallen
+    * parent is re-examined the wave that parent falls). Per-wave work is
+    * frontier-sized; waves are bounded by `maxIter`, loudly. Inputs:
+    * `e`/`del` as (src, dst, w) LONGs, `pv` as (v, lab) LONGs. Returns
+    * the unsettled vertex set (v), checkpointed. */
+  private def supportCascade(spark: SparkSession, e: DataFrame, pv: DataFrame,
+      del: DataFrame, maxIter: Int, opName: String): DataFrame = {
+    import spark.implicits._
+    val emptyU = Seq.empty[(Long, Long)].toDF("v", "lab")
+    var uFrames = List.empty[DataFrame]
+    def unsettledAll: DataFrame = (emptyU :: uFrames).reduce(_ union _)
+    def dropSupported(cand: DataFrame, unsettled: DataFrame): DataFrame = {
+      val supported = cand
+        .join(e.select(col("src").as("p"), col("dst").as("v"),
+          col("w").as("pw")), Seq("v"))
+        .join(pv.select(col("v").as("p"), col("lab").as("pl")), Seq("p"))
+        .filter(col("pl") + col("pw") === col("lab"))
+        .join(unsettled.select(col("v").as("p")), Seq("p"), "left_anti")
+        .select("v").distinct()
+      cand.join(supported, Seq("v"), "left_anti")
+    }
+    val cand0 = del
+      .join(pv.select(col("v").as("src"), col("lab").as("ul")), Seq("src"))
+      .join(pv.select(col("v").as("dst"), col("lab").as("wl")), Seq("dst"))
+      .filter(col("wl") === col("ul") + col("w"))
+      .select(col("dst").as("v"), col("wl").as("lab")).distinct()
+    var frontier = dropSupported(cand0, emptyU).localCheckpoint(true)
+    var n = frontier.count()
+    var waves = 0
+    while (n > 0 && waves < maxIter) {
+      waves += 1
+      uFrames ::= frontier
+      val cand = e
+        .join(frontier.select(col("v").as("src"), col("lab").as("fl")), Seq("src"))
+        .join(pv.select(col("v").as("dst"), col("lab").as("xl")), Seq("dst"))
+        .filter(col("xl") === col("fl") + col("w"))
+        .select(col("dst").as("v"), col("xl").as("lab")).distinct()
+        .join(unsettledAll.select("v"), Seq("v"), "left_anti")
+      frontier = dropSupported(cand, unsettledAll).localCheckpoint(true)
+      n = frontier.count()
+    }
+    require(n == 0,
+      s"$opName: unsettled cascade still live after $maxIter waves — raise maxIter")
+    unsettledAll.select("v").localCheckpoint(true)
+  }
+
   /** DELETION-aware incremental BFS-level maintenance — the traversal
     * member of the delete-bearing family (with
     * [[incrementalConnectedComponentsDelete]]): deleting an edge can
@@ -2149,53 +2203,16 @@ object GraphOps {
   def incrementalBfsLevelsDelete(spark: SparkSession, newEdges: DataFrame,
       prevLevels: DataFrame, inserted: DataFrame, deleted: DataFrame,
       maxIter: Int = 50): DataFrame = {
-    import spark.implicits._
     val e = newEdges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).localCheckpoint(true)
     val pv = prevLevels.select(col("v").cast("long").as("v"),
       col("level").cast("int").as("level")).localCheckpoint(true)
-    val del = deleted.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"))
-    val emptyU = Seq.empty[(Long, Int)].toDF("v", "level")
-    var uFrames = List.empty[DataFrame]
-    def unsettledAll: DataFrame = (emptyU :: uFrames).reduce(_ union _)
-    // cand rows (v, level) that keep NO supporter outside the unsettled
-    // set: a supporter is a surviving edge (p, v) with stored
-    // level(p) = level(v) − 1 (deleted edges are absent from `e`, so
-    // they can never support)
-    def dropSupported(cand: DataFrame, unsettled: DataFrame): DataFrame = {
-      val supported = cand
-        .join(e.select(col("src").as("p"), col("dst").as("v")), Seq("v"))
-        .join(pv.select(col("v").as("p"), col("level").as("pl")), Seq("p"))
-        .filter(col("pl") === col("level") - 1)
-        .join(unsettled.select(col("v").as("p")), Seq("p"), "left_anti")
-        .select("v").distinct()
-      cand.join(supported, Seq("v"), "left_anti")
-    }
-    val cand0 = del
-      .join(pv.select(col("v").as("src"), col("level").as("ul")), Seq("src"))
-      .join(pv.select(col("v").as("dst"), col("level").as("wl")), Seq("dst"))
-      .filter(col("wl") === col("ul") + 1)
-      .select(col("dst").as("v"), col("wl").as("level")).distinct()
-    var frontier = dropSupported(cand0, emptyU).localCheckpoint(true)
-    var n = frontier.count()
-    var waves = 0
-    while (n > 0 && waves < maxIter) {
-      waves += 1
-      uFrames ::= frontier
-      // support-children of the newly-unsettled frontier, not yet marked
-      val cand = e
-        .join(frontier.select(col("v").as("src"), col("level").as("fl")), Seq("src"))
-        .join(pv.select(col("v").as("dst"), col("level").as("xl")), Seq("dst"))
-        .filter(col("xl") === col("fl") + 1)
-        .select(col("dst").as("v"), col("xl").as("level")).distinct()
-        .join(unsettledAll.select("v"), Seq("v"), "left_anti")
-      frontier = dropSupported(cand, unsettledAll).localCheckpoint(true)
-      n = frontier.count()
-    }
-    require(n == 0,
-      s"unsettled cascade still live after $maxIter waves — raise maxIter")
-    val unsettled = unsettledAll.select("v").localCheckpoint(true)
+    val unsettled = supportCascade(spark,
+      e.withColumn("w", lit(1L)),
+      pv.select(col("v"), col("level").cast("long").as("lab")),
+      deleted.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), lit(1L).as("w")),
+      maxIter, "incrementalBfsLevelsDelete")
     val state0 = pv.join(unsettled, Seq("v"), "left_anti")
       .select(col("v"), col("level").cast("int").as("label"))
       .localCheckpoint(true)
@@ -2305,43 +2322,12 @@ object GraphOps {
       col("dst").cast("long").as("dst")).localCheckpoint(true)
     val pv = prevLayers.select(col("v").cast("long").as("v"),
       col("layer").cast("long").as("layer")).localCheckpoint(true)
-    val del = deleted.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"))
-    val emptyU = Seq.empty[(Long, Long)].toDF("v", "layer")
-    var uFrames = List.empty[DataFrame]
-    def unsettledAll: DataFrame = (emptyU :: uFrames).reduce(_ union _)
-    def dropSupported(cand: DataFrame, unsettled: DataFrame): DataFrame = {
-      val supported = cand
-        .join(e.select(col("src").as("p"), col("dst").as("v")), Seq("v"))
-        .join(pv.select(col("v").as("p"), col("layer").as("pl")), Seq("p"))
-        .filter(col("pl") + 1 === col("layer"))
-        .join(unsettled.select(col("v").as("p")), Seq("p"), "left_anti")
-        .select("v").distinct()
-      cand.join(supported, Seq("v"), "left_anti")
-    }
-    val cand0 = del
-      .join(pv.select(col("v").as("src"), col("layer").as("ul")), Seq("src"))
-      .join(pv.select(col("v").as("dst"), col("layer").as("wl")), Seq("dst"))
-      .filter(col("wl") === col("ul") + 1)
-      .select(col("dst").as("v"), col("wl").as("layer")).distinct()
-    var frontier = dropSupported(cand0, emptyU).localCheckpoint(true)
-    var n = frontier.count()
-    var waves = 0
-    while (n > 0 && waves < maxIter) {
-      waves += 1
-      uFrames ::= frontier
-      val cand = e
-        .join(frontier.select(col("v").as("src"), col("layer").as("fl")), Seq("src"))
-        .join(pv.select(col("v").as("dst"), col("layer").as("xl")), Seq("dst"))
-        .filter(col("xl") === col("fl") + 1)
-        .select(col("dst").as("v"), col("xl").as("layer")).distinct()
-        .join(unsettledAll.select("v"), Seq("v"), "left_anti")
-      frontier = dropSupported(cand, unsettledAll).localCheckpoint(true)
-      n = frontier.count()
-    }
-    require(n == 0,
-      s"unsettled cascade still live after $maxIter waves — raise maxIter")
-    val unsettled = unsettledAll.select("v").localCheckpoint(true)
+    val unsettled = supportCascade(spark,
+      e.withColumn("w", lit(1L)),
+      pv.select(col("v"), col("layer").as("lab")),
+      deleted.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), lit(1L).as("w")),
+      maxIter, "incrementalDagLayersDelete")
     val state0 = pv.join(unsettled, Seq("v"), "left_anti")
       .select(col("v"), col("layer").as("label")).localCheckpoint(true)
     // (a) settled parents propose into the unsettled region
@@ -2440,49 +2426,24 @@ object GraphOps {
     val e = newEdges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
       .localCheckpoint(true)
+    // The support-chain argument REQUIRES strictly positive weights: a
+    // zero-weight cycle lets two equal-dist vertices mutually "support"
+    // each other, so the wave cascade would never unsettle them and the
+    // result silently keeps stale distances. Gate loudly (the
+    // requireLcgPriorityDomain discipline); the one agg rides the
+    // checkpoint just materialized.
+    val minW = e.agg(min("w")).collect()(0)
+    require(minW.isNullAt(0) || minW.getLong(0) > 0L,
+      s"incrementalSsspDelete requires strictly positive weights " +
+        s"(min = ${minW.getLong(0)}) - the tight-parent support cascade " +
+        "is unsound under zero-weight cycles")
     val pv = prevDist.select(col("v").cast("long").as("v"),
       col("dist").cast("long").as("dist")).localCheckpoint(true)
-    val del = deleted.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
-    val emptyU = Seq.empty[(Long, Long)].toDF("v", "dist")
-    var uFrames = List.empty[DataFrame]
-    def unsettledAll: DataFrame = (emptyU :: uFrames).reduce(_ union _)
-    // cand rows (v, dist) that keep NO tight parent outside the unsettled
-    // set: a tight parent is a surviving edge (p, v, pw) with stored
-    // dist(p) + pw = dist(v)
-    def dropSupported(cand: DataFrame, unsettled: DataFrame): DataFrame = {
-      val supported = cand
-        .join(e.select(col("src").as("p"), col("dst").as("v"),
-          col("w").as("pw")), Seq("v"))
-        .join(pv.select(col("v").as("p"), col("dist").as("pd")), Seq("p"))
-        .filter(col("pd") + col("pw") === col("dist"))
-        .join(unsettled.select(col("v").as("p")), Seq("p"), "left_anti")
-        .select("v").distinct()
-      cand.join(supported, Seq("v"), "left_anti")
-    }
-    val cand0 = del
-      .join(pv.select(col("v").as("src"), col("dist").as("ud")), Seq("src"))
-      .join(pv.select(col("v").as("dst"), col("dist").as("wd")), Seq("dst"))
-      .filter(col("wd") === col("ud") + col("w"))
-      .select(col("dst").as("v"), col("wd").as("dist")).distinct()
-    var frontier = dropSupported(cand0, emptyU).localCheckpoint(true)
-    var n = frontier.count()
-    var waves = 0
-    while (n > 0 && waves < maxIter) {
-      waves += 1
-      uFrames ::= frontier
-      val cand = e
-        .join(frontier.select(col("v").as("src"), col("dist").as("fd")), Seq("src"))
-        .join(pv.select(col("v").as("dst"), col("dist").as("xd")), Seq("dst"))
-        .filter(col("xd") === col("fd") + col("w"))
-        .select(col("dst").as("v"), col("xd").as("dist")).distinct()
-        .join(unsettledAll.select("v"), Seq("v"), "left_anti")
-      frontier = dropSupported(cand, unsettledAll).localCheckpoint(true)
-      n = frontier.count()
-    }
-    require(n == 0,
-      s"unsettled cascade still live after $maxIter waves — raise maxIter")
-    val unsettled = unsettledAll.select("v").localCheckpoint(true)
+    val unsettled = supportCascade(spark, e,
+      pv.select(col("v"), col("dist").as("lab")),
+      deleted.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w")),
+      maxIter, "incrementalSsspDelete")
     val state0 = pv.join(unsettled, Seq("v"), "left_anti")
       .select(col("v"), col("dist").as("label")).localCheckpoint(true)
     val seedBoundary = e
