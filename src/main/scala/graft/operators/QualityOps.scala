@@ -336,6 +336,59 @@ object QualityOps extends QueryModule {
         .orderBy("o_orderpriority")
     }),
 
+    // RETRACTION-aware aggregate-state maintenance — the delete twin of
+    // q_agg_incremental, and an honest statement of which states
+    // subtract: count and sum retract EXACTLY (state − delta-state);
+    // min/max are NOT subtractable — a group whose stored extreme was
+    // deleted re-scans ONLY its survivors (the per-group affected test
+    // is d_min ≤ stored_min / d_max ≥ stored_max, a 5-row frame), while
+    // untouched groups reuse their stored extremes verbatim. The fixture
+    // deletes a ~1% keyed batch PLUS every row holding 1-URGENT's max
+    // cents, so the max-recompute path provably fires while other groups
+    // exercise the reuse path. (Sketch states — KMV/HLL/bitmap — do NOT
+    // retract at all; a delete there forces a rebuild, documented as the
+    // family's loud contract.) The oracle aggregates the survivors from
+    // scratch: a stale extreme or a wrong subtraction flips the compare.
+    "q_agg_incremental_del" -> ((s, dir) => {
+      val centsE = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      val orders = Tables.raw(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), centsE.as("cents"))
+        .localCheckpoint(true)
+      // stored full-table state (what a pipeline keeps between batches)
+      val state = orders.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"),
+          min("cents").as("min_cents"), max("cents").as("max_cents"))
+        .localCheckpoint(true)
+      val urgentMax = state.filter(col("o_orderpriority") === "1-URGENT")
+        .select("max_cents").collect()(0).getLong(0) // 1-row driver read
+      val isDel = col("o_orderkey") % 101 === 7 ||
+        (col("o_orderpriority") === "1-URGENT" && col("cents") === urgentMax)
+      val delState = orders.filter(isDel).groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("d_n"), sum("cents").as("d_sum"),
+          min("cents").as("d_min"), max("cents").as("d_max"))
+      val merged = state.join(delState, Seq("o_orderpriority"), "left")
+        .select(col("o_orderpriority"),
+          (col("n_rows") - coalesce(col("d_n"), lit(0L))).as("n_rows"),
+          (col("sum_cents") - coalesce(col("d_sum"), lit(0L))).as("sum_cents"),
+          col("min_cents"), col("max_cents"),
+          (coalesce(col("d_min"), lit(Long.MaxValue)) <= col("min_cents")).as("min_hit"),
+          (coalesce(col("d_max"), lit(Long.MinValue)) >= col("max_cents")).as("max_hit"))
+        .localCheckpoint(true)
+      // scoped re-scan: survivors of AFFECTED groups only
+      val affected = merged.filter(col("min_hit") || col("max_hit"))
+        .select("o_orderpriority")
+      val rescan = orders.filter(!isDel)
+        .join(affected, Seq("o_orderpriority"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(min("cents").as("r_min"), max("cents").as("r_max"))
+      merged.join(rescan, Seq("o_orderpriority"), "left")
+        .select(col("o_orderpriority"), col("n_rows"), col("sum_cents"),
+          when(col("min_hit"), col("r_min")).otherwise(col("min_cents")).as("min_cents"),
+          when(col("max_hit"), col("r_max")).otherwise(col("max_cents")).as("max_cents"))
+        .withColumn("avg_e4", expr("(sum_cents * 100) div n_rows"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Referential-integrity audit: orphan foreign keys across the star
     // schema (lineitem→orders, orders→customer, events→customer), each an
     // anti join on the key — the constraint check a lakehouse runs because
@@ -497,6 +550,22 @@ object QualityOps extends QueryModule {
          CAST((CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) * 100)
            // COUNT(*) AS BIGINT) AS avg_e4
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // Survivors aggregated from scratch: the fixture's delete batch (the
+    // %101 keyed slice plus every row at 1-URGENT's max cents) applied
+    // directly — a stale extreme or wrong subtraction flips the compare.
+    "q_agg_incremental_del" ->
+      """WITH o AS (SELECT o_orderpriority, o_orderkey,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+         um AS (SELECT MAX(cents) AS m FROM o WHERE o_orderpriority = '1-URGENT'),
+         surv AS (SELECT * FROM o WHERE NOT (o_orderkey % 101 = 7
+           OR (o_orderpriority = '1-URGENT' AND cents = (SELECT m FROM um))))
+         SELECT o_orderpriority, COUNT(*) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents,
+           CAST((CAST(SUM(cents) AS BIGINT) * 100) // COUNT(*) AS BIGINT) AS avg_e4
+         FROM surv GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     // NOT EXISTS, not NOT IN: a NULL foreign key must COUNT as an orphan
     // row (Spark's left_anti never matches NULL), whereas NOT IN evaluates
     // to NULL for it and would silently drop the exact bad-load row the
