@@ -9,6 +9,16 @@ import org.apache.spark.sql.SparkSession
   * runs (a bare `.count()` lets Catalyst prune every projection).
   */
 object Bench {
+  /** Repo root for baseline reads/writes: the working directory when it
+    * IS a checkout (sbt runs from the project root), else the canonical
+    * driver path — no longer a bare hardcoded absolute path that a
+    * different checkout location would silently mis-resolve (r9 ADVICE). */
+  private def repoRoot: java.nio.file.Path = {
+    val cwd = java.nio.file.Paths.get(".").toAbsolutePath.normalize
+    if (java.nio.file.Files.isRegularFile(cwd.resolve("build.sbt"))) cwd
+    else java.nio.file.Paths.get("/root/repo")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -100,38 +110,49 @@ object Bench {
     val cacheBuildSec = cacheTimes.map(_._2).filter(_ >= 0).sum
     // Optional subset filter for local iteration: SPARK_GRAFT_ONLY=regex.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
-    // Previous-round per-query times (BENCH_FULL.json, written by the
-    // prior full run): the reference for the >1.5x re-sample policy below.
-    // Absent/corrupt file → empty map (first round, or a fresh checkout).
-    // The baseline is only valid at the SAME scale factor — an sf1 run
-    // compared against sf0.1 priors flags every query "regressed" and
-    // triples the suite (observed on the first sf1 refresh) — and the
-    // read mirrors the writer's repo-then-cwd fallback so the feature
-    // isn't silently inert on a non-/root/repo checkout.
+    // Previous-round per-query times: the reference for the >1.5x
+    // re-sample policy below. Preference order (r9 VERDICT #4 — the
+    // trigger must key on the LAST ROUND'S PUBLISHED artifact, not the
+    // builder's mid-round refresh, which is exactly how q_agg_stats's
+    // 1.58x escaped resampling in r9):
+    //   1. BENCH_BASELINE.json — an immutable round-start snapshot of the
+    //      prior round's committed BENCH_FULL, stamped with the git commit
+    //      it was taken from ("baseline_of_commit"); bench runs never
+    //      overwrite it, so mid-round refreshes cannot move the trigger.
+    //   2. BENCH_FULL.json — fallback for checkouts without a baseline.
+    // WHICH file served is published as `priors_from` (file + commit).
+    // Absent/corrupt file → empty map. The baseline is only valid at the
+    // SAME scale factor — an sf1 run compared against sf0.1 priors flags
+    // every query "regressed" and triples the suite (observed on the
+    // first sf1 refresh).
+    var priorsFrom: (String, String) = ("none", "none")
     val prior: Map[String, Double] = try {
-      val repo = java.nio.file.Paths.get("/root/repo/BENCH_FULL.json")
-      val p = if (java.nio.file.Files.isRegularFile(repo)) repo
-        else java.nio.file.Paths.get("BENCH_FULL.json")
-      if (!java.nio.file.Files.isRegularFile(p)) Map.empty
-      else {
-        val root = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(java.nio.file.Files.readString(p))
-        val sfNode = root.get("sf")
-        val node = root.get("queries")
-        if (node == null) Map.empty
-        else if (sfNode == null || sfNode.asText() != sfDir) {
-          System.err.println(s"[bench] prior BENCH_FULL is for sf " +
-            s"'${Option(sfNode).map(_.asText()).getOrElse("?")}', this run is " +
-            s"'$sfDir' - regression re-sampling disabled")
-          Map.empty
-        } else {
-          val b = Map.newBuilder[String, Double]
-          node.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asDouble())
-          b.result()
-        }
+      val cand = Seq("BENCH_BASELINE.json", "BENCH_FULL.json")
+        .map(repoRoot.resolve).find(java.nio.file.Files.isRegularFile(_))
+      cand match {
+        case None => Map.empty
+        case Some(p) =>
+          val root = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(java.nio.file.Files.readString(p))
+          val sfNode = root.get("sf")
+          val node = root.get("queries")
+          val commit = Option(root.get("baseline_of_commit"))
+            .map(_.asText()).getOrElse("uncommitted")
+          if (node == null) Map.empty
+          else if (sfNode == null || sfNode.asText() != sfDir) {
+            System.err.println(s"[bench] prior ${p.getFileName} is for sf " +
+              s"'${Option(sfNode).map(_.asText()).getOrElse("?")}', this run is " +
+              s"'$sfDir' - regression re-sampling disabled")
+            Map.empty
+          } else {
+            priorsFrom = (p.getFileName.toString, commit)
+            val b = Map.newBuilder[String, Double]
+            node.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asDouble())
+            b.result()
+          }
       }
     } catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] no prior BENCH_FULL baseline: $e"); Map.empty }
+      System.err.println(s"[bench] no prior bench baseline: $e"); Map.empty }
     // Host-noise probe: a FIXED in-memory computation (no disk, no plan
     // variety) timed at run start / middle / end. If the probe itself
     // drifts across the run, cross-run spreads on unchanged queries are
@@ -182,9 +203,39 @@ object Bench {
         System.gc()
       }
     }
+    // Per-query BARRIER counts (r9 VERDICT #7 — BSP round claims like
+    // spec-coloring's 5-vs-12 must be auditable from the artifact at any
+    // scale factor): each sample runs under a unique job group and the
+    // status tracker reports its job count and total stage count (stages
+    // ≈ shuffle rounds + result stages). Counted OUTSIDE the timed
+    // section. Caveat, stated rather than hidden: jobs launched from
+    // threads the bench didn't set the group on (Structured Streaming
+    // microbatch threads) don't inherit the group, so q_stream_* counts
+    // cover only driver-side jobs — a floor, not the full count.
+    var groupSeq = 0L
+    def barrierCounts(group: String): (Int, Int) = {
+      val st = spark.sparkContext.statusTracker
+      def snap(): (Int, Int) = {
+        val jobs = st.getJobIdsForGroup(group)
+        (jobs.length,
+          jobs.flatMap(j => st.getJobInfo(j).map(_.stageIds().length)).sum)
+      }
+      // the status store is fed by the async listener bus: poll until two
+      // reads 15 ms apart agree (typically the first pair), bounded
+      var c = snap(); var stable = false; var tries = 0
+      while (!stable && tries < 6) {
+        Thread.sleep(15)
+        val c2 = snap()
+        if (c2 == c) stable = true else { c = c2; tries += 1 }
+      }
+      c
+    }
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame):
-        (Double, Boolean, Long) = {
+        (Double, Boolean, Long, (Int, Int)) = {
       val gc0 = gcMs()
+      groupSeq += 1
+      val group = s"bench-$name-$groupSeq"
+      spark.sparkContext.setJobGroup(group, name, interruptOnCancel = false)
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -196,16 +247,22 @@ object Bench {
           false
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.clearJobGroup()
       val gc = gcMs() - gc0 // measured run only — the flush's System.gc
+      val bc = barrierCounts(group)
       flush()               // below is bench hygiene, not query cost
-      (sec, ok, gc)
+      (sec, ok, gc, bc)
     }
+    // zero the CDC phase accumulator so `cdc_phases` attributes exactly
+    // this run's microbatches (r9 ADVICE: a verify pass earlier in the
+    // same JVM would otherwise leak into the split)
+    graft.streaming.StreamingOps.CdcPhases.reset()
     val toRun = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
-    val firstPass: Seq[(String, List[Double], Boolean, Long)] =
+    val firstPass: Seq[(String, List[Double], Boolean, Long, (Int, Int))] =
       toRun.zipWithIndex.map { case ((name, fn), i) =>
       if (i == toRun.size / 2) probeMid = noiseProbe()
-      val (t1, ok1, gc1) = once(name, fn)
+      val (t1, ok1, gc1, b1) = once(name, fn)
       // Queries under ~5 s are the ones JIT/first-plan/GC noise distorts
       // the most relative to their cost (the r4 driver run put a 12.8 s
       // outlier on a 1.6 s query) — re-measure once and report the min.
@@ -215,10 +272,11 @@ object Bench {
       // first measurement AND flips the query to failed — a fast-fail
       // must never masquerade as a speedup.
       if (ok1 && t1 < 5.0) {
-        val (t2, ok2, gc2) = once(name, fn)
-        if (ok2) (name, List(t1, t2), true, if (t2 < t1) gc2 else gc1)
-        else (name, List(t1), false, gc1)
-      } else (name, List(t1), ok1, gc1)
+        val (t2, ok2, gc2, b2) = once(name, fn)
+        if (ok2) (name, List(t1, t2), true,
+          if (t2 < t1) gc2 else gc1, if (t2 < t1) b2 else b1)
+        else (name, List(t1), false, gc1, b1)
+      } else (name, List(t1), ok1, gc1, b1)
     }
     // Targeted re-measure (r8 VERDICT #1 — the bench must be able to
     // PROVE a regression, not just report one):
@@ -238,19 +296,20 @@ object Bench {
       prior.get(name).exists(p => p > 0 && ss.min > p * 1.5)
     val resampled = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
     val tailSamples = scala.collection.mutable.LinkedHashMap.empty[String, List[Double]]
-    val results: Seq[(String, List[Double], Boolean, Long)] =
-      firstPass.map { case (name, ss0, ok0, gc0) =>
-      var ss = ss0; var ok = ok0; var gc = gc0
+    val results: Seq[(String, List[Double], Boolean, Long, (Int, Int))] =
+      firstPass.map { case (name, ss0, ok0, gc0, bc0) =>
+      var ss = ss0; var ok = ok0; var gc = gc0; var bc = bc0
       val wantTail = tailNames.contains(name)
       while (ok && ((wantTail && ss.size < 2) ||
           (ss.size < 3 && regressed(name, ss)))) {
-        val (t, okN, gcN) = once(name, byName(name))
-        if (okN) { if (t < ss.min) gc = gcN; ss = ss :+ t } else ok = false
+        val (t, okN, gcN, bcN) = once(name, byName(name))
+        if (okN) { if (t < ss.min) { gc = gcN; bc = bcN }; ss = ss :+ t }
+        else ok = false
       }
       if (wantTail) tailSamples(name) = ss
       if (ss.size > ss0.size && prior.contains(name) &&
           (regressed(name, ss0) || regressed(name, ss))) resampled(name) = ss
-      (name, ss, ok, gc)
+      (name, ss, ok, gc, bc)
     }
     def median(ss: List[Double]): Double = {
       val s = ss.sorted
@@ -258,19 +317,24 @@ object Bench {
     }
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    def qmap(rs: Seq[(String, List[Double], Boolean, Long)]): String =
-      rs.map { case (k, ss, _, _) => "\"" + k + "\":" + fmt(ss.min) }.mkString("{", ",", "}")
+    def qmap(rs: Seq[(String, List[Double], Boolean, Long, (Int, Int))]): String =
+      rs.map { case (k, ss, _, _, _) => "\"" + k + "\":" + fmt(ss.min) }.mkString("{", ",", "}")
     val qmedian = results
-      .map { case (k, ss, _, _) => "\"" + k + "\":" + fmt(median(ss)) }
+      .map { case (k, ss, _, _, _) => "\"" + k + "\":" + fmt(median(ss)) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val failed = results.collect { case (k, _, false, _, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.map(_._2.min).sum
     val totalMedian = results.map(r => median(r._2)).sum
     // Environment attribution: per-query GC ms (for the run whose time is
     // reported), total GC, and the code-cache fill at end of run — a
     // saturated code cache after 120+ codegen'd plans disables further JIT
     // and was the prime suspect for r4's late-run slowdowns.
-    val gcmap = results.map { case (k, _, _, g) => "\"" + k + "\":" + g }.mkString("{", ",", "}")
+    val gcmap = results.map { case (k, _, _, g, _) => "\"" + k + "\":" + g }.mkString("{", ",", "}")
+    // barrier maps (jobs / stages of the published min-time sample)
+    val barrierJobs = results.map { case (k, _, _, _, (j, _)) =>
+      "\"" + k + "\":" + j }.mkString("{", ",", "}")
+    val barrierStages = results.map { case (k, _, _, _, (_, st)) =>
+      "\"" + k + "\":" + st }.mkString("{", ",", "}")
     def sampleArr(ss: List[Double]): String = ss.map(fmt).mkString("[", ",", "]")
     val tails = tailSamples.map { case (k, ss) =>
       "\"" + k + "\":" + sampleArr(ss) }.mkString("{", ",", "}")
@@ -289,7 +353,7 @@ object Bench {
       "q_graph_coloring_bsp" -> ("Jones-Plassmann is DEPTH-bound: the priority-DAG " +
         "depth is 23 at sf0.1 and each distributed level pays a fixed barrier at " +
         "local[32]; the benched config runs the mass levels distributed (~80% of " +
-        "color assignments, two fused levels per barrier, bitmask mex, flat-leaf " +
+        "color assignments, two fused levels per barrier, sorted-set mex, flat-leaf " +
         "color state - each variant measured in) and tail-finishes the geometric " +
         "residue in one driver pass, the same residual discipline the CC family " +
         "uses. Remaining cost is sequential dependency structure, not plan shape"),
@@ -351,6 +415,8 @@ object Bench {
       "incstate_colinc" -> Seq("q_graph_coloring_incremental"),
       "incstate_misdel" -> Seq("q_graph_mis_incremental_del"),
       "incstate_coldel" -> Seq("q_graph_coloring_incremental_del"),
+      "incstate_colhubinc" -> Seq("q_graph_coloring_hub_incremental"),
+      "incstate_colhubdel" -> Seq("q_graph_coloring_hub_incremental_del"),
       "lsh_ingest_pairs" -> Seq("q_dedup_incremental_del")
     ).map { case (k, v) =>
       "\"" + k + "\":" + v.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -361,7 +427,9 @@ object Bench {
     // jvm_gc_total_ms additionally includes warm-up, cache builds, and the
     // (now pressure-gated) hygiene collections between queries.
     val jvm = s""""notes":$notes,"cache_consumers":$cacheConsumers,"jvm_gc_total_ms":${gcMs()},"jvm_gc_query_ms":${results.map(_._4).sum},"hygiene_gcs":$hygieneGcs,"code_cache_used_mb":${codeCacheUsedMb()},"jvm_gc_ms":$gcmap"""
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","value_median":${fmt(totalMedian)},"queries":${qmap(results)},"queries_median":$qmedian,"failed":$failed,"n_queries":${results.size},"sf":"$sfDir","staging_sec":${fmt(stagingSec)},"cache_build_sec":${fmt(cacheBuildSec)},"cache_build":$cacheMap,"tail_samples":$tails,"resampled":$resampledJson,"noise_probe_sec":$noiseJson,"cdc_phases":$cdcPhases,$jvm}"""
+    val priorsJson =
+      s"""{"file":"${priorsFrom._1}","commit":"${priorsFrom._2}"}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","value_median":${fmt(totalMedian)},"queries":${qmap(results)},"queries_median":$qmedian,"failed":$failed,"n_queries":${results.size},"sf":"$sfDir","staging_sec":${fmt(stagingSec)},"cache_build_sec":${fmt(cacheBuildSec)},"cache_build":$cacheMap,"tail_samples":$tails,"resampled":$resampledJson,"priors_from":$priorsJson,"noise_probe_sec":$noiseJson,"cdc_phases":$cdcPhases,"barrier_jobs":$barrierJobs,"barrier_stages":$barrierStages,$jvm}"""
     // The driver keeps only the last ~2KB of stdout (BENCH_r3 lost the
     // head of the single JSON line — and the total with it). So: the full
     // line first for humans/greppers, then a LAST line compact enough to
@@ -371,17 +439,25 @@ object Bench {
     // sources so nothing is lost to truncation.
     val slowest = results.sortBy(-_._2.min).take(45)
     println(full)
+    // The compact line's barrier map covers the slowest-45 plus the
+    // queries whose BSP-round claims the artifact must make auditable
+    // (spec coloring vs JP-BSP, the fused-cascade delete maintainers).
+    val claimQueries = Set("q_graph_coloring_bsp", "q_graph_coloring_spec",
+      "q_graph_dag_layers_incremental_del", "q_graph_bfs_incremental_del",
+      "q_graph_sssp_incremental_del")
+    val compactBarriers = results
+      .filter(r => claimQueries.contains(r._1) || slowest.exists(_._1 == r._1))
+      .map { case (k, _, _, _, (_, st)) => "\"" + k + "\":" + st }
+      .mkString("{", ",", "}")
     val note = if (only.isEmpty) s"slowest 45 of ${results.size}; full map in BENCH_FULL.json"
       else s"slowest 45 of ${results.size} (subset run)"
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","value_median":${fmt(totalMedian)},"n_queries":${results.size},"failed":$failed,"sf":"$sfDir","staging_sec":${fmt(stagingSec)},"cache_build_sec":${fmt(cacheBuildSec)},"cache_build":$cacheMap,"tail_samples":$tails,"resampled":$resampledJson,"noise_probe_sec":$noiseJson,"cdc_phases":$cdcPhases,"jvm_gc_total_ms":${gcMs()},"jvm_gc_query_ms":${results.map(_._4).sum},"code_cache_used_mb":${codeCacheUsedMb()},"queries_note":"$note","queries":${qmap(slowest)}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","value_median":${fmt(totalMedian)},"n_queries":${results.size},"failed":$failed,"sf":"$sfDir","staging_sec":${fmt(stagingSec)},"cache_build_sec":${fmt(cacheBuildSec)},"cache_build":$cacheMap,"tail_samples":$tails,"resampled":$resampledJson,"priors_from":$priorsJson,"noise_probe_sec":$noiseJson,"cdc_phases":$cdcPhases,"barrier_stages":$compactBarriers,"jvm_gc_total_ms":${gcMs()},"jvm_gc_query_ms":${results.map(_._4).sum},"code_cache_used_mb":${codeCacheUsedMb()},"queries_note":"$note","queries":${qmap(slowest)}}""")
     // Full runs only — a SPARK_GRAFT_ONLY subset would overwrite the
     // repo copy with a misleading partial map. Target the repo checkout
     // when it exists, else the working directory; a failed write is
     // reported, not swallowed (stdout still has the full line).
     if (only.isEmpty) {
-      val repo = java.nio.file.Paths.get("/root/repo")
-      val target = (if (java.nio.file.Files.isDirectory(repo)) repo
-        else java.nio.file.Paths.get(".")).resolve("BENCH_FULL.json")
+      val target = repoRoot.resolve("BENCH_FULL.json")
       try java.nio.file.Files.writeString(target, full + "\n")
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] could not write $target: $e") }

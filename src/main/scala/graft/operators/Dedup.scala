@@ -315,10 +315,11 @@ object Dedup extends QueryModule {
     // the compare.
     "q_dedup_incremental_del" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val retired = col("doc_id") % 7 === 3 // applies to the OLD corpus
-      val sigsLive = lshIngestState(s, dir).filter(!(col("doc_id") % 7 === 3))
+      // single-source takedown predicate, applied to the OLD corpus state
+      def retired(c: org.apache.spark.sql.Column) = c % 7 === 3
+      val sigsLive = lshIngestState(s, dir).filter(!retired(col("doc_id")))
       val survivors = lshIngestPairs(s, dir)
-        .filter(!(col("da") % 7 === 3) && !(col("db") % 7 === 3))
+        .filter(!retired(col("da")) && !retired(col("db")))
       val nb = bandSignatures(docs.filter(ingestIsNew)).localCheckpoint(true)
       val vsOld = nb.as("n").join(sigsLive.as("o"),
           col("n.band") === col("o.band") && col("n.sig") === col("o.sig"))

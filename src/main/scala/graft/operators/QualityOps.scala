@@ -385,6 +385,11 @@ object QualityOps extends QueryModule {
         .select(col("o_orderpriority"), col("n_rows"), col("sum_cents"),
           when(col("min_hit"), col("r_min")).otherwise(col("min_cents")).as("min_cents"),
           when(col("max_hit"), col("r_max")).otherwise(col("max_cents")).as("max_cents"))
+        // a group whose every row was deleted must VANISH (the oracle
+        // aggregates survivors from scratch and never sees it) — without
+        // this the maintained side would keep an n_rows=0 husk with null
+        // extremes and a divide-by-zero avg
+        .filter(col("n_rows") > 0)
         .withColumn("avg_e4", expr("(sum_cents * 100) div n_rows"))
         .orderBy("o_orderpriority")
     }),

@@ -165,9 +165,14 @@ object VersionedGraphStore {
     df.write.mode("overwrite").parquet(new java.io.File(path, snap).toString)
     val tmp = new java.io.File(md, s".tmp-$nonce").toPath
     java.nio.file.Files.writeString(tmp, (snap +: old.drop(1)).mkString("\n"))
+    // REPLACE_EXISTING alongside ATOMIC_MOVE: replacing an existing
+    // target under ATOMIC_MOVE alone is implementation-specific per the
+    // Files.move contract (the POSIX provider happens to allow it) —
+    // stating both makes the replace-on-rename intent explicit/portable
     java.nio.file.Files.move(tmp,
       new java.io.File(md, f"v$version%08d.manifest").toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     oldSnap
   }
 

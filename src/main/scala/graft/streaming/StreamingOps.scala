@@ -236,6 +236,10 @@ object StreamingOps extends QueryModule {
       mergeNs.addAndGet(merge); commitNs.addAndGet(commit)
       batches.incrementAndGet(); ()
     }
+    /** Zero the counters — called at bench start so `cdc_phases`
+      * attributes exactly the benched run's microbatches, not any CDC
+      * work an earlier pass in the same JVM already did. */
+    def reset(): Unit = { mergeNs.set(0); commitNs.set(0); batches.set(0) }
     /** JSON fragment for the bench line (cumulative across the run). */
     def json: String = {
       def s(ns: Long) = BigDecimal(ns / 1e9)
