@@ -291,6 +291,13 @@ object Bench {
     //    third sample or a noise-probe explanation — never a single
     //    unattributable number.
     val byName = SparkEntry.queries
+    // Diagnostic knob (r9 VERDICT #5's repeat-run investigations):
+    // SPARK_GRAFT_SAMPLES=N forces every surviving query to N in-JVM
+    // samples (published via tail_samples for tail queries / the min as
+    // usual), so same-process drift like the sf1 bfs_incremental
+    // monotone-growth signature is reproducible from one command.
+    val forcedSamples = sys.env.get("SPARK_GRAFT_SAMPLES")
+      .map(_.toInt).getOrElse(0)
     val tailNames = firstPass.filter(_._3).sortBy(-_._2.min).take(10).map(_._1).toSet
     def regressed(name: String, ss: List[Double]): Boolean =
       prior.get(name).exists(p => p > 0 && ss.min > p * 1.5)
@@ -300,7 +307,7 @@ object Bench {
       firstPass.map { case (name, ss0, ok0, gc0, bc0) =>
       var ss = ss0; var ok = ok0; var gc = gc0; var bc = bc0
       val wantTail = tailNames.contains(name)
-      while (ok && ((wantTail && ss.size < 2) ||
+      while (ok && (ss.size < forcedSamples || (wantTail && ss.size < 2) ||
           (ss.size < 3 && regressed(name, ss)))) {
         val (t, okN, gcN, bcN) = once(name, byName(name))
         if (okN) { if (t < ss.min) { gc = gcN; bc = bcN }; ss = ss :+ t }

@@ -531,6 +531,64 @@ object EventAnalytics extends QueryModule {
         .orderBy("snapshot")
     }),
 
+    // TWO-WRITER COMMIT CONTENTION (r9 VERDICT #6): two commit() callers
+    // race the SAME table's manifest concurrently from two driver
+    // threads; the store's atomic create-if-absent version claim (one
+    // hard-link per manifest, FileAlreadyExists → retry with the next
+    // id) must SERIALIZE them. The serializability properties are
+    // require()d in-operator: distinct gapless monotonic versions
+    // {v0+1, v0+2}, each writer's meta on its claimed manifest, each
+    // payload readable at its claimed version and ONLY that payload.
+    // WHICH writer claims the lower version is scheduling-dependent, so
+    // the OUTPUT is keyed by payload tag (a deterministic frame either
+    // way the race lands) — the oracle recomputes the two payload
+    // summaries from the nation table. GraphSpec additionally races 4
+    // writers on raw threads; this query pins the contract as an
+    // oracled, driver-checked row every round.
+    "q_cdc_concurrent" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val base = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        s"graft_cdcconc_${java.lang.ProcessHandle.current().pid()}_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")).toString
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val v0 = VersionedGraphStore.commit(
+        n.select(col("n_nationkey").cast("long").as("k"), lit("base").as("tag")),
+        base)
+      def payload(tag: String, keep: org.apache.spark.sql.Column) =
+        n.filter(keep)
+          .select(col("n_nationkey").cast("long").as("k"), lit(tag).as("tag"))
+      val sides = Seq(
+        "a" -> payload("a", col("n_nationkey") % 2 === 0),
+        "b" -> payload("b", col("n_nationkey") % 2 === 1))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val racing = sides.map { case (tag, df) =>
+        Future(tag -> VersionedGraphStore.commit(df, base, meta = Some(tag))) }
+      val got = racing.map(Await.result(_, 10.minutes)).toMap
+      require(got("a") != got("b"),
+        s"two writers claimed the SAME version ${got("a")}")
+      require(got.values.toSet == Set(v0 + 1, v0 + 2),
+        s"racing commits must serialize to {${v0 + 1}, ${v0 + 2}}, got $got")
+      require(VersionedGraphStore.versions(base) == Seq(v0, v0 + 1, v0 + 2),
+        "version history must be gapless after the race")
+      got.foreach { case (tag, v) =>
+        require(VersionedGraphStore.metaAt(base, v).contains(tag),
+          s"writer $tag's meta missing from its claimed manifest v$v")
+        val tags = VersionedGraphStore.loadAt(s, base, v)
+          .select("tag").distinct().collect().map(_.getString(0)).toSeq
+        require(tags == Seq(tag),
+          s"version $v must serve exactly writer $tag's payload, saw $tags")
+      }
+      got.toSeq.map { case (tag, v) =>
+        VersionedGraphStore.loadAt(s, base, v)
+          .groupBy("tag").agg(count(lit(1)).as("n_rows"), sum("k").as("key_sum"))
+      }.reduce(_ unionByName _)
+        .withColumn("n_versions",
+          lit(VersionedGraphStore.versions(base).length).cast("int"))
+        .orderBy("tag")
+    }),
+
     // Snapshot COMPACTION to the latest schema (the other r8 VERDICT #8
     // case): after an ADD-COLUMN evolution, old snapshots still serve the
     // narrow schema, so every history read pays the name-align-and-
@@ -613,6 +671,19 @@ object EventAnalytics extends QueryModule {
       s"""WITH ${(stage1 +: chain).mkString(",\n")}
          SELECT * FROM (${unions.mkString(" UNION ALL ")}) ORDER BY stage"""
     },
+    // The two payload summaries recomputed from nation — the race's
+    // landing order is scheduling-dependent, the payloads are not.
+    "q_cdc_concurrent" ->
+      """SELECT * FROM (
+           SELECT 'a' AS tag, COUNT(*) AS n_rows,
+             CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+             CAST(3 AS INT) AS n_versions
+           FROM nation WHERE n_nationkey % 2 = 0
+           UNION ALL
+           SELECT 'b', COUNT(*), CAST(SUM(n_nationkey) AS BIGINT),
+             CAST(3 AS INT)
+           FROM nation WHERE n_nationkey % 2 = 1
+         ) ORDER BY tag""",
     "q_cdc_upsert" ->
       s"""WITH base AS (SELECT user_id, ts, value FROM (
              SELECT user_id, ts, value, ROW_NUMBER() OVER (PARTITION BY user_id

@@ -38,6 +38,24 @@ object GraphQueries extends QueryModule {
       .union(c.select(col("c_custkey").as("src"), ((col("c_custkey") * 16 + 3) % v).as("dst")))
   }
 
+  /** Hub-bearing twin of [[ringEdges]] (r9 VERDICT #1): the same three
+    * edge rules PLUS a star of spokes 0 → 1..250, giving the fixture a
+    * ≥250-degree hub — exactly the power-law degree shape the r9
+    * bitmask mex REFUSED (`require(maxDeg < 63)`). The whole coloring
+    * family runs oracled on this fixture since r10. Vertex 0's LCG
+    * priority (12345) is near-minimal, so the hub DECIDES early and the
+    * JP priority-DAG depth stays within [[GraphOps.ColoringRoundCap]];
+    * the star still forces every neighbor-color aggregation and every
+    * conflict join through a >63-degree vertex. */
+  private val hubSpokeCap = 250L
+  private def hubEdges(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_custkey"))
+    ringEdges(s, dir).select(col("src").cast("long"), col("dst").cast("long"))
+      .unionByName(c
+        .filter(col("c_custkey") >= 1 && col("c_custkey") <= hubSpokeCap)
+        .select(lit(0L).as("src"), col("c_custkey").cast("long").as("dst")))
+  }
+
   /** Parameter table for the multi-graph family: 4 graphs over the SAME
     * custkey vertex set, each with edge rules v → (2v+1) mod V and
     * v → (m2·v + a2) mod V. m2 values are coprime to V's factors (2,3,5
@@ -467,7 +485,15 @@ object GraphQueries extends QueryModule {
           ringEdges(s, dir).filter(!lowBandHeldEdge))._1)),
       "coldel" -> (() => GraphOps.jonesPlassmannColoring(s,
         snapshotDeleteDiff(s, dir, "sbdel", ringEdges(s, dir),
-          ringEdges(s, dir).filter(!lowBandHeldEdge))._1)))
+          ringEdges(s, dir).filter(!lowBandHeldEdge))._1)),
+      // hub-fixture coloring states (r10): v1 colors for the insert and
+      // delete maintainers over the hub graph
+      "colhubinc" -> (() => GraphOps.jonesPlassmannColoring(s,
+        snapshotInsertDiff(s, dir, "colhubinc", hubEdges(s, dir),
+          !lowBandHeldEdge)._1)),
+      "colhubdel" -> (() => GraphOps.jonesPlassmannColoring(s,
+        snapshotDeleteDiff(s, dir, "hubdel", hubEdges(s, dir),
+          hubEdges(s, dir).filter(!lowBandHeldEdge))._1)))
   } ensuring (_.keySet == incStateTags.toSet,
     "incStateBuilders drifted from incStateTags - update both")
 
@@ -639,7 +665,8 @@ object GraphQueries extends QueryModule {
   private[graft] val incStateTags: Seq[String] = Seq("bfsinc", "bfsdel",
     "ccinc", "ccdel", "triinc", "tridel", "princ", "prdel", "ssspinc",
     "ssspdel", "daginc", "dagdel", "centinc_sig", "centinc_del",
-    "centdel_sig", "centdel_del", "misinc", "colinc", "misdel", "coldel")
+    "centdel_sig", "centdel_del", "misinc", "colinc", "misdel", "coldel",
+    "colhubinc", "colhubdel")
 
   def namedCaches: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "sigma_bfs" -> ((s: SparkSession, dir: String) => { ringSigma(s, dir); () }),
@@ -1338,6 +1365,40 @@ object GraphQueries extends QueryModule {
       GraphOps.speculativeColoring(s, ringEdges(s, dir), driverSolveLimit = 0L)
         .orderBy("v")),
 
+    // HUB-bearing coloring family (r9 VERDICT #1): the ring fixture plus
+    // a 250-spoke star on vertex 0 — the power-law degree shape the r9
+    // bitmask mex REFUSED (`require(maxDeg < 63)`). Forced-BSP so the
+    // distributed sorted-set mex ([[GraphOps.mexAggExpr]]) is what runs;
+    // oracles are the identical JP/GM round replays over the hub edge
+    // algebra. A proper coloring on a hub costs nothing extra — the mex
+    // state is the distinct-neighbor-color SET, bounded by chromatic
+    // spread, not degree.
+    "q_graph_coloring_hub" -> ((s, dir) =>
+      GraphOps.jonesPlassmannColoring(s, hubEdges(s, dir),
+        driverSolveLimit = 0L, tailSolveVertices = 3000L).orderBy("v")),
+    "q_graph_coloring_spec_hub" -> ((s, dir) =>
+      GraphOps.speculativeColoring(s, hubEdges(s, dir), driverSolveLimit = 0L)
+        .orderBy("v")),
+    // incremental maintenance on the hub fixture — the same low-band
+    // delta/cone contract as q_graph_coloring_incremental{,_del}; the
+    // hub sits in the reused-verbatim region, so the maintainers prove
+    // the r9 refusal is gone on BOTH the replay and the reuse paths
+    "q_graph_coloring_hub_incremental" -> ((s, dir) => {
+      val (prevEdges, newEdges, inserted) = snapshotInsertDiff(
+        s, dir, "colhubinc", hubEdges(s, dir), !lowBandHeldEdge)
+      val prevColors = cachedIncState(s, dir, "colhubinc") // stored colors
+      GraphOps.incrementalColoring(s, newEdges, prevEdges, prevColors,
+        inserted, maxConeFraction = 0.5).orderBy("v")
+    }),
+    "q_graph_coloring_hub_incremental_del" -> ((s, dir) => {
+      val (prevEdges, newEdges, inserted, deleted) = snapshotDeleteDiff(
+        s, dir, "hubdel", hubEdges(s, dir),
+        hubEdges(s, dir).filter(!lowBandHeldEdge))
+      val prevColors = cachedIncState(s, dir, "colhubdel") // colors of v1
+      GraphOps.incrementalColoringDelete(s, newEdges, prevEdges, prevColors,
+        inserted, deleted, maxConeFraction = 0.5).orderBy("v")
+    }),
+
     // INCREMENTAL CC maintenance end-to-end (r7 VERDICT stretch): the
     // hierarchy graph is committed to the VersionedGraphStore in two
     // versions — v1 holds every edge EXCEPT those touching held-out
@@ -1797,20 +1858,27 @@ object GraphQueries extends QueryModule {
     * closed neighborhood. Rounds past convergence are empty no-ops; the
     * Spark side require()s convergence within the same cap, so the unroll
     * can never truncate a real round. */
-  /** Undirected self-loop-free ring graph as MATERIALIZED DuckDB CTEs —
-    * shared by the MIS and coloring oracles. */
-  private val ringUndSql: String =
-    """eraw AS MATERIALIZED (
-         SELECT CAST(c_custkey AS BIGINT) AS src,
-           CAST((c_custkey*2+1) % (SELECT COUNT(*) FROM customer) AS BIGINT) AS dst
-         FROM customer
-         UNION ALL SELECT c_custkey,
-           (c_custkey*5+7) % (SELECT COUNT(*) FROM customer) FROM customer
-         UNION ALL SELECT c_custkey,
-           (c_custkey*16+3) % (SELECT COUNT(*) FROM customer) FROM customer),
+  /** Symmetrized self-loop-free edge CTE pair (`eraw`, `e`) over a raw
+    * directed edge SELECT — the shared shape of every symmetry-breaking
+    * oracle's graph; `extraWhere` lets the delete-fixture spellings drop
+    * a band inside the same builder. */
+  private def undSqlOf(raw: String, extraWhere: String = ""): String =
+    s"""eraw AS MATERIALIZED ($raw),
        e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
            SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw)
-         WHERE src <> dst)"""
+         WHERE src <> dst$extraWhere)"""
+
+  /** Undirected self-loop-free ring graph as MATERIALIZED DuckDB CTEs —
+    * shared by the MIS and coloring oracles. */
+  private lazy val ringUndSql: String = undSqlOf(prRingESql)
+
+  /** The hub fixture ([[hubEdges]]) as the same CTE pair: ring rules
+    * plus the 250-spoke star on vertex 0. */
+  private lazy val hubRawSql: String =
+    s"""$prRingESql
+       UNION ALL SELECT CAST(0 AS BIGINT), CAST(c_custkey AS BIGINT)
+       FROM customer WHERE c_custkey BETWEEN 1 AND $hubSpokeCap"""
+  private lazy val hubUndSql: String = undSqlOf(hubRawSql)
 
   private val prRingESql =
     """SELECT CAST(c_custkey AS BIGINT) AS src, CAST((c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS BIGINT) AS dst FROM customer
@@ -1872,21 +1940,16 @@ object GraphQueries extends QueryModule {
     * every edge whose BOTH endpoints sit in the top priority-value decile
     * — the exact inverse of the misinc/colinc insert fixture (same
     * [[lowBandHeldEdge]] band, applied as a removal). */
-  private val ringUndMinusLowBandSql: String = {
+  private def minusLowBandWhere: String = {
     val hi = 2147483648L / 10L * 9L
-    s"""eraw AS MATERIALIZED (
-         SELECT CAST(c_custkey AS BIGINT) AS src,
-           CAST((c_custkey*2+1) % (SELECT COUNT(*) FROM customer) AS BIGINT) AS dst
-         FROM customer
-         UNION ALL SELECT c_custkey,
-           (c_custkey*5+7) % (SELECT COUNT(*) FROM customer) FROM customer
-         UNION ALL SELECT c_custkey,
-           (c_custkey*16+3) % (SELECT COUNT(*) FROM customer) FROM customer),
-       e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
-           SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw)
-         WHERE src <> dst
-           AND NOT (${lcgPriSql("src")} > $hi AND ${lcgPriSql("dst")} > $hi))"""
+    s"""
+           AND NOT (${lcgPriSql("src")} > $hi AND ${lcgPriSql("dst")} > $hi)"""
   }
+  private lazy val ringUndMinusLowBandSql: String =
+    undSqlOf(prRingESql, minusLowBandWhere)
+  /** Hub-fixture twin — the [[hubEdges]] graph minus the same band. */
+  private lazy val hubUndMinusLowBandSql: String =
+    undSqlOf(hubRawSql, minusLowBandWhere)
 
   private lazy val misOracleSql: String = misOracle(withRound = true)
   /** Membership-only spelling for the incremental-maintenance query
@@ -1937,7 +2000,10 @@ object GraphQueries extends QueryModule {
     * spelling), then of each adjacent equal-TENTATIVE-color pair the
     * higher-LCG-priority endpoint uncolors. Rounds past convergence are
     * empty no-ops, matching the operator's fixed cap. */
-  private lazy val specColoringOracleSql: String = {
+  private lazy val specColoringOracleSql: String = specColoringOracle(ringUndSql)
+  /** Hub-fixture spelling — identical replay over the hub edge algebra. */
+  private lazy val specColoringHubOracleSql: String = specColoringOracle(hubUndSql)
+  private def specColoringOracle(edgeCte: String): String = {
     val cap = GraphOps.SpecColoringRoundCap
     val rounds = (1 to cap).map { k =>
       val tentative = if (k == 1)
@@ -1967,7 +2033,7 @@ object GraphQueries extends QueryModule {
     }.mkString(",\n")
     val un = (1 to cap).map(k => s"SELECT v, color, $k AS r FROM m$k")
       .mkString(" UNION ALL ")
-    s"""WITH $ringUndSql,
+    s"""WITH $edgeCte,
        c0 AS (SELECT CAST(0 AS BIGINT) AS v, 0 AS color WHERE 1 = 0),
        u0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM e),
        $rounds
@@ -2853,6 +2919,14 @@ object GraphQueries extends QueryModule {
     "q_graph_coloring_bsp" -> coloringOracleSql,
     "q_graph_coloring_spec" -> specColoringOracleSql,
     "q_graph_coloring_incremental" -> coloringMembersOracleSql,
+    // hub-fixture family: identical round replays over the hub algebra
+    "q_graph_coloring_hub" -> coloringOracle(withRound = true,
+      edgeCte = hubUndSql),
+    "q_graph_coloring_spec_hub" -> specColoringHubOracleSql,
+    "q_graph_coloring_hub_incremental" -> coloringOracle(withRound = false,
+      edgeCte = hubUndSql),
+    "q_graph_coloring_hub_incremental_del" -> coloringOracle(
+      withRound = false, edgeCte = hubUndMinusLowBandSql),
     // Both sweeps replayed: lv is the seed-0 walk, far the deterministic
     // deepest-level min-id choice, walk2 the re-sweep from it.
     "q_graph_diameter" ->

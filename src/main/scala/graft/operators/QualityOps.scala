@@ -394,6 +394,72 @@ object QualityOps extends QueryModule {
         .orderBy("o_orderpriority")
     }),
 
+    // SKETCH-state retraction (r9 VERDICT #3 — the q_agg_incremental_del
+    // discipline applied to the states that do NOT subtract): KMV
+    // bottom-k samples and presence bitmaps (and HLL registers, same
+    // argument) are lossy projections — a delete cannot be applied to
+    // the state because the state no longer knows whether any SURVIVOR
+    // still witnesses the deleted contribution (a deleted hash inside
+    // the bottom-k leaves the k-th-smallest of the survivors unknown; a
+    // deleted bucket bit can't be cleared while an unseen survivor
+    // shares the bucket). The family contract is therefore DETECT +
+    // REBUILD, both loud: the operator require()s the fixture actually
+    // exercises each hazard (a deleted hash inside a stored sample, a
+    // deleted bucket shared with survivors — naive clearing would
+    // corrupt exactly here), then rebuilds both states from survivors
+    // in ONE corpus pass. Everything is deterministic portable-hash
+    // arithmetic (the q_sketch_theta estimator: exact mode below k,
+    // (k-1)·2^60 div kth above), so the oracle replays the survivor
+    // sketch bit-for-bit — a wrong "subtraction" shortcut flips the
+    // compare. At 100 TB the detection is state-sized (k hashes + one
+    // long per group vs the delta) and the rebuild is the one full pass
+    // no retraction algebra can avoid.
+    "q_agg_sketch_del" -> ((s, dir) => {
+      val k = 128
+      val rows = Tables(s, dir, "lineitem").select(col("l_partkey")).distinct()
+        .select((col("l_partkey") % 3).cast("int").as("g"),
+          graft.functions.PortableHash.hash60(col("l_partkey").cast("string")).as("h"),
+          (col("l_partkey") % 62).cast("int").as("b"),
+          (col("l_partkey") % 97 === 11).as("del"))
+        .localCheckpoint(true) // feeds stored state, detection, and rebuild
+      // stored states the pipeline kept (built over the FULL corpus)
+      val storedKmv = thetaBottomK(rows.select(col("g").as("a"), col("h")), k)
+        .select(col("a").as("g"), col("h"))
+      val delRows = rows.filter(col("del"))
+      // detection, group-scoped and state-sized: 3k sample hashes + the
+      // delta — never the corpus
+      val kmvHits = storedKmv
+        .join(delRows.select("g", "h"), Seq("g", "h"), "left_semi").count()
+      require(kmvHits > 0,
+        "fixture no longer demonstrates KMV non-subtractability " +
+          s"(no deleted hash inside any stored bottom-$k sample)")
+      val sharedBits = delRows.select("g", "b").distinct()
+        .join(rows.filter(!col("del")).select("g", "b").distinct(),
+          Seq("g", "b"), "left_semi").count()
+      require(sharedBits > 0,
+        "fixture no longer demonstrates bitmap non-subtractability " +
+          "(no deleted bucket bit shared with a survivor)")
+      // rebuild from survivors — the contract's one honest path
+      val surv = rows.filter(!col("del")).localCheckpoint(true)
+      val kth = thetaBottomK(surv.select(col("g").as("a"), col("h")), k)
+        .groupBy(col("a").as("g"))
+        .agg(count(lit(1)).as("n_samp"),
+          when(count(lit(1)) < k, lit(1152921504606846976L))
+            .otherwise(max("h")).as("kth"))
+      val est = kth.select(col("g"), col("n_samp"), col("kth"),
+        when(col("n_samp") < k, col("n_samp"))
+          .otherwise(expr(s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * " +
+            "1152921504606846976) div kth AS BIGINT)")).as("est_distinct"))
+      val bm = surv.groupBy("g")
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").as("bitmap"),
+          count(lit(1)).as("n_exact"))
+      est.join(bm, Seq("g"))
+        .select(col("g"), col("n_samp"), col("kth"), col("est_distinct"),
+          col("bitmap"), expr("CAST(bit_count(bitmap) AS INT)").as("n_buckets"),
+          col("n_exact"))
+        .orderBy("g")
+    }),
+
     // Referential-integrity audit: orphan foreign keys across the star
     // schema (lineitem→orders, orders→customer, events→customer), each an
     // anti join on the key — the constraint check a lakehouse runs because
@@ -571,6 +637,33 @@ object QualityOps extends QueryModule {
            CAST(MAX(cents) AS BIGINT) AS max_cents,
            CAST((CAST(SUM(cents) AS BIGINT) * 100) // COUNT(*) AS BIGINT) AS avg_e4
          FROM surv GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // From-scratch KMV + bitmap over the SURVIVOR set — the rebuild the
+    // retraction contract mandates; a subtraction shortcut that kept a
+    // stale k-th hash or cleared a shared bucket bit flips the compare.
+    "q_agg_sketch_del" -> {
+      val h = graft.functions.PortableHash.sql("CAST(l_partkey AS VARCHAR)")
+      s"""WITH pk AS MATERIALIZED (SELECT DISTINCT l_partkey FROM lineitem),
+         surv AS MATERIALIZED (SELECT CAST(l_partkey % 3 AS INT) AS g,
+             CAST($h AS BIGINT) AS h, CAST(l_partkey % 62 AS INT) AS b
+           FROM pk WHERE l_partkey % 97 <> 11),
+         sk AS (SELECT g, h FROM (
+             SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+             FROM surv) WHERE rn <= 128),
+         kth AS (SELECT g, COUNT(*) AS n_samp,
+             CASE WHEN COUNT(*) < 128 THEN 1152921504606846976
+               ELSE MAX(h) END AS kth FROM sk GROUP BY g),
+         bm AS (SELECT g,
+             bit_or(1::BIGINT << b) AS bitmap,
+             CAST(bit_count(bit_or(1::BIGINT << b)) AS INT) AS n_buckets,
+             COUNT(*) AS n_exact
+           FROM surv GROUP BY g)
+         SELECT kth.g, kth.n_samp, kth.kth,
+           CASE WHEN kth.n_samp < 128 THEN kth.n_samp
+             ELSE CAST((127::HUGEINT * 1152921504606846976) // kth.kth AS BIGINT)
+           END AS est_distinct,
+           bm.bitmap, bm.n_buckets, bm.n_exact
+         FROM kth JOIN bm ON bm.g = kth.g ORDER BY kth.g"""
+    },
     // NOT EXISTS, not NOT IN: a NULL foreign key must COUNT as an orphan
     // row (Spark's left_anti never matches NULL), whereas NOT IN evaluates
     // to NULL for it and would silently drop the exact bad-load row the

@@ -1570,6 +1570,30 @@ object GraphOps {
     * over n d-step chains), capped at 48 for sf1 headroom. */
   private[graft] val ColoringRoundCap = 48
 
+  /** Degree-agnostic distributed MEX aggregate over an int column
+    * `ncolor`: sort the DISTINCT neighbor colors, then fold — the first
+    * value ≠ the running counter is the first gap, so the counter lands
+    * on mex(S). Replaces the r9 single-word bitmask (`bit_or` of
+    * `1 << color`), whose 63-color ceiling made the whole coloring
+    * family REFUSE any graph with a ≥63-degree hub — i.e. every
+    * power-law graph at the engine's target scale (r9 VERDICT #1).
+    * Scale shape is unchanged from the bitmask: ONE shuffle
+    * (`collect_set` keeps partial aggregation, its map-side state is the
+    * distinct-color set — bounded by the neighborhood's chromatic
+    * spread, NOT by degree: a 10^6-degree hub whose neighbors use 40
+    * colors carries a 40-int set), and the fold is a scalar expression
+    * over the grouped row. Measured vs the bitmask on the sf0.1 ring
+    * fixture (ledger, PLANS.md r10): q_graph_coloring_bsp and _spec
+    * within run-to-run noise of the bitmask build, so the ceiling lift
+    * costs nothing. A CHUNKED multi-word bitmask (ceil(Δ/63) `bit_or`
+    * words) was the rejected alternative: it needs a second per-word
+    * shuffle or a map-typed state, and its only edge over the sorted
+    * set — O(colors/63) vs O(colors) state — pays off exactly never,
+    * because both are bounded by the same chromatic spread. */
+  private[graft] val mexAggExpr: org.apache.spark.sql.Column =
+    expr("aggregate(sort_array(collect_set(ncolor)), 0, " +
+      "(m, c) -> CASE WHEN c = m THEN m + 1 ELSE m END)")
+
   /** JONES–PLASSMANN greedy graph coloring — the second classic
     * symmetry-breaking BSP primitive next to [[maximalIndependentSet]],
     * under the SAME fixed injective LCG priority: color(v) = mex of the
@@ -1674,18 +1698,10 @@ object GraphOps {
     val empty = Seq.empty[(Long, Int)].toDF("v", "color")
     var newlyFrames = List.empty[(Int, DataFrame)]
     def coloredSoFar: DataFrame = (empty :: newlyFrames.map(_._2)).reduce(_ union _)
-    // mex via a 63-bit COLOR MASK: one bit_or aggregation replaces the
-    // {0} ∪ {c+1} candidate anti-join (two shuffles fewer per round);
-    // mex(mask) = number of trailing ones = bit_count(lowest-unset-bit
-    // minus 1) — exact integer ops end-to-end. Sound only below 63
-    // colors, i.e. hp-degree < 63 — require()d on the real degree
-    // distribution up front, loudly (a wider graph needs the candidate
-    // anti-join spelling instead).
-    val maxHpDeg = hpEdges.groupBy("src").count()
-      .agg(max("count")).collect()(0).getLong(0)
-    require(maxHpDeg < 63,
-      s"bitmask mex supports hp-degree < 63, fixture has $maxHpDeg")
-    // one JP level: the ready frontier of `unc` colored by mask-mex.
+    // one JP level: the ready frontier of `unc` colored by the shared
+    // sorted-set mex (degree-agnostic, one shuffle — see [[mexAggExpr]];
+    // this lifted the r9 bitmask spelling's hp-degree<63 REFUSAL of
+    // hub-bearing graphs, and with it the up-front max-degree scan).
     // (Size-gated frontier BROADCASTS — the multiSourceBfsSigma
     // discipline — were tried here and measured 1.4x SLOWER: five
     // broadcasts per level each pay a driver collect+distribute, which
@@ -1696,18 +1712,16 @@ object GraphOps {
         .join(unc.select(col("v").as("uv")), col("dst") === col("uv"), "left_semi")
         .select(col("src").as("v"))
       val ready = unc.join(blocked, Seq("v"), "left_anti")
-      // hp-neighbor color mask of the ready frontier (hp-neighbors all
-      // colored by definition; no colored hp-neighbors → mask 0 → mex 0)
+      // hp-neighbor color mex of the ready frontier (hp-neighbors all
+      // colored by definition; no colored hp-neighbors → no row → mex 0)
       val masks = hpEdges
         .join(ready.select(col("v").as("rv")), col("src") === col("rv"), "left_semi")
         .join(coloredSoFar.select(col("v").as("cv"), col("color").as("ncolor")),
           col("dst") === col("cv"))
         .groupBy(col("src").as("mv"))
-        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), ncolor))").as("mask"))
+        .agg(mexAggExpr.as("mex"))
       ready.join(masks, col("v") === col("mv"), "left")
-        .select(col("v"),
-          expr("CAST(bit_count(((~coalesce(mask, CAST(0 AS BIGINT)))" +
-            " & (coalesce(mask, CAST(0 AS BIGINT)) + 1)) - 1) AS INT)").as("color"))
+        .select(col("v"), coalesce(col("mex"), lit(0)).cast("int").as("color"))
     }
     // TWO levels per un-materialization (the fused-superstep discipline):
     // level 1's output must materialize (consumed by level 2's mask join
@@ -1792,10 +1806,10 @@ object GraphOps {
     * sequential-greedy one — q_graph_coloring keeps that contract.
     * Progress is guaranteed (the min-priority uncolored vertex never
     * loses a conflict), `maxRounds` bounds both paths loudly. Per
-    * distributed round: one committed-neighbor bitmask mex (bit_or
-    * aggregate — full degree < 63 require()d, the JP gate on the real
-    * degree distribution) and one tentative×tentative conflict join keyed
-    * on the edge — both shrink with the uncolored set.
+    * distributed round: one committed-neighbor sorted-set mex
+    * ([[mexAggExpr]] — degree-agnostic since r10, one shuffle) and one
+    * tentative×tentative conflict join keyed on the edge — both shrink
+    * with the uncolored set.
     * Returns `(v, color, round)`, round = commit round, 1-based. */
   def speculativeColoring(spark: SparkSession, edges: DataFrame,
       maxRounds: Int = SpecColoringRoundCap,
@@ -1839,10 +1853,6 @@ object GraphOps {
     }
     val priCol = (c: org.apache.spark.sql.Column) =>
       (c * 1103515245L + 12345L) % 2147483648L
-    val maxDeg = und.groupBy("src").count()
-      .agg(max("count")).collect()(0).getLong(0)
-    require(maxDeg < 63,
-      s"bitmask mex supports degree < 63, fixture has $maxDeg")
     // committed state = flat union of per-round checkpointed leaves (the
     // jonesPlassmannColoring discipline — consumers re-execute a union of
     // materialized blocks, never a nested lineage)
@@ -1868,11 +1878,9 @@ object GraphOps {
           .join(committed.select(col("v").as("cv"), col("color").as("ncolor")),
             col("dst") === col("cv"))
           .groupBy(col("src").as("mv"))
-          .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), ncolor))").as("mask"))
+          .agg(mexAggExpr.as("mex"))
         un.join(masks, col("v") === col("mv"), "left")
-          .select(col("v"),
-            expr("CAST(bit_count(((~coalesce(mask, CAST(0 AS BIGINT)))" +
-              " & (coalesce(mask, CAST(0 AS BIGINT)) + 1)) - 1) AS INT)").as("color"))
+          .select(col("v"), coalesce(col("mex"), lit(0)).cast("int").as("color"))
       }).localCheckpoint(true)
       // conflicts: adjacent equal TENTATIVE colors; the higher priority
       // endpoint uncolors (und is symmetric, so one directed read
@@ -2144,39 +2152,93 @@ object GraphOps {
     val emptyU = Seq.empty[(Long, Long)].toDF("v", "lab")
     var uFrames = List.empty[DataFrame]
     def unsettledAll: DataFrame = (emptyU :: uFrames).reduce(_ union _)
+    // Frontiers are CASCADE-sized (hundreds of rows at sf0.1, frontier ∝
+    // delta never graph) but were checkpointed at cluster parallelism —
+    // making every later wave's unsettledAll union drag 32 near-empty
+    // tasks PER ACCUMULATED WAVE through both anti-joins. repartition(1)
+    // first: a w-wave cascade's state is then w single-partition leaves
+    // (upstream join stages keep their parallelism; only the tiny result
+    // collapses). Measured r10 at sf0.1, same-session three-maintainer
+    // bench (full ledger incl. two rejected variants: PLANS.md r10):
+    // this + the two-wave fusion + the checkpointed-frame broadcasts
+    // below took q_graph_dag_layers_incremental_del 9.62 → 7.59 s,
+    // bfs_del 5.53 → 5.12, sssp_del 5.88 → 5.26.
+    def ckpt(df: DataFrame): DataFrame = df.repartition(1).localCheckpoint(true)
+    // Count-gated BROADCAST of every frontier/delta-derived join side:
+    // checkpointed frontiers have unknown stats, so without the hint
+    // every per-wave join SHUFFLED e and pv both ways — the r10 barrier
+    // instrumentation showed the cascade paying ~25 stages/wave (dagdel
+    // 572 stages vs the insert maintainer's 224) at ~17 ms/stage of pure
+    // scheduling. Cascade frames are delta-sized by construction (work ∝
+    // frontier, the operator's whole contract); the gate flips back to
+    // shuffle joins if the accumulated unsettled set outgrows the
+    // broadcast budget — the seen-set discipline of the BFS family.
+    // (A "fold the distinct()s into the single-partition checkpoint"
+    // variant — dedup as a 1-task agg after repartition(1), no per-wave
+    // distinct shuffles — was tried and REJECTED: 8.64 → 10.97 s on the
+    // same-session three-maintainer bench; serializing the dedup into
+    // the collapse task costs more than the small shuffles it removes.)
+    var cumUnsettled = 0L
+    // ONLY already-checkpointed single-partition frames get the hint — a
+    // materialized ≤frontier-sized frame broadcasts for the cost of one
+    // driver hop, while hinting DERIVED plans (candidates, support
+    // in-edges) forces an extra materialize-and-collect per join and
+    // measured SLOWER than the shuffles it replaced (9.8 → 11.8 s on the
+    // same-session three-maintainer bench — rejected; ledger PLANS.md).
+    def small(df: DataFrame): DataFrame =
+      if (cumUnsettled <= 200000L) broadcast(df) else df
     def dropSupported(cand: DataFrame, unsettled: DataFrame): DataFrame = {
       val supported = cand
         .join(e.select(col("src").as("p"), col("dst").as("v"),
           col("w").as("pw")), Seq("v"))
         .join(pv.select(col("v").as("p"), col("lab").as("pl")), Seq("p"))
         .filter(col("pl") + col("pw") === col("lab"))
-        .join(unsettled.select(col("v").as("p")), Seq("p"), "left_anti")
+        .join(small(unsettled.select(col("v").as("p"))), Seq("p"), "left_anti")
         .select("v").distinct()
       cand.join(supported, Seq("v"), "left_anti")
+    }
+    def nextWave(fr: DataFrame): DataFrame = {
+      val cand = e
+        .join(small(fr.select(col("v").as("src"), col("lab").as("fl"))), Seq("src"))
+        .join(pv.select(col("v").as("dst"), col("lab").as("xl")), Seq("dst"))
+        .filter(col("xl") === col("fl") + col("w"))
+        .select(col("dst").as("v"), col("xl").as("lab")).distinct()
+        .join(small(unsettledAll.select("v")), Seq("v"), "left_anti")
+      dropSupported(cand, unsettledAll)
     }
     val cand0 = del
       .join(pv.select(col("v").as("src"), col("lab").as("ul")), Seq("src"))
       .join(pv.select(col("v").as("dst"), col("lab").as("wl")), Seq("dst"))
       .filter(col("wl") === col("ul") + col("w"))
       .select(col("dst").as("v"), col("wl").as("lab")).distinct()
-    var frontier = dropSupported(cand0, emptyU).localCheckpoint(true)
+    var frontier = ckpt(dropSupported(cand0, emptyU))
     var n = frontier.count()
     var waves = 0
     while (n > 0 && waves < maxIter) {
-      waves += 1
+      // TWO waves per termination count (the fused-superstep discipline;
+      // r9 VERDICT #2). The SUB-WAVE IS materialized — it feeds the next
+      // wave's expansion, both its anti-joins, and the result union, and
+      // the recorded dagLayers-batching failure mode (3 recomputes of an
+      // unmaterialized sub-frame) applies verbatim — so the fusion saves
+      // the termination count + its job, not the checkpoint. fA empty ⇒
+      // fB empty, so counting only fB never misses termination.
+      waves += 2
+      cumUnsettled += 2 * n // conservative: fA is uncounted, bounded by ≈n
       uFrames ::= frontier
-      val cand = e
-        .join(frontier.select(col("v").as("src"), col("lab").as("fl")), Seq("src"))
-        .join(pv.select(col("v").as("dst"), col("lab").as("xl")), Seq("dst"))
-        .filter(col("xl") === col("fl") + col("w"))
-        .select(col("dst").as("v"), col("xl").as("lab")).distinct()
-        .join(unsettledAll.select("v"), Seq("v"), "left_anti")
-      frontier = dropSupported(cand, unsettledAll).localCheckpoint(true)
-      n = frontier.count()
+      val fA = ckpt(nextWave(frontier))
+      uFrames ::= fA
+      val fB = ckpt(nextWave(fA))
+      frontier = fB
+      n = fB.count()
+      // Bound the unsettledAll union depth (r9 VERDICT #9): past ~12
+      // leaves, collapse the accumulated waves into ONE single-partition
+      // leaf — a deep cascade then carries O(1) legs instead of O(waves),
+      // at one extra tiny job per dozen waves.
+      if (uFrames.size >= 12) uFrames = List(ckpt(unsettledAll))
     }
     require(n == 0,
       s"$opName: unsettled cascade still live after $maxIter waves — raise maxIter")
-    unsettledAll.select("v").localCheckpoint(true)
+    ckpt(unsettledAll.select("v"))
   }
 
   /** DELETION-aware incremental BFS-level maintenance — the traversal

@@ -45,6 +45,7 @@ object StreamingOps extends QueryModule {
     stageUpsertChunks(s, dir)
     stageAnomalyChunks(s, dir)
     stageModSeqChunks(s, dir)
+    stageGraphCcDelChunks(s, dir)
   }
 
   private def tag(dir: String): String =
@@ -143,6 +144,42 @@ object StreamingOps extends QueryModule {
         .select(col("event_id"), col("event_type"), col("value"))
         .repartition(n, col("event_id"))
         .write.mode("overwrite").parquet(chunks)
+    }
+    chunks
+  }
+
+  /** 4 ordered chunk files of EDGE CHANGES (src, dst, op) for the
+    * delete-bearing streaming CC maintainer: chunks 1–3 hash-partition
+    * the full symmetrized hierarchy graph as op='I' inserts; chunk 4 is
+    * the takedown batch — op='D' for every region-4 nation↔region edge
+    * plus the two glue inserts — the q_graph_cc_incremental_del diff
+    * replayed as a stream (mod-time-pinned order: deletes must follow
+    * their inserts). */
+  private def stageGraphCcDelChunks(s: SparkSession, dir: String): String = {
+    val chunks = chunksDir(dir, "graphccdel")
+    ensureStaged(chunks) {
+      import s.implicits._
+      val n = Tables.raw(s, dir, "nation")
+      val c = Tables.raw(s, dir, "customer")
+      val fwd = n.select((col("n_nationkey") + 10).cast("long").as("src"),
+          col("n_regionkey").cast("long").as("dst"))
+        .union(c.select((col("c_custkey") + 100).cast("long").as("src"),
+          (col("c_nationkey") + 10).cast("long").as("dst")))
+      val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(true) // feeds three insert slices + the band
+      val mn4 = n.filter(col("n_regionkey") === 4)
+        .agg(min((col("n_nationkey") + 10).cast("long"))).collect()(0).getLong(0)
+      val band = (col("src") === 4 && col("dst").between(10, 99)) ||
+        (col("dst") === 4 && col("src").between(10, 99))
+      def insSlice(m: Int) =
+        und.filter(pmod(xxhash64(col("src"), col("dst")), lit(3)) === m)
+          .select(col("src"), col("dst"), lit("I").as("op"))
+      val takedown = und.filter(band)
+        .select(col("src"), col("dst"), lit("D").as("op"))
+        .unionByName(Seq((0L, 1L), (1L, 0L), (mn4, 3L), (3L, mn4))
+          .toDF("src", "dst")
+          .select(col("src"), col("dst"), lit("I").as("op")))
+      writeChunksOrdered(chunks, (0 until 3).map(insSlice) :+ takedown)
     }
     chunks
   }
@@ -743,6 +780,73 @@ object StreamingOps extends QueryModule {
         .orderBy("user_id")
     }),
 
+    // DELETE-BEARING STREAMING CC MAINTENANCE (r9 VERDICT #8) — the
+    // takedown twin of q_stream_graph_cc: the stream carries EDGE CHANGE
+    // rows (src, dst, op), chunks 1–3 insert the full hierarchy graph,
+    // chunk 4 is a takedown batch (drop every region-4 nation↔region
+    // edge — splitting that component and VANISHING the region node —
+    // plus two glue inserts). foreachBatch ROUTES on the batch's
+    // content: insert-only batches take the contracted-component
+    // maintainer; a delete-bearing batch routes through
+    // [[graft.plans.GraphOps.incrementalConnectedComponentsDelete]]
+    // (scoped recompute of the delete-affected components + glue). The
+    // surviving-edge set rides along as its OWN versioned table — the
+    // one state a delete-capable maintainer genuinely needs beyond the
+    // labels (reachability is undecidable from labels alone) — both
+    // stores committed idempotently per batchId. Oracle: the full
+    // recursive CC over the post-takedown graph, SHARED verbatim with
+    // q_graph_cc_incremental_del (the batch maintainer of the same
+    // diff), so the stream fold and the batch maintainer are pinned to
+    // the same truth.
+    "q_stream_graph_cc_del" -> ((s, dir) => {
+      import graft.plans.GraphOps
+      val chunks = stageGraphCcDelChunks(s, dir)
+      val (compState, edgeState, ck) =
+        (chunks + "_cstate", chunks + "_estate", chunks + "_ck")
+      Seq(compState, edgeState, ck).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("src", LongType), StructField("dst", LongType),
+        StructField("op", StringType)))
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(chunks)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val ss = batch.sparkSession
+          val b = batch.localCheckpoint(true) // feeds ins, del, and routing
+          val ins = b.filter(col("op") === "I").select("src", "dst")
+          val del = b.filter(col("op") === "D").select("src", "dst")
+          val hasDel = del.limit(1).count() > 0
+          val newEdges = (cdcState(ss, edgeState) match {
+            case None => ins
+            case Some(pe) => pe.unionByName(ins)
+              .join(del.select(col("src").as("xs"), col("dst").as("xd")),
+                col("src") === col("xs") && col("dst") === col("xd"), "left_anti")
+          }).distinct().localCheckpoint(true)
+          val comps = (cdcState(ss, compState), hasDel) match {
+            case (None, _) => GraphOps.connectedComponents(ss, newEdges)
+            case (Some(prev), false) =>
+              GraphOps.incrementalConnectedComponents(ss, prev, ins)
+            case (Some(prev), true) =>
+              GraphOps.incrementalConnectedComponentsDelete(
+                ss, newEdges, prev, ins, del)
+          }
+          applyBatchIdempotent(compState, batchId)(comps)
+          applyBatchIdempotent(edgeState, batchId)(newEdges)
+          ()
+        }.start()
+      q.awaitTermination()
+      val vs = graft.sources.VersionedGraphStore.versions(compState)
+      require(vs.size >= 4,
+        s"expected >= 4 committed component-state versions, got $vs")
+      graft.sources.VersionedGraphStore.load(s, compState)
+        .groupBy("comp")
+        .agg(count(lit(1)).as("n_members"), min("v").as("min_v"), max("v").as("max_v"))
+        .orderBy("comp")
+    }),
+
     // STREAMING GRAPH-ANALYTICS MAINTENANCE — the end-to-end join of the
     // CDC commit-log discipline with the incremental graph family: the
     // hierarchy graph's DIRECTED edges replay as 4 hash-chunked
@@ -1120,6 +1224,13 @@ object StreamingOps extends QueryModule {
          comp AS (SELECT v, MIN(root) AS comp FROM reach GROUP BY v)
          SELECT comp, COUNT(*) AS n_members, MIN(v) AS min_v, MAX(v) AS max_v
          FROM comp GROUP BY comp ORDER BY comp""",
+    // The post-takedown graph's components — SHARED verbatim with the
+    // batch maintainer of the same diff (q_graph_cc_incremental_del), so
+    // the streaming fold and the batch maintenance path are pinned to
+    // one truth; the oracle knows nothing about batching, routing, or
+    // the edge-state table.
+    "q_stream_graph_cc_del" ->
+      graft.operators.GraphQueries.oracles("q_graph_cc_incremental_del"),
     // The same gaps-and-islands session rebuild as q_session_window
     // (session end = last event + the 30 min gap), restricted to the
     // watermark-closed surface exactly like the Spark side. Ties on
