@@ -364,6 +364,14 @@ object Bench {
         "color state - each variant measured in) and tail-finishes the geometric " +
         "residue in one driver pass, the same residual discipline the CC family " +
         "uses. Remaining cost is sequential dependency structure, not plan shape"),
+      "barrier_counts" -> ("barrier_jobs/barrier_stages are TOTAL per-query counts " +
+        "from the status tracker: they include fixture staging, state-cache reads, " +
+        "and readout alongside the BSP loop, so loop-structure claims read as " +
+        "DELTAS between twins sharing a fixture - e.g. spec coloring's 5 rounds x " +
+        "~4 jobs vs JP-BSP's ~12 fused iterations x 4 jobs shows up as the " +
+        "jobs gap (109 vs 152 at r10), on top of ~90 shared non-loop jobs. " +
+        "Streaming queries count driver-side jobs only (microbatch threads " +
+        "don't inherit the job group) - a floor, not the full count"),
       "q_stream_dedup_wm" -> ("4 sequential watermarked microbatches (late replay " +
         "2,3,1,4; chunk count IS the semantics - each chunk must see the prior " +
         "one's watermark) + state-store init: ~0.5s/batch scheduling floor at local[32]"),

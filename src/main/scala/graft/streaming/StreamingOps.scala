@@ -1207,23 +1207,15 @@ object StreamingOps extends QueryModule {
            SELECT user_id, value, ts, ROW_NUMBER() OVER (PARTITION BY user_id
              ORDER BY ts DESC, event_id DESC) AS rn
            FROM events WHERE event_id % 4 < 3) WHERE rn = 1 ORDER BY user_id""",
-    // The COMPLETE hierarchy graph's components (q_graph_cc's oracle
-    // verbatim) — the oracle knows nothing about batching, commit-log
-    // versions, or the incremental contraction, so a wrong merge in ANY
-    // microbatch fails the compare.
+    // The COMPLETE hierarchy graph's components — SHARED verbatim with
+    // q_graph_cc's oracle (the r9 hub-root seed restriction included:
+    // this copy had kept the seed-from-every-vertex spelling and was the
+    // one oracle that still blew DuckDB's memory at sf1) — the oracle
+    // knows nothing about batching, commit-log versions, or the
+    // incremental contraction, so a wrong merge in ANY microbatch fails
+    // the compare.
     "q_stream_graph_cc" ->
-      """WITH RECURSIVE e AS (
-           SELECT CAST(n_nationkey+10 AS BIGINT) AS src, CAST(n_regionkey AS BIGINT) AS dst FROM nation
-           UNION ALL SELECT CAST(n_regionkey AS BIGINT), CAST(n_nationkey+10 AS BIGINT) FROM nation
-           UNION ALL SELECT CAST(c_custkey+100 AS BIGINT), CAST(c_nationkey+10 AS BIGINT) FROM customer
-           UNION ALL SELECT CAST(c_nationkey+10 AS BIGINT), CAST(c_custkey+100 AS BIGINT) FROM customer),
-         reach(v, root) AS (
-           SELECT src, src FROM e
-           UNION
-           SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.v),
-         comp AS (SELECT v, MIN(root) AS comp FROM reach GROUP BY v)
-         SELECT comp, COUNT(*) AS n_members, MIN(v) AS min_v, MAX(v) AS max_v
-         FROM comp GROUP BY comp ORDER BY comp""",
+      graft.operators.GraphQueries.oracles("q_graph_cc"),
     // The post-takedown graph's components — SHARED verbatim with the
     // batch maintainer of the same diff (q_graph_cc_incremental_del), so
     // the streaming fold and the batch maintenance path are pinned to
