@@ -31,7 +31,7 @@ object Dedup extends QueryModule {
     Tables(s, dir, name)
 
   /** Distinct word-bigram shingles per document, exploded to (doc_id, s). */
-  private def shingles(docs: DataFrame): DataFrame = {
+  private[graft] def shingles(docs: DataFrame): DataFrame = {
     val tk = split(col("text"), " ")
     val bigrams = array_distinct(zip_with(
       slice(tk, lit(1), size(tk) - 1),
@@ -45,7 +45,7 @@ object Dedup extends QueryModule {
     * one action — materialize it eagerly or the shingling pipeline
     * re-executes per consumer (quadratic-feeling re-computation; at scale
     * this is `checkpoint` on reliable storage). */
-  private def jaccardPairs(shRaw: DataFrame, threshold: Double,
+  private[graft] def jaccardPairs(shRaw: DataFrame, threshold: Double,
                            candidates: Option[DataFrame] = None,
                            preMaterialized: Boolean = false): DataFrame = {
     val sh = if (preMaterialized) shRaw else shRaw.localCheckpoint(true)
@@ -80,7 +80,7 @@ object Dedup extends QueryModule {
   /** LSH verify threshold — tuned together with the band parameters (see
     * object scaladoc); every consumer (minhash query, cluster query, the
     * TrainingPipeline funnel, and all their oracles) reads THIS value. */
-  private[operators] val lshThreshold = 0.85
+  private[graft] val lshThreshold = 0.85
 
   private val numHashes = 64
   private val bandRows = 4 // 16 bands of 4 minhashes
@@ -106,7 +106,7 @@ object Dedup extends QueryModule {
   }
 
   /** [[bandSignaturesFromShingles]] straight from a (doc_id, text) frame. */
-  private[operators] def bandSignatures(docs: DataFrame): DataFrame =
+  private[graft] def bandSignatures(docs: DataFrame): DataFrame =
     bandSignaturesFromShingles(shingles(docs))
 
   /** The full MinHash→LSH→exact-verify pipeline (shared by q_dedup_minhash,

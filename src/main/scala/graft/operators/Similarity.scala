@@ -57,6 +57,44 @@ object Similarity extends QueryModule {
     * Shared with the oracle's top-p cell ranking. */
   private val ivfNProbe = 2
 
+  /** IVF query oracle over a parametric liveness predicate — shared by
+    * the base query (all TRUE) and the takedown twin (survivors only),
+    * so the two spellings cannot drift. `live` receives a vec_id column
+    * reference and returns the survivor condition. The k-means chain is
+    * NOT restricted: centroids stay frozen on the pre-takedown corpus,
+    * exactly like the maintained index. */
+  private def ivfOracle(live: String => String): String =
+    s"""WITH ${kmeansCtes(kmeansK, kmeansIters)},
+       q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+             WHERE vec_id < 20 AND ${live("vec_id")}),
+       probes AS (SELECT vec_id AS qid, cid FROM (
+           SELECT vec_id, cid, ROW_NUMBER() OVER (
+             PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           FROM d$kmeansIters WHERE vec_id < 20 AND ${live("vec_id")})
+         WHERE rn <= $ivfNProbe),
+       nrm AS (SELECT vec_id, SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nv
+               FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+               GROUP BY vec_id),
+       dots AS (SELECT qid, vec_id, SUM(qx*ex) AS dp FROM (
+           SELECT q.qid, e.vec_id,
+                  CAST(unnest(q.qe) AS DOUBLE) AS qx,
+                  CAST(unnest(e.embedding) AS DOUBLE) AS ex
+           FROM q JOIN probes p ON p.qid = q.qid
+                  JOIN a$kmeansIters ac ON ac.cid = p.cid
+                                       AND ${live("ac.vec_id")}
+                  JOIN embeddings e ON e.vec_id = ac.vec_id
+                                   AND e.vec_id <> q.qid)
+         GROUP BY qid, vec_id),
+       cosined AS (SELECT qid, d.vec_id, ROUND(dp / (nq.nv * nc.nv), 4) AS cosine
+         FROM dots d JOIN nrm nq ON nq.vec_id = d.qid
+                     JOIN nrm nc ON nc.vec_id = d.vec_id),
+       ranked AS (SELECT qid, vec_id, cosine,
+           CAST(ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY cosine DESC, vec_id) AS INT) AS rn
+         FROM cosined)
+       SELECT qid, vec_id, cosine, rn FROM ranked WHERE rn <= 3
+       ORDER BY qid, rn"""
+
   /** Near-dup LSH banding: same table count / bits as q_sim_ann (8 tables
     * × 3 bits ⇒ for a pair at the 0.35 cosine threshold, P[collide in ≥1
     * band] ≈ 0.88, rising steeply with similarity — the high-recall zone;
@@ -213,6 +251,56 @@ object Similarity extends QueryModule {
         .select("qid", "vec_id")
       val e = t(s, dir, "embeddings")
       val qe = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val cos = round(dot(col("qe"), col("embedding")) /
+        (norm(col("qe")) * norm(col("embedding"))), 4)
+      val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+      cand.join(broadcast(qe), Seq("qid")).join(e, Seq("vec_id"))
+        .select(col("qid"), col("vec_id"), cos.as("cosine"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select(col("qid"), col("vec_id"), col("cosine"), col("rn"))
+        .orderBy("qid", "rn")
+    }),
+
+    // ANN-INDEX TAKEDOWN — the similarity-family member of the
+    // retraction contract, at the fully-SUBTRACTABLE end of the
+    // spectrum (opposite q_agg_sketch_del's rebuild-only sketches): an
+    // IVF index's postings are exact rows, so a takedown batch prunes
+    // them by one DELTA-SIZED anti-join — no re-clustering, no rescans.
+    // CENTROIDS STAY FROZEN (trained on the pre-takedown corpus), the
+    // standard production practice: an ANN index tolerates deletion
+    // without retraining, drifting only in cell balance. The oracle
+    // replays the identical frozen k-means chain, prunes the same
+    // postings, and queries among survivors — a leaked posting (a
+    // deleted vector surfacing as someone's neighbor) flips the hash.
+    "q_sim_ivf_del" -> ((s, dir) => {
+      val (assigned, cents) = kmeansFinalCached(s, dir, kmeansK, kmeansIters)
+      val delIds = t(s, dir, "embeddings")
+        .filter(col("vec_id") % 9 === 2).select("vec_id")
+        .localCheckpoint(true) // the takedown batch, delta-sized
+      require(assigned.join(delIds, Seq("vec_id"), "left_semi")
+          .limit(1).count() > 0,
+        "fixture no longer demonstrates an index takedown " +
+          "(no deleted vector held a posting)")
+      val cellsLive = assigned.select("vec_id", "cid")
+        .join(delIds, Seq("vec_id"), "left_anti")
+      val cdist = aggregate(
+        zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v)
+      val wp = Window.partitionBy("qid").orderBy(col("dist"), col("cid"))
+      val probes = assigned.filter(col("vec_id") < 20)
+        .join(delIds, Seq("vec_id"), "left_anti") // surviving queries only
+        .select(col("vec_id").as("qid"), col("qv"))
+        .join(broadcast(cents))
+        .select(col("qid"), col("cid"), cdist.as("dist"))
+        .withColumn("rn", row_number().over(wp)).filter(col("rn") <= ivfNProbe)
+        .select("qid", "cid")
+      val cand = broadcast(probes).join(cellsLive, Seq("cid"))
+        .filter(col("qid") =!= col("vec_id"))
+        .select("qid", "vec_id")
+      val e = t(s, dir, "embeddings")
+      val qe = e.filter(col("vec_id") < 20)
+        .join(delIds, Seq("vec_id"), "left_anti")
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       val cos = round(dot(col("qe"), col("embedding")) /
         (norm(col("qe")) * norm(col("embedding"))), 4)
@@ -587,35 +675,10 @@ object Similarity extends QueryModule {
     // Learned-cell IVF, nprobe = 2: the same unrolled k-means chain
     // supplies both the cell map (a$iters) and the final-centroid
     // distances (d$iters), whose top-2 per query vector is the probe set.
-    "q_sim_ivf" ->
-      s"""WITH ${kmeansCtes(kmeansK, kmeansIters)},
-         q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-               WHERE vec_id < 20),
-         probes AS (SELECT vec_id AS qid, cid FROM (
-             SELECT vec_id, cid, ROW_NUMBER() OVER (
-               PARTITION BY vec_id ORDER BY dist, cid) AS rn
-             FROM d$kmeansIters WHERE vec_id < 20) WHERE rn <= $ivfNProbe),
-         nrm AS (SELECT vec_id, SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nv
-                 FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
-                 GROUP BY vec_id),
-         dots AS (SELECT qid, vec_id, SUM(qx*ex) AS dp FROM (
-             SELECT q.qid, e.vec_id,
-                    CAST(unnest(q.qe) AS DOUBLE) AS qx,
-                    CAST(unnest(e.embedding) AS DOUBLE) AS ex
-             FROM q JOIN probes p ON p.qid = q.qid
-                    JOIN a$kmeansIters ac ON ac.cid = p.cid
-                    JOIN embeddings e ON e.vec_id = ac.vec_id
-                                     AND e.vec_id <> q.qid)
-           GROUP BY qid, vec_id),
-         cosined AS (SELECT qid, d.vec_id, ROUND(dp / (nq.nv * nc.nv), 4) AS cosine
-           FROM dots d JOIN nrm nq ON nq.vec_id = d.qid
-                       JOIN nrm nc ON nc.vec_id = d.vec_id),
-         ranked AS (SELECT qid, vec_id, cosine,
-             CAST(ROW_NUMBER() OVER (PARTITION BY qid
-               ORDER BY cosine DESC, vec_id) AS INT) AS rn
-           FROM cosined)
-         SELECT qid, vec_id, cosine, rn FROM ranked WHERE rn <= 3
-         ORDER BY qid, rn""",
+    "q_sim_ivf" -> ivfOracle(_ => "TRUE"),
+    // Same frozen k-means chain; postings, probe set, and re-attach all
+    // restricted to the survivors — the maintained index must match.
+    "q_sim_ivf_del" -> ivfOracle(c => s"$c % 9 <> 2"),
     // Full LSH replication (the q_sim_ann discipline): the same integer
     // hyperplane signatures, the same (label, band, sig) candidate join,
     // exact cosine verify on the collision pairs only.

@@ -25,6 +25,25 @@ object TextOps extends QueryModule {
   /** documents.text is single-space separated (verified in TESTDATA recon). */
   private val toks: Column = split(col("text"), " ")
 
+  /** TF-IDF oracle over a parametric document CTE `d` — shared by the
+    * base query (all documents) and the retraction twin (survivors
+    * only), so the two spellings cannot drift. `dCte` must define
+    * `d(doc_id, text)`. */
+  private def tfidfOracle(dCte: String): String =
+    s"""WITH $dCte,
+       tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM d)
+         GROUP BY doc_id, tok),
+       df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+       n AS (SELECT COUNT(*) AS n_docs FROM d),
+       sc AS (SELECT doc_id, tok, tf, df,
+           ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS score
+         FROM tf JOIN df USING (tok) CROSS JOIN n),
+       r AS (SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, tok) AS rn FROM sc)
+       SELECT doc_id, CAST(rn AS INT) AS rank, tok, tf, df, score
+       FROM r WHERE rn <= 3 ORDER BY doc_id, rank"""
+
   private val docOrder = Window.partitionBy("doc_id").orderBy("pos")
 
   /** `(doc_id, pos, tok, w2, chg)` — ONE posexplode + ONE (doc_id, pos)
@@ -578,6 +597,67 @@ object TextOps extends QueryModule {
         .orderBy("doc_id", "rank")
     }),
 
+    // TF-IDF state RETRACTION — the SUBTRACTABLE member of the
+    // retraction-contract family (count-typed state, the opposite end
+    // from q_agg_sketch_del's rebuild-only sketches): document frequency
+    // is a per-token count of documents, so a takedown batch subtracts
+    // EXACTLY — df' = df − df_batch, n' = n − |batch| — with work ∝ the
+    // DELETED documents' token sets, never a survivor rescan. Two
+    // hazards require()d live on the fixture: some token's df actually
+    // decreases, and some token VANISHES (its last document retired —
+    // the state row must drop, or the from-scratch compare catches the
+    // zombie). The readout re-ranks the SURVIVING documents' top-3 terms
+    // under the maintained df/n — global scores legitimately move when
+    // any document leaves — and the oracle recomputes TF-IDF from
+    // scratch over survivors: a stale df, an unsubtracted n, or a
+    // zombie token all flip the hash.
+    "q_text_tfidf_del" -> ((s, dir) => {
+      // stored full-corpus state a pipeline keeps: per-(doc, tok) tf
+      val tfAll = t(s, dir, "documents")
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true) // feeds stored df, the delta, and readout
+      val dfAll = tfAll.groupBy("tok").agg(count(lit(1)).as("df"))
+        .localCheckpoint(true) // stored (tok, df) state
+      val nAll = t(s, dir, "documents").count() // stored scalar
+      // the takedown batch: the %7 band PLUS every holder of the
+      // corpus's rarest token (min df, then lexicographically first) —
+      // the q_agg_incremental_del fixture trick, here guaranteeing the
+      // vanishing-token path fires (the synthetic corpus's bounded
+      // vocabulary never vanishes a token under the band alone)
+      val rareTok = dfAll.orderBy(col("df").asc, col("tok").asc)
+        .limit(1).collect()(0).getString(0) // 1-row driver read
+      val retiredIds = t(s, dir, "documents")
+        .filter(col("doc_id") % 7 === 3).select("doc_id")
+        .union(tfAll.filter(col("tok") === rareTok).select("doc_id"))
+        .distinct().localCheckpoint(true) // the delete batch, delta-sized
+      // the takedown's df contribution — computed from the batch only
+      val dDf = tfAll.join(retiredIds, Seq("doc_id"), "left_semi")
+        .groupBy("tok").agg(count(lit(1)).as("d_df")).localCheckpoint(true)
+      require(dDf.limit(1).count() > 0,
+        "fixture no longer demonstrates df subtraction (empty delete batch)")
+      val vanished = dfAll.join(dDf, Seq("tok"))
+        .filter(col("df") === col("d_df")).limit(1).count()
+      require(vanished > 0,
+        "fixture no longer exercises the vanishing-token path " +
+          "(no token's last document was retired)")
+      val dfLive = dfAll.join(dDf, Seq("tok"), "left")
+        .select(col("tok"),
+          (col("df") - coalesce(col("d_df"), lit(0L))).as("df"))
+        .filter(col("df") > 0)
+      val nLive = nAll - retiredIds.count()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("tok"))
+      tfAll.join(retiredIds, Seq("doc_id"), "left_anti")
+        .join(dfLive, Seq("tok"))
+        .withColumn("score",
+          round(col("tf") * log(lit(nLive).cast("double") / col("df")), 4))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "rank", "tok", "tf", "df", "score")
+        .orderBy("doc_id", "rank")
+    }),
+
     // RAG-style chunking: fixed token windows (width 32, stride 24 → 8
     // tokens of overlap) per document. The chunk table is what an
     // embedding/indexing stage consumes downstream; here it is built as
@@ -942,18 +1022,22 @@ object TextOps extends QueryModule {
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
          GROUP BY tok ORDER BY tok""",
     "q_text_tfidf" ->
-      """WITH tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM (
-             SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
-           GROUP BY doc_id, tok),
-         df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
-         n AS (SELECT COUNT(*) AS n_docs FROM documents),
-         sc AS (SELECT doc_id, tok, tf, df,
-             ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS score
-           FROM tf JOIN df USING (tok) CROSS JOIN n),
-         r AS (SELECT *, ROW_NUMBER() OVER (
-             PARTITION BY doc_id ORDER BY score DESC, tok) AS rn FROM sc)
-         SELECT doc_id, CAST(rn AS INT) AS rank, tok, tf, df, score
-         FROM r WHERE rn <= 3 ORDER BY doc_id, rank""",
+      tfidfOracle("d AS (SELECT doc_id, text FROM documents)"),
+    // From-scratch TF-IDF over the SURVIVORS (the %7 band plus every
+    // holder of the rarest token, recomputed independently) — the
+    // exact-subtraction maintenance must land on the identical
+    // df/n/scores/ranks.
+    "q_text_tfidf_del" -> tfidfOracle(
+      """p0 AS (SELECT DISTINCT doc_id, tok FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM documents)),
+         df0 AS (SELECT tok, COUNT(*) AS df FROM p0 GROUP BY tok),
+         rare AS (SELECT tok FROM df0 ORDER BY df, tok LIMIT 1),
+         gone AS (SELECT DISTINCT doc_id FROM p0
+           WHERE tok = (SELECT tok FROM rare)),
+         d AS (SELECT doc_id, text FROM documents
+           WHERE doc_id % 7 <> 3
+             AND doc_id NOT IN (SELECT doc_id FROM gone))"""),
     // Same geometry: generate_series/sequence are both inclusive of the
     // end bound; DuckDB list slices are 1-based inclusive like Spark's.
     "q_text_chunk" ->

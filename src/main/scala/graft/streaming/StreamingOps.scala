@@ -46,6 +46,7 @@ object StreamingOps extends QueryModule {
     stageAnomalyChunks(s, dir)
     stageModSeqChunks(s, dir)
     stageGraphCcDelChunks(s, dir)
+    stageDedupDelChunks(s, dir)
   }
 
   private def tag(dir: String): String =
@@ -180,6 +181,29 @@ object StreamingOps extends QueryModule {
           .toDF("src", "dst")
           .select(col("src"), col("dst"), lit("I").as("op")))
       writeChunksOrdered(chunks, (0 until 3).map(insSlice) :+ takedown)
+    }
+    chunks
+  }
+
+  /** 4 ordered chunk files of DOCUMENT CHANGES (doc_id, text, op) for
+    * the delete-bearing streaming dedup maintainer: chunks 1–3
+    * hash-partition the old corpus (doc_id % 5 ≠ 4) as op='I' ingests;
+    * chunk 4 is the combined takedown + ingest batch — op='D' for the
+    * old corpus's doc_id % 7 == 3 slice, op='I' for the % 5 == 4 new
+    * batch: the q_dedup_incremental_del diff replayed as a stream. */
+  private def stageDedupDelChunks(s: SparkSession, dir: String): String = {
+    val chunks = chunksDir(dir, "dedupdel")
+    ensureStaged(chunks) {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val old = docs.filter(!(col("doc_id") % 5 === 4)).localCheckpoint(true)
+      def slice(m: Int) = old.filter(pmod(xxhash64(col("doc_id")), lit(3)) === m)
+        .select(col("doc_id"), col("text"), lit("I").as("op"))
+      val takedown = old.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"), lit(null).cast("string").as("text"),
+          lit("D").as("op"))
+        .unionByName(docs.filter(col("doc_id") % 5 === 4)
+          .select(col("doc_id"), col("text"), lit("I").as("op")))
+      writeChunksOrdered(chunks, (0 until 3).map(slice) :+ takedown)
     }
     chunks
   }
@@ -780,6 +804,80 @@ object StreamingOps extends QueryModule {
         .orderBy("user_id")
     }),
 
+    // DELETE-BEARING STREAMING DEDUP MAINTENANCE — the near-dup twin of
+    // q_stream_graph_cc_del, completing the streaming half of the
+    // retraction contract: the stream carries DOCUMENT CHANGES
+    // (doc_id, text, op); each microbatch retires op='D' documents from
+    // the persisted LSH state by DELTA-SIZED ANTI-JOINS (signatures AND
+    // stored pairs — never a re-verify, the q_dedup_incremental_del
+    // algebra) and ingests op='I' documents against the SURVIVING
+    // signatures: new-batch band signatures, collision candidates vs
+    // state ∪ self, exact Jaccard verify on collision pairs only.
+    // Candidate text is fetched from the corpus store by id (the
+    // realistic shape — signatures are the streamed state, text is not).
+    // Both state tables (band signatures, verified pairs) commit
+    // idempotently per batchId. Incremental candidate discovery is
+    // EXHAUSTIVE across batches: a pair's later-ingested member always
+    // finds the earlier member's signature in state, and band signatures
+    // don't depend on batching — so the final pair set equals the batch
+    // maintainer's, and the oracle is SHARED verbatim with
+    // q_dedup_incremental_del (the full live-corpus Jaccard recompute).
+    "q_stream_dedup_del" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val chunks = stageDedupDelChunks(s, dir)
+      val (sigState, pairState, ck) =
+        (chunks + "_sstate", chunks + "_pstate", chunks + "_ck")
+      Seq(sigState, pairState, ck).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("op", StringType)))
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(chunks)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val ss = batch.sparkSession
+          import ss.implicits._
+          val b = batch.localCheckpoint(true) // feeds ins + takedown ids
+          val ins = b.filter(col("op") === "I").select("doc_id", "text")
+          val delIds = b.filter(col("op") === "D").select("doc_id")
+          val sigsLive = cdcState(ss, sigState)
+            .getOrElse(Seq.empty[(Long, Int, Long)].toDF("doc_id", "band", "sig"))
+            .join(delIds, Seq("doc_id"), "left_anti")
+          val pairsLive = cdcState(ss, pairState)
+            .getOrElse(Seq.empty[(Long, Long, Double)].toDF("da", "db", "jaccard"))
+            .join(delIds.select(col("doc_id").as("da")), Seq("da"), "left_anti")
+            .join(delIds.select(col("doc_id").as("db")), Seq("db"), "left_anti")
+          val nb = Dedup.bandSignatures(ins).localCheckpoint(true)
+          val vsOld = nb.as("n").join(sigsLive.as("o"),
+              col("n.band") === col("o.band") && col("n.sig") === col("o.sig"))
+            .select(least(col("n.doc_id"), col("o.doc_id")).as("da"),
+              greatest(col("n.doc_id"), col("o.doc_id")).as("db"))
+          val vsNew = nb.as("x").join(nb.as("y"),
+              col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+              col("x.doc_id") < col("y.doc_id"))
+            .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+          val cand = vsOld.union(vsNew).distinct().localCheckpoint(true)
+          val candDocs = cand.select(col("da").as("doc_id"))
+            .union(cand.select(col("db").as("doc_id"))).distinct()
+          val sh = Dedup.shingles(Tables(ss, dir, "documents")
+            .join(candDocs, Seq("doc_id"), "left_semi")).localCheckpoint(true)
+          val newPairs = Dedup.jaccardPairs(sh, Dedup.lshThreshold,
+            Some(cand), preMaterialized = true)
+          applyBatchIdempotent(sigState, batchId)(sigsLive.unionByName(nb))
+          applyBatchIdempotent(pairState, batchId)(
+            pairsLive.unionByName(newPairs))
+          ()
+        }.start()
+      q.awaitTermination()
+      val vs = graft.sources.VersionedGraphStore.versions(pairState)
+      require(vs.size >= 4,
+        s"expected >= 4 committed pair-state versions, got $vs")
+      graft.sources.VersionedGraphStore.load(s, pairState).orderBy("da", "db")
+    }),
+
     // DELETE-BEARING STREAMING CC MAINTENANCE (r9 VERDICT #8) — the
     // takedown twin of q_stream_graph_cc: the stream carries EDGE CHANGE
     // rows (src, dst, op), chunks 1–3 insert the full hierarchy graph,
@@ -1223,6 +1321,12 @@ object StreamingOps extends QueryModule {
     // the edge-state table.
     "q_stream_graph_cc_del" ->
       graft.operators.GraphQueries.oracles("q_graph_cc_incremental_del"),
+    // The full live-corpus Jaccard recompute — SHARED verbatim with the
+    // batch maintainer of the same diff (q_dedup_incremental_del): a
+    // leaked retired pair, a missed cross-batch ingest pair, or a wrong
+    // per-batch candidate set all flip the compare.
+    "q_stream_dedup_del" ->
+      graft.operators.Dedup.oracles("q_dedup_incremental_del"),
     // The same gaps-and-islands session rebuild as q_session_window
     // (session end = last event + the 30 min gap), restricted to the
     // watermark-closed surface exactly like the Spark side. Ties on
