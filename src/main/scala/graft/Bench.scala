@@ -386,10 +386,11 @@ object Bench {
         "BARRIER-bound, not data-bound: the support-cascade waves pay one " +
         "barrier per cascade level (~25 levels on this fixture) with " +
         "frontier-sized work each, so at sf0.1 they can cost MORE than the " +
-        "full recompute (q_graph_dag_layers_incremental_del ~11s vs ~4s " +
-        "full) - the crossover favors maintenance when |E| dwarfs " +
-        "cascade*diameter, i.e. exactly at the 100TB scale these exist " +
-        "for; per-wave work never scales with the base graph")
+        "full recompute (q_graph_dag_layers_incremental_del ~8.6s after the " +
+        "r10 cascade rework - was ~11s - vs ~4.3s full) - the crossover " +
+        "favors maintenance when |E| dwarfs cascade*diameter, i.e. exactly " +
+        "at the 100TB scale these exist for; per-wave work never scales " +
+        "with the base graph")
     ).map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     // Which queries read each prewarmed cache (r7 ADVICE: a cache-served
     // query's per-query time is a parquet readback; its operator cost
