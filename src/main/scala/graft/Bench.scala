@@ -110,6 +110,18 @@ object Bench {
     val cacheBuildSec = cacheTimes.map(_._2).filter(_ >= 0).sum
     // Optional subset filter for local iteration: SPARK_GRAFT_ONLY=regex.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    // Diagnostic knob (r9 VERDICT #5's repeat-run investigations):
+    // SPARK_GRAFT_SAMPLES=N forces every surviving query to N in-JVM
+    // samples (published via tail_samples for tail queries / the min as
+    // usual), so same-process drift like the sf1 bfs_incremental
+    // monotone-growth signature is reproducible from one command.
+    // Parsed HERE — before any measured work — with toIntOption so a
+    // malformed value fails fast instead of throwing after the full
+    // first pass (review finding).
+    val forcedSamples = sys.env.get("SPARK_GRAFT_SAMPLES").map { v =>
+      v.toIntOption.getOrElse(
+        sys.error(s"SPARK_GRAFT_SAMPLES must be an integer, got '$v'"))
+    }.getOrElse(0)
     // Previous-round per-query times: the reference for the >1.5x
     // re-sample policy below. Preference order (r9 VERDICT #4 — the
     // trigger must key on the LAST ROUND'S PUBLISHED artifact, not the
@@ -126,33 +138,45 @@ object Bench {
     // every query "regressed" and triples the suite (observed on the
     // first sf1 refresh).
     var priorsFrom: (String, String) = ("none", "none")
-    val prior: Map[String, Double] = try {
-      val cand = Seq("BENCH_BASELINE.json", "BENCH_FULL.json")
-        .map(repoRoot.resolve).find(java.nio.file.Files.isRegularFile(_))
-      cand match {
-        case None => Map.empty
-        case Some(p) =>
+    // Each candidate is tried IN ORDER until one yields a USABLE map —
+    // an sf-mismatched or corrupt baseline must fall through to
+    // BENCH_FULL, not disable re-sampling while valid same-sf priors
+    // sit in the next file (review finding: an sf1 investigation run
+    // would otherwise lose its own BENCH_FULL priors to the sf0.1
+    // baseline).
+    def readPriors(p: java.nio.file.Path): Option[(Map[String, Double], String)] =
+      try {
+        if (!java.nio.file.Files.isRegularFile(p)) None
+        else {
           val root = new com.fasterxml.jackson.databind.ObjectMapper()
             .readTree(java.nio.file.Files.readString(p))
           val sfNode = root.get("sf")
           val node = root.get("queries")
           val commit = Option(root.get("baseline_of_commit"))
             .map(_.asText()).getOrElse("uncommitted")
-          if (node == null) Map.empty
+          if (node == null) None
           else if (sfNode == null || sfNode.asText() != sfDir) {
             System.err.println(s"[bench] prior ${p.getFileName} is for sf " +
               s"'${Option(sfNode).map(_.asText()).getOrElse("?")}', this run is " +
-              s"'$sfDir' - regression re-sampling disabled")
-            Map.empty
+              s"'$sfDir' - trying the next candidate")
+            None
           } else {
-            priorsFrom = (p.getFileName.toString, commit)
             val b = Map.newBuilder[String, Double]
             node.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asDouble())
-            b.result()
+            Some((b.result(), commit))
           }
-      }
-    } catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] no prior bench baseline: $e"); Map.empty }
+        }
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] unreadable prior $p: $e"); None }
+    val prior: Map[String, Double] =
+      Seq("BENCH_BASELINE.json", "BENCH_FULL.json")
+        .map(repoRoot.resolve)
+        .flatMap(p => readPriors(p).map(p -> _))
+        .headOption match {
+          case Some((p, (m, commit))) =>
+            priorsFrom = (p.getFileName.toString, commit); m
+          case None => Map.empty
+        }
     // Host-noise probe: a FIXED in-memory computation (no disk, no plan
     // variety) timed at run start / middle / end. If the probe itself
     // drifts across the run, cross-run spreads on unchanged queries are
@@ -291,13 +315,6 @@ object Bench {
     //    third sample or a noise-probe explanation — never a single
     //    unattributable number.
     val byName = SparkEntry.queries
-    // Diagnostic knob (r9 VERDICT #5's repeat-run investigations):
-    // SPARK_GRAFT_SAMPLES=N forces every surviving query to N in-JVM
-    // samples (published via tail_samples for tail queries / the min as
-    // usual), so same-process drift like the sf1 bfs_incremental
-    // monotone-growth signature is reproducible from one command.
-    val forcedSamples = sys.env.get("SPARK_GRAFT_SAMPLES")
-      .map(_.toInt).getOrElse(0)
     val tailNames = firstPass.filter(_._3).sortBy(-_._2.min).take(10).map(_._1).toSet
     def regressed(name: String, ss: List[Double]): Boolean =
       prior.get(name).exists(p => p > 0 && ss.min > p * 1.5)

@@ -167,7 +167,13 @@ object Dedup extends QueryModule {
 
   /** q_dedup_incremental's new-batch split — single-sourced between the
     * query and the stored-state builder so they cannot drift. */
-  private def ingestIsNew = col("doc_id") % 5 === 4
+  private[graft] def ingestIsNew = col("doc_id") % 5 === 4
+  /** Takedown predicate of the delete-bearing dedup fixtures, applied
+    * to the OLD corpus state — single-sourced across the batch query,
+    * the streaming maintainer's staged chunks, and (via the shared
+    * oracle string) both compares. */
+  private[graft] def retired(c: org.apache.spark.sql.Column):
+      org.apache.spark.sql.Column = c % 7 === 3
   private val lshStateCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
   /** The stored 80%-corpus band-signature table (built once per corpus,
     * lazily on first read if the bench didn't prewarm it). */
@@ -315,8 +321,6 @@ object Dedup extends QueryModule {
     // the compare.
     "q_dedup_incremental_del" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      // single-source takedown predicate, applied to the OLD corpus state
-      def retired(c: org.apache.spark.sql.Column) = c % 7 === 3
       val sigsLive = lshIngestState(s, dir).filter(!retired(col("doc_id")))
       val survivors = lshIngestPairs(s, dir)
         .filter(!retired(col("da")) && !retired(col("db")))

@@ -560,12 +560,28 @@ object EventAnalytics extends QueryModule {
       val sides = Seq(
         "a" -> payload("a", col("n_nationkey") % 2 === 0),
         "b" -> payload("b", col("n_nationkey") % 2 === 1))
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration._
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val racing = sides.map { case (tag, df) =>
-        Future(tag -> VersionedGraphStore.commit(df, base, meta = Some(tag))) }
-      val got = racing.map(Await.result(_, 10.minutes)).toMap
+      // FRESH threads per invocation, not the global ExecutionContext:
+      // Spark's job group travels by InheritableThreadLocal copied at
+      // THREAD CREATION, so a lazily-created global pool would pin the
+      // first caller's group forever and the bench's per-query barrier
+      // counts would silently lose the racing commits on every re-sample
+      // (review finding). New threads inherit the CURRENT sample's group.
+      val results = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = sides.map { case (tag, df) =>
+        new Thread(() =>
+          try results.put(tag,
+            VersionedGraphStore.commit(df, base, meta = Some(tag)))
+          catch { case e: Throwable => errs.add(e) },
+          s"cdc-concurrent-$tag")
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(600000L))
+      if (!errs.isEmpty) throw errs.peek()
+      import scala.jdk.CollectionConverters._
+      val got = results.asScala.toMap
+      require(got.size == sides.size,
+        s"a racing writer did not finish: committed only ${got.keySet}")
       require(got("a") != got("b"),
         s"two writers claimed the SAME version ${got("a")}")
       require(got.values.toSet == Set(v0 + 1, v0 + 2),

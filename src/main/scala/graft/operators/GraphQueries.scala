@@ -154,7 +154,7 @@ object GraphQueries extends QueryModule {
        FROM comp GROUP BY comp ORDER BY comp"""
 
   /** Symmetrized hierarchy edges: nation↔region, customer↔nation. */
-  private def hierEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def hierEdges(s: SparkSession, dir: String): DataFrame = {
     val n = t(s, dir, "nation")
     val c = t(s, dir, "customer")
     val nr = n.select((col("n_nationkey") + 10).cast("long").as("src"),
@@ -256,7 +256,7 @@ object GraphQueries extends QueryModule {
   }
 
   /** Edge-key anti-join: rows of `a` absent from `b`. */
-  private def edgeMinus(a: DataFrame, b: DataFrame): DataFrame = a
+  private[graft] def edgeMinus(a: DataFrame, b: DataFrame): DataFrame = a
     .join(b.select(col("src").as("xsrc"), col("dst").as("xdst")),
       col("src") === col("xsrc") && col("dst") === col("xdst"), "left_anti")
 
@@ -318,7 +318,7 @@ object GraphQueries extends QueryModule {
   private def ccDelMinNation4(s: SparkSession, dir: String): Long =
     t(s, dir, "nation").filter(col("n_regionkey") === 4)
       .agg(min((col("n_nationkey") + 10).cast("long"))).collect()(0).getLong(0)
-  private def ccDelV2(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def ccDelV2(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val mn4 = ccDelMinNation4(s, dir)
     hierEdges(s, dir).filter(

@@ -2178,15 +2178,22 @@ object GraphOps {
     // distinct shuffles — was tried and REJECTED: 8.64 → 10.97 s on the
     // same-session three-maintainer bench; serializing the dedup into
     // the collapse task costs more than the small shuffles it removes.)
-    var cumUnsettled = 0L
     // ONLY already-checkpointed single-partition frames get the hint — a
     // materialized ≤frontier-sized frame broadcasts for the cost of one
     // driver hop, while hinting DERIVED plans (candidates, support
     // in-edges) forces an extra materialize-and-collect per join and
     // measured SLOWER than the shuffles it replaced (9.8 → 11.8 s on the
     // same-session three-maintainer bench — rejected; ledger PLANS.md).
+    // The gate counts EVERY frame a subsequent plan may broadcast: the
+    // delete batch and both sub-waves of each fused step (review
+    // finding: the sub-wave fA is NOT bounded by the entering frontier —
+    // one deleted support edge upstream of a high-out-degree vertex
+    // fans out to ~out-degree unsettled children — so it must be
+    // measured BEFORE any plan wraps it in broadcast(); the count is a
+    // 1-task job on the single-partition checkpoint).
+    var cumGated = 0L
     def small(df: DataFrame): DataFrame =
-      if (cumUnsettled <= 200000L) broadcast(df) else df
+      if (cumGated <= 200000L) broadcast(df) else df
     def dropSupported(cand: DataFrame, unsettled: DataFrame): DataFrame = {
       val supported = cand
         .join(e.select(col("src").as("p"), col("dst").as("v"),
@@ -2213,23 +2220,28 @@ object GraphOps {
       .select(col("dst").as("v"), col("wl").as("lab")).distinct()
     var frontier = ckpt(dropSupported(cand0, emptyU))
     var n = frontier.count()
+    cumGated += n
     var waves = 0
     while (n > 0 && waves < maxIter) {
-      // TWO waves per termination count (the fused-superstep discipline;
-      // r9 VERDICT #2). The SUB-WAVE IS materialized — it feeds the next
-      // wave's expansion, both its anti-joins, and the result union, and
-      // the recorded dagLayers-batching failure mode (3 recomputes of an
-      // unmaterialized sub-frame) applies verbatim — so the fusion saves
-      // the termination count + its job, not the checkpoint. fA empty ⇒
-      // fB empty, so counting only fB never misses termination.
+      // TWO waves per termination count for TERMINATION purposes (the
+      // fused-superstep discipline; r9 VERDICT #2): fA empty ⇒ fB empty,
+      // so only fB's count gates the loop. The SUB-WAVE IS materialized —
+      // it feeds the next wave's expansion, both its anti-joins, and the
+      // result union, and the recorded dagLayers-batching failure mode
+      // (3 recomputes of an unmaterialized sub-frame) applies verbatim —
+      // and it IS counted for the broadcast gate (a 1-task job on the
+      // single-partition checkpoint): fan-out means fA is NOT bounded by
+      // the entering frontier, and an unmeasured frame must never reach
+      // broadcast().
       waves += 2
-      cumUnsettled += 2 * n // conservative: fA is uncounted, bounded by ≈n
       uFrames ::= frontier
       val fA = ckpt(nextWave(frontier))
+      cumGated += fA.count() // gates fB's plan, built next
       uFrames ::= fA
       val fB = ckpt(nextWave(fA))
       frontier = fB
       n = fB.count()
+      cumGated += n
       // Bound the unsettledAll union depth (r9 VERDICT #9): past ~12
       // leaves, collapse the accumulated waves into ONE single-partition
       // leaf — a deep cascade then carries O(1) legs instead of O(waves),

@@ -159,26 +159,21 @@ object StreamingOps extends QueryModule {
   private def stageGraphCcDelChunks(s: SparkSession, dir: String): String = {
     val chunks = chunksDir(dir, "graphccdel")
     ensureStaged(chunks) {
-      import s.implicits._
-      val n = Tables.raw(s, dir, "nation")
-      val c = Tables.raw(s, dir, "customer")
-      val fwd = n.select((col("n_nationkey") + 10).cast("long").as("src"),
-          col("n_regionkey").cast("long").as("dst"))
-        .union(c.select((col("c_custkey") + 100).cast("long").as("src"),
-          (col("c_nationkey") + 10).cast("long").as("dst")))
-      val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint(true) // feeds three insert slices + the band
-      val mn4 = n.filter(col("n_regionkey") === 4)
-        .agg(min((col("n_nationkey") + 10).cast("long"))).collect()(0).getLong(0)
-      val band = (col("src") === 4 && col("dst").between(10, 99)) ||
-        (col("dst") === 4 && col("src").between(10, 99))
+      import graft.operators.GraphQueries.{hierEdges, ccDelV2, edgeMinus}
+      // the SAME fixture algebra as the batch maintainer, read from its
+      // single source (review finding: a re-spelled copy here would
+      // silently diverge from the SHARED oracle if the GraphQueries
+      // fixture ever changed): v1 = the full hierarchy graph streamed as
+      // three insert slices, the takedown batch = the two-sided diff
+      // v1 ∖ v2 (deletes) ⊎ v2 ∖ v1 (glue inserts)
+      val v1 = hierEdges(s, dir).localCheckpoint(true)
+      val v2 = ccDelV2(s, dir).localCheckpoint(true)
       def insSlice(m: Int) =
-        und.filter(pmod(xxhash64(col("src"), col("dst")), lit(3)) === m)
+        v1.filter(pmod(xxhash64(col("src"), col("dst")), lit(3)) === m)
           .select(col("src"), col("dst"), lit("I").as("op"))
-      val takedown = und.filter(band)
+      val takedown = edgeMinus(v1, v2)
         .select(col("src"), col("dst"), lit("D").as("op"))
-        .unionByName(Seq((0L, 1L), (1L, 0L), (mn4, 3L), (3L, mn4))
-          .toDF("src", "dst")
+        .unionByName(edgeMinus(v2, v1)
           .select(col("src"), col("dst"), lit("I").as("op")))
       writeChunksOrdered(chunks, (0 until 3).map(insSlice) :+ takedown)
     }
@@ -194,14 +189,19 @@ object StreamingOps extends QueryModule {
   private def stageDedupDelChunks(s: SparkSession, dir: String): String = {
     val chunks = chunksDir(dir, "dedupdel")
     ensureStaged(chunks) {
+      // band predicates read from their single source in Dedup (review
+      // finding: re-spelled literals here would silently desynchronize
+      // the streamed chunks from the SHARED q_dedup_incremental_del
+      // oracle if either band ever changed)
+      import graft.operators.Dedup.{ingestIsNew, retired}
       val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
-      val old = docs.filter(!(col("doc_id") % 5 === 4)).localCheckpoint(true)
+      val old = docs.filter(!ingestIsNew).localCheckpoint(true)
       def slice(m: Int) = old.filter(pmod(xxhash64(col("doc_id")), lit(3)) === m)
         .select(col("doc_id"), col("text"), lit("I").as("op"))
-      val takedown = old.filter(col("doc_id") % 7 === 3)
+      val takedown = old.filter(retired(col("doc_id")))
         .select(col("doc_id"), lit(null).cast("string").as("text"),
           lit("D").as("op"))
-        .unionByName(docs.filter(col("doc_id") % 5 === 4)
+        .unionByName(docs.filter(ingestIsNew)
           .select(col("doc_id"), col("text"), lit("I").as("op")))
       writeChunksOrdered(chunks, (0 until 3).map(slice) :+ takedown)
     }
