@@ -15,7 +15,12 @@ object Bench {
     * different checkout location would silently mis-resolve (r9 ADVICE). */
   private def repoRoot: java.nio.file.Path = {
     val cwd = java.nio.file.Paths.get(".").toAbsolutePath.normalize
-    if (java.nio.file.Files.isRegularFile(cwd.resolve("build.sbt"))) cwd
+    // Require a repo-SPECIFIC marker, not the generic build.sbt (r10
+    // ADVICE: a bench launched from a different sbt project would read
+    // foreign priors and overwrite that project's BENCH_FULL.json).
+    if (java.nio.file.Files.isRegularFile(cwd.resolve("build.sbt")) &&
+        java.nio.file.Files.isDirectory(cwd.resolve("src/main/scala/graft")))
+      cwd
     else java.nio.file.Paths.get("/root/repo")
   }
 
@@ -119,8 +124,12 @@ object Bench {
     // malformed value fails fast instead of throwing after the full
     // first pass (review finding).
     val forcedSamples = sys.env.get("SPARK_GRAFT_SAMPLES").map { v =>
-      v.toIntOption.getOrElse(
+      val n = v.toIntOption.getOrElse(
         sys.error(s"SPARK_GRAFT_SAMPLES must be an integer, got '$v'"))
+      // fail-fast on 0/negative too (r10 ADVICE: a typo'd -3 in a
+      // diagnostic run silently degraded to the default sampling)
+      require(n >= 1, s"SPARK_GRAFT_SAMPLES must be >= 1, got $n")
+      n
     }.getOrElse(0)
     // Previous-round per-query times: the reference for the >1.5x
     // re-sample policy below. Preference order (r9 VERDICT #4 — the
@@ -144,7 +153,8 @@ object Bench {
     // sit in the next file (review finding: an sf1 investigation run
     // would otherwise lose its own BENCH_FULL priors to the sf0.1
     // baseline).
-    def readPriors(p: java.nio.file.Path): Option[(Map[String, Double], String)] =
+    def readPriors(p: java.nio.file.Path)
+        : Option[(Map[String, Double], String, Option[Double])] =
       try {
         if (!java.nio.file.Files.isRegularFile(p)) None
         else {
@@ -163,18 +173,26 @@ object Bench {
           } else {
             val b = Map.newBuilder[String, Double]
             node.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asDouble())
-            Some((b.result(), commit))
+            // the prior run's noise-probe floor — the anchor for the
+            // probe-normalized total (r10 VERDICT #5)
+            val probe = Option(root.get("noise_probe_sec")).flatMap { arr =>
+              val vs = (0 until arr.size).map(arr.get(_).asDouble()).filter(_ > 0)
+              if (vs.isEmpty) None else Some(vs.min)
+            }
+            Some((b.result(), commit, probe))
           }
         }
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] unreadable prior $p: $e"); None }
+    var priorProbeMin: Option[Double] = None
     val prior: Map[String, Double] =
       Seq("BENCH_BASELINE.json", "BENCH_FULL.json")
         .map(repoRoot.resolve)
         .flatMap(p => readPriors(p).map(p -> _))
         .headOption match {
-          case Some((p, (m, commit))) =>
-            priorsFrom = (p.getFileName.toString, commit); m
+          case Some((p, (m, commit, probe))) =>
+            priorsFrom = (p.getFileName.toString, commit)
+            priorProbeMin = probe; m
           case None => Map.empty
         }
     // Host-noise probe: a FIXED in-memory computation (no disk, no plan
@@ -237,29 +255,55 @@ object Bench {
     // microbatch threads) don't inherit the group, so q_stream_* counts
     // cover only driver-side jobs — a floor, not the full count.
     var groupSeq = 0L
-    def barrierCounts(group: String): (Int, Int) = {
+    def barrierCounts(group: String, wallSec: Double): (Int, Int) = {
       val st = spark.sparkContext.statusTracker
       def snap(): (Int, Int) = {
         val jobs = st.getJobIdsForGroup(group)
         (jobs.length,
           jobs.flatMap(j => st.getJobInfo(j).map(_.stageIds().length)).sum)
       }
-      // the status store is fed by the async listener bus: poll until two
-      // reads 15 ms apart agree (typically the first pair), bounded
-      var c = snap(); var stable = false; var tries = 0
-      while (!stable && tries < 6) {
+      // every job the query launched is SUBMITTED by the time the action
+      // returns, but the async listener bus may still be draining — on
+      // heavy queries two stale reads could agree before all events land
+      // (r10 ADVICE). Accept a snapshot only when (a) two reads 15 ms
+      // apart agree AND (b) every job in the group is in a terminal
+      // state; the deadline scales with the sample's wall time (5%,
+      // clamped to [90 ms, 3 s]) so long queries get a window their event
+      // volume actually needs.
+      def allTerminal(): Boolean = {
+        import org.apache.spark.JobExecutionStatus._
+        st.getJobIdsForGroup(group).forall(j =>
+          st.getJobInfo(j).exists(i =>
+            i.status() == SUCCEEDED || i.status() == FAILED))
+      }
+      val deadline = System.nanoTime() +
+        (math.max(0.09, math.min(3.0, wallSec * 0.05)) * 1e9).toLong
+      var c = snap(); var stable = false
+      while (!stable && System.nanoTime() < deadline) {
         Thread.sleep(15)
         val c2 = snap()
-        if (c2 == c) stable = true else { c = c2; tries += 1 }
+        if (c2 == c && allTerminal()) stable = true else c = c2
       }
       c
     }
+    // Per-query wall-clock sample timestamps (r10 VERDICT #5): first and
+    // last sample start, epoch seconds — published as `query_started_at`
+    // so cross-round "drift" claims can line a regression up against the
+    // run's probe timeline instead of guessing when the query ran.
+    val startedAt = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val lastSampleAt = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame):
         (Double, Boolean, Long, (Int, Int)) = {
       val gc0 = gcMs()
       groupSeq += 1
       val group = s"bench-$name-$groupSeq"
       spark.sparkContext.setJobGroup(group, name, interruptOnCancel = false)
+      // Structured Streaming microbatch threads don't inherit this
+      // thread's job group — publish it so every foreachBatch body can
+      // re-set it on ITS thread (r10 VERDICT #4: q_stream_* barrier
+      // counts were a floor, not a count).
+      graft.BenchContext.jobGroup = Some(group -> name)
+      val tsSec = System.currentTimeMillis() / 1000L
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -272,9 +316,12 @@ object Bench {
         }
       val sec = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.clearJobGroup()
+      graft.BenchContext.jobGroup = None
       val gc = gcMs() - gc0 // measured run only — the flush's System.gc
-      val bc = barrierCounts(group)
+      val bc = barrierCounts(group, sec)
       flush()               // below is bench hygiene, not query cost
+      startedAt.getOrElseUpdate(name, tsSec)
+      lastSampleAt(name) = tsSec
       (sec, ok, gc, bc)
     }
     // zero the CDC phase accumulator so `cdc_phases` attributes exactly
@@ -367,6 +414,21 @@ object Bench {
     }.mkString("{", ",", "}")
     val probeEnd = noiseProbe()
     val noiseJson = s"[${fmt(probeStart)},${fmt(probeMid)},${fmt(probeEnd)}]"
+    // Probe-normalized total (r10 VERDICT #5): value × (probe_baseline /
+    // probe_now), both probes published — cross-round ratios then carry
+    // the host-drift correction as arithmetic instead of a suspicion.
+    // The r11 A/B that motivated this: the r10 driver's pagerank "1.7×
+    // band" normalized to ~1.0× under its own probes (0.405 vs 0.27).
+    // Mins on both sides: the probe's floor is its least-noise estimate.
+    val probeNowMin = Seq(probeStart, probeMid, probeEnd).filter(_ > 0).min
+    val valueNormJson = priorProbeMin match {
+      case Some(pb) if probeNowMin > 0 =>
+        s""""value_norm":${fmt(total * (pb / probeNowMin))},"probe_baseline_sec":${fmt(pb)},"""
+      case _ => """"value_norm":null,"probe_baseline_sec":null,"""
+    }
+    val startedAtJson = results.map { case (k, _, _, _, _) =>
+      "\"" + k + "\":[" + startedAt.getOrElse(k, 0L) + "," +
+        lastSampleAt.getOrElse(k, 0L) + "]" }.mkString("{", ",", "}")
     // MERGE-compute vs commit-log-write split across every CDC microbatch
     // this run (r8 VERDICT #4: the family's >2x was unattributable).
     val cdcPhases = graft.streaming.StreamingOps.CdcPhases.json
@@ -387,8 +449,10 @@ object Bench {
         "DELTAS between twins sharing a fixture - e.g. spec coloring's 5 rounds x " +
         "~4 jobs vs JP-BSP's ~12 fused iterations x 4 jobs shows up as the " +
         "jobs gap (109 vs 152 at r10), on top of ~90 shared non-loop jobs. " +
-        "Streaming queries count driver-side jobs only (microbatch threads " +
-        "don't inherit the job group) - a floor, not the full count"),
+        "Streaming queries include microbatch jobs since r11: every " +
+        "foreachBatch body re-sets the bench's job group on its own thread " +
+        "(BenchContext.tagStreamThread), so q_stream_* rows are real " +
+        "totals, not driver-side floors"),
       "q_stream_dedup_wm" -> ("4 sequential watermarked microbatches (late replay " +
         "2,3,1,4; chunk count IS the semantics - each chunk must see the prior " +
         "one's watermark) + state-store init: ~0.5s/batch scheduling floor at local[32]"),
@@ -462,7 +526,7 @@ object Bench {
     val jvm = s""""notes":$notes,"cache_consumers":$cacheConsumers,"jvm_gc_total_ms":${gcMs()},"jvm_gc_query_ms":${results.map(_._4).sum},"hygiene_gcs":$hygieneGcs,"code_cache_used_mb":${codeCacheUsedMb()},"jvm_gc_ms":$gcmap"""
     val priorsJson =
       s"""{"file":"${priorsFrom._1}","commit":"${priorsFrom._2}"}"""
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","value_median":${fmt(totalMedian)},"queries":${qmap(results)},"queries_median":$qmedian,"failed":$failed,"n_queries":${results.size},"sf":"$sfDir","staging_sec":${fmt(stagingSec)},"cache_build_sec":${fmt(cacheBuildSec)},"cache_build":$cacheMap,"tail_samples":$tails,"resampled":$resampledJson,"priors_from":$priorsJson,"noise_probe_sec":$noiseJson,"cdc_phases":$cdcPhases,"barrier_jobs":$barrierJobs,"barrier_stages":$barrierStages,$jvm}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$valueNormJson"value_median":${fmt(totalMedian)},"queries":${qmap(results)},"queries_median":$qmedian,"failed":$failed,"n_queries":${results.size},"sf":"$sfDir","staging_sec":${fmt(stagingSec)},"cache_build_sec":${fmt(cacheBuildSec)},"cache_build":$cacheMap,"tail_samples":$tails,"resampled":$resampledJson,"priors_from":$priorsJson,"noise_probe_sec":$noiseJson,"query_started_at":$startedAtJson,"cdc_phases":$cdcPhases,"barrier_jobs":$barrierJobs,"barrier_stages":$barrierStages,$jvm}"""
     // The driver keeps only the last ~2KB of stdout (BENCH_r3 lost the
     // head of the single JSON line — and the total with it). So: the full
     // line first for humans/greppers, then a LAST line compact enough to
@@ -484,7 +548,7 @@ object Bench {
       .mkString("{", ",", "}")
     val note = if (only.isEmpty) s"slowest 45 of ${results.size}; full map in BENCH_FULL.json"
       else s"slowest 45 of ${results.size} (subset run)"
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","value_median":${fmt(totalMedian)},"n_queries":${results.size},"failed":$failed,"sf":"$sfDir","staging_sec":${fmt(stagingSec)},"cache_build_sec":${fmt(cacheBuildSec)},"cache_build":$cacheMap,"tail_samples":$tails,"resampled":$resampledJson,"priors_from":$priorsJson,"noise_probe_sec":$noiseJson,"cdc_phases":$cdcPhases,"barrier_stages":$compactBarriers,"jvm_gc_total_ms":${gcMs()},"jvm_gc_query_ms":${results.map(_._4).sum},"code_cache_used_mb":${codeCacheUsedMb()},"queries_note":"$note","queries":${qmap(slowest)}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$valueNormJson"value_median":${fmt(totalMedian)},"n_queries":${results.size},"failed":$failed,"sf":"$sfDir","staging_sec":${fmt(stagingSec)},"cache_build_sec":${fmt(cacheBuildSec)},"cache_build":$cacheMap,"tail_samples":$tails,"resampled":$resampledJson,"priors_from":$priorsJson,"noise_probe_sec":$noiseJson,"cdc_phases":$cdcPhases,"barrier_stages":$compactBarriers,"jvm_gc_total_ms":${gcMs()},"jvm_gc_query_ms":${results.map(_._4).sum},"code_cache_used_mb":${codeCacheUsedMb()},"queries_note":"$note","queries":${qmap(slowest)}}""")
     // Full runs only — a SPARK_GRAFT_ONLY subset would overwrite the
     // repo copy with a misleading partial map. Target the repo checkout
     // when it exists, else the working directory; a failed write is

@@ -577,6 +577,17 @@ object EventAnalytics extends QueryModule {
       }
       threads.foreach(_.start())
       threads.foreach(_.join(600000L))
+      // a straggler past the join timeout must not survive as a zombie
+      // that commits under a LATER sample's job group and skews its
+      // barrier counts / store reset (r10 ADVICE): interrupt it and fail
+      // loudly here instead of letting the require below race it
+      threads.filter(_.isAlive).foreach { t =>
+        t.interrupt(); t.join(5000L)
+        require(!t.isAlive,
+          s"racing writer ${t.getName} did not stop after interrupt")
+        throw new IllegalStateException(
+          s"racing writer ${t.getName} exceeded the 600s join timeout")
+      }
       if (!errs.isEmpty) throw errs.peek()
       import scala.jdk.CollectionConverters._
       val got = results.asScala.toMap

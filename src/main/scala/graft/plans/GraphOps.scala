@@ -2222,7 +2222,10 @@ object GraphOps {
     var n = frontier.count()
     cumGated += n
     var waves = 0
-    while (n > 0 && waves < maxIter) {
+    // guard admits the FULL fused step (r10 ADVICE: `waves < maxIter`
+    // with `waves += 2` let an odd maxIter run maxIter+1 actual waves —
+    // the loud convergence bound was off by one wave vs its message)
+    while (n > 0 && waves + 2 <= maxIter) {
       // TWO waves per termination count for TERMINATION purposes (the
       // fused-superstep discipline; r9 VERDICT #2): fA empty ⇒ fB empty,
       // so only fB's count gates the loop. The SUB-WAVE IS materialized —

@@ -736,6 +736,7 @@ object StreamingOps extends QueryModule {
         .writeStream.trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ck)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.BenchContext.tagStreamThread(batch.sparkSession)
           // compact the batch first so the state merge unions K rows per
           // user, then re-rank: per-batch cost ∝ batch + state size;
           // applyBatchIdempotent skips a re-delivered batchId (the MERGE
@@ -785,6 +786,7 @@ object StreamingOps extends QueryModule {
         .writeStream.trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ck)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.BenchContext.tagStreamThread(batch.sparkSession)
           applyBatchIdempotent(state, batchId)(latest(
             cdcState(batch.sparkSession, state)
               .map(_.unionByName(latest(batch)))
@@ -838,6 +840,7 @@ object StreamingOps extends QueryModule {
         .writeStream.trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ck)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.BenchContext.tagStreamThread(batch.sparkSession)
           val ss = batch.sparkSession
           import ss.implicits._
           val b = batch.localCheckpoint(true) // feeds ins + takedown ids
@@ -912,6 +915,7 @@ object StreamingOps extends QueryModule {
         .writeStream.trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ck)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.BenchContext.tagStreamThread(batch.sparkSession)
           val ss = batch.sparkSession
           val b = batch.localCheckpoint(true) // feeds ins, del, and routing
           val ins = b.filter(col("op") === "I").select("src", "dst")
@@ -984,6 +988,7 @@ object StreamingOps extends QueryModule {
         .writeStream.trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ck)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.BenchContext.tagStreamThread(batch.sparkSession)
           val ss = batch.sparkSession
           // symmetrize per batch (batches partition the directed edges,
           // so the union of per-batch symmetrizations is the symmetrized
@@ -1057,6 +1062,7 @@ object StreamingOps extends QueryModule {
         .writeStream.trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ck)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.BenchContext.tagStreamThread(batch.sparkSession)
           // the additive union+re-sum would double-count a re-delivered
           // batch; applyBatchIdempotent makes the fold exactly-once per
           // batchId (r6 ADVICE)
@@ -1136,6 +1142,7 @@ object StreamingOps extends QueryModule {
         .writeStream.trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ck)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.BenchContext.tagStreamThread(batch.sparkSession)
           applyBatchIdempotent(state, batchId)(latest(
             cdcState(batch.sparkSession, state)
               .map(_.unionByName(latest(withOp(batch))))
@@ -1183,6 +1190,7 @@ object StreamingOps extends QueryModule {
         .writeStream.trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ck)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.BenchContext.tagStreamThread(batch.sparkSession)
           applyBatchIdempotent(state, batchId)(resketch(
             cdcState(batch.sparkSession, state)
               .map(_.unionByName(sampleOf(batch)))
