@@ -115,6 +115,22 @@ object GraphQueries extends QueryModule {
     * test scale so the bounded peel equals the true k-core). */
   private val kcoreK = 4 // k=3 never cascades on this graph; k=4 peels 5 rounds at sf0.1
   private val kcoreRounds = 8
+  /** Raw-edge survivor predicate of the k-core DELETE fixture: v2 drops
+    * every out-edge of vertices with src % 29 == 11. Chosen by a measured
+    * sweep (%53, %41, %29, %61, %37, %23 — PLANS.md r11): this is the
+    * smallest delta whose eviction cascade provably propagates PAST the
+    * deleted endpoints at both verify scales (5 beyond-delta evictions at
+    * sf0.01, 9 at sf0.1) — the property that makes the maintainer's wave
+    * logic actually load-bearing. Applied to RAW directed edges on both
+    * sides (an und pair survives iff any surviving raw edge yields it). */
+  private val kcoreDelMod = 29L
+  private val kcoreDelRes = 11L
+  private def kcoreDelKeep: org.apache.spark.sql.Column =
+    col("src") % kcoreDelMod =!= kcoreDelRes
+  /** The delete fixture's oracle peel is unrolled two rounds PAST the
+    * measured fixpoint (round 7 at sf0.1) — deeper than the base
+    * kcoreRounds because the eviction cascade lengthens the peel. */
+  private val kcoreDelRounds = 10
 
   /** k-truss parameters (edge peel by triangle support ≥ k−2). The ring
     * graph's triangles are too disjoint to cascade (3-truss is immediately
@@ -493,7 +509,17 @@ object GraphQueries extends QueryModule {
           !lowBandHeldEdge)._1)),
       "colhubdel" -> (() => GraphOps.jonesPlassmannColoring(s,
         snapshotDeleteDiff(s, dir, "hubdel", hubEdges(s, dir),
-          hubEdges(s, dir).filter(!lowBandHeldEdge))._1)))
+          hubEdges(s, dir).filter(!lowBandHeldEdge))._1)),
+      // k-core states (r11): the stored (v, deg) core of each fixture's
+      // v1 — the insert twin shares the bfsinc store (same held-out ~1%),
+      // the delete twin stages its own (v1 = full ring, v2 minus the
+      // src % 29 == 11 out-edges)
+      "kcoreinc" -> (() => GraphOps.kcorePeel(s,
+        snapshotInsertDiff(s, dir, "bfsinc", ringEdges(s, dir),
+          col("src") % 97 =!= 1)._1, kcoreK, kcoreRounds)),
+      "kcoredel" -> (() => GraphOps.kcorePeel(s,
+        snapshotDeleteDiff(s, dir, "kcoredel", ringEdges(s, dir),
+          ringEdges(s, dir).filter(kcoreDelKeep))._1, kcoreK, kcoreRounds)))
   } ensuring (_.keySet == incStateTags.toSet,
     "incStateBuilders drifted from incStateTags - update both")
 
@@ -666,7 +692,7 @@ object GraphQueries extends QueryModule {
     "ccinc", "ccdel", "triinc", "tridel", "princ", "prdel", "ssspinc",
     "ssspdel", "daginc", "dagdel", "centinc_sig", "centinc_del",
     "centdel_sig", "centdel_del", "misinc", "colinc", "misdel", "coldel",
-    "colhubinc", "colhubdel")
+    "colhubinc", "colhubdel", "kcoreinc", "kcoredel")
 
   def namedCaches: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "sigma_bfs" -> ((s: SparkSession, dir: String) => { ringSigma(s, dir); () }),
@@ -1653,29 +1679,54 @@ object GraphQueries extends QueryModule {
     // vertices with their in-core degree. Scale shape: one symmetric edge
     // list materialized once; each round is two semi-join prunes + one
     // count shuffle on vertex id — the BSP peel, never a driver collect.
-    "q_graph_kcore" -> ((s, dir) => {
-      val e = ringEdges(s, dir)
-      val und = e.filter(col("src") =!= col("dst"))
-        .select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b"))
-        .distinct()
-      val sym = und.select(col("a").as("src"), col("b").as("dst"))
-        .union(und.select(col("b").as("src"), col("a").as("dst")))
-        .localCheckpoint(true) // feeds every peel round
-      // act appears TWICE per round (src prune + dst prune) — materialize
-      // each round's survivor set or the plan doubles per round.
-      var deg = sym.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= kcoreK).localCheckpoint(true)
-      for (_ <- 2 to kcoreRounds) {
-        val act = deg.select("v")
-        deg = sym
-          .join(act.select(col("v").as("sv")), col("src") === col("sv"), "left_semi")
-          .join(act.select(col("v").as("dv")), col("dst") === col("dv"), "left_semi")
-          .groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
-          .filter(col("deg") >= kcoreK)
-          .localCheckpoint(true)
-      }
-      deg.orderBy("v")
+    "q_graph_kcore" -> ((s, dir) =>
+      GraphOps.kcorePeel(s, ringEdges(s, dir), kcoreK, kcoreRounds)
+        .orderBy("v")),
+
+    // INCREMENTAL k-core maintenance over the INSERT diff (r10 VERDICT
+    // #2 — the degeneracy family's first maintainer): the stored state is
+    // v1's k-core (v, deg); v2 restores the held-out ~1% of ring edges
+    // (the bfsinc fixture, store shared). Inserts only ADD members, so
+    // [[GraphOps.incrementalKCore]] grows a delta-seeded candidate region
+    // through non-core vertices with full-degree ≥ k and peels it against
+    // the FROZEN core — work ∝ candidates, never the graph. The oracle is
+    // the full 8-round peel of v2 = the COMPLETE ring, i.e. the base
+    // q_graph_kcore oracle SHARED VERBATIM — a wrong candidate closure or
+    // a stale reused degree fails the hash compare. GraphSpec additionally
+    // pins (at sf0.01) that ≥1 joiner is NOT an inserted-edge endpoint —
+    // the cascade genuinely propagates past the delta.
+    "q_graph_kcore_incremental" -> ((s, dir) => {
+      val (prev, cur, _) = snapshotInsertDiff(s, dir, "bfsinc",
+        ringEdges(s, dir), col("src") % 97 =!= 1)
+      val st = cachedIncState(s, dir, "kcoreinc")
+      val out = GraphOps.incrementalKCore(s, prev, cur, st, kcoreK)
+        .localCheckpoint(true) // feeds the liveness count AND the readout
+      // fixture liveness, delta-sized: the insert delta must actually
+      // pull somebody INTO the core, else the query proves nothing
+      require(out.join(st.select("v"), Seq("v"), "left_anti")
+          .limit(1).count() > 0,
+        "fixture no longer demonstrates k-core growth (no vertex joined)")
+      out.orderBy("v")
+    }),
+
+    // The delete-bearing twin: v2 drops every out-edge of ring vertices
+    // with src % 29 == 11 (~3.4% of raw edges; measured on the fixture:
+    // 23 evictions at sf0.01 / 188 at sf0.1, of which 5 / 9 are NOT
+    // endpoints of any deleted edge — the eviction cascade provably
+    // propagates past the delta). The maintainer re-checks in-core
+    // degrees outward from deleted-edge endpoints, the supportCascade
+    // wave shape applied to degeneracy. Oracle: the full peel of the v2
+    // algebra, unrolled two rounds past the measured fixpoint.
+    "q_graph_kcore_incremental_del" -> ((s, dir) => {
+      val (prev, cur, _, _) = snapshotDeleteDiff(s, dir, "kcoredel",
+        ringEdges(s, dir), ringEdges(s, dir).filter(kcoreDelKeep))
+      val st = cachedIncState(s, dir, "kcoredel")
+      val out = GraphOps.incrementalKCore(s, prev, cur, st, kcoreK)
+        .localCheckpoint(true)
+      require(st.join(out.select("v"), Seq("v"), "left_anti")
+          .limit(1).count() > 0,
+        "fixture no longer demonstrates k-core eviction (nobody left)")
+      out.orderBy("v")
     }),
 
     // k-truss decomposition (k=4): iteratively drop edges in fewer than
@@ -1871,6 +1922,38 @@ object GraphQueries extends QueryModule {
   /** Undirected self-loop-free ring graph as MATERIALIZED DuckDB CTEs —
     * shared by the MIS and coloring oracles. */
   private lazy val ringUndSql: String = undSqlOf(prRingESql)
+
+  /** Unrolled k-core peel over any CTE chain defining `e` = the DISTINCT
+    * self-loop-free SYMMETRIC edge rows (the [[undSqlOf]] shape): d_i =
+    * degrees among round-i survivors, a_i = {v : d_i(v) ≥ k}. Every
+    * survivor CTE is MATERIALIZED — a_i feeds two IN-subqueries per
+    * round, and DuckDB's default inlining expands multiply-referenced
+    * chains exponentially (the MIS/coloring lesson). Single-sourced
+    * across the base query and both incremental maintainers. */
+  private def kcoreOracleOver(ctes: String, rounds: Int): String = {
+    val steps = (2 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT s.src AS v, COUNT(*) AS deg
+           FROM e s
+           WHERE s.src IN (SELECT v FROM a${i - 1})
+             AND s.dst IN (SELECT v FROM a${i - 1})
+           GROUP BY s.src HAVING COUNT(*) >= $kcoreK),
+         a$i AS MATERIALIZED (SELECT v FROM d$i)"""
+    }.mkString(",\n")
+    s"""WITH $ctes,
+       d1 AS MATERIALIZED (SELECT src AS v, COUNT(*) AS deg FROM e
+            GROUP BY src HAVING COUNT(*) >= $kcoreK),
+       a1 AS MATERIALIZED (SELECT v FROM d1),
+       $steps
+       SELECT v, deg FROM d$rounds ORDER BY v"""
+  }
+  private lazy val kcoreOracleSql: String =
+    kcoreOracleOver(ringUndSql, kcoreRounds)
+  /** The delete fixture's v2: the SAME raw-edge filter as
+    * [[kcoreDelKeep]], applied before symmetrization. */
+  private lazy val kcoreDelOracleSql: String = kcoreOracleOver(
+    undSqlOf(s"""SELECT src, dst FROM ($prRingESql) raw0
+                 WHERE src % $kcoreDelMod <> $kcoreDelRes"""),
+    kcoreDelRounds)
 
   /** The hub fixture ([[hubEdges]]) as the same CTE pair: ring rules
     * plus the 250-spoke star on vertex 0. */
@@ -2605,31 +2688,18 @@ object GraphQueries extends QueryModule {
            WHERE w.d + we.w <= 60),
          best AS (SELECT v, MIN(d) AS dist FROM walk GROUP BY v)
          SELECT v, dist FROM best ORDER BY v""",
-    // The identical 6-round peel, unrolled: d_i = degrees among round-i
+    // The identical peel, unrolled: d_i = degrees among round-i
     // survivors, a_i = {v : d_i(v) >= k}; round 1 runs over all vertices.
-    "q_graph_kcore" -> {
-      val steps = (2 to kcoreRounds).map { i =>
-        s"""d$i AS (SELECT s.src AS v, COUNT(*) AS deg
-             FROM sym s
-             WHERE s.src IN (SELECT v FROM a${i - 1})
-               AND s.dst IN (SELECT v FROM a${i - 1})
-             GROUP BY s.src HAVING COUNT(*) >= $kcoreK),
-           a$i AS (SELECT v FROM d$i)"""
-      }.mkString(",\n")
-      s"""WITH e AS (
-           SELECT c_custkey AS src, (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst FROM customer
-           UNION ALL SELECT c_custkey, (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer
-           UNION ALL SELECT c_custkey, (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer),
-         und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
-                 FROM e WHERE src <> dst),
-         sym AS (SELECT a AS src, b AS dst FROM und
-                 UNION ALL SELECT b, a FROM und),
-         d1 AS (SELECT src AS v, COUNT(*) AS deg FROM sym
-                GROUP BY src HAVING COUNT(*) >= $kcoreK),
-         a1 AS (SELECT v FROM d1),
-         $steps
-         SELECT v, deg FROM d$kcoreRounds ORDER BY v"""
-    },
+    // Single-sourced builder across the base query and both maintainers.
+    "q_graph_kcore" -> kcoreOracleSql,
+    // The insert maintainer's v2 IS the complete ring — the base oracle,
+    // SHARED VERBATIM (the oracle knows nothing about the state/delta
+    // split, so a wrong candidate closure fails the hash compare).
+    "q_graph_kcore_incremental" -> kcoreOracleSql,
+    // The delete twin replays the same unroll over the v2 algebra (ring
+    // minus the src % 29 == 11 out-edges), two rounds past the measured
+    // fixpoint.
+    "q_graph_kcore_incremental_del" -> kcoreDelOracleSql,
     // The identical 4-round edge peel, unrolled: s_i = per-edge triangle
     // support among round-(i−1) survivors, t_i = {edges : support >= k-2}.
     // Survivor CTEs are MATERIALIZED — each feeds both wedge legs of the

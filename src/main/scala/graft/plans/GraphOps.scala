@@ -2439,6 +2439,259 @@ object GraphOps {
       .join(edgeUniverse(newEdges), Seq("v"), "left_semi")
   }
 
+  /** Synchronous k-core peel over RAW directed edges (self-loops dropped,
+    * duplicates collapsed at the undirected level): each round recomputes
+    * every surviving vertex's degree among survivors and drops those
+    * below `k`. Fixed `rounds` (not peel-to-convergence) so the DuckDB
+    * oracle can unroll the identical recurrence; rounds after the
+    * fixpoint are no-ops and the fixpoint is asserted at test scale in
+    * GraphSpec. Returns the core's `(v, deg)` with the IN-CORE degree —
+    * extracted from q_graph_kcore so the query, the incremental
+    * maintainers' stored-state builders, and the spec share one spelling
+    * (reference behavior: the subgraph-mining surface of
+    * `secondary_server.c`'s traversal queries, SURVEY §2 Part D). */
+  def kcorePeel(spark: SparkSession, rawEdges: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    val und = rawEdges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .distinct()
+    val sym = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true) // feeds every peel round
+    // act appears TWICE per round (src prune + dst prune) — materialize
+    // each round's survivor set or the plan doubles per round.
+    var deg = sym.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k).localCheckpoint(true)
+    for (_ <- 2 to rounds) {
+      val act = deg.select("v")
+      deg = sym
+        .join(act.select(col("v").as("sv")), col("src") === col("sv"), "left_semi")
+        .join(act.select(col("v").as("dv")), col("dst") === col("dv"), "left_semi")
+        .groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .localCheckpoint(true)
+    }
+    deg
+  }
+
+  /** INCREMENTAL k-core maintenance over a two-sided edge diff — the
+    * degeneracy-family member of the delete-bearing maintainers (r10
+    * VERDICT #2: every traversal/rank/symmetry-breaking family had
+    * insert+delete maintainers; k-core recomputed from scratch). Given
+    * the previous snapshot's core `(v, deg)` and BOTH raw edge versions,
+    * returns the NEW snapshot's exact k-core without re-peeling the old
+    * graph. The order-based-maintenance insight (Sarıyüce et al.'s
+    * traversal framing): an edge change perturbs core membership only
+    * inside a bounded affected region —
+    *
+    *  - INSERTS only ADD members (k-core is monotone under edge
+    *    insertion, so `prevCore` survives wholesale as a lower bound).
+    *    Every new member either touches an inserted edge or neighbors
+    *    another new member (else its ≥k core neighbors were already
+    *    core-resident on v1 edges and the v1 peel could never have
+    *    evicted it — contradiction), so candidates grow by delta-seeded
+    *    waves through NON-core vertices with full-v2 degree ≥ k, then a
+    *    frozen-core candidate peel (per-round work ∝ candidates; the
+    *    core's degree contribution is counted once) keeps exactly those
+    *    with ≥k support in core ∪ survivors.
+    *  - DELETES only REMOVE members: the eviction cascade re-checks
+    *    in-core degrees starting from deleted-edge endpoints, walking to
+    *    core neighbors of each eviction — the same frontier-wave shape
+    *    as [[supportCascade]], work ∝ cascade.
+    *
+    * Insert candidates are computed FIRST so the eviction checks count
+    * joiner support (a core vertex losing a deleted edge can be saved by
+    * a new joiner neighbor); the reverse interaction is safe because the
+    * cascade re-checks every candidate adjacent to an eviction. Readout
+    * recomputes in-core degree ONLY for vertices whose incident core
+    * edge set changed (diff endpoints, joiners, neighbors of joiners or
+    * evictions); every other stored degree is reused verbatim — a wrong
+    * reuse fails the oracle compare, which replays the full v2 peel.
+    * Frontier-derived frames broadcast under the family's count-gate
+    * (checkpointed, counted frames only); big frames (core ids, the
+    * symmetric edge list) are only ever scanned against broadcast
+    * probes, never shuffled per wave. Caps are LOUD: a cascade or
+    * candidate region that outgrows its bound throws rather than
+    * truncating. */
+  def incrementalKCore(spark: SparkSession, v1Raw: DataFrame,
+      v2Raw: DataFrame, prevCore: DataFrame, k: Int,
+      maxWaves: Int = 30): DataFrame = {
+    def und(e: DataFrame) = e.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .distinct()
+    val u1 = und(v1Raw).localCheckpoint(true)
+    val u2 = und(v2Raw).localCheckpoint(true)
+    def undMinus(x: DataFrame, y: DataFrame) = x.join(
+      y.select(col("a").as("xa"), col("b").as("xb")),
+      col("a") === col("xa") && col("b") === col("xb"), "left_anti")
+    val insU = undMinus(u2, u1).localCheckpoint(true)
+    val delU = undMinus(u1, u2).localCheckpoint(true)
+    val insN = insU.count(); val delN = delU.count()
+    val sym2 = u2.select(col("a").as("src"), col("b").as("dst"))
+      .union(u2.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    val core = prevCore.select(col("v").cast("long").as("v"),
+      col("deg").cast("long").as("deg")).localCheckpoint(true)
+    val coreIds = core.select("v")
+    def ckpt(df: DataFrame): DataFrame = df.repartition(1).localCheckpoint(true)
+    // count-gated broadcast of checkpointed delta-sized frames (the
+    // supportCascade discipline: only materialized, already-counted
+    // frames ever reach broadcast())
+    var cumGated = 0L
+    def small(df: DataFrame): DataFrame =
+      if (cumGated <= 200000L) broadcast(df) else df
+    def ends(u: DataFrame): DataFrame =
+      u.select(col("a").as("v")).union(u.select(col("b").as("v"))).distinct()
+
+    // ---- insert side: candidate region P, then frozen-core peel -> S
+    // full-v2 degree of a (checkpointed, counted) candidate set — one
+    // sym2 scan against the broadcast probe, candidate-sized result
+    def degFull(w: DataFrame): DataFrame = sym2
+      .join(small(w.select(col("v").as("src"))), Seq("src"), "left_semi")
+      .groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
+    val insEnds = ckpt(ends(insU).join(coreIds, Seq("v"), "left_anti"))
+    cumGated += insEnds.count()
+    var frontier = ckpt(degFull(insEnds).filter(col("d") >= k).select("v"))
+    var fn = frontier.count(); cumGated += fn
+    var pFrames = List(frontier)
+    def pAll: DataFrame = pFrames.reduce(_ union _)
+    var waves = 0
+    while (fn > 0 && waves < maxWaves) {
+      waves += 1
+      val nbrs = ckpt(sym2
+        .join(small(frontier.select(col("v").as("src"))), Seq("src"), "left_semi")
+        .select(col("dst").as("v")).distinct()
+        .join(coreIds, Seq("v"), "left_anti")
+        .join(small(ckpt(pAll)), Seq("v"), "left_anti"))
+      cumGated += nbrs.count()
+      frontier = ckpt(degFull(nbrs).filter(col("d") >= k).select("v"))
+      fn = frontier.count(); cumGated += fn
+      pFrames ::= frontier
+    }
+    require(fn == 0,
+      s"incrementalKCore: candidate region still growing after $maxWaves " +
+        "waves — the insert cascade exceeds the cap; raise maxWaves or " +
+        "recompute from the new snapshot")
+    val cand = ckpt(pAll)
+    val candN = cand.count(); cumGated += candN
+    require(candN <= math.max(10000L, 20L * insN),
+      s"incrementalKCore: candidate region ($candN vertices) degenerated " +
+        s"past 20x the inserted-edge delta ($insN) — maintenance would " +
+        "not be delta-scoped; recompute from the new snapshot")
+    // candidate support from the FROZEN core, counted once
+    val cntC = ckpt(sym2
+      .join(small(cand.select(col("v").as("src"))), Seq("src"), "left_semi")
+      .join(coreIds.select(col("v").as("dst")), Seq("dst"), "left_semi")
+      .groupBy(col("src").as("v")).agg(count(lit(1)).as("cdC")))
+    var surv = cand
+    var sn = candN
+    var peelRounds = 0
+    var stable = sn == 0L
+    while (!stable && peelRounds < maxWaves) {
+      peelRounds += 1
+      val cntS = sym2
+        .join(small(surv.select(col("v").as("src"))), Seq("src"), "left_semi")
+        .join(small(surv.select(col("v").as("dst"))), Seq("dst"), "left_semi")
+        .groupBy(col("src").as("v")).agg(count(lit(1)).as("cdS"))
+      val next = ckpt(surv
+        .join(cntC, Seq("v"), "left").join(cntS, Seq("v"), "left")
+        .filter(coalesce(col("cdC"), lit(0L)) + coalesce(col("cdS"), lit(0L)) >= k)
+        .select("v"))
+      val nn = next.count(); cumGated += nn
+      stable = nn == sn
+      surv = next; sn = nn
+    }
+    require(stable,
+      s"incrementalKCore: candidate peel did not stabilize in $maxWaves " +
+        "rounds — raise maxWaves or recompute from the new snapshot")
+    val joiners = surv // checkpointed, counted (sn)
+
+    // ---- delete side: eviction cascade over core ∪ joiners
+    val kBase = coreIds.union(joiners).localCheckpoint(true)
+    var evFrames = List.empty[DataFrame]
+    def evictedAll: DataFrame = evFrames match {
+      case Nil => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.LongType))))
+      case fs => fs.reduce(_ union _)
+    }
+    // in-core degree of a (checkpointed, counted) affected set: neighbor
+    // rows via one broadcast probe, membership via one kBase scan against
+    // the broadcast neighbor rows — kBase is never shuffled
+    def degInCore(w: DataFrame, evicted: DataFrame): DataFrame = {
+      val nb = ckpt(sym2
+        .join(small(w.select(col("v").as("src"))), Seq("src"), "left_semi")
+        .select(col("src"), col("dst")))
+      cumGated += nb.count()
+      kBase.join(small(nb), col("v") === col("dst"))
+        .join(small(evicted.select(col("v").as("xd"))),
+          col("dst") === col("xd"), "left_anti")
+        .groupBy(col("src").as("v")).agg(count(lit(1)).as("dk"))
+    }
+    var affected = ckpt(ends(delU)
+      .join(kBase.select(col("v").as("kv")), col("v") === col("kv"), "left_semi"))
+    var an = affected.count(); cumGated += an
+    var evWaves = 0
+    while (an > 0 && evWaves < maxWaves) {
+      evWaves += 1
+      val ev0 = ckpt(evictedAll)
+      cumGated += ev0.count()
+      val dk = degInCore(affected, ev0)
+      val evictNow = ckpt(affected
+        .join(dk, Seq("v"), "left")
+        .filter(coalesce(col("dk"), lit(0L)) < k)
+        .join(small(ev0.select(col("v").as("xe"))),
+          col("v") === col("xe"), "left_anti")
+        .select("v"))
+      val en = evictNow.count(); cumGated += en
+      if (en == 0) { an = 0 }
+      else {
+        evFrames ::= evictNow
+        // next wave: surviving core neighbors of this wave's evictions
+        affected = ckpt(sym2
+          .join(small(evictNow.select(col("v").as("src"))), Seq("src"), "left_semi")
+          .select(col("dst").as("v")).distinct()
+          .join(kBase.select(col("v").as("kv")), col("v") === col("kv"), "left_semi")
+          .join(small(ckpt(evictedAll)), Seq("v"), "left_anti"))
+        an = affected.count(); cumGated += an
+      }
+    }
+    require(an == 0,
+      s"incrementalKCore: eviction cascade still live after $maxWaves " +
+        "waves — raise maxWaves or recompute from the new snapshot")
+    val evicted = ckpt(evictedAll)
+    val evN = evicted.count(); cumGated += evN
+
+    // ---- readout: recompute in-core degree ONLY where membership or
+    // incident edges changed; reuse every other stored degree verbatim
+    val kFinal = kBase.join(small(evicted), Seq("v"), "left_anti")
+      .localCheckpoint(true)
+    val changedNbrSeeds = ckpt(joiners.union(evicted))
+    cumGated += changedNbrSeeds.count()
+    val changedNbrs = sym2
+      .join(small(changedNbrSeeds.select(col("v").as("src"))), Seq("src"), "left_semi")
+      .select(col("dst").as("v"))
+    val touched = ckpt(ends(insU).union(ends(delU)).union(changedNbrs)
+      .union(joiners).distinct()
+      .join(kFinal.select(col("v").as("kv")), col("v") === col("kv"), "left_semi"))
+    cumGated += touched.count()
+    val nbT = ckpt(sym2
+      .join(small(touched.select(col("v").as("src"))), Seq("src"), "left_semi")
+      .select(col("src"), col("dst")))
+    cumGated += nbT.count()
+    val degTouched = kFinal.join(small(nbT), col("v") === col("dst"))
+      .groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+    val untouched = core
+      .join(small(touched), Seq("v"), "left_anti")
+      .join(small(evicted), Seq("v"), "left_anti")
+      .select(col("v"), col("deg"))
+    untouched.unionByName(degTouched.select(col("v"), col("deg")))
+  }
+
   /** INCREMENTAL weighted-SSSP maintenance over INSERT-only edge deltas —
     * [[incrementalBfsLevels]] generalized to weighted label correction
     * (and the weighted member that completes the incremental family):
