@@ -863,6 +863,83 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("incrementalKCore == full peel (insert cascade, delete cascade, save-by-joiner)") {
+    import spark.implicits._
+    // k=3 fixture with every interaction the maintainer must get right:
+    //  K4a {1,2,3,4}   — stable core component
+    //  K4b-minus(7,8) {5,6,7,8} — in v1, 7/8 have deg 2 so ALL of 5..8
+    //    peel away; v2 inserts (7,8), pulling 5 and 6 into the core even
+    //    though neither touches the inserted edge (beyond-delta joiners)
+    //  9 -(1,2,3)      — in v1 core via K4a; v2 deletes (9,1) AND inserts
+    //    (9,7): 9 keeps membership only because joiner 7 supports it —
+    //    the delete side must count joiner support (insert-before-evict)
+    //  K4c {10,11,12,13} — v2 deletes (10,11): 10,11 drop to deg 2 and the
+    //    cascade then evicts 12,13, neither an endpoint of the deleted
+    //    edge (beyond-delta evictions)
+    val k4a = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val k4b = Seq((5L, 6L), (5L, 7L), (5L, 8L), (6L, 7L), (6L, 8L))
+    val nine = Seq((9L, 1L), (9L, 2L), (9L, 3L))
+    val k4c = Seq((10L, 11L), (10L, 12L), (10L, 13L), (11L, 12L), (11L, 13L), (12L, 13L))
+    val v1 = (k4a ++ k4b ++ nine ++ k4c).toDF("src", "dst")
+    val v2 = (k4a ++ k4b ++ Seq((7L, 8L), (9L, 7L), (9L, 2L), (9L, 3L)) ++
+      k4c.filterNot(_ == (10L, 11L))).toDF("src", "dst")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prev = GraphOps.kcorePeel(spark, v1, 3, 6)
+    assert(toMap(prev).keySet == Set(1L, 2L, 3L, 4L, 9L, 10L, 11L, 12L, 13L),
+      "v1 fixture core drifted")
+    val inc = toMap(GraphOps.incrementalKCore(spark, v1, v2, prev, 3))
+    val full = toMap(GraphOps.kcorePeel(spark, v2, 3, 6))
+    assert(full.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L),
+      "v2 fixture core drifted")
+    assert(inc == full, "incremental k-core diverges from the full v2 peel")
+  }
+
+  test("k-core fixture liveness: cascades propagate PAST the delta (sf0.01)") {
+    val dir = "/root/testdata/sf0.01"
+    // the ring algebra, in memory (same spelling as the peel-fixpoint test)
+    val ks = spark.read.parquet(s"$dir/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0))
+    val v = ks.length
+    def raw(c: Long) = Seq((2 * c + 1) % v, (5 * c + 7) % v, (16 * c + 3) % v)
+      .filter(_ != c).map(d => c -> d)
+    // insert fixture: v2 restores the held-out src % 97 == 1 edges —
+    // at least one JOINER must not touch any inserted edge
+    val insEnds = ks.filter(_ % 97 == 1).flatMap(raw)
+      .flatMap { case (a, b) => Seq(a, b) }.toSet
+    val baseCore = SparkEntry.queries("q_graph_kcore")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val incOut = SparkEntry.queries("q_graph_kcore_incremental")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(incOut == baseCore, "insert maintainer must equal the full-ring core")
+    // recompute v1's core in memory to identify the joiners
+    val adj1 = mutable.Map.empty[Long, mutable.Set[Long]]
+    ks.filter(_ % 97 != 1).flatMap(raw).foreach { case (a, b) =>
+      adj1.getOrElseUpdate(a, mutable.Set.empty) += b
+      adj1.getOrElseUpdate(b, mutable.Set.empty) += a
+    }
+    var changed = true
+    while (changed) {
+      val drop = adj1.collect { case (x, ns) if ns.size < 4 => x }.toSeq
+      changed = drop.nonEmpty
+      drop.foreach { x => adj1(x).foreach(u => adj1.get(u).foreach(_ -= x)); adj1 -= x }
+    }
+    val joiners = incOut -- adj1.keySet
+    assert(joiners.nonEmpty, "insert fixture pulls nobody into the core")
+    assert((joiners -- insEnds).nonEmpty,
+      "every joiner touches an inserted edge — the insert cascade is not load-bearing")
+    // delete fixture: v2 drops src % 29 == 11 out-edges — at least one
+    // EVICTION must not be an endpoint of any deleted edge
+    val delEnds = ks.filter(_ % 29 == 11).flatMap(raw)
+      .flatMap { case (a, b) => Seq(a, b) }.toSet
+    val delOut = SparkEntry.queries("q_graph_kcore_incremental_del")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val evicted = baseCore -- delOut
+    assert(evicted.nonEmpty, "delete fixture evicts nobody")
+    assert((evicted -- delEnds).nonEmpty,
+      "every eviction touches a deleted edge — the eviction cascade is not load-bearing")
+  }
+
   test("bounded 4-truss peel reaches the true truss fixpoint, non-empty (sf0.001 + sf0.01)") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       // Independent in-memory oracle: peel edges with support < 2 to
