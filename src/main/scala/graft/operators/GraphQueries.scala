@@ -937,6 +937,24 @@ object GraphQueries extends QueryModule {
         .orderBy("v")
     }),
 
+    // The same delete-bearing maintenance with the cascade's driver gate
+    // FORCED to the BSP wave loop (the q_graph_dag_layers_bsp /
+    // q_graph_cc_bsp discipline): since r11 the support cascade is a
+    // size-gated driver worklist over the materialized tight-support
+    // graph, so the benched production query takes the driver path at
+    // every test scale — this twin keeps the 100 TB wave loop benched
+    // and re-oracled on real data every round instead of living only in
+    // GraphSpec's forced-gate equality test.
+    "q_graph_dag_layers_incremental_del_bsp" -> ((s, dir) => {
+      def dag(e: DataFrame) = e.filter(col("src") < col("dst"))
+      val (_, cur, inserted, deleted) = snapshotDeleteDiff(s, dir, "bfsdel",
+        ringEdges(s, dir), bfsDelV2(s, dir))
+      val prev = cachedIncState(s, dir, "dagdel")
+      GraphOps.incrementalDagLayersDelete(s, dag(cur), prev,
+        dag(inserted), dag(deleted), cascadeDriverLimit = 0L)
+        .orderBy("v")
+    }),
+
     // The same layering with the size gate FORCED to the distributed
     // Bellman-Ford-with-max BSP loop (driverSolveLimit = 0) — the
     // q_graph_cc_bsp discipline applied to dagLayers: the 100 TB path is
@@ -1948,6 +1966,17 @@ object GraphQueries extends QueryModule {
   }
   private lazy val kcoreOracleSql: String =
     kcoreOracleOver(ringUndSql, kcoreRounds)
+  /** The v2 algebra's increasing-id DAG re-layered from scratch — shared
+    * by the delete-bearing DAG maintainer and its forced-BSP twin. */
+  private lazy val dagDelOracleSql: String =
+    s"""WITH RECURSIVE $bfsDelV2Sql,
+       e AS (SELECT src, dst FROM v2 WHERE src < dst),
+       walk(v, d) AS (
+         SELECT DISTINCT src, 0 FROM e WHERE src NOT IN (SELECT dst FROM e)
+         UNION
+         SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.v WHERE w.d < 100)
+       SELECT v, CAST(MAX(d) AS BIGINT) AS layer FROM walk GROUP BY v ORDER BY v"""
+
   /** The delete fixture's v2: the SAME raw-edge filter as
     * [[kcoreDelKeep]], applied before symmetrization. */
   private lazy val kcoreDelOracleSql: String = kcoreOracleOver(
@@ -2394,14 +2423,11 @@ object GraphQueries extends QueryModule {
            SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.v WHERE w.d < 100)
          SELECT v, CAST(MAX(d) AS BIGINT) AS layer FROM walk GROUP BY v ORDER BY v""",
     // The v2 algebra's increasing-id DAG re-layered from scratch.
-    "q_graph_dag_layers_incremental_del" ->
-      s"""WITH RECURSIVE $bfsDelV2Sql,
-         e AS (SELECT src, dst FROM v2 WHERE src < dst),
-         walk(v, d) AS (
-           SELECT DISTINCT src, 0 FROM e WHERE src NOT IN (SELECT dst FROM e)
-           UNION
-           SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.v WHERE w.d < 100)
-         SELECT v, CAST(MAX(d) AS BIGINT) AS layer FROM walk GROUP BY v ORDER BY v""",
+    "q_graph_dag_layers_incremental_del" -> dagDelOracleSql,
+    // SHARED VERBATIM with the gated twin: the oracle knows nothing
+    // about the driver-vs-BSP cascade gate, so the two paths are pinned
+    // to one truth at bench scale, not just in GraphSpec's fixture.
+    "q_graph_dag_layers_incremental_del_bsp" -> dagDelOracleSql,
     "q_graph_dag_layers" ->
       """WITH RECURSIVE e AS (
            SELECT src, dst FROM (

@@ -29,6 +29,13 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Env-gated phase tracing (`SPARK_GRAFT_TRACE=1`): per-wave frontier
+    * sizes + wall time for the iterative loops, on stderr. Zero extra
+    * Spark jobs — only counts the loops already compute are reported. */
+  private val traceOn: Boolean = sys.env.get("SPARK_GRAFT_TRACE").contains("1")
+  private def trace(msg: => String): Unit =
+    if (traceOn) System.err.println(s"[graft-trace] $msg")
+
   /** Rows of accumulated BFS state past which the seen-set anti-join stops
     * being broadcast: ~1M (v: long, level: int) rows ≈ 50 MB of broadcast
     * hash relation — the point where re-shipping the whole seen-set to
@@ -2051,10 +2058,12 @@ object GraphOps {
       seed0: DataFrame, hop: DataFrame => DataFrame,
       pick: Column => Column, better: (Column, Column) => Column,
       mergeBoth: (Column, Column) => Column, maxIter: Int): DataFrame = {
+    val t0 = System.nanoTime()
     var labels = state0.localCheckpoint(true)
     var frontier = seed0.localCheckpoint(true)
     var n = frontier.count()
     var i = 0
+    trace(f"$opName relax seed n=$n t=${(System.nanoTime() - t0) / 1e9}%.2fs")
     while (n > 0 && i < maxIter) {
       labels = labels
         .join(frontier.select(col("v"), col("label").as("nl")), Seq("v"), "full")
@@ -2070,6 +2079,7 @@ object GraphOps {
         .localCheckpoint(true)
       n = frontier.count()
       i += 2
+      trace(f"$opName relax rounds=$i n=$n t=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     if (n > 0) throw new IllegalStateException(
       s"$opName did not converge in $maxIter rounds - the improvement " +
@@ -2147,9 +2157,76 @@ object GraphOps {
     * `e`/`del` as (src, dst, w) LONGs, `pv` as (v, lab) LONGs. Returns
     * the unsettled vertex set (v), checkpointed. */
   private def supportCascade(spark: SparkSession, e: DataFrame, pv: DataFrame,
-      del: DataFrame, maxIter: Int, opName: String): DataFrame = {
+      del: DataFrame, maxIter: Int, opName: String,
+      driverSolveLimit: Long = DriverSolveEdgeLimit): DataFrame = {
     import spark.implicits._
-    val emptyU = Seq.empty[(Long, Long)].toDF("v", "lab")
+    // TIGHT SUPPORT GRAPH, built ONCE (r11, the verdict's tail-gather
+    // task resolved at its root): the support algebra only ever reads
+    // the OLD labels (pv is frozen for the whole cascade — tightness is
+    // lab(p) + w = lab(v) over the PREVIOUS state), so the entire tight
+    // relation is static and can be materialized up front with two
+    // joins instead of being re-derived inside every wave (the r10 loop
+    // paid 2 e-scans + 2 pv-joins per sub-wave; with tightE each
+    // sub-wave is one expansion probe + one support probe). A vertex's
+    // stored label is invalidated exactly when its LAST tight parent
+    // falls — which makes the cascade a Kahn-style worklist over
+    // tightE's support counts, and therefore DRIVER-SOLVABLE under the
+    // family's size gate (the [[dagLayers]]/[[connectedComponents]]
+    // discipline): ≤`driverSolveLimit` tight edges collect once and the
+    // ~25-wave barrier tail (513 stages at sf0.1, each wave paying
+    // fixed scheduling for frontier-sized work) becomes one in-memory
+    // pass. Past the gate the BSP wave loop below runs over the same
+    // materialized tightE — the 100 TB path, benched by the forced-BSP
+    // twin q_graph_dag_layers_incremental_del_bsp and spec-pinned equal.
+    val tightE = e
+      .join(pv.select(col("v").as("src"), col("lab").as("pl")), Seq("src"))
+      .join(pv.select(col("v").as("dst"), col("lab").as("cl")), Seq("dst"))
+      .filter(col("cl") === col("pl") + col("w"))
+      .select(col("src").as("p"), col("dst").as("c")).distinct()
+      .localCheckpoint(true)
+    val tightN = tightE.count()
+    // Wave-0 candidates: heads of deleted edges that were TIGHT under
+    // the old labels (an untight deleted edge never carried the label).
+    val cand0v = del
+      .join(pv.select(col("v").as("src"), col("lab").as("ul")), Seq("src"))
+      .join(pv.select(col("v").as("dst"), col("lab").as("wl")), Seq("dst"))
+      .filter(col("wl") === col("ul") + col("w"))
+      .select(col("dst").as("v")).distinct()
+      .repartition(1).localCheckpoint(true)
+    if (tightN <= driverSolveLimit) {
+      // Driver worklist: supCount(v) = distinct surviving tight parents;
+      // seeds = wave-0 candidates already at zero; each unsettled vertex
+      // decrements its tight children once, a child unsettles when its
+      // count hits zero. Least-fixpoint semantics — identical to the
+      // wave loop's (GraphSpec pins equality with the gate forced off).
+      val t0 = System.nanoTime()
+      val pairs = tightE.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val seeds = cand0v.collect().map(_.getLong(0))
+      val supCount = scala.collection.mutable.LongMap.empty[Int]
+      val children = scala.collection.mutable.LongMap
+        .empty[scala.collection.mutable.ArrayBuffer[Long]]
+      pairs.foreach { case (p, c) =>
+        supCount(c) = supCount.getOrElse(c, 0) + 1
+        children.getOrElseUpdate(p, scala.collection.mutable.ArrayBuffer.empty) += c
+      }
+      val unsettled = scala.collection.mutable.LinkedHashSet.empty[Long]
+      val queue = scala.collection.mutable.Queue.empty[Long]
+      seeds.foreach(v => if (supCount.getOrElse(v, 0) == 0) queue += v)
+      while (queue.nonEmpty) {
+        val v = queue.dequeue()
+        if (!unsettled.contains(v)) {
+          unsettled += v
+          children.getOrElse(v, Nil).foreach { c =>
+            supCount(c) -= 1
+            if (supCount(c) == 0) queue += c
+          }
+        }
+      }
+      trace(f"$opName cascade driver-solved tightN=$tightN " +
+        f"unsettled=${unsettled.size} t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      return unsettled.toSeq.toDF("v").repartition(1).localCheckpoint(true)
+    }
+    val emptyU = Seq.empty[Long].toDF("v")
     var uFrames = List.empty[DataFrame]
     def unsettledAll: DataFrame = (emptyU :: uFrames).reduce(_ union _)
     // Frontiers are CASCADE-sized (hundreds of rows at sf0.1, frontier ∝
@@ -2194,34 +2271,30 @@ object GraphOps {
     var cumGated = 0L
     def small(df: DataFrame): DataFrame =
       if (cumGated <= 200000L) broadcast(df) else df
+    // Both wave probes ride the materialized tightE: expansion is one
+    // (p → c) probe, the support check one (c → p) probe + anti-join —
+    // the per-wave pv joins and tightness filters of the r10 loop are
+    // gone (they were recomputing the static tight relation every wave).
     def dropSupported(cand: DataFrame, unsettled: DataFrame): DataFrame = {
       val supported = cand
-        .join(e.select(col("src").as("p"), col("dst").as("v"),
-          col("w").as("pw")), Seq("v"))
-        .join(pv.select(col("v").as("p"), col("lab").as("pl")), Seq("p"))
-        .filter(col("pl") + col("pw") === col("lab"))
+        .join(tightE.select(col("p"), col("c").as("v")), Seq("v"))
         .join(small(unsettled.select(col("v").as("p"))), Seq("p"), "left_anti")
         .select("v").distinct()
       cand.join(supported, Seq("v"), "left_anti")
     }
     def nextWave(fr: DataFrame): DataFrame = {
-      val cand = e
-        .join(small(fr.select(col("v").as("src"), col("lab").as("fl"))), Seq("src"))
-        .join(pv.select(col("v").as("dst"), col("lab").as("xl")), Seq("dst"))
-        .filter(col("xl") === col("fl") + col("w"))
-        .select(col("dst").as("v"), col("xl").as("lab")).distinct()
+      val cand = tightE
+        .join(small(fr.select(col("v").as("p"))), Seq("p"))
+        .select(col("c").as("v")).distinct()
         .join(small(unsettledAll.select("v")), Seq("v"), "left_anti")
       dropSupported(cand, unsettledAll)
     }
-    val cand0 = del
-      .join(pv.select(col("v").as("src"), col("lab").as("ul")), Seq("src"))
-      .join(pv.select(col("v").as("dst"), col("lab").as("wl")), Seq("dst"))
-      .filter(col("wl") === col("ul") + col("w"))
-      .select(col("dst").as("v"), col("wl").as("lab")).distinct()
-    var frontier = ckpt(dropSupported(cand0, emptyU))
+    val t0 = System.nanoTime()
+    var frontier = ckpt(dropSupported(cand0v, emptyU))
     var n = frontier.count()
     cumGated += n
     var waves = 0
+    trace(f"$opName cascade wave0 n=$n t=${(System.nanoTime() - t0) / 1e9}%.2fs")
     // guard admits the FULL fused step (r10 ADVICE: `waves < maxIter`
     // with `waves += 2` let an odd maxIter run maxIter+1 actual waves —
     // the loud convergence bound was off by one wave vs its message)
@@ -2245,6 +2318,8 @@ object GraphOps {
       frontier = fB
       n = fB.count()
       cumGated += n
+      trace(f"$opName cascade waves=$waves n=$n cum=$cumGated " +
+        f"t=${(System.nanoTime() - t0) / 1e9}%.2fs")
       // Bound the unsettledAll union depth (r9 VERDICT #9): past ~12
       // leaves, collapse the accumulated waves into ONE single-partition
       // leaf — a deep cascade then carries O(1) legs instead of O(waves),
@@ -2279,7 +2354,8 @@ object GraphOps {
     * edge-defined reachable set. */
   def incrementalBfsLevelsDelete(spark: SparkSession, newEdges: DataFrame,
       prevLevels: DataFrame, inserted: DataFrame, deleted: DataFrame,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50,
+      cascadeDriverLimit: Long = DriverSolveEdgeLimit): DataFrame = {
     val e = newEdges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).localCheckpoint(true)
     val pv = prevLevels.select(col("v").cast("long").as("v"),
@@ -2289,7 +2365,7 @@ object GraphOps {
       pv.select(col("v"), col("level").cast("long").as("lab")),
       deleted.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), lit(1L).as("w")),
-      maxIter, "incrementalBfsLevelsDelete")
+      maxIter, "incrementalBfsLevelsDelete", cascadeDriverLimit)
     val state0 = pv.join(unsettled, Seq("v"), "left_anti")
       .select(col("v"), col("level").cast("int").as("label"))
       .localCheckpoint(true)
@@ -2393,7 +2469,8 @@ object GraphOps {
     * past the cap and fails loudly, as in the insert-only path. */
   def incrementalDagLayersDelete(spark: SparkSession, newEdges: DataFrame,
       prevLayers: DataFrame, inserted: DataFrame, deleted: DataFrame,
-      maxIter: Int = 200): DataFrame = {
+      maxIter: Int = 200,
+      cascadeDriverLimit: Long = DriverSolveEdgeLimit): DataFrame = {
     import spark.implicits._
     val e = newEdges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).localCheckpoint(true)
@@ -2404,7 +2481,7 @@ object GraphOps {
       pv.select(col("v"), col("layer").as("lab")),
       deleted.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), lit(1L).as("w")),
-      maxIter, "incrementalDagLayersDelete")
+      maxIter, "incrementalDagLayersDelete", cascadeDriverLimit)
     val state0 = pv.join(unsettled, Seq("v"), "left_anti")
       .select(col("v"), col("layer").as("label")).localCheckpoint(true)
     // (a) settled parents propose into the unsettled region
@@ -2751,7 +2828,8 @@ object GraphOps {
     * surviving path reaches drop out. */
   def incrementalSsspDelete(spark: SparkSession, newEdges: DataFrame,
       prevDist: DataFrame, inserted: DataFrame, deleted: DataFrame,
-      maxIter: Int = 100): DataFrame = {
+      maxIter: Int = 100,
+      cascadeDriverLimit: Long = DriverSolveEdgeLimit): DataFrame = {
     import spark.implicits._
     val e = newEdges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
@@ -2773,7 +2851,7 @@ object GraphOps {
       pv.select(col("v"), col("dist").as("lab")),
       deleted.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"), col("w").cast("long").as("w")),
-      maxIter, "incrementalSsspDelete")
+      maxIter, "incrementalSsspDelete", cascadeDriverLimit)
     val state0 = pv.join(unsettled, Seq("v"), "left_anti")
       .select(col("v"), col("dist").as("label")).localCheckpoint(true)
     val seedBoundary = e

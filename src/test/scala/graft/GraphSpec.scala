@@ -331,6 +331,10 @@ class GraphSpec extends SparkSpec {
       spark, df(newE), prev, df(ins), df(del)))
     val full = toMap(GraphOps.bfsLevels(spark, df(newE), 0L))
     assert(inc == full, s"delete-aware maintenance diverges: $inc vs $full")
+    // and through the forced-BSP cascade path (driver gate off)
+    val incBsp = toMap(GraphOps.incrementalBfsLevelsDelete(
+      spark, df(newE), prev, df(ins), df(del), cascadeDriverLimit = 0L))
+    assert(incBsp == full, s"BSP cascade path diverges: $incBsp vs $full")
     assert(!inc.contains(10L), "vertex with no surviving path must vanish")
     assert(inc(3L) == 3 && inc(4L) == 1)
   }
@@ -355,6 +359,9 @@ class GraphSpec extends SparkSpec {
       spark, df(newE), prev, df(ins), df(del)))
     val full = toMap(GraphOps.sssp(spark, df(newE), 0L))
     assert(inc == full, s"delete-aware SSSP diverges: $inc vs $full")
+    val incBsp = toMap(GraphOps.incrementalSsspDelete(
+      spark, df(newE), prev, df(ins), df(del), cascadeDriverLimit = 0L))
+    assert(incBsp == full, s"BSP cascade path diverges: $incBsp vs $full")
     assert(!inc.contains(10L) && inc(2L) == 2L && inc(3L) == 2L)
   }
 
@@ -377,6 +384,9 @@ class GraphSpec extends SparkSpec {
       spark, df(newE), prev, df(ins), df(del)))
     val full = toMap(GraphOps.dagLayers(spark, df(newE)))
     assert(inc == full, s"delete-aware layering diverges: $inc vs $full")
+    val incBsp = toMap(GraphOps.incrementalDagLayersDelete(
+      spark, df(newE), prev, df(ins), df(del), cascadeDriverLimit = 0L))
+    assert(incBsp == full, s"BSP cascade path diverges: $incBsp vs $full")
     assert(inc(2L) == 1L && inc(3L) == 2L && inc(5L) == 0L && inc(7L) == 3L)
   }
 
