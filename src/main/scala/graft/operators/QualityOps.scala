@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
 
@@ -29,6 +29,47 @@ object QualityOps extends QueryModule {
     col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
     floor(col("o_totalprice") * 100 + 0.5).cast("long"),
     unix_micros(col("o_orderdate").cast("timestamp")), col("o_orderpriority"))
+
+  /** Fixture algebra of the sketch-retraction family, single-sourced
+    * between the batch contract (q_agg_sketch_del), the streaming fold
+    * (q_stream_sketch_del), and their SHARED oracle: group = id % 3,
+    * hash = portable 60-bit of the decimal string, bucket = id % 62,
+    * retired band = id % 97 == 11. */
+  private[graft] val sketchK = 128
+  private[graft] def sketchRetired(c: Column): Column = c % 97 === 11
+  private[graft] def sketchRows(ids: DataFrame): DataFrame =
+    ids.select(col("id"),
+      (col("id") % 3).cast("int").as("g"),
+      graft.functions.PortableHash.hash60(col("id").cast("string")).as("h"),
+      (col("id") % 62).cast("int").as("b"))
+
+  /** Bitmap + exact-count half of the sketch state from (g, b) rows. */
+  private[graft] def sketchAgg(rows: DataFrame): DataFrame =
+    rows.groupBy("g")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").as("bitmap"),
+        count(lit(1)).as("n_exact"))
+
+  /** Final sketch readout from KMV samples `(g, h)` + bitmap/exact agg
+    * `(g, bitmap, n_exact)` — the q_sketch_theta estimator spelling
+    * (exact mode below k, (k−1)·2^60 div kth above), single-sourced
+    * between the batch rebuild and the streaming fold so the two ends of
+    * the DETECT+REBUILD contract can share one oracle. */
+  private[graft] def sketchReadout(samples: DataFrame, agg: DataFrame,
+      k: Int): DataFrame = {
+    val kth = samples.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_samp"),
+        when(count(lit(1)) < k, lit(1152921504606846976L))
+          .otherwise(max("h")).as("kth"))
+    val est = kth.select(col("g"), col("n_samp"), col("kth"),
+      when(col("n_samp") < k, col("n_samp"))
+        .otherwise(expr(s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * " +
+          "1152921504606846976) div kth AS BIGINT)")).as("est_distinct"))
+    est.join(agg, Seq("g"))
+      .select(col("g"), col("n_samp"), col("kth"), col("est_distinct"),
+        col("bitmap"), expr("CAST(bit_count(bitmap) AS INT)").as("n_buckets"),
+        col("n_exact"))
+      .orderBy("g")
+  }
 
   /** Mergeable bottom-k (KMV) sample of the `h` column per `a` group:
     * [[graft.functions.BottomKQuantileAgg]] under explode, returning the
@@ -415,12 +456,10 @@ object QualityOps extends QueryModule {
     // long per group vs the delta) and the rebuild is the one full pass
     // no retraction algebra can avoid.
     "q_agg_sketch_del" -> ((s, dir) => {
-      val k = 128
-      val rows = Tables(s, dir, "lineitem").select(col("l_partkey")).distinct()
-        .select((col("l_partkey") % 3).cast("int").as("g"),
-          graft.functions.PortableHash.hash60(col("l_partkey").cast("string")).as("h"),
-          (col("l_partkey") % 62).cast("int").as("b"),
-          (col("l_partkey") % 97 === 11).as("del"))
+      val k = sketchK
+      val rows = sketchRows(Tables(s, dir, "lineitem")
+          .select(col("l_partkey").as("id")).distinct())
+        .withColumn("del", sketchRetired(col("id")))
         .localCheckpoint(true) // feeds stored state, detection, and rebuild
       // stored states the pipeline kept (built over the FULL corpus)
       val storedKmv = thetaBottomK(rows.select(col("g").as("a"), col("h")), k)
@@ -441,23 +480,9 @@ object QualityOps extends QueryModule {
           "(no deleted bucket bit shared with a survivor)")
       // rebuild from survivors — the contract's one honest path
       val surv = rows.filter(!col("del")).localCheckpoint(true)
-      val kth = thetaBottomK(surv.select(col("g").as("a"), col("h")), k)
-        .groupBy(col("a").as("g"))
-        .agg(count(lit(1)).as("n_samp"),
-          when(count(lit(1)) < k, lit(1152921504606846976L))
-            .otherwise(max("h")).as("kth"))
-      val est = kth.select(col("g"), col("n_samp"), col("kth"),
-        when(col("n_samp") < k, col("n_samp"))
-          .otherwise(expr(s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * " +
-            "1152921504606846976) div kth AS BIGINT)")).as("est_distinct"))
-      val bm = surv.groupBy("g")
-        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), b))").as("bitmap"),
-          count(lit(1)).as("n_exact"))
-      est.join(bm, Seq("g"))
-        .select(col("g"), col("n_samp"), col("kth"), col("est_distinct"),
-          col("bitmap"), expr("CAST(bit_count(bitmap) AS INT)").as("n_buckets"),
-          col("n_exact"))
-        .orderBy("g")
+      val samples = thetaBottomK(surv.select(col("g").as("a"), col("h")), k)
+        .select(col("a").as("g"), col("h"))
+      sketchReadout(samples, sketchAgg(surv), k)
     }),
 
     // Referential-integrity audit: orphan foreign keys across the star

@@ -197,6 +197,73 @@ object Similarity extends QueryModule {
   def prewarmCaches(s: SparkSession, dir: String): Unit =
     namedCaches.foreach(_._2(s, dir))
 
+  /** Retirement band of the ANN-index takedown fixture — single-sourced
+    * between the batch twin (q_sim_ivf_del), the streaming maintainer's
+    * chunk staging (q_stream_sim_del), and the shared oracle's live
+    * predicate (`vec_id % 9 <> 2`): one spelling, three consumers. */
+  private[graft] def ivfRetired(c: Column): Column = c % 9 === 2
+
+  /** Assign `vecs` (vec_id, embedding) to the FROZEN final Lloyd
+    * centroids — the streaming-ingest half of the maintained IVF index
+    * (q_stream_sim_del): an index trained offline admits new vectors by
+    * one nearest-centroid assignment, never by re-clustering. SAME
+    * spelling as the in-loop assignment step (exact integer distances,
+    * (dist, cid) tiebreak), so a vector ingested through this path lands
+    * in exactly the cell the batch Lloyd run gives it — which is what
+    * lets the streaming maintainer share the batch takedown's oracle
+    * verbatim. Returns postings rows `(vec_id, cid)`. */
+  private[graft] def assignFrozen(s: SparkSession, dir: String,
+      vecs: DataFrame): DataFrame = {
+    val cents = kmeansFinalCached(s, dir, kmeansK, kmeansIters)._2
+    val dist = aggregate(
+      zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, v) => acc + v)
+    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+    quantized(vecs).join(broadcast(cents))
+      .select(col("vec_id"), col("cid"), dist.as("dist"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("vec_id", "cid")
+  }
+
+  /** IVF probe readout over an EXPLICIT postings table `(vec_id, cid)` —
+    * single-sourced between the batch takedown (q_sim_ivf_del) and the
+    * streaming maintainer (q_stream_sim_del), which must answer queries
+    * identically from their respective maintained postings. Probe
+    * vectors are the <20 ids still holding a posting; centroids stay
+    * frozen; candidates are ids-only rows keyed by cell; embeddings
+    * re-attach after candidate generation (no vectors move through the
+    * candidate shuffle). */
+  private[graft] def ivfReadout(s: SparkSession, dir: String,
+      postings: DataFrame): DataFrame = {
+    val cents = kmeansFinalCached(s, dir, kmeansK, kmeansIters)._2
+    val e = t(s, dir, "embeddings")
+    val cdist = aggregate(
+      zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, v) => acc + v)
+    val wp = Window.partitionBy("qid").orderBy(col("dist"), col("cid"))
+    val probes = quantized(e.filter(col("vec_id") < 20))
+      .join(postings.select("vec_id"), Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("qid"), col("qv"))
+      .join(broadcast(cents))
+      .select(col("qid"), col("cid"), cdist.as("dist"))
+      .withColumn("rn", row_number().over(wp)).filter(col("rn") <= ivfNProbe)
+      .select("qid", "cid")
+    val cand = broadcast(probes).join(postings.select("vec_id", "cid"), Seq("cid"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select("qid", "vec_id")
+    val qe = e.filter(col("vec_id") < 20)
+      .join(postings.select("vec_id"), Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val cos = round(dot(col("qe"), col("embedding")) /
+      (norm(col("qe")) * norm(col("embedding"))), 4)
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
+    cand.join(broadcast(qe), Seq("qid")).join(e, Seq("vec_id"))
+      .select(col("qid"), col("vec_id"), cos.as("cosine"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("qid"), col("vec_id"), col("cosine"), col("rn"))
+      .orderBy("qid", "rn")
+  }
+
   /** Shared plan: cosine top-k of `corpus` for each row of `queries`,
     * joined under `joinCond` (plus self-exclusion), k per query. */
   private def topk(queries: DataFrame, corpus: DataFrame, k: Int,
@@ -274,9 +341,9 @@ object Similarity extends QueryModule {
     // postings, and queries among survivors — a leaked posting (a
     // deleted vector surfacing as someone's neighbor) flips the hash.
     "q_sim_ivf_del" -> ((s, dir) => {
-      val (assigned, cents) = kmeansFinalCached(s, dir, kmeansK, kmeansIters)
+      val assigned = kmeansFinalCached(s, dir, kmeansK, kmeansIters)._1
       val delIds = t(s, dir, "embeddings")
-        .filter(col("vec_id") % 9 === 2).select("vec_id")
+        .filter(ivfRetired(col("vec_id"))).select("vec_id")
         .localCheckpoint(true) // the takedown batch, delta-sized
       require(assigned.join(delIds, Seq("vec_id"), "left_semi")
           .limit(1).count() > 0,
@@ -284,32 +351,10 @@ object Similarity extends QueryModule {
           "(no deleted vector held a posting)")
       val cellsLive = assigned.select("vec_id", "cid")
         .join(delIds, Seq("vec_id"), "left_anti")
-      val cdist = aggregate(
-        zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, v) => acc + v)
-      val wp = Window.partitionBy("qid").orderBy(col("dist"), col("cid"))
-      val probes = assigned.filter(col("vec_id") < 20)
-        .join(delIds, Seq("vec_id"), "left_anti") // surviving queries only
-        .select(col("vec_id").as("qid"), col("qv"))
-        .join(broadcast(cents))
-        .select(col("qid"), col("cid"), cdist.as("dist"))
-        .withColumn("rn", row_number().over(wp)).filter(col("rn") <= ivfNProbe)
-        .select("qid", "cid")
-      val cand = broadcast(probes).join(cellsLive, Seq("cid"))
-        .filter(col("qid") =!= col("vec_id"))
-        .select("qid", "vec_id")
-      val e = t(s, dir, "embeddings")
-      val qe = e.filter(col("vec_id") < 20)
-        .join(delIds, Seq("vec_id"), "left_anti")
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      val cos = round(dot(col("qe"), col("embedding")) /
-        (norm(col("qe")) * norm(col("embedding"))), 4)
-      val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
-      cand.join(broadcast(qe), Seq("qid")).join(e, Seq("vec_id"))
-        .select(col("qid"), col("vec_id"), cos.as("cosine"))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
-        .select(col("qid"), col("vec_id"), col("cosine"), col("rn"))
-        .orderBy("qid", "rn")
+      // probe + rank via the shared readout (single-sourced with the
+      // streaming maintainer q_stream_sim_del, which must answer
+      // identically from its maintained postings)
+      ivfReadout(s, dir, cellsLive)
     }),
 
     // Embedding-cosine near-dup: same-cell (label) pairs above a cosine

@@ -208,6 +208,50 @@ object StreamingOps extends QueryModule {
     chunks
   }
 
+  /** 4 chunk files of VECTOR CHANGE rows (vec_id, op) for the streaming
+    * ANN-index maintainer: chunks 1–3 ingest the whole corpus (op='I',
+    * split by vec_id % 3), chunk 4 is the takedown batch (op='D' for
+    * vec_id % 9 == 2 — the SAME retirement band as the batch twin
+    * q_sim_ivf_del, read from one spelling so the SHARED oracle can't
+    * desynchronize). Vector bytes are NOT streamed: signatures of the
+    * realistic shape — the change stream carries ids, the store carries
+    * embeddings, ingest fetches by id. */
+  private def stageSimDelChunks(s: SparkSession, dir: String): String = {
+    val chunks = chunksDir(dir, "simdel")
+    ensureStaged(chunks) {
+      val ids = Tables(s, dir, "embeddings").select(col("vec_id"))
+        .localCheckpoint(true)
+      def slice(m: Int) = ids.filter(col("vec_id") % 3 === m)
+        .select(col("vec_id"), lit("I").as("op"))
+      val takedown = ids.filter(graft.operators.Similarity.ivfRetired(col("vec_id")))
+        .select(col("vec_id"), lit("D").as("op"))
+      writeChunksOrdered(chunks, (0 until 3).map(slice) :+ takedown)
+    }
+    chunks
+  }
+
+  /** 4 chunk files of SET CHANGE rows (id, op) for the streaming
+    * sketch-retraction fold: chunks 1–3 ingest every distinct lineitem
+    * part key (op='I', split by id % 3), chunk 4 retires the
+    * id % 97 == 11 band (op='D' — the SAME band as the batch contract
+    * q_agg_sketch_del, read from its single source so the SHARED oracle
+    * cannot desynchronize). */
+  private def stageSketchDelChunks(s: SparkSession, dir: String): String = {
+    val chunks = chunksDir(dir, "sketchdel")
+    ensureStaged(chunks) {
+      val ids = Tables(s, dir, "lineitem")
+        .select(col("l_partkey").as("id")).distinct()
+        .localCheckpoint(true)
+      def slice(m: Int) = ids.filter(col("id") % 3 === m)
+        .select(col("id"), lit("I").as("op"))
+      val takedown = ids
+        .filter(graft.operators.QualityOps.sketchRetired(col("id")))
+        .select(col("id"), lit("D").as("op"))
+      writeChunksOrdered(chunks, (0 until 3).map(slice) :+ takedown)
+    }
+    chunks
+  }
+
   /** 4 chunk files split by `event_id % 4`, written in mod-time-pinned
     * order 0,1,2,3 (the [[writeChunksOrdered]] discipline) — unlike the
     * hash-partitioned upsert chunks, BOTH the batch membership and the
@@ -881,6 +925,184 @@ object StreamingOps extends QueryModule {
       graft.sources.VersionedGraphStore.load(s, pairState).orderBy("da", "db")
     }),
 
+    // STREAMING ANN-INDEX INGEST + TAKEDOWN (r10 VERDICT #7) — the
+    // similarity-family streaming twin completing the contract for the
+    // third index-bearing family (CC and dedup have theirs): the stream
+    // carries VECTOR CHANGES (vec_id, op); chunks 1–3 ingest the corpus,
+    // chunk 4 retires the % 9 == 2 band. Per microbatch: op='D' ids
+    // prune the persisted postings by ONE delta-sized anti-join (the
+    // q_sim_ivf_del algebra — no re-clustering, no rescans); op='I' ids
+    // fetch their vectors from the corpus store and take ONE
+    // nearest-centroid assignment against the FROZEN offline-trained
+    // centroids ([[graft.operators.Similarity.assignFrozen]] — the same
+    // spelling as the batch Lloyd assignment, so a streamed vector lands
+    // in exactly the cell the batch index gives it). Postings commit
+    // idempotently per batchId. Readout answers the standard probe set
+    // from the maintained postings via the SHARED
+    // [[graft.operators.Similarity.ivfReadout]]; the oracle is the batch
+    // takedown's, verbatim — a vector ingested into the wrong cell, a
+    // leaked retired posting, or a batching-dependent assignment all
+    // flip the hash.
+    "q_stream_sim_del" -> ((s, dir) => {
+      import graft.operators.Similarity
+      val chunks = stageSimDelChunks(s, dir)
+      val (postState, ck) = (chunks + "_pstate", chunks + "_ck")
+      Seq(postState, ck).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("vec_id", LongType), StructField("op", StringType)))
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(chunks)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.BenchContext.tagStreamThread(batch.sparkSession)
+          val ss = batch.sparkSession
+          import ss.implicits._
+          val b = batch.localCheckpoint(true) // feeds ingest + takedown
+          val insIds = b.filter(col("op") === "I").select("vec_id")
+          val delIds = b.filter(col("op") === "D").select("vec_id")
+          val live = cdcState(ss, postState)
+            .getOrElse(Seq.empty[(Long, Long)].toDF("vec_id", "cid"))
+            .join(delIds, Seq("vec_id"), "left_anti")
+          val ingested = Similarity.assignFrozen(ss, dir,
+            Tables(ss, dir, "embeddings")
+              .join(insIds, Seq("vec_id"), "left_semi"))
+          applyBatchIdempotent(postState, batchId)(
+            live.unionByName(ingested))
+          ()
+        }.start()
+      q.awaitTermination()
+      val vs = graft.sources.VersionedGraphStore.versions(postState)
+      require(vs.size >= 4,
+        s"expected >= 4 committed postings versions, got $vs")
+      // fixture liveness: the takedown batch must have pruned postings
+      // the ingest batches had committed (state as of batch 3 holds the
+      // retired band; the final state must not)
+      val preTake = graft.sources.VersionedGraphStore
+        .loadAt(s, postState, 3L)
+        .filter(Similarity.ivfRetired(col("vec_id")))
+      require(preTake.limit(1).count() > 0,
+        "fixture no longer demonstrates a streaming takedown " +
+          "(no retired vector held a posting before batch 4)")
+      val postings = graft.sources.VersionedGraphStore.load(s, postState)
+      require(postings.filter(Similarity.ivfRetired(col("vec_id")))
+          .limit(1).count() == 0,
+        "retired postings leaked through the takedown batch")
+      Similarity.ivfReadout(s, dir, postings)
+    }),
+
+    // STREAMING SKETCH-RETRACTION FOLD (r10 VERDICT #8) — the
+    // q_agg_sketch_del DETECT+REBUILD contract applied per microbatch,
+    // pinning the retraction spectrum's rebuild-only end in streaming
+    // form. State is the sketch itself (KMV bottom-k samples per group +
+    // the bitmap/exact-count row, one versioned table) PLUS the live id
+    // set (the one state a rebuild-on-delete maintainer genuinely needs —
+    // a lossy sketch cannot regenerate survivors). Per microbatch,
+    // ROUTED on batch content:
+    //  - insert-only batches take the MERGEABLE path, batch-sized work:
+    //    KMV merge = bottom-k of (stored samples ∪ batch hashes) — exact
+    //    by KMV mergeability — bitmap |= batch bits, counts add;
+    //  - a delete-bearing batch DETECTS against the STORED state only
+    //    (deleted hash inside a stored sample / deleted bucket bit set —
+    //    both hazards require()d live, the batch twin's spelling), then
+    //    REBUILDS both halves from the surviving live ids in one pass —
+    //    the one honest path; naive subtraction corrupts exactly here.
+    // Readout reads the final sketch state through the shared
+    // [[graft.operators.QualityOps.sketchReadout]]; the oracle is the
+    // batch contract's, verbatim — a wrong merge in ANY insert batch or
+    // a subtraction shortcut in the delete batch flips the hash.
+    "q_stream_sketch_del" -> ((s, dir) => {
+      import graft.operators.QualityOps
+      val k = QualityOps.sketchK
+      val chunks = stageSketchDelChunks(s, dir)
+      val (liveState, skState, ck) =
+        (chunks + "_lstate", chunks + "_kstate", chunks + "_ck")
+      Seq(liveState, skState, ck).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("op", StringType)))
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(chunks)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.BenchContext.tagStreamThread(batch.sparkSession)
+          val ss = batch.sparkSession
+          import ss.implicits._
+          val b = batch.localCheckpoint(true)
+          val ins = b.filter(col("op") === "I").select("id")
+          val del = b.filter(col("op") === "D").select("id")
+          val live0 = cdcState(ss, liveState)
+            .getOrElse(Seq.empty[Long].toDF("id"))
+          val liveNew = live0.unionByName(ins)
+            .join(del, Seq("id"), "left_anti").localCheckpoint(true)
+          // split the stored sketch into its two halves (samples carry h,
+          // the bitmap/count row carries h = null)
+          val st0 = cdcState(ss, skState)
+          def samples0 = st0.map(_.filter(col("h").isNotNull)
+            .select(col("g"), col("h")))
+            .getOrElse(Seq.empty[(Int, Long)].toDF("g", "h"))
+          def agg0 = st0.map(_.filter(col("h").isNull)
+            .select(col("g"), col("bitmap"), col("n_exact")))
+            .getOrElse(Seq.empty[(Int, Long, Long)].toDF("g", "bitmap", "n_exact"))
+          val delRows = QualityOps.sketchRows(del).localCheckpoint(true)
+          val (samples, agg) = if (delRows.isEmpty) {
+            // mergeable insert path — batch-sized work, never a rescan
+            val insRows = QualityOps.sketchRows(ins)
+            val samp = QualityOps.thetaBottomK(samples0
+              .unionByName(insRows.select(col("g"), col("h")))
+              .select(col("g").as("a"), col("h")), k)
+              .select(col("a").as("g"), col("h"))
+            val ag = agg0.unionByName(QualityOps.sketchAgg(insRows))
+              .groupBy("g")
+              .agg(expr("bit_or(bitmap)").as("bitmap"),
+                sum("n_exact").as("n_exact"))
+            (samp, ag)
+          } else {
+            // DETECT against the STORED state only (state-sized), both
+            // hazards required live — then REBUILD from survivors
+            val kmvHits = samples0
+              .join(delRows.select("g", "h"), Seq("g", "h"), "left_semi")
+              .count()
+            require(kmvHits > 0,
+              "takedown batch no longer demonstrates KMV " +
+                "non-subtractability (no deleted hash inside a stored sample)")
+            val bitHits = delRows.join(agg0, Seq("g"))
+              .filter(expr("shiftright(bitmap, b) % 2 != 0")).count()
+            require(bitHits > 0,
+              "takedown batch no longer demonstrates bitmap " +
+                "non-subtractability (no deleted bucket bit set in the state)")
+            val survRows = QualityOps.sketchRows(liveNew)
+              .localCheckpoint(true)
+            val samp = QualityOps.thetaBottomK(
+              survRows.select(col("g").as("a"), col("h")), k)
+              .select(col("a").as("g"), col("h"))
+            (samp, QualityOps.sketchAgg(survRows))
+          }
+          applyBatchIdempotent(liveState, batchId)(liveNew)
+          applyBatchIdempotent(skState, batchId)(
+            samples.select(col("g"), col("h"),
+              lit(null).cast("long").as("bitmap"),
+              lit(null).cast("long").as("n_exact"))
+            .unionByName(agg.select(col("g"),
+              lit(null).cast("long").as("h"),
+              col("bitmap"), col("n_exact"))))
+          ()
+        }.start()
+      q.awaitTermination()
+      val vs = graft.sources.VersionedGraphStore.versions(skState)
+      require(vs.size >= 4,
+        s"expected >= 4 committed sketch-state versions, got $vs")
+      val fin = graft.sources.VersionedGraphStore.load(s, skState)
+      QualityOps.sketchReadout(
+        fin.filter(col("h").isNotNull).select(col("g"), col("h")),
+        fin.filter(col("h").isNull)
+          .select(col("g"), col("bitmap"), col("n_exact")), k)
+    }),
+
     // DELETE-BEARING STREAMING CC MAINTENANCE (r9 VERDICT #8) — the
     // takedown twin of q_stream_graph_cc: the stream carries EDGE CHANGE
     // rows (src, dst, op), chunks 1–3 insert the full hierarchy graph,
@@ -1335,6 +1557,20 @@ object StreamingOps extends QueryModule {
     // per-batch candidate set all flip the compare.
     "q_stream_dedup_del" ->
       graft.operators.Dedup.oracles("q_dedup_incremental_del"),
+    // The frozen-centroid IVF takedown oracle — SHARED verbatim with the
+    // batch twin (q_sim_ivf_del): the oracle knows nothing about
+    // batching, the postings state table, or the ingest path, so a
+    // batching-dependent cell assignment or a leaked retired posting in
+    // ANY microbatch fails the compare.
+    "q_stream_sim_del" ->
+      graft.operators.Similarity.oracles("q_sim_ivf_del"),
+    // The rebuild-from-survivors sketch contract — SHARED verbatim with
+    // the batch twin (q_agg_sketch_del): the oracle knows nothing about
+    // batching, the KMV merge, or the detect/rebuild routing, so a wrong
+    // merge in any insert batch or a subtraction shortcut in the delete
+    // batch fails the compare.
+    "q_stream_sketch_del" ->
+      graft.operators.QualityOps.oracles("q_agg_sketch_del"),
     // The same gaps-and-islands session rebuild as q_session_window
     // (session end = last event + the 30 min gap), restricted to the
     // watermark-closed surface exactly like the Spark side. Ties on
