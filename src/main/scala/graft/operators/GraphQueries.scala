@@ -140,6 +140,32 @@ object GraphQueries extends QueryModule {
     * fixpoint is reached AND non-empty at test scale. */
   private val trussK = 4
   private val trussRounds = 4
+  /** Held-out band of the k-truss INSERT fixture: each block's (0,1) and
+    * (0,2) clique/strip edges (canonical a<b spelled as (src,dst) for the
+    * snapshot store). Dropping both detaches block vertex 0's remaining
+    * edges below support, so v1's peel evicts beyond the band and the
+    * re-insertion pulls those edges back as beyond-delta joiners —
+    * measured at sf0.01/0.1 (GraphSpec pins the liveness). */
+  private def trussInsHeld: org.apache.spark.sql.Column =
+    col("src") % 97 === 0 && (col("dst") % 97 === 1 || col("dst") % 97 === 2)
+  /** Delete band of the k-truss DELETE fixture: EVEN blocks' (0,1) AND
+    * (2,4) clique edges — one deleted edge per block leaves every
+    * remaining K5 edge at support ≥ 2 (no cascade at all, measured);
+    * two non-adjacent deletions drop (0,2)/(1,4) to support 1 and the
+    * eviction then cascades through the whole block (beyond-delta
+    * evictions, the property that makes the wave logic load-bearing —
+    * measured: a full-fixture band collapsed the truss to EMPTY, a
+    * trivially-green oracle, so odd blocks are left intact as
+    * survivors). Survivor predicate on canonical (a<b) edges. */
+  private def trussDelKeep: org.apache.spark.sql.Column = {
+    val evenBlk = (col("src") / 97).cast("long") % 2 === 0
+    !(evenBlk && col("src") % 97 === 0 && col("dst") % 97 === 1) &&
+      !(evenBlk && col("src") % 97 === 2 && col("dst") % 97 === 4)
+  }
+  /** Delete-twin oracle unroll: past the measured fixpoint (the eviction
+    * cascade deepens the peel vs the base's 4; rounds past the fixpoint
+    * are no-ops on both sides of the compare). */
+  private val trussDelRounds = 8
 
   /** The hierarchy edge list as a DuckDB CTE body (both directions) —
     * shared by the q_graph_cc and q_graph_labelprop oracles. */
@@ -519,7 +545,29 @@ object GraphQueries extends QueryModule {
           col("src") % 97 =!= 1)._1, kcoreK, kcoreRounds)),
       "kcoredel" -> (() => GraphOps.kcorePeel(s,
         snapshotDeleteDiff(s, dir, "kcoredel", ringEdges(s, dir),
-          ringEdges(s, dir).filter(kcoreDelKeep))._1, kcoreK, kcoreRounds)))
+          ringEdges(s, dir).filter(kcoreDelKeep))._1, kcoreK, kcoreRounds)),
+      // k-truss states (r11): the stored (a, b, support) truss of each
+      // fixture's v1, over the strip+clique fixture's canonical edges.
+      // v1 peels DEEPER than the complete fixture (held-out edges
+      // lengthen the cascade), so the state peel carries a +4 round
+      // margin past the base unroll — rounds past the fixpoint are
+      // no-ops, and a state short of the fixpoint would fail the
+      // maintainers' oracle compare loudly.
+      "ktrussinc" -> (() => GraphOps.ktrussPeel(s,
+        snapshotInsertDiff(s, dir, "ktrussinc",
+          trussEdges(s, dir).select(col("a").as("src"), col("b").as("dst")),
+          !trussInsHeld)._1
+          .select(col("src").as("a"), col("dst").as("b")),
+        trussK, trussRounds + 4)),
+      "ktrussdel" -> (() => {
+        val all = trussEdges(s, dir)
+          .select(col("a").as("src"), col("b").as("dst"))
+        GraphOps.ktrussPeel(s,
+          snapshotDeleteDiff(s, dir, "ktrussdel", all,
+            all.filter(trussDelKeep))._1
+            .select(col("src").as("a"), col("dst").as("b")),
+          trussK, trussRounds + 4)
+      }))
   } ensuring (_.keySet == incStateTags.toSet,
     "incStateBuilders drifted from incStateTags - update both")
 
@@ -692,7 +740,8 @@ object GraphQueries extends QueryModule {
     "ccinc", "ccdel", "triinc", "tridel", "princ", "prdel", "ssspinc",
     "ssspdel", "daginc", "dagdel", "centinc_sig", "centinc_del",
     "centdel_sig", "centdel_del", "misinc", "colinc", "misdel", "coldel",
-    "colhubinc", "colhubdel", "kcoreinc", "kcoredel")
+    "colhubinc", "colhubdel", "kcoreinc", "kcoredel", "ktrussinc",
+    "ktrussdel")
 
   def namedCaches: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "sigma_bfs" -> ((s: SparkSession, dir: String) => { ringSigma(s, dir); () }),
@@ -1759,23 +1808,54 @@ object GraphQueries extends QueryModule {
     // survivor set is materialized once (it feeds both wedge legs AND the
     // next round). Runs on the strip+clique fixture (see trussEdges) so
     // the peel cascades across rounds and converges non-empty.
-    "q_graph_ktruss" -> ((s, dir) => {
-      var cur = trussEdges(s, dir).localCheckpoint(true)
-      var result: DataFrame = cur
-      for (_ <- 1 to trussRounds) {
-        val sym = cur.select(col("a").as("v"), col("b").as("w"))
-          .union(cur.select(col("b").as("v"), col("a").as("w")))
-        val sup = cur.as("u")
-          .join(sym.as("x"), col("x.v") === col("u.a"))
-          .join(sym.as("y"), col("y.v") === col("u.b") && col("y.w") === col("x.w"))
-          .groupBy(col("u.a").as("a"), col("u.b").as("b"))
-          .agg(count(lit(1)).as("support"))
-          .filter(col("support") >= trussK - 2)
-          .localCheckpoint(true)
-        result = sup
-        cur = sup.select("a", "b")
-      }
-      result.orderBy("a", "b")
+    "q_graph_ktruss" -> ((s, dir) =>
+      GraphOps.ktrussPeel(s, trussEdges(s, dir), trussK, trussRounds)
+        .orderBy("a", "b")),
+
+    // INCREMENTAL k-truss maintenance over the INSERT diff — the
+    // EDGE-granular sibling of q_graph_kcore_incremental, completing the
+    // degeneracy family's maintainers: v1 holds out each block's (0,1)
+    // and (0,2) edges, v2 is the complete strip+clique fixture. Inserts
+    // only ADD truss members, so [[GraphOps.incrementalKTruss]] grows a
+    // triangle-adjacency candidate region through non-truss edges with
+    // full-v2 support ≥ k−2 and peels it against the FROZEN truss — work
+    // ∝ candidates, never the graph. Oracle: the full peel of the
+    // COMPLETE fixture = the base q_graph_ktruss oracle SHARED VERBATIM.
+    "q_graph_ktruss_incremental" -> ((s, dir) => {
+      val all = trussEdges(s, dir)
+        .select(col("a").as("src"), col("b").as("dst"))
+      val (prev, cur, _) = snapshotInsertDiff(s, dir, "ktrussinc",
+        all, !trussInsHeld)
+      def und(e: DataFrame) = e.select(col("src").as("a"), col("dst").as("b"))
+      val st = cachedIncState(s, dir, "ktrussinc")
+      val out = GraphOps.incrementalKTruss(s, und(prev), und(cur), st, trussK)
+        .localCheckpoint(true)
+      require(out.join(st.select(col("a").as("xa"), col("b").as("xb")),
+          col("a") === col("xa") && col("b") === col("xb"), "left_anti")
+          .limit(1).count() > 0,
+        "fixture no longer demonstrates k-truss growth (no edge joined)")
+      out.orderBy("a", "b")
+    }),
+
+    // The delete-bearing twin: v2 drops each block's (0,1) edge; the
+    // eviction cascade re-checks in-truss supports outward from the
+    // destroyed triangles' co-edges, the supportCascade wave shape at
+    // triangle granularity. Oracle: the full peel of the v2 algebra,
+    // unrolled two rounds past the measured fixpoint.
+    "q_graph_ktruss_incremental_del" -> ((s, dir) => {
+      val all = trussEdges(s, dir)
+        .select(col("a").as("src"), col("b").as("dst"))
+      val (prev, cur, _, _) = snapshotDeleteDiff(s, dir, "ktrussdel",
+        all, all.filter(trussDelKeep))
+      def und(e: DataFrame) = e.select(col("src").as("a"), col("dst").as("b"))
+      val st = cachedIncState(s, dir, "ktrussdel")
+      val out = GraphOps.incrementalKTruss(s, und(prev), und(cur), st, trussK)
+        .localCheckpoint(true)
+      require(st.join(out.select(col("a").as("xa"), col("b").as("xb")),
+          col("a") === col("xa") && col("b") === col("xb"), "left_anti")
+          .limit(1).count() > 0,
+        "fixture no longer demonstrates k-truss eviction (nothing left)")
+      out.orderBy("a", "b")
     }),
 
     // Label propagation communities (synchronous, deterministic): every
@@ -1966,6 +2046,43 @@ object GraphQueries extends QueryModule {
   }
   private lazy val kcoreOracleSql: String =
     kcoreOracleOver(ringUndSql, kcoreRounds)
+  /** Unrolled k-truss peel over the strip+clique fixture with a raw-edge
+    * survivor predicate applied to t0 — d_i/s_i/t_i = the identical edge
+    * peel recurrence, every survivor CTE MATERIALIZED (each feeds both
+    * wedge legs of the next round). Single-sourced across the base query
+    * and both incremental maintainers. */
+  private def ktrussOracleOver(keepWhere: String, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""y$i AS MATERIALIZED (SELECT a AS v, b AS w FROM t${i - 1}
+           UNION ALL SELECT b, a FROM t${i - 1}),
+         s$i AS MATERIALIZED (SELECT u.a, u.b, COUNT(*) AS support
+           FROM t${i - 1} u
+           JOIN y$i x ON x.v = u.a
+           JOIN y$i y ON y.v = u.b AND y.w = x.w
+           GROUP BY u.a, u.b HAVING COUNT(*) >= ${trussK - 2}),
+         t$i AS (SELECT a, b FROM s$i)"""
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer),
+       mx AS (SELECT MAX(v) AS m FROM v),
+       strip AS (SELECT v AS a, v + 1 AS b FROM v, mx WHERE v + 1 <= m
+                 UNION ALL SELECT v, v + 2 FROM v, mx WHERE v + 2 <= m),
+       mem AS (SELECT v, v // 97 AS blk FROM v WHERE v % 97 < 5),
+       clique AS (SELECT m1.v AS a, m2.v AS b FROM mem m1 JOIN mem m2
+                  ON m1.blk = m2.blk AND m1.v < m2.v),
+       t0 AS MATERIALIZED (SELECT DISTINCT a, b FROM
+         (SELECT * FROM strip UNION ALL SELECT * FROM clique)
+         WHERE $keepWhere),
+       $steps
+       SELECT a, b, CAST(support AS BIGINT) AS support
+       FROM s$rounds ORDER BY a, b"""
+  }
+  private lazy val ktrussOracleSql: String =
+    ktrussOracleOver("TRUE", trussRounds)
+  private lazy val ktrussDelOracleSql: String = ktrussOracleOver(
+    s"""NOT ((a // 97) % 2 = 0 AND a % 97 = 0 AND b % 97 = 1)
+       AND NOT ((a // 97) % 2 = 0 AND a % 97 = 2 AND b % 97 = 4)""",
+    trussDelRounds)
+
   /** The v2 algebra's increasing-id DAG re-layered from scratch — shared
     * by the delete-bearing DAG maintainer and its forced-BSP twin. */
   private lazy val dagDelOracleSql: String =
@@ -2730,30 +2847,16 @@ object GraphQueries extends QueryModule {
     // support among round-(i−1) survivors, t_i = {edges : support >= k-2}.
     // Survivor CTEs are MATERIALIZED — each feeds both wedge legs of the
     // next round.
-    "q_graph_ktruss" -> {
-      val steps = (1 to trussRounds).map { i =>
-        s"""y$i AS MATERIALIZED (SELECT a AS v, b AS w FROM t${i - 1}
-             UNION ALL SELECT b, a FROM t${i - 1}),
-           s$i AS MATERIALIZED (SELECT u.a, u.b, COUNT(*) AS support
-             FROM t${i - 1} u
-             JOIN y$i x ON x.v = u.a
-             JOIN y$i y ON y.v = u.b AND y.w = x.w
-             GROUP BY u.a, u.b HAVING COUNT(*) >= ${trussK - 2}),
-           t$i AS (SELECT a, b FROM s$i)"""
-      }.mkString(",\n")
-      s"""WITH v AS (SELECT CAST(c_custkey AS BIGINT) AS v FROM customer),
-         mx AS (SELECT MAX(v) AS m FROM v),
-         strip AS (SELECT v AS a, v + 1 AS b FROM v, mx WHERE v + 1 <= m
-                   UNION ALL SELECT v, v + 2 FROM v, mx WHERE v + 2 <= m),
-         mem AS (SELECT v, v // 97 AS blk FROM v WHERE v % 97 < 5),
-         clique AS (SELECT m1.v AS a, m2.v AS b FROM mem m1 JOIN mem m2
-                    ON m1.blk = m2.blk AND m1.v < m2.v),
-         t0 AS MATERIALIZED (SELECT DISTINCT a, b FROM
-           (SELECT * FROM strip UNION ALL SELECT * FROM clique)),
-         $steps
-         SELECT a, b, CAST(support AS BIGINT) AS support
-         FROM s$trussRounds ORDER BY a, b"""
-    },
+    "q_graph_ktruss" -> ktrussOracleSql,
+    // The insert maintainer's v2 IS the complete fixture — the base
+    // oracle, SHARED VERBATIM (the oracle knows nothing about the
+    // state/delta split, so a wrong triangle-candidate closure or a
+    // stale reused support fails the hash compare).
+    "q_graph_ktruss_incremental" -> ktrussOracleSql,
+    // The delete twin replays the same unroll over the v2 algebra (the
+    // fixture minus the per-block (0,1) clique/strip edges), two rounds
+    // past the measured fixpoint.
+    "q_graph_ktruss_incremental_del" -> ktrussDelOracleSql,
     // The identical 4-step recurrence, unrolled: each block is one
     // neighbor-label count + most-frequent-with-min-tie-break selection.
     "q_graph_labelprop" -> {

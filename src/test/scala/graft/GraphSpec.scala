@@ -950,6 +950,85 @@ class GraphSpec extends SparkSpec {
       "every eviction touches a deleted edge — the eviction cascade is not load-bearing")
   }
 
+  test("incrementalKTruss == full peel (insert cascade, delete cascade, save-by-joiner)") {
+    import spark.implicits._
+    // k=4 (support ≥ 2) fixture with every interaction at TRIANGLE
+    // granularity:
+    //  K5a {1..5}            — stable truss component
+    //  K5b {6..10} minus (6,7),(6,8) — in v1, (6,9)/(6,10) have support 1
+    //    and peel away; v2 inserts both missing edges, pulling (6,9) and
+    //    (6,10) back in even though neither is inserted (beyond-delta
+    //    joiners)
+    //  K5c {11..15}          — v2 deletes (11,12) and (13,15): the
+    //    support collapse cascades until the whole block evicts —
+    //    most evictions are not deleted edges (beyond-delta evictions)
+    //  K5d {16..20} minus (16,17),(16,18) — v2 inserts both AND deletes
+    //    (19,20): edge (17,19) loses the {17,19,20} triangle and
+    //    survives only through the {16,17,19} triangle carried by
+    //    JOINER (16,19) — the delete side must count joiner support
+    def k5(vs: Seq[Long]) = for (a <- vs; b <- vs if a < b) yield (a, b)
+    val v1 = (k5(1L to 5L) ++
+      k5(6L to 10L).filterNot(e => e == (6L, 7L) || e == (6L, 8L)) ++
+      k5(11L to 15L) ++
+      k5(16L to 20L).filterNot(e => e == (16L, 17L) || e == (16L, 18L)))
+      .toDF("a", "b")
+    val v2 = (k5(1L to 5L) ++ k5(6L to 10L) ++
+      k5(11L to 15L).filterNot(e => e == (11L, 12L) || e == (13L, 15L)) ++
+      k5(16L to 20L).filterNot(_ == (19L, 20L)))
+      .toDF("a", "b")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val prev = GraphOps.ktrussPeel(spark, v1, 4, 6)
+    val prevM = toMap(prev)
+    assert(!prevM.contains((6L, 9L)) && !prevM.contains((6L, 10L)) &&
+      prevM.contains((11L, 12L)) && prevM.contains((17L, 19L)),
+      "v1 fixture truss drifted")
+    val inc = toMap(GraphOps.incrementalKTruss(spark, v1, v2, prev, 4))
+    val full = toMap(GraphOps.ktrussPeel(spark, v2, 4, 6))
+    assert(full.contains((6L, 9L)) && full.contains((6L, 10L)),
+      "beyond-delta joiners missing from the v2 fixture")
+    assert(!full.keys.exists { case (a, b) => a >= 11L && b <= 15L },
+      "delete cascade did not collapse K5c")
+    assert(full.contains((17L, 19L)), "save-by-joiner edge missing")
+    assert(inc == full, "incremental k-truss diverges from the full v2 peel")
+  }
+
+  test("k-truss fixture liveness: cascades propagate PAST the delta (sf0.01)") {
+    val dir = "/root/testdata/sf0.01"
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = pairs(SparkEntry.queries("q_graph_ktruss")(spark, dir))
+    val inc = pairs(SparkEntry.queries("q_graph_ktruss_incremental")(spark, dir))
+    assert(inc == base, "insert maintainer must equal the complete fixture's truss")
+    // rebuild the fixture algebra in memory (the peel-fixpoint test's
+    // spelling) to recompute v1's truss and identify the joiners
+    import spark.implicits._
+    val ks = spark.read.parquet(s"$dir/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0))
+    val vmax = ks.max
+    val strip = ks.flatMap(v => Seq(v + 1, v + 2).filter(_ <= vmax).map(v -> _))
+    val clique = ks.filter(_ % 97 < 5).groupBy(_ / 97).values.toSeq
+      .flatMap(bs => for (a <- bs.toSeq; b <- bs.toSeq if a < b) yield (a, b))
+    val all = (strip ++ clique).distinct
+    val insBand = all.filter { case (a, b) =>
+      a % 97 == 0 && (b % 97 == 1 || b % 97 == 2) }.toSet
+    assert(insBand.nonEmpty, "held band empty")
+    val v1 = all.filterNot(insBand).toSeq
+    val v1Truss = pairs(GraphOps.ktrussPeel(spark, v1.toDF("a", "b"), 4, 8))
+    val joiners = inc -- v1Truss
+    assert((joiners -- insBand).nonEmpty,
+      "every joiner is an inserted edge — the insert cascade is not load-bearing")
+    val delOut = pairs(SparkEntry.queries("q_graph_ktruss_incremental_del")(spark, dir))
+    val evicted = base -- delOut
+    val delBand = evicted.filter { case (a, b) =>
+      (a / 97) % 2 == 0 &&
+        ((a % 97 == 0 && b % 97 == 1) || (a % 97 == 2 && b % 97 == 4)) &&
+        b - a <= 4 }
+    assert(delBand.nonEmpty, "delete band empty")
+    assert((evicted -- delBand).nonEmpty,
+      "every eviction is a deleted edge — the eviction cascade is not load-bearing")
+  }
+
   test("bounded 4-truss peel reaches the true truss fixpoint, non-empty (sf0.001 + sf0.01)") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       // Independent in-memory oracle: peel edges with support < 2 to
