@@ -567,7 +567,16 @@ object GraphQueries extends QueryModule {
             all.filter(trussDelKeep))._1
             .select(col("src").as("a"), col("dst").as("b")),
           trussK, trussRounds + 4)
-      }))
+      }),
+      // LCC states (r11): the stored (v, deg, tri, lcc_e6) table of each
+      // fixture's v1 — insert twin shares the bfsinc store, delete twin
+      // the kcoredel store (its v1 IS the full ring)
+      "lccinc" -> (() => GraphOps.lcc(s,
+        snapshotInsertDiff(s, dir, "bfsinc", ringEdges(s, dir),
+          col("src") % 97 =!= 1)._1)),
+      "lccdel" -> (() => GraphOps.lcc(s,
+        snapshotDeleteDiff(s, dir, "kcoredel", ringEdges(s, dir),
+          ringEdges(s, dir).filter(kcoreDelKeep))._1)))
   } ensuring (_.keySet == incStateTags.toSet,
     "incStateBuilders drifted from incStateTags - update both")
 
@@ -741,7 +750,7 @@ object GraphQueries extends QueryModule {
     "ssspdel", "daginc", "dagdel", "centinc_sig", "centinc_del",
     "centdel_sig", "centdel_del", "misinc", "colinc", "misdel", "coldel",
     "colhubinc", "colhubdel", "kcoreinc", "kcoredel", "ktrussinc",
-    "ktrussdel")
+    "ktrussdel", "lccinc", "lccdel")
 
   def namedCaches: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "sigma_bfs" -> ((s: SparkSession, dir: String) => { ringSigma(s, dir); () }),
@@ -1089,26 +1098,50 @@ object GraphQueries extends QueryModule {
     // join instead of semi so each triangle yields its 3 member vertices);
     // all shuffle keys are vertex ids. The standard local-density signal
     // (spam/bot neighborhoods cluster; organic ones don't).
-    "q_graph_lcc" -> ((s, dir) => {
-      val e = ringEdges(s, dir)
-      val und = e.filter(col("src") =!= col("dst"))
-        .select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b"))
-        .distinct().localCheckpoint(true)
-      val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("deg"))
-      val wedges = und.as("x").join(und.as("y"), col("x.b") === col("y.a"))
-        .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))
-      val tris = wedges.join(und.select(col("a").as("ca"), col("b").as("cb")),
-          col("a") === col("ca") && col("c") === col("cb"), "inner")
-        .select("a", "b", "c")
-      val perVertex = tris.select(explode(array(col("a"), col("b"), col("c"))).as("v"))
-        .groupBy("v").agg(count(lit(1)).as("tri"))
-      deg.join(perVertex, Seq("v"), "left").na.fill(0L, Seq("tri"))
-        .select(col("v"), col("deg"), col("tri"),
-          when(col("deg") >= 2,
-            expr("tri * 2000000 div (deg * (deg - 1))")).otherwise(0L).as("lcc_e6"))
-        .orderBy("v")
+    "q_graph_lcc" -> ((s, dir) =>
+      GraphOps.lcc(s, ringEdges(s, dir)).orderBy("v")),
+
+    // INCREMENTAL LCC maintenance over the INSERT diff — the purely
+    // LOCAL member of the delete-bearing family: no cascade exists
+    // (a vertex's (deg, tri) changes only with an incident edge or a
+    // triangle through it), so maintenance is exact triangle-delta
+    // arithmetic on the delta's neighborhood, zero iterative barriers.
+    // Shares the bfsinc store (v1 = ring minus the src % 97 == 1
+    // out-edges, v2 = complete). Oracle: the full recompute over the
+    // COMPLETE ring = the base q_graph_lcc oracle SHARED VERBATIM.
+    "q_graph_lcc_incremental" -> ((s, dir) => {
+      val (prev, cur, _) = snapshotInsertDiff(s, dir, "bfsinc",
+        ringEdges(s, dir), col("src") % 97 =!= 1)
+      val st = cachedIncState(s, dir, "lccinc")
+      val out = GraphOps.incrementalLcc(s, prev, cur, st)
+        .localCheckpoint(true)
+      // liveness: some vertex's triangle count must change though none
+      // of ITS edges did (the third corner of a created triangle) —
+      // pinned distributively: tri changed but deg did not
+      require(out.join(st.select(col("v"), col("deg").as("pd"),
+            col("tri").as("pt")), Seq("v"))
+          .filter(col("deg") === col("pd") && col("tri") =!= col("pt"))
+          .limit(1).count() > 0,
+        "fixture no longer demonstrates third-corner triangle creation")
+      out.orderBy("v")
+    }),
+
+    // The delete-bearing twin over the kcoredel store (v1 = full ring,
+    // v2 drops the src % 29 == 11 out-edges): destroyed triangles
+    // subtract exactly; vertices losing their last edge vanish. Oracle:
+    // the full recompute of the v2 algebra.
+    "q_graph_lcc_incremental_del" -> ((s, dir) => {
+      val (prev, cur, _, _) = snapshotDeleteDiff(s, dir, "kcoredel",
+        ringEdges(s, dir), ringEdges(s, dir).filter(kcoreDelKeep))
+      val st = cachedIncState(s, dir, "lccdel")
+      val out = GraphOps.incrementalLcc(s, prev, cur, st)
+        .localCheckpoint(true)
+      require(out.join(st.select(col("v"), col("deg").as("pd"),
+            col("tri").as("pt")), Seq("v"))
+          .filter(col("deg") === col("pd") && col("tri") =!= col("pt"))
+          .limit(1).count() > 0,
+        "fixture no longer demonstrates third-corner triangle destruction")
+      out.orderBy("v")
     }),
 
     // Degree distribution (in + out): the first profiling query a graph
@@ -2094,6 +2127,34 @@ object GraphQueries extends QueryModule {
          SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.v WHERE w.d < 100)
        SELECT v, CAST(MAX(d) AS BIGINT) AS layer FROM walk GROUP BY v ORDER BY v"""
 
+  /** Per-vertex degree / canonical-triangle count / exact-integer lcc
+    * over a raw directed edge CTE — single-sourced across the base
+    * q_graph_lcc and both incremental maintainers. */
+  private def lccOracleOver(rawSql: String): String =
+    s"""WITH eraw AS MATERIALIZED ($rawSql),
+       und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a,
+               GREATEST(src, dst) AS b FROM eraw WHERE src <> dst),
+       deg AS (SELECT v, COUNT(*) AS deg FROM
+                 (SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+               GROUP BY v),
+       tri AS (SELECT x.a, x.b, y.b AS c
+               FROM und x JOIN und y ON x.b = y.a
+                    JOIN und z ON z.a = x.a AND z.b = y.b),
+       pv AS (SELECT v, COUNT(*) AS tri FROM
+                (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+                 UNION ALL SELECT c FROM tri)
+              GROUP BY v)
+       SELECT deg.v, deg.deg, COALESCE(pv.tri, 0) AS tri,
+         CASE WHEN deg.deg >= 2
+              THEN CAST(COALESCE(pv.tri, 0) * 2000000 // (deg.deg * (deg.deg - 1)) AS BIGINT)
+              ELSE 0 END AS lcc_e6
+       FROM deg LEFT JOIN pv ON pv.v = deg.v
+       ORDER BY deg.v"""
+  private lazy val lccOracleSql: String = lccOracleOver(prRingESql)
+  private lazy val lccDelOracleSql: String = lccOracleOver(
+    s"""SELECT src, dst FROM ($prRingESql) raw0
+       WHERE src % $kcoreDelMod <> $kcoreDelRes""")
+
   /** The delete fixture's v2: the SAME raw-edge filter as
     * [[kcoreDelKeep]], applied before symmetrization. */
   private lazy val kcoreDelOracleSql: String = kcoreOracleOver(
@@ -2756,29 +2817,15 @@ object GraphQueries extends QueryModule {
                  FROM e WHERE src <> dst)
          SELECT COUNT(*) AS n_triangles
          FROM und x JOIN und y ON x.b = y.a JOIN und z ON z.a = x.a AND z.b = y.b""",
-    "q_graph_lcc" ->
-      """WITH e AS (
-           SELECT c_custkey AS src, (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst FROM customer
-           UNION ALL SELECT c_custkey, (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer
-           UNION ALL SELECT c_custkey, (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer),
-         und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
-                 FROM e WHERE src <> dst),
-         deg AS (SELECT v, COUNT(*) AS deg FROM
-                   (SELECT a AS v FROM und UNION ALL SELECT b FROM und)
-                 GROUP BY v),
-         tri AS (SELECT x.a, x.b, y.b AS c
-                 FROM und x JOIN und y ON x.b = y.a
-                      JOIN und z ON z.a = x.a AND z.b = y.b),
-         pv AS (SELECT v, COUNT(*) AS tri FROM
-                  (SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
-                   UNION ALL SELECT c FROM tri)
-                GROUP BY v)
-         SELECT deg.v, deg.deg, COALESCE(pv.tri, 0) AS tri,
-           CASE WHEN deg.deg >= 2
-                THEN CAST(COALESCE(pv.tri, 0) * 2000000 // (deg.deg * (deg.deg - 1)) AS BIGINT)
-                ELSE 0 END AS lcc_e6
-         FROM deg LEFT JOIN pv ON pv.v = deg.v
-         ORDER BY deg.v""",
+    "q_graph_lcc" -> lccOracleSql,
+    // The insert maintainer's v2 IS the complete ring — the base oracle,
+    // SHARED VERBATIM (the oracle knows nothing about the state/delta
+    // split, so a missed third-corner triangle or a stale reused count
+    // fails the hash compare).
+    "q_graph_lcc_incremental" -> lccOracleSql,
+    // The delete twin recomputes over the v2 algebra (ring minus the
+    // src % 29 == 11 out-edges — the kcoredel store's v2).
+    "q_graph_lcc_incremental_del" -> lccDelOracleSql,
     "q_graph_degrees" ->
       """WITH e AS (
            SELECT c_custkey AS src, (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst FROM customer

@@ -3080,6 +3080,110 @@ object GraphOps {
     untouched.unionByName(supTouched)
   }
 
+  /** Local clustering coefficient over RAW directed edges (self-loops
+    * dropped, duplicates collapsed at the undirected level): per vertex,
+    * undirected degree, triangle count (canonical a<b<c wedge+closure
+    * join, each triangle once), and lcc·1e6 in exact integer arithmetic
+    * (2·tri·1e6 div deg·(deg−1)). Extracted from q_graph_lcc so the
+    * query, the incremental maintainers' stored-state builders, and the
+    * spec share one spelling. Returns `(v, deg, tri, lcc_e6)`. */
+  def lcc(spark: SparkSession, rawEdges: DataFrame): DataFrame = {
+    val und = rawEdges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct().localCheckpoint(true)
+    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val wedges = und.as("x").join(und.as("y"), col("x.b") === col("y.a"))
+      .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))
+    val tris = wedges.join(und.select(col("a").as("ca"), col("b").as("cb")),
+        col("a") === col("ca") && col("c") === col("cb"), "inner")
+      .select("a", "b", "c")
+    val perVertex = tris.select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("tri"))
+    deg.join(perVertex, Seq("v"), "left").na.fill(0L, Seq("tri"))
+      .select(col("v"), col("deg"), col("tri"),
+        when(col("deg") >= 2,
+          expr("tri * 2000000 div (deg * (deg - 1))")).otherwise(0L).as("lcc_e6"))
+  }
+
+  /** INCREMENTAL local-clustering-coefficient maintenance over a
+    * two-sided raw-edge diff — the PURELY LOCAL member of the
+    * delete-bearing family: a vertex's (deg, tri) pair changes only when
+    * an incident edge changes or a triangle through it is created or
+    * destroyed, so maintenance is exact arithmetic on the delta's
+    * neighborhood with NO cascade at all (work ∝ |delta| × degree,
+    * never the graph, and zero iterative barriers):
+    *
+    *  - Δdeg: ±1 per endpoint of each inserted/deleted undirected edge.
+    *  - Δtri: triangles CREATED = distinct v2-triangles containing an
+    *    inserted edge; triangles DESTROYED = distinct v1-triangles
+    *    containing a deleted edge (the two sets are disjoint — a
+    *    triangle with both an inserted and a deleted edge exists in
+    *    neither version). Canonical sorted triples dedup a triangle
+    *    discovered through two of its delta edges.
+    *
+    * Note the third corner: a created triangle {x,y,z} with inserted
+    * edge (x,y) changes z's count though NEITHER of z's edges changed —
+    * GraphSpec pins that the fixture exercises exactly this. Vertices
+    * whose last edge is deleted drop out of the output, matching the
+    * full recompute's edge-defined universe. Returns
+    * `(v, deg, tri, lcc_e6)` in the q_graph_lcc spelling. */
+  def incrementalLcc(spark: SparkSession, v1Raw: DataFrame,
+      v2Raw: DataFrame, prevState: DataFrame): DataFrame = {
+    def und(e: DataFrame) = e.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .distinct()
+    val u1 = und(v1Raw).localCheckpoint(true)
+    val u2 = und(v2Raw).localCheckpoint(true)
+    def minus(x: DataFrame, y: DataFrame) = x.join(
+      y.select(col("a").as("xa"), col("b").as("xb")),
+      col("a") === col("xa") && col("b") === col("xb"), "left_anti")
+    val insU = minus(u2, u1).repartition(1).localCheckpoint(true)
+    val delU = minus(u1, u2).repartition(1).localCheckpoint(true)
+    val insN = insU.count(); val delN = delU.count()
+    def gated(df: DataFrame): DataFrame =
+      if (insN + delN <= 200000L) broadcast(df) else df
+    def symOf(e: DataFrame) = e.select(col("a").as("v"), col("b").as("w"))
+      .union(e.select(col("b").as("v"), col("a").as("w")))
+    // distinct canonical triangles of `undAll` containing a delta edge
+    def touchedTris(delta: DataFrame, undAll: DataFrame): DataFrame = {
+      val sym = symOf(undAll)
+      gated(delta).as("d")
+        .join(sym.as("x"), col("x.v") === col("d.a"))
+        .join(sym.as("y"), col("y.v") === col("d.b") && col("y.w") === col("x.w"))
+        .select(array_sort(array(col("d.a"), col("d.b"), col("x.w"))).as("t"))
+        .select(col("t").getItem(0).as("t1"), col("t").getItem(1).as("t2"),
+          col("t").getItem(2).as("t3"))
+        .distinct()
+    }
+    def triDelta(tris: DataFrame, sign: Int): DataFrame = tris
+      .select(explode(array(col("t1"), col("t2"), col("t3"))).as("v"))
+      .groupBy("v").agg((count(lit(1)) * sign).as("dtri"))
+    def degDelta(delta: DataFrame, sign: Int): DataFrame = delta
+      .select(col("a").as("v")).union(delta.select(col("b").as("v")))
+      .groupBy("v").agg((count(lit(1)) * sign).as("ddeg"))
+    val dTri = triDelta(touchedTris(insU, u2), 1)
+      .unionByName(triDelta(touchedTris(delU, u1), -1))
+      .groupBy("v").agg(sum("dtri").as("dtri"))
+      .repartition(1).localCheckpoint(true)
+    val dDeg = degDelta(insU, 1).unionByName(degDelta(delU, -1))
+      .groupBy("v").agg(sum("ddeg").as("ddeg"))
+      .repartition(1).localCheckpoint(true)
+    val st = prevState.select(col("v").cast("long").as("v"),
+      col("deg").cast("long").as("deg"), col("tri").cast("long").as("tri"))
+    st.join(gated(dDeg), Seq("v"), "full")
+      .join(gated(dTri), Seq("v"), "left")
+      .select(col("v"),
+        (coalesce(col("deg"), lit(0L)) + coalesce(col("ddeg"), lit(0L))).as("deg"),
+        (coalesce(col("tri"), lit(0L)) + coalesce(col("dtri"), lit(0L))).as("tri"))
+      .filter(col("deg") > 0)
+      .select(col("v"), col("deg"), col("tri"),
+        when(col("deg") >= 2,
+          expr("tri * 2000000 div (deg * (deg - 1))")).otherwise(0L).as("lcc_e6"))
+  }
+
   /** INCREMENTAL weighted-SSSP maintenance over INSERT-only edge deltas —
     * [[incrementalBfsLevels]] generalized to weighted label correction
     * (and the weighted member that completes the incremental family):

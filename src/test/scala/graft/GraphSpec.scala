@@ -950,6 +950,30 @@ class GraphSpec extends SparkSpec {
       "every eviction touches a deleted edge — the eviction cascade is not load-bearing")
   }
 
+  test("incrementalLcc == full recompute (third corner, vanish, mixed diff)") {
+    import spark.implicits._
+    def df(e: Seq[(Long, Long)]) = e.toDF("src", "dst")
+    // v1: square 1-2-3-4 with diagonal (1,3) → triangles {1,2,3},{1,3,4};
+    // spur (4,10); isolated triangle {20,21,22}
+    val v1 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (1L, 3L),
+      (4L, 10L), (20L, 21L), (21L, 22L), (20L, 22L))
+    // v2: insert (2,4) → creates {1,2,4},{2,3,4} — corners 1 and 3 gain a
+    // triangle though none of THEIR edges changed (third-corner);
+    // delete (1,3) → destroys {1,2,3},{1,3,4}; delete (4,10) → 10
+    // VANISHES; delete (20,21) → {20,21,22} loses its triangle but all
+    // three vertices keep an edge
+    val v2 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (2L, 4L),
+      (21L, 22L), (20L, 22L))
+    def toMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val prev = GraphOps.lcc(spark, df(v1))
+    val inc = toMap(GraphOps.incrementalLcc(spark, df(v1), df(v2), prev))
+    val full = toMap(GraphOps.lcc(spark, df(v2)))
+    assert(inc == full, s"incremental LCC diverges: $inc vs $full")
+    assert(!inc.contains(10L), "vertex with no surviving edge must vanish")
+    assert(inc(2L)._2 == 2L && inc(1L)._2 == 1L && inc(20L)._2 == 0L)
+  }
+
   test("incrementalKTruss == full peel (insert cascade, delete cascade, save-by-joiner)") {
     import spark.implicits._
     // k=4 (support ≥ 2) fixture with every interaction at TRIANGLE
