@@ -179,7 +179,12 @@ object Relational extends QueryModule {
       tr(s, dir, "lineitem")
         .join(broadcast(buckets), col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
         .groupBy("bucket")
-        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total"))
+        // exact integer cents, not ROUND(SUM(double)): at sf1 the 6M-row
+        // double sum diverged from DuckDB's by one ulp exactly on a
+        // .005 rounding boundary (the r11 sf1 compare's one catch) —
+        // summation ORDER is engine-specific, cents are not
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("total_cents"))
         .orderBy("bucket")
     }),
 
@@ -777,7 +782,8 @@ object Relational extends QueryModule {
            ON s_nationkey = c_nationkey AND s_acctbal < c_acctbal
          GROUP BY s_suppkey ORDER BY s_suppkey""",
     "q_join_range" ->
-      """SELECT bucket, COUNT(*) AS n, ROUND(SUM(l_extendedprice),2) AS total
+      """SELECT bucket, COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
          FROM lineitem JOIN (VALUES (0.0,10.0,'b0'),(10.0,20.0,'b1'),(20.0,30.0,'b2'),
            (30.0,40.0,'b3'),(40.0,50.5,'b4')) b(lo,hi,bucket)
            ON l_quantity >= lo AND l_quantity < hi
