@@ -167,6 +167,17 @@ object GraphQueries extends QueryModule {
     * are no-ops on both sides of the compare). */
   private val trussDelRounds = 8
 
+  /** Canonical weighted undirected edges of the MSF family — the
+    * deterministic fixture weight w = 1 + (3a + b) mod 7, single-sourced
+    * across q_graph_msf, both incremental maintainers' states, and the
+    * oracles (which spell the same arithmetic in SQL). */
+  private def msfUnd(raw: DataFrame): DataFrame =
+    raw.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .withColumn("w", (lit(1) + (col("a") * 3 + col("b")) % 7).cast("long"))
+
   /** The hierarchy edge list as a DuckDB CTE body (both directions) —
     * shared by the q_graph_cc and q_graph_labelprop oracles. */
   private val hierEdgesSql =
@@ -576,7 +587,16 @@ object GraphQueries extends QueryModule {
           col("src") % 97 =!= 1)._1)),
       "lccdel" -> (() => GraphOps.lcc(s,
         snapshotDeleteDiff(s, dir, "kcoredel", ringEdges(s, dir),
-          ringEdges(s, dir).filter(kcoreDelKeep))._1)))
+          ringEdges(s, dir).filter(kcoreDelKeep))._1)),
+      // MSF states (r11): the stored forest (a, b, w) of each fixture's
+      // v1 — Borůvka to early-stop convergence (8 ≥ log2 V rounds)
+      "msfinc" -> (() => GraphOps.boruvka(s, msfUnd(
+        snapshotInsertDiff(s, dir, "bfsinc", ringEdges(s, dir),
+          col("src") % 97 =!= 1)._1), 8)._2.select("a", "b", "w")),
+      "msfdel" -> (() => GraphOps.boruvka(s, msfUnd(
+        snapshotDeleteDiff(s, dir, "kcoredel", ringEdges(s, dir),
+          ringEdges(s, dir).filter(kcoreDelKeep))._1), 8)._2
+        .select("a", "b", "w")))
   } ensuring (_.keySet == incStateTags.toSet,
     "incStateBuilders drifted from incStateTags - update both")
 
@@ -750,7 +770,7 @@ object GraphQueries extends QueryModule {
     "ssspdel", "daginc", "dagdel", "centinc_sig", "centinc_del",
     "centdel_sig", "centdel_del", "misinc", "colinc", "misdel", "coldel",
     "colhubinc", "colhubdel", "kcoreinc", "kcoredel", "ktrussinc",
-    "ktrussdel", "lccinc", "lccdel")
+    "ktrussdel", "lccinc", "lccdel", "msfinc", "msfdel")
 
   def namedCaches: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "sigma_bfs" -> ((s: SparkSession, dir: String) => { ringSigma(s, dir); () }),
@@ -1749,13 +1769,56 @@ object GraphQueries extends QueryModule {
     // choices; GraphSpec separately runs rounds to convergence and pins
     // the forest weight against in-memory Kruskal.
     "q_graph_msf" -> ((s, dir) => {
-      val und = ringEdges(s, dir).filter(col("src") =!= col("dst"))
-        .select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b"))
-        .distinct()
-        .withColumn("w", (lit(1) + (col("a") * 3 + col("b")) % 7).cast("long"))
-      val (_, chosen) = GraphOps.boruvka(s, und, 2)
+      val (_, chosen) = GraphOps.boruvka(s, msfUnd(ringEdges(s, dir)), 2)
       chosen.orderBy("round", "a", "b")
+    }),
+
+    // INCREMENTAL MSF maintenance over the INSERT diff (bfsinc store:
+    // v1 = ring minus the src % 97 == 1 out-edges, v2 = complete) — the
+    // contraction property of the unique lexicographic MSF
+    // ([[GraphOps.incrementalMsf]]): candidates = stored forest ∪
+    // inserted ∪ cross-fragment edges; the full edge set is scanned ONCE
+    // for the cross set, never fed to the Borůvka rounds. Oracle: the
+    // complete ring's per-round Borůvka replay, round column dropped
+    // (the maintainer's round numbering is algorithm-path-dependent; the
+    // forest SET is unique).
+    "q_graph_msf_incremental" -> ((s, dir) => {
+      val (prev, cur, ins) = snapshotInsertDiff(s, dir, "bfsinc",
+        ringEdges(s, dir), col("src") % 97 =!= 1)
+      val st = cachedIncState(s, dir, "msfinc")
+      val insU = msfUnd(ins).join(msfUnd(prev).select("a", "b"),
+        Seq("a", "b"), "left_anti")
+      val out = GraphOps.incrementalMsf(s, msfUnd(cur), st, insU,
+        insU.limit(0)).localCheckpoint(true)
+      // liveness: some inserted edge must DISPLACE a surviving stored
+      // forest edge (the swap path — else the query only tests gluing)
+      require(st.join(out.select(col("a").as("xa"), col("b").as("xb")),
+          col("a") === col("xa") && col("b") === col("xb"), "left_anti")
+          .limit(1).count() > 0,
+        "fixture no longer demonstrates a forest swap (no stored edge displaced)")
+      out.orderBy("a", "b")
+    }),
+
+    // The delete-bearing twin (kcoredel store: v2 drops the src % 29 ==
+    // 11 out-edges): deleted forest edges split fragments; replacement
+    // edges are found among the cross-fragment survivors by the same one
+    // edge-scan + Borůvka-over-candidates. Oracle: the v2 algebra's
+    // Borůvka replay, round-less.
+    "q_graph_msf_incremental_del" -> ((s, dir) => {
+      val (prev, cur, _, _) = snapshotDeleteDiff(s, dir, "kcoredel",
+        ringEdges(s, dir), ringEdges(s, dir).filter(kcoreDelKeep))
+      val st = cachedIncState(s, dir, "msfdel")
+      val delU = msfUnd(prev).join(msfUnd(cur).select("a", "b"),
+        Seq("a", "b"), "left_anti")
+      val out = GraphOps.incrementalMsf(s, msfUnd(cur), st,
+        delU.limit(0), delU).localCheckpoint(true)
+      // liveness: some REPLACEMENT edge (not in the stored forest) must
+      // enter — else the query only tests subtraction
+      require(out.join(st.select(col("a").as("xa"), col("b").as("xb")),
+          col("a") === col("xa") && col("b") === col("xb"), "left_anti")
+          .limit(1).count() > 0,
+        "fixture no longer demonstrates a cut replacement (no new forest edge)")
+      out.orderBy("a", "b")
     }),
 
     // DIRECTED strongly connected components (coloring FW-BW rounds,
@@ -2126,6 +2189,49 @@ object GraphQueries extends QueryModule {
          UNION
          SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.v WHERE w.d < 100)
        SELECT v, CAST(MAX(d) AS BIGINT) AS layer FROM walk GROUP BY v ORDER BY v"""
+
+  /** Borůvka replay over a raw directed edge CTE — each round: per-
+    * component lexicographic-min outgoing edge (ROW_NUMBER), then the
+    * min-label contraction closure. Single-sourced across q_graph_msf
+    * (round-tagged) and both incremental maintainers (round-less — the
+    * maintainer's round path differs over its candidate subset; the
+    * lexicographic MSF is unique as a SET). */
+  private def msfOracleOver(rawSql: String, rounds: Int,
+      withRound: Boolean): String = {
+    def round(i: Int, labels: String) =
+      s"""x$i AS MATERIALIZED (SELECT ew.a, ew.b, ew.w, la.comp AS ca, lb.comp AS cb
+            FROM ew JOIN $labels la ON la.v = ew.a
+                    JOIN $labels lb ON lb.v = ew.b
+            WHERE la.comp <> lb.comp),
+          i$i AS (SELECT ca AS comp, w, a, b, ca, cb FROM x$i
+                  UNION ALL SELECT cb AS comp, w, a, b, ca, cb FROM x$i),
+          c$i AS MATERIALIZED (SELECT DISTINCT w, a, b, ca, cb FROM (
+                    SELECT comp, w, a, b, ca, cb,
+                      ROW_NUMBER() OVER (PARTITION BY comp ORDER BY w, a, b) AS rn
+                    FROM i$i) WHERE rn = 1),
+          g$i AS MATERIALIZED (SELECT ca AS x, cb AS y FROM c$i UNION SELECT cb, ca FROM c$i),
+          r$i AS (SELECT x, x AS root FROM (SELECT DISTINCT x FROM g$i)
+                  UNION SELECT g$i.y, r$i.root FROM r$i JOIN g$i ON g$i.x = r$i.x),
+          m$i AS MATERIALIZED (SELECT x, MIN(root) AS nc FROM r$i GROUP BY x),
+          l$i AS MATERIALIZED (SELECT l${i - 1}.v, COALESCE(m$i.nc, l${i - 1}.comp) AS comp
+                  FROM l${i - 1} LEFT JOIN m$i ON m$i.x = l${i - 1}.comp)"""
+    val steps = (1 to rounds).map(i => round(i, s"l${i - 1}")).mkString(",\n")
+    val sel =
+      if (withRound) (1 to rounds).map(i =>
+        s"SELECT CAST($i AS INT) AS round, a, b, CAST(w AS BIGINT) AS w FROM c$i")
+        .mkString("\nUNION ALL\n") + "\nORDER BY round, a, b"
+      else (1 to rounds).map(i =>
+        s"SELECT a, b, CAST(w AS BIGINT) AS w FROM c$i")
+        .mkString("\nUNION ALL\n") + "\nORDER BY a, b"
+    s"""WITH RECURSIVE e0 AS ($rawSql),
+        ew AS (SELECT a, b, 1 + (a*3 + b) % 7 AS w FROM
+          (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+           FROM e0 WHERE src <> dst)),
+        l0 AS (SELECT DISTINCT v, v AS comp
+               FROM (SELECT a AS v FROM ew UNION ALL SELECT b FROM ew)),
+        $steps
+        $sel"""
+  }
 
   /** Per-vertex degree / canonical-triangle count / exact-integer lcc
     * over a raw directed edge CTE — single-sourced across the base
@@ -2770,41 +2876,21 @@ object GraphQueries extends QueryModule {
     // Two Borůvka rounds replayed exactly: per-component min outgoing
     // edge via ROW_NUMBER over (w, a, b), contraction via a min-label
     // reachability closure over each round's chosen set.
-    "q_graph_msf" -> {
-      val ringE =
-        """SELECT c_custkey AS src, (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst FROM customer
-           UNION ALL SELECT c_custkey, (c_custkey*5+7)%(SELECT COUNT(*) FROM customer) FROM customer
-           UNION ALL SELECT c_custkey, (c_custkey*16+3)%(SELECT COUNT(*) FROM customer) FROM customer"""
-      def round(i: Int, labels: String) =
-        s"""x$i AS (SELECT ew.a, ew.b, ew.w, la.comp AS ca, lb.comp AS cb
-              FROM ew JOIN $labels la ON la.v = ew.a
-                      JOIN $labels lb ON lb.v = ew.b
-              WHERE la.comp <> lb.comp),
-            i$i AS (SELECT ca AS comp, w, a, b, ca, cb FROM x$i
-                    UNION ALL SELECT cb AS comp, w, a, b, ca, cb FROM x$i),
-            c$i AS (SELECT DISTINCT w, a, b, ca, cb FROM (
-                      SELECT comp, w, a, b, ca, cb,
-                        ROW_NUMBER() OVER (PARTITION BY comp ORDER BY w, a, b) AS rn
-                      FROM i$i) WHERE rn = 1),
-            g$i AS (SELECT ca AS x, cb AS y FROM c$i UNION SELECT cb, ca FROM c$i),
-            r$i AS (SELECT x, x AS root FROM (SELECT DISTINCT x FROM g$i)
-                    UNION SELECT g$i.y, r$i.root FROM r$i JOIN g$i ON g$i.x = r$i.x),
-            m$i AS (SELECT x, MIN(root) AS nc FROM r$i GROUP BY x)"""
-      s"""WITH RECURSIVE e0 AS ($ringE),
-          ew AS (SELECT a, b, 1 + (a*3 + b) % 7 AS w FROM
-            (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
-             FROM e0 WHERE src <> dst)),
-          l0 AS (SELECT DISTINCT v, v AS comp
-                 FROM (SELECT a AS v FROM ew UNION ALL SELECT b FROM ew)),
-          ${round(1, "l0")},
-          l1 AS (SELECT l0.v, COALESCE(m1.nc, l0.comp) AS comp
-                 FROM l0 LEFT JOIN m1 ON m1.x = l0.comp),
-          ${round(2, "l1")}
-          SELECT CAST(1 AS INT) AS round, a, b, CAST(w AS BIGINT) AS w FROM c1
-          UNION ALL
-          SELECT CAST(2 AS INT), a, b, CAST(w AS BIGINT) FROM c2
-          ORDER BY round, a, b"""
-    },
+    "q_graph_msf" -> msfOracleOver(prRingESql, 2, withRound = true),
+    // The complete ring's Borůvka replay with the round column DROPPED:
+    // the maintainer's per-round choices follow a different path over
+    // the candidate subset, but the lexicographic-(w,a,b) MSF is UNIQUE,
+    // so the forest SET must match exactly. Unrolled to the measured
+    // convergence (the BASE query's 2 rounds are the bounded-unroll
+    // showcase, NOT the full forest: 1440 edges at round 2, 1490 at 3,
+    // 1498 converged) plus margin — an empty round contributes no rows.
+    "q_graph_msf_incremental" -> msfOracleOver(prRingESql, 5,
+      withRound = false),
+    // The v2 algebra's forest (ring minus the src % 29 == 11 out-edges),
+    // round-less for the same reason.
+    "q_graph_msf_incremental_del" -> msfOracleOver(
+      s"""SELECT src, dst FROM ($prRingESql) raw0
+         WHERE src % $kcoreDelMod <> $kcoreDelRes""", 5, withRound = false),
     // Incremental maintenance must equal the full enumeration of the NEW
     // snapshot — the oracle is q_graph_triangles' complete-graph wedge
     // count and knows nothing about the delta construction.

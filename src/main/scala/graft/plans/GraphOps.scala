@@ -3358,6 +3358,50 @@ object GraphOps {
     (labels, chosen)
   }
 
+  /** INCREMENTAL minimum-spanning-forest maintenance over a two-sided
+    * weighted undirected diff — the contraction property of the unique
+    * lexicographic-(w, a, b) MSF made a maintainer: with F = the stored
+    * forest and D/I the deleted/inserted canonical edges,
+    *
+    *   MSF(G') = MSF( (F ∖ D)  ∪  I  ∪  X )
+    *
+    * where X = the v2 edges crossing two different FRAGMENTS (components
+    * of F ∖ D). Proof shape: any other v2 edge is a non-forest v1 edge
+    * inside one fragment, so its v1 forest path — every edge smaller
+    * under the total order (cycle property) — survives intact and
+    * excludes it from MSF(G') too; and the MSF of a subset that contains
+    * MSF(G') and preserves per-component connectivity IS MSF(G')
+    * (uniqueness under the lexicographic order). The candidate set is
+    * V-scale (forest) + delta + cross-fragment edges — at 100 TB that is
+    * the win: the full edge set is scanned ONCE (to find X, two label
+    * joins), never fed to the O(log V)-round Borůvka. [[boruvka]] runs
+    * to early-stop convergence on the candidates; uniqueness makes the
+    * result algorithm-independent, so the full-recompute oracle compares
+    * exactly. Returns the new forest `(a, b, w)`. */
+  def incrementalMsf(spark: SparkSession, v2Und: DataFrame,
+      prevForest: DataFrame, insUnd: DataFrame, delUnd: DataFrame): DataFrame = {
+    def c(e: DataFrame) = e.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"), col("w").cast("long").as("w"))
+    val u2 = c(v2Und).localCheckpoint(true)
+    def keyAnti(x: DataFrame, y: DataFrame) = x.join(
+      y.select(col("a").as("xa"), col("b").as("xb")),
+      col("a") === col("xa") && col("b") === col("xb"), "left_anti")
+    val fPrime = keyAnti(c(prevForest), delUnd).localCheckpoint(true)
+    // fragment labels over the forest remnant (V-scale, size-gated CC);
+    // vertices outside F∖D self-label — each is its own fragment
+    val fSym = fPrime.select(col("a").as("src"), col("b").as("dst"))
+      .union(fPrime.select(col("b").as("src"), col("a").as("dst")))
+    val frag = connectedComponents(spark, fSym).localCheckpoint(true)
+    val x = u2
+      .join(frag.select(col("v").as("a"), col("comp").as("ca")), Seq("a"), "left")
+      .join(frag.select(col("v").as("b"), col("comp").as("cb")), Seq("b"), "left")
+      .filter(coalesce(col("ca"), col("a")) =!= coalesce(col("cb"), col("b")))
+      .select("a", "b", "w")
+    val cands = fPrime.unionByName(c(insUnd)).unionByName(x)
+      .groupBy("a", "b").agg(min("w").as("w")) // dedup; w is keyed by (a,b)
+    boruvka(spark, cands, 40)._2.select("a", "b", "w")
+  }
+
   /** Distinct triangles that contain ≥1 inserted edge — the delta term of
     * INCREMENTAL triangle-count maintenance (the [[incrementalConnectedComponents]]
     * discipline applied to the motif family): every triangle of the new

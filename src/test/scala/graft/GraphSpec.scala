@@ -950,6 +950,38 @@ class GraphSpec extends SparkSpec {
       "every eviction touches a deleted edge — the eviction cascade is not load-bearing")
   }
 
+  test("incrementalMsf == converged Boruvka (swap, cut replacement, glue, vanish)") {
+    import spark.implicits._
+    def df(e: Seq[(Long, Long, Long)]) = e.toDF("a", "b", "w")
+    // v1: path 1-2-3 with heavy non-forest chord (1,3,9); triangle
+    // {10,11,12} (chord (10,12,3) non-forest); pair (20,21,2); pair
+    // (30,31,1)
+    val v1 = Seq((1L, 2L, 5L), (2L, 3L, 5L), (1L, 3L, 9L), (10L, 11L, 1L),
+      (11L, 12L, 1L), (10L, 12L, 3L), (20L, 21L, 2L), (30L, 31L, 1L))
+    // v2: delete (1,2) → the surviving chord (1,3,9) is the CUT
+    // REPLACEMENT; insert (3,10,4) → GLUES two components; insert
+    // (20,22,1),(21,22,1) → both beat stored (20,21,2), a SWAP that
+    // displaces a forest edge nobody deleted; delete (30,31) → both
+    // endpoints VANISH
+    val v2 = Seq((2L, 3L, 5L), (1L, 3L, 9L), (10L, 11L, 1L), (11L, 12L, 1L),
+      (10L, 12L, 3L), (20L, 21L, 2L), (20L, 22L, 1L), (21L, 22L, 1L),
+      (3L, 10L, 4L))
+    val ins = Seq((20L, 22L, 1L), (21L, 22L, 1L), (3L, 10L, 4L))
+    val del = Seq((1L, 2L, 5L), (30L, 31L, 1L))
+    def toSet(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val prev = GraphOps.boruvka(spark, df(v1), 8)._2.select("a", "b", "w")
+    assert(toSet(prev) == Set((1L, 2L, 5L), (2L, 3L, 5L), (10L, 11L, 1L),
+      (11L, 12L, 1L), (20L, 21L, 2L), (30L, 31L, 1L)), "v1 forest drifted")
+    val inc = toSet(GraphOps.incrementalMsf(spark, df(v2), prev,
+      df(ins), df(del)))
+    val full = toSet(GraphOps.boruvka(spark, df(v2), 8)._2.select("a", "b", "w"))
+    assert(inc == full, s"incremental MSF diverges: $inc vs $full")
+    assert(inc == Set((2L, 3L, 5L), (1L, 3L, 9L), (3L, 10L, 4L),
+      (10L, 11L, 1L), (11L, 12L, 1L), (20L, 22L, 1L), (21L, 22L, 1L)),
+      "expected forest (replacement + glue + swap + vanish) drifted")
+  }
+
   test("incrementalLcc == full recompute (third corner, vanish, mixed diff)") {
     import spark.implicits._
     def df(e: Seq[(Long, Long)]) = e.toDF("src", "dst")
