@@ -2660,6 +2660,7 @@ object GraphOps {
       cumGated += nbrs.count()
       frontier = ckpt(degFull(nbrs).filter(col("d") >= k).select("v"))
       fn = frontier.count(); cumGated += fn
+      trace(s"incrementalKCore cand wave=$waves n=$fn cum=$cumGated")
       pFrames ::= frontier
     }
     require(fn == 0,
@@ -2694,6 +2695,7 @@ object GraphOps {
       val nn = next.count(); cumGated += nn
       stable = nn == sn
       surv = next; sn = nn
+      trace(s"incrementalKCore peel round=$peelRounds n=$sn")
     }
     require(stable,
       s"incrementalKCore: candidate peel did not stabilize in $maxWaves " +
@@ -2750,6 +2752,7 @@ object GraphOps {
           .join(kBase.select(col("v").as("kv")), col("v") === col("kv"), "left_semi")
           .join(small(ckpt(evictedAll)), Seq("v"), "left_anti"))
         an = affected.count(); cumGated += an
+        trace(s"incrementalKCore evict wave=$evWaves affected=$an evicted=$en")
       }
     }
     require(an == 0,
