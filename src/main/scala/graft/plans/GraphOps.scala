@@ -2608,7 +2608,9 @@ object GraphOps {
     * truncating. */
   def incrementalKCore(spark: SparkSession, v1Raw: DataFrame,
       v2Raw: DataFrame, prevCore: DataFrame, k: Int,
-      maxWaves: Int = 30): DataFrame = {
+      maxWaves: Int = 30,
+      driverSolveLimit: Long = DriverSolveEdgeLimit): DataFrame = {
+    import spark.implicits._
     def und(e: DataFrame) = e.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
@@ -2621,6 +2623,94 @@ object GraphOps {
     val insU = undMinus(u2, u1).localCheckpoint(true)
     val delU = undMinus(u1, u2).localCheckpoint(true)
     val insN = insU.count(); val delN = delU.count()
+    val u2N = u2.count()
+    if (u2N <= driverSolveLimit) {
+      // DRIVER SOLVE under the family's size gate (r11 — the dagdel
+      // tight-support-worklist discipline applied to the whole kcore
+      // maintenance: the measured sf0.1 profile was 7 candidate waves +
+      // 5 peel rounds + 4 eviction waves ≈ 16 barrier steps of
+      // frontier-sized work over a ≤3.5k-vertex subproblem). Identical
+      // least-fixpoint algebra, in-memory: candidate BFS through
+      // non-core vertices with full-v2 degree ≥ k, Kahn peel against
+      // the frozen core, Kahn eviction seeded at deleted-edge endpoints
+      // (only delta-contacted vertices can drop — a core vertex's
+      // in-base degree falls only via a deleted edge or an evicted
+      // neighbor). GraphSpec pins driver == BSP == full recompute with
+      // the gate forced off; the >gate wave loop below is the 100 TB
+      // path.
+      val t0 = System.nanoTime()
+      val pairs = u2.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val insP = insU.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val delP = delU.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val coreDeg = scala.collection.mutable.LongMap.empty[Long]
+      prevCore.select(col("v").cast("long"), col("deg").cast("long"))
+        .collect().foreach(r => coreDeg(r.getLong(0)) = r.getLong(1))
+      val adj = scala.collection.mutable.LongMap
+        .empty[scala.collection.mutable.ArrayBuffer[Long]]
+      def addAdj(x: Long, y: Long): Unit =
+        adj.getOrElseUpdate(x, scala.collection.mutable.ArrayBuffer.empty) += y
+      pairs.foreach { case (a, b) => addAdj(a, b); addAdj(b, a) }
+      def deg2(v: Long): Int = adj.get(v).map(_.size).getOrElse(0)
+      // candidate region: delta-seeded BFS through non-core, deg ≥ k
+      val region = scala.collection.mutable.LinkedHashSet.empty[Long]
+      val bfs = scala.collection.mutable.Queue.empty[Long]
+      insP.foreach { case (a, b) => Seq(a, b).foreach { v =>
+        if (!coreDeg.contains(v) && deg2(v) >= k && region.add(v)) bfs += v } }
+      while (bfs.nonEmpty) {
+        val v = bfs.dequeue()
+        adj.getOrElse(v, Nil).foreach { w =>
+          if (!coreDeg.contains(w) && deg2(w) >= k && region.add(w)) bfs += w }
+      }
+      require(region.size <= math.max(10000L, 20L * insN),
+        s"incrementalKCore: candidate region (${region.size} vertices) " +
+          s"degenerated past 20x the inserted-edge delta ($insN) — " +
+          "maintenance would not be delta-scoped; recompute from the new snapshot")
+      // frozen-core Kahn peel: support = neighbors in core ∪ survivors
+      val sup = scala.collection.mutable.LongMap.empty[Int]
+      region.foreach { v =>
+        sup(v) = adj(v).count(w => coreDeg.contains(w) || region.contains(w)) }
+      val dead = scala.collection.mutable.Queue.empty[Long]
+      val out = scala.collection.mutable.LongMap.empty[Boolean]
+      region.foreach(v => if (sup(v) < k) { dead += v; out(v) = true })
+      while (dead.nonEmpty) {
+        val v = dead.dequeue()
+        adj(v).foreach { w =>
+          if (region.contains(w) && !out.contains(w)) {
+            sup(w) -= 1
+            if (sup(w) < k) { out(w) = true; dead += w }
+          }
+        }
+      }
+      val joiners = region.filterNot(out.contains)
+      // eviction Kahn over kBase = core ∪ joiners with v2 edges: degMap
+      // counts kBase neighbors; seeds = deleted-edge endpoints
+      val inBase = scala.collection.mutable.LongMap.empty[Boolean]
+      coreDeg.keysIterator.foreach(v => inBase(v) = true)
+      joiners.foreach(v => inBase(v) = true)
+      val degB = scala.collection.mutable.LongMap.empty[Long]
+      inBase.keysIterator.foreach { v =>
+        degB(v) = adj.get(v).map(_.count(inBase.contains)).getOrElse(0).toLong }
+      val evQ = scala.collection.mutable.Queue.empty[Long]
+      val evicted = scala.collection.mutable.LongMap.empty[Boolean]
+      delP.foreach { case (a, b) => Seq(a, b).foreach { v =>
+        if (inBase.contains(v) && !evicted.contains(v) && degB(v) < k) {
+          evicted(v) = true; evQ += v } } }
+      while (evQ.nonEmpty) {
+        val v = evQ.dequeue()
+        adj.getOrElse(v, Nil).foreach { w =>
+          if (inBase.contains(w) && !evicted.contains(w)) {
+            degB(w) -= 1
+            if (degB(w) < k) { evicted(w) = true; evQ += w }
+          }
+        }
+      }
+      trace(f"incrementalKCore driver-solved u2N=$u2N region=${region.size} " +
+        f"joiners=${joiners.size} evicted=${evicted.size} " +
+        f"t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      val rows = inBase.keysIterator.filterNot(evicted.contains)
+        .map(v => (v, degB(v))).toSeq
+      return rows.toDF("v", "deg").repartition(1).localCheckpoint(true)
+    }
     val sym2 = u2.select(col("a").as("src"), col("b").as("dst"))
       .union(u2.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint(true)

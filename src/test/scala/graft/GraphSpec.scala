@@ -903,6 +903,10 @@ class GraphSpec extends SparkSpec {
     assert(full.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L),
       "v2 fixture core drifted")
     assert(inc == full, "incremental k-core diverges from the full v2 peel")
+    // and through the forced-BSP wave path (driver gate off)
+    val incBsp = toMap(GraphOps.incrementalKCore(spark, v1, v2, prev, 3,
+      driverSolveLimit = 0L))
+    assert(incBsp == full, s"BSP kcore path diverges: $incBsp vs $full")
   }
 
   test("k-core fixture liveness: cascades propagate PAST the delta (sf0.01)") {
