@@ -2941,7 +2941,9 @@ object GraphOps {
     * than truncating. */
   def incrementalKTruss(spark: SparkSession, v1Und: DataFrame,
       v2Und: DataFrame, prevTruss: DataFrame, k: Int,
-      maxWaves: Int = 30): DataFrame = {
+      maxWaves: Int = 30,
+      driverSolveLimit: Long = DriverSolveEdgeLimit): DataFrame = {
+    import spark.implicits._
     def norm(e: DataFrame) = e.filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).cast("long").as("a"),
         greatest(col("a"), col("b")).cast("long").as("b"))
@@ -2954,6 +2956,129 @@ object GraphOps {
     val insE = minus(u2, u1).localCheckpoint(true)
     val delE = minus(u1, u2).localCheckpoint(true)
     val insN = insE.count(); delE.count()
+    val u2N = u2.count()
+    if (u2N <= driverSolveLimit) {
+      // DRIVER SOLVE under the family's size gate — the kcore worklist
+      // at TRIANGLE granularity: collect the v2 edge set, run the
+      // identical least-fixpoint algebra in memory. Supports are
+      // adjacency-set intersections (O(deg) per edge); the candidate
+      // region walks triangle-adjacency restricted to P1 (full-v2
+      // support ≥ k−2, the strip lesson); peel and eviction are Kahn
+      // worklists that decrement the two co-edges of each lost
+      // triangle. Eviction needs no delta seeding at all here: the
+      // fixpoint — the maximal S ⊆ kBase with every in-S support
+      // ≥ k−2 — is a global property, so recomputing in-base supports
+      // and evicting everything below threshold converges to the same
+      // set the distributed waves reach. GraphSpec pins driver == BSP
+      // == full recompute with the gate forced off.
+      val t0 = System.nanoTime()
+      type E = (Long, Long)
+      def key(a: Long, b: Long): E = if (a < b) (a, b) else (b, a)
+      val pairs = u2.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val insP = insE.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val coreSup = scala.collection.mutable.HashMap.empty[E, Long]
+      prevTruss.select(col("a").cast("long"), col("b").cast("long"),
+        col("support").cast("long")).collect()
+        .foreach(r => coreSup(key(r.getLong(0), r.getLong(1))) = r.getLong(2))
+      val adj = scala.collection.mutable.LongMap
+        .empty[scala.collection.mutable.HashSet[Long]]
+      def nbrs(v: Long) = adj.getOrElse(v, scala.collection.mutable.HashSet.empty[Long])
+      pairs.foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, scala.collection.mutable.HashSet.empty) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.HashSet.empty) += a }
+      def supIn(a: Long, b: Long, in: E => Boolean): Int = {
+        val (sa, sb) = (nbrs(a), nbrs(b))
+        val (small, big, x, y) = if (sa.size <= sb.size) (sa, sb, a, b)
+          else (sb, sa, b, a)
+        small.count(c => big.contains(c) && in(key(x, c)) && in(key(y, c)))
+      }
+      val inU2 = pairs.map { case (a, b) => key(a, b) }.toSet
+      // P1 = one-round-peeled v2 (membership test, computed lazily)
+      val p1 = scala.collection.mutable.HashMap.empty[E, Boolean]
+      def inP1(e: E): Boolean = p1.getOrElseUpdate(e,
+        inU2(e) && supIn(e._1, e._2, inU2) >= k - 2)
+      // candidate region: triangle-adjacency BFS from inserted P1 edges
+      // through non-core P1 edges
+      val region = scala.collection.mutable.LinkedHashSet.empty[E]
+      val bfs = scala.collection.mutable.Queue.empty[E]
+      insP.foreach { case (a, b) => val e = key(a, b)
+        if (!coreSup.contains(e) && inP1(e) && region.add(e)) bfs += e }
+      while (bfs.nonEmpty) {
+        val (a, b) = bfs.dequeue()
+        nbrs(a).foreach { c =>
+          if (nbrs(b).contains(c) && inP1(key(a, c)) && inP1(key(b, c))) {
+            Seq(key(a, c), key(b, c)).foreach { e =>
+              if (!coreSup.contains(e) && inP1(e) && region.add(e)) bfs += e }
+          }
+        }
+      }
+      require(region.size <= math.max(10000L, 20L * insN),
+        s"incrementalKTruss: candidate region (${region.size} edges) " +
+          s"degenerated past 20x the inserted-edge delta ($insN) — " +
+          "maintenance would not be delta-scoped; recompute from the new snapshot")
+      // frozen-core Kahn peel: support within core ∪ survivors
+      val live = scala.collection.mutable.HashMap.empty[E, Boolean]
+      def inScope(e: E): Boolean =
+        (coreSup.contains(e) && inU2(e)) || live.getOrElse(e, false)
+      region.foreach(e => live(e) = true)
+      // NOTE: core edges DELETED in v2 must not support candidates —
+      // inU2 guards that above (kBase later drops them too)
+      val supS = scala.collection.mutable.HashMap.empty[E, Int]
+      region.foreach(e => supS(e) = supIn(e._1, e._2, inScope))
+      val dead = scala.collection.mutable.Queue.empty[E]
+      region.foreach(e => if (supS(e) < k - 2) { live(e) = false; dead += e })
+      while (dead.nonEmpty) {
+        val (a, b) = dead.dequeue()
+        nbrs(a).foreach { c =>
+          if (nbrs(b).contains(c)) {
+            val (e1, e2) = (key(a, c), key(b, c))
+            if (inScope(e1) && inScope(e2)) {
+              Seq(e1, e2).foreach { e =>
+                if (live.getOrElse(e, false)) {
+                  supS(e) -= 1
+                  if (supS(e) < k - 2) { live(e) = false; dead += e }
+                }
+              }
+            }
+          }
+        }
+      }
+      val joiners = region.filter(e => live.getOrElse(e, false))
+      // eviction Kahn over kBase = (core ∩ v2) ∪ joiners: recompute
+      // in-base supports, evict below threshold, decrement co-edges
+      val inBase = scala.collection.mutable.HashMap.empty[E, Boolean]
+      coreSup.keysIterator.foreach(e => if (inU2(e)) inBase(e) = true)
+      joiners.foreach(e => inBase(e) = true)
+      def inB(e: E): Boolean = inBase.getOrElse(e, false)
+      val supB = scala.collection.mutable.HashMap.empty[E, Int]
+      inBase.keysIterator.foreach(e => supB(e) = supIn(e._1, e._2, inB))
+      val evQ = scala.collection.mutable.Queue.empty[E]
+      inBase.keysIterator.foreach(e =>
+        if (supB(e) < k - 2) { inBase(e) = false; evQ += e })
+      while (evQ.nonEmpty) {
+        val (a, b) = evQ.dequeue()
+        nbrs(a).foreach { c =>
+          if (nbrs(b).contains(c)) {
+            val (e1, e2) = (key(a, c), key(b, c))
+            // decrement only while BOTH co-edges are live: a triangle
+            // whose other co-edge fell earlier was already subtracted
+            // from this one at that pop (double-decrement guard)
+            if (inB(e1) && inB(e2)) {
+              Seq(e1, e2).foreach { e =>
+                supB(e) -= 1
+                if (supB(e) < k - 2) { inBase(e) = false; evQ += e }
+              }
+            }
+          }
+        }
+      }
+      val rows = inBase.iterator.collect { case (e, true) =>
+        (e._1, e._2, supB(e).toLong) }.toSeq
+      trace(f"incrementalKTruss driver-solved u2N=$u2N region=${region.size} " +
+        f"joiners=${joiners.size} truss=${rows.size} " +
+        f"t=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      return rows.toDF("a", "b", "support").repartition(1).localCheckpoint(true)
+    }
     val core = prevTruss.select(col("a").cast("long").as("a"),
       col("b").cast("long").as("b"),
       col("support").cast("long").as("support")).localCheckpoint(true)

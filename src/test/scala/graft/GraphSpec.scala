@@ -1045,6 +1045,9 @@ class GraphSpec extends SparkSpec {
       "v1 fixture truss drifted")
     val inc = toMap(GraphOps.incrementalKTruss(spark, v1, v2, prev, 4))
     val full = toMap(GraphOps.ktrussPeel(spark, v2, 4, 6))
+    val incBsp = toMap(GraphOps.incrementalKTruss(spark, v1, v2, prev, 4,
+      driverSolveLimit = 0L))
+    assert(incBsp == full, s"BSP ktruss path diverges: $incBsp vs $full")
     assert(full.contains((6L, 9L)) && full.contains((6L, 10L)),
       "beyond-delta joiners missing from the v2 fixture")
     assert(!full.keys.exists { case (a, b) => a >= 11L && b <= 15L },
