@@ -742,7 +742,8 @@ object GraphOps {
     * same cost class as one PageRank superstep (×2). Requires at least
     * one edge (max of an empty score set is undefined).
     */
-  def hits(spark: SparkSession, edges: DataFrame, iterations: Int = 5): DataFrame = {
+  def hits(spark: SparkSession, edges: DataFrame, iterations: Int = 5,
+      warmFrom: Option[DataFrame] = None): DataFrame = {
     val e = edges.select(col("src").cast("long").as("esrc"),
       col("dst").cast("long").as("edst")).persist()
     val verts = e.select(col("esrc").as("v")).union(e.select(col("edst").as("v")))
