@@ -186,7 +186,10 @@ object Bench {
         System.err.println(s"[bench] unreadable prior $p: $e"); None }
     var priorProbeMin: Option[Double] = None
     val prior: Map[String, Double] =
-      Seq("BENCH_BASELINE.json", "BENCH_FULL.json")
+      // BENCH_sf1.json is the anchor for target/sf1 runs — the first two
+      // are sf0.1 priors and readPriors rejects them on the sf mismatch,
+      // so sf1 runs used to publish value_norm: null (r11 VERDICT #6)
+      Seq("BENCH_BASELINE.json", "BENCH_FULL.json", "BENCH_sf1.json")
         .map(repoRoot.resolve)
         .flatMap(p => readPriors(p).map(p -> _))
         .headOption match {
@@ -250,10 +253,13 @@ object Bench {
     // scale factor): each sample runs under a unique job group and the
     // status tracker reports its job count and total stage count (stages
     // ≈ shuffle rounds + result stages). Counted OUTSIDE the timed
-    // section. Caveat, stated rather than hidden: jobs launched from
-    // threads the bench didn't set the group on (Structured Streaming
-    // microbatch threads) don't inherit the group, so q_stream_* counts
-    // cover only driver-side jobs — a floor, not the full count.
+    // section. Streaming coverage (r11): Spark does NOT propagate the
+    // job group onto Structured Streaming microbatch threads, so every
+    // foreachBatch body re-sets the group on its own thread via
+    // BenchContext.tagStreamThread (10 sites) — q_stream_* counts are
+    // therefore real totals including microbatch jobs, not driver-side
+    // floors. A NEW streaming query must call tagStreamThread in its
+    // foreachBatch body or its count silently regresses to a floor.
     var groupSeq = 0L
     def barrierCounts(group: String, wallSec: Double): (Int, Int) = {
       val st = spark.sparkContext.statusTracker

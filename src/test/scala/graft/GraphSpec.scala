@@ -638,6 +638,26 @@ class GraphSpec extends SparkSpec {
       assert(math.abs(got(v)._1 - auth(v)) < 1e-9, s"auth $v")
       assert(math.abs(got(v)._2 - hub(v)) < 1e-9, s"hub $v")
     }
+    // warm start (r11 advice low): normalization commutes through the
+    // linear half-steps, so 1 warm iteration from the (normalized)
+    // 5-iteration output must equal the cold 6-iteration run up to the
+    // scalar-divide reordering ulps; an explicit uniform warm frame
+    // must equal the cold run EXACTLY (identical linear algebra).
+    import spark.implicits._
+    val cold6 = GraphOps.hits(spark, edges, 6)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val warm = GraphOps.hits(spark, edges, 1,
+      warmFrom = Some(got.toSeq.map { case (v, (a, h)) => (v, a, h) }
+        .toDF("v", "auth", "hub")))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    for (v <- vs) {
+      assert(math.abs(warm(v)._1 - cold6(v)._1) < 1e-9, s"warm auth $v != cold 6-iter")
+      assert(math.abs(warm(v)._2 - cold6(v)._2) < 1e-9, s"warm hub $v != cold 6-iter")
+    }
+    val uniform = GraphOps.hits(spark, edges, 5,
+      warmFrom = Some(vs.map(v => (v, 1.0, 1.0)).toSeq.toDF("v", "auth", "hub")))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(uniform == got, "uniform warm frame must reproduce the cold run exactly")
   }
 
   test("Jaccard vertex similarity matches in-memory neighbor sets") {
@@ -984,6 +1004,13 @@ class GraphSpec extends SparkSpec {
     assert(inc == Set((2L, 3L, 5L), (1L, 3L, 9L), (3L, 10L, 4L),
       (10L, 11L, 1L), (11L, 12L, 1L), (20L, 22L, 1L), (21L, 22L, 1L)),
       "expected forest (replacement + glue + swap + vanish) drifted")
+    // gate pin (r12 driver-solve): driver Kruskal == Borůvka candidate
+    // replay == full recompute — the gated path above took the driver
+    // Kruskal; force the gate OFF and the >gate Borůvka path must land
+    // on the identical (unique) forest
+    val incBsp = toSet(GraphOps.incrementalMsf(spark, df(v2), prev,
+      df(ins), df(del), driverSolveLimit = 0L))
+    assert(incBsp == full, s"BSP MSF path diverges: $incBsp vs $full")
   }
 
   test("incrementalLcc == full recompute (third corner, vanish, mixed diff)") {
@@ -1054,6 +1081,54 @@ class GraphSpec extends SparkSpec {
       "delete cascade did not collapse K5c")
     assert(full.contains((17L, 19L)), "save-by-joiner edge missing")
     assert(inc == full, "incremental k-truss diverges from the full v2 peel")
+  }
+
+  test("incrementalKTruss Kahn discipline: two seeds sharing a triangle with an at-threshold third edge") {
+    import spark.implicits._
+    // r11-advice repro (GraphOps eviction/peel loops): v1 = K4 on
+    // {1,2,3,4} (its 4-truss is all of K4); v2 deletes (1,4). The
+    // eviction base is then {(1,2),(1,3),(2,3),(2,4),(3,4)} with
+    // supports 1,1,2,1,1 at k=4 (threshold 2): four seeds die at once,
+    // and the two triangles {1,2,3} and {2,3,4} each have BOTH other
+    // edges seeded. Enqueue-time removal marking skipped both
+    // subtractions and left (2,3) alive with stale support 2; the true
+    // 4-truss of v2 is EMPTY. Pop-time marking subtracts each destroyed
+    // triangle from the third edge exactly once.
+    def k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val v1 = k4.toDF("a", "b")
+    val v2 = k4.filterNot(_ == (1L, 4L)).toDF("a", "b")
+    val prev = GraphOps.ktrussPeel(spark, v1, 4, 4)
+    assert(prev.count() == 6L, "v1 4-truss must be all of K4")
+    val incDriver = GraphOps.incrementalKTruss(spark, v1, v2, prev, 4).collect()
+    assert(incDriver.isEmpty,
+      s"driver path must evict everything, got ${incDriver.mkString(",")}")
+    val incBsp = GraphOps.incrementalKTruss(spark, v1, v2, prev, 4,
+      driverSolveLimit = 0L).collect()
+    assert(incBsp.isEmpty,
+      s"BSP path must evict everything, got ${incBsp.mkString(",")}")
+    // insert-side mirror for the CANDIDATE peel: build v2 where P1 =
+    // {(1,2),(1,3),(2,3),(2,4),(3,4)} — raw supports all ≥ 2 via
+    // support-1 booster wedges through 5..8 that are themselves outside
+    // P1 — so the in-scope peel seeds (1,2),(1,3),(2,4),(3,4) at
+    // support 1, two seeds per triangle, with (2,3) at exactly
+    // threshold 2. Everything is inserted (v1 empty-truss disjoint
+    // edges), so the region covers all of P1 and the peel must reject
+    // the whole chain: true 4-truss of v2 is empty.
+    val v1Ins = Seq((100L, 101L)).toDF("a", "b")
+    val v2Ins = (Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L), (2L, 5L), (1L, 6L), (3L, 6L), (2L, 7L), (4L, 7L),
+      (3L, 8L), (4L, 8L)) ++ Seq((100L, 101L))).toDF("a", "b")
+    val prevEmpty = GraphOps.ktrussPeel(spark, v1Ins, 4, 4)
+    assert(prevEmpty.count() == 0L)
+    assert(GraphOps.ktrussPeel(spark, v2Ins, 4, 6).count() == 0L,
+      "fixture drifted: v2Ins 4-truss must be empty")
+    val incIns = GraphOps.incrementalKTruss(spark, v1Ins, v2Ins, prevEmpty, 4).collect()
+    assert(incIns.isEmpty,
+      s"candidate peel must reject all at-threshold chains, got ${incIns.mkString(",")}")
+    val incInsBsp = GraphOps.incrementalKTruss(spark, v1Ins, v2Ins, prevEmpty, 4,
+      driverSolveLimit = 0L).collect()
+    assert(incInsBsp.isEmpty,
+      s"BSP candidate peel must reject all at-threshold chains, got ${incInsBsp.mkString(",")}")
   }
 
   test("k-truss fixture liveness: cascades propagate PAST the delta (sf0.01)") {
@@ -1342,6 +1417,66 @@ class GraphSpec extends SparkSpec {
     val colFull = GraphOps.jonesPlassmannColoring(spark, df(newE))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(colInc == colFull, s"coloring maintenance diverges: $colInc vs $colFull")
+  }
+
+  test("cone pair gate: a 12k-degree hub inside a 2-vertex cone routes to the total fallback") {
+    import spark.implicits._
+    def pri(v: Long) = (v * 1103515245L + 12345L) % 2147483648L
+    // The r11 weak-mark scenario made concrete: H is a LATE-deciding hub
+    // (priority value maximal over a 10k-id search window) with ~12k
+    // spokes, so H's hp-adjacency is ~its whole degree. Inserting one
+    // hub edge seeds the cone at H; the cone stays 1-2 VERTICES (almost
+    // nothing waits on the latest-deciding vertex) while the gather's
+    // PAIR count is ~12,000 — the vertex gate alone cannot see it.
+    val hub = (100000L to 110000L).maxBy(pri)
+    val spokes = (1L to 12000L).filterNot(_ == hub)
+    val chain = (1L until 2000L).map(v => (v, v + 1))
+    val baseE = spokes.dropRight(1).map(s => (hub, s)) ++ chain
+    val insE = Seq((hub, spokes.last))
+    val newE = baseE ++ insE
+    val prevMis = GraphOps.maximalIndependentSet(spark, baseE.toDF("src", "dst"))
+    val prevCol = GraphOps.jonesPlassmannColoring(spark, baseE.toDF("src", "dst"))
+      .select(col("v"), col("color"))
+    val fullMis = GraphOps.maximalIndependentSet(spark, newE.toDF("src", "dst"))
+      .collect().map(_.getLong(0)).toSet
+    val fullCol = GraphOps.jonesPlassmannColoring(spark, newE.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // 1) honest gather under the default 2M-pair budget still matches
+    val gathered = GraphOps.incrementalMaximalIndependentSet(spark,
+        newE.toDF("src", "dst"), baseE.toDF("src", "dst"), prevMis,
+        insE.toDF("src", "dst"))
+      .collect().map(_.getLong(0)).toSet
+    assert(gathered == fullMis, "gather path diverges on the hub fixture")
+    // 2) a pair budget below the hub degree fires the skew gate -> the
+    // fallback must equal the full recompute (and must not throw)
+    val fb = GraphOps.incrementalMaximalIndependentSet(spark,
+        newE.toDF("src", "dst"), baseE.toDF("src", "dst"), prevMis,
+        insE.toDF("src", "dst"), coneGatherPairLimit = 5000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(fb == fullMis, "pair-gate fallback diverges from the full MIS")
+    val fbCol = GraphOps.incrementalColoring(spark,
+        newE.toDF("src", "dst"), baseE.toDF("src", "dst"), prevCol,
+        insE.toDF("src", "dst"), coneGatherPairLimit = 5000L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fbCol == fullCol, "pair-gate fallback diverges from the full coloring")
+    // 3) the VERTEX gate also falls back instead of require-failing now
+    val fbV = GraphOps.incrementalMaximalIndependentSet(spark,
+        newE.toDF("src", "dst"), baseE.toDF("src", "dst"), prevMis,
+        insE.toDF("src", "dst"), coneGatherLimit = 0L)
+      .collect().map(_.getLong(0)).toSet
+    assert(fbV == fullMis, "vertex-gate fallback diverges from the full MIS")
+    // 4) delete twins ride the same gates (universe restriction intact)
+    val delBase = newE
+    val delNew = baseE
+    val prevMis2 = GraphOps.maximalIndependentSet(spark, delBase.toDF("src", "dst"))
+    val fullMis2 = GraphOps.maximalIndependentSet(spark, delNew.toDF("src", "dst"))
+      .collect().map(_.getLong(0)).toSet
+    val fbDel = GraphOps.incrementalMaximalIndependentSetDelete(spark,
+        delNew.toDF("src", "dst"), delBase.toDF("src", "dst"), prevMis2,
+        Seq.empty[(Long, Long)].toDF("src", "dst"), insE.toDF("src", "dst"),
+        coneGatherPairLimit = 5000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(fbDel == fullMis2, "delete-twin pair-gate fallback diverges")
   }
 
   test("incremental betweenness: scoped re-sweep equals the full 5-seed Brandes readout") {
