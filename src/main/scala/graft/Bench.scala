@@ -559,7 +559,17 @@ object Bench {
     // repo copy with a misleading partial map. Target the repo checkout
     // when it exists, else the working directory; a failed write is
     // reported, not swallowed (stdout still has the full line).
-    if (only.isEmpty) {
+    // Also skip when EVERY data query failed (the fail-visible
+    // /nonexistent probe is exactly such a run): at r11 close that probe
+    // overwrote the real BENCH_FULL.json with 259 0.01 s failure rows,
+    // destroying the resample priors until restored from git.
+    val failedCount = results.count(r => !r._3)
+    val allFailed = results.nonEmpty &&
+      failedCount >= results.count(_._1.startsWith("q_")) - 2
+    if (allFailed)
+      System.err.println("[bench] all data queries failed - NOT overwriting " +
+        "BENCH_FULL.json (fail-visible probe runs must not clobber priors)")
+    if (only.isEmpty && !allFailed) {
       val target = repoRoot.resolve("BENCH_FULL.json")
       try java.nio.file.Files.writeString(target, full + "\n")
       catch { case scala.util.control.NonFatal(e) =>
