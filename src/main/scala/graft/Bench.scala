@@ -514,12 +514,26 @@ object Bench {
       "incstate_centdel_sig" -> Seq("q_graph_betweenness_incremental_del",
         "q_graph_closeness_incremental_del"),
       "incstate_centdel_del" -> Seq("q_graph_betweenness_incremental_del"),
-      "incstate_misinc" -> Seq("q_graph_mis_incremental"),
-      "incstate_colinc" -> Seq("q_graph_coloring_incremental"),
+      "incstate_misinc" -> Seq("q_graph_mis_incremental",
+        "q_graph_mis_incremental_fallback"),
+      "incstate_colinc" -> Seq("q_graph_coloring_incremental",
+        "q_graph_coloring_incremental_fallback"),
       "incstate_misdel" -> Seq("q_graph_mis_incremental_del"),
       "incstate_coldel" -> Seq("q_graph_coloring_incremental_del"),
       "incstate_colhubinc" -> Seq("q_graph_coloring_hub_incremental"),
       "incstate_colhubdel" -> Seq("q_graph_coloring_hub_incremental_del"),
+      "incstate_kcoreinc" -> Seq("q_graph_kcore_incremental"),
+      "incstate_kcoredel" -> Seq("q_graph_kcore_incremental_del",
+        "q_graph_kcore_incremental_del_bsp"),
+      "incstate_ktrussinc" -> Seq("q_graph_ktruss_incremental"),
+      "incstate_ktrussdel" -> Seq("q_graph_ktruss_incremental_del",
+        "q_graph_ktruss_incremental_del_bsp"),
+      "incstate_lccinc" -> Seq("q_graph_lcc_incremental"),
+      "incstate_lccdel" -> Seq("q_graph_lcc_incremental_del"),
+      "incstate_msfinc" -> Seq("q_graph_msf_incremental"),
+      "incstate_msfdel" -> Seq("q_graph_msf_incremental_del"),
+      "incstate_hitsinc" -> Seq("q_graph_hits_incremental"),
+      "incstate_hitsdel" -> Seq("q_graph_hits_incremental_del"),
       "lsh_ingest_pairs" -> Seq("q_dedup_incremental_del")
     ).map { case (k, v) =>
       "\"" + k + "\":" + v.map("\"" + _ + "\"").mkString("[", ",", "]")

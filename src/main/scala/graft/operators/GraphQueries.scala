@@ -482,6 +482,13 @@ object GraphQueries extends QueryModule {
       }),
       "princ" -> (() => GraphOps.pageRank(s,
         ringEdges(s, dir).filter(col("src") % 97 =!= 1), 10)),
+      // stored HITS scores (r12): v1 = the held ring for the insert twin,
+      // the full ring (bfsdel's v1) for the delete twin
+      "hitsinc" -> (() => GraphOps.hits(s,
+        ringEdges(s, dir).filter(col("src") % 97 =!= 1), 5)),
+      "hitsdel" -> (() => GraphOps.hits(s,
+        snapshotDeleteDiff(s, dir, "bfsdel", ringEdges(s, dir),
+          bfsDelV2(s, dir))._1, 5)),
       // stored ranks of the delete-bearing fixture's v1 (= full ring)
       "prdel" -> (() => GraphOps.pageRank(s,
         snapshotDeleteDiff(s, dir, "bfsdel", ringEdges(s, dir),
@@ -766,7 +773,8 @@ object GraphQueries extends QueryModule {
     * regressed). [[incStateBuilders]] require()s its key set equals this
     * list, so the two sources of truth fail loudly on drift. */
   private[graft] val incStateTags: Seq[String] = Seq("bfsinc", "bfsdel",
-    "ccinc", "ccdel", "triinc", "tridel", "princ", "prdel", "ssspinc",
+    "ccinc", "ccdel", "triinc", "tridel", "princ", "prdel", "hitsinc",
+    "hitsdel", "ssspinc",
     "ssspdel", "daginc", "dagdel", "centinc_sig", "centinc_del",
     "centdel_sig", "centdel_del", "misinc", "colinc", "misdel", "coldel",
     "colhubinc", "colhubdel", "kcoreinc", "kcoredel", "ktrussinc",
@@ -1054,6 +1062,39 @@ object GraphQueries extends QueryModule {
         .select(col("v"), round(col("auth"), 6).as("auth"),
           round(col("hub"), 6).as("hub"))
         .orderBy("v")),
+
+    // WARM-START ("delta") HITS — the q_graph_pagerank_incremental
+    // discipline applied to the hubs/authorities eigenpair: resume the
+    // power iteration on the NEW snapshot from the stored normalized
+    // scores ([[GraphOps.hits]] warmFrom, wired r12). Honest contract as
+    // with warm PageRank: no exact state+delta shortcut exists for a
+    // global eigenvector, but geometric convergence makes 2 warm
+    // iterations recover what a cold start needs its full budget for.
+    // The oracle replays the EXACT recurrence: 5 cold raw iterations
+    // over e1, one final max-normalize (the stored state), the hub
+    // vector spliced onto e2's universe (unseen vertices 1.0), 2 raw
+    // iterations over e2, one final per-family divide.
+    "q_graph_hits_incremental" -> ((s, dir) => {
+      val all = ringEdges(s, dir)
+      val prev = cachedIncState(s, dir, "hitsinc") // stored (v, auth, hub) of v1
+      GraphOps.hits(s, all, 2, warmFrom = Some(prev))
+        .select(col("v"), round(col("auth"), 6).as("auth"),
+          round(col("hub"), 6).as("hub"))
+        .orderBy("v")
+    }),
+    // Warm start is DIFF-AGNOSTIC (the resume re-runs the iteration on
+    // whatever the new snapshot is), so deletes ride the same recurrence:
+    // e1 = the full ring (the stored scores), e2 = the bfsdel v2 algebra;
+    // vertices whose every edge was deleted vanish with e2's universe.
+    "q_graph_hits_incremental_del" -> ((s, dir) => {
+      val (_, cur, _, _) = snapshotDeleteDiff(s, dir, "bfsdel",
+        ringEdges(s, dir), bfsDelV2(s, dir))
+      val prev = cachedIncState(s, dir, "hitsdel") // stored scores of v1
+      GraphOps.hits(s, cur, 2, warmFrom = Some(prev))
+        .select(col("v"), round(col("auth"), 6).as("auth"),
+          round(col("hub"), 6).as("hub"))
+        .orderBy("v")
+    }),
 
     // Per-edge Jaccard vertex similarity over the undirected ring graph —
     // see [[GraphOps.jaccardEdges]] (wedge self-join, exact e6 fixed point).
@@ -2400,6 +2441,57 @@ object GraphQueries extends QueryModule {
          UNION ALL SELECT CAST(2 AS BIGINT),
            CAST((SELECT COUNT(*) FROM customer)//3 AS BIGINT))"""
 
+  /** Shared warm-start HITS oracle (r12): 5 unrolled cold RAW iterations
+    * over e1 with ONE final max-normalization — the stored state — then
+    * the hub vector spliced onto e2's vertex universe (unseen vertices
+    * 1.0), 2 RAW iterations over e2, and the final per-family divide:
+    * exactly the recurrence [[GraphOps.hits]] runs from `warmFrom`.
+    * Every block MATERIALIZED (each feeds the next half-step; the final
+    * frames feed the MAX scalar + the divide). `prelude` must define
+    * CTEs e1 (previous snapshot) and e2 (new snapshot). */
+  private def warmStartHitsOracle(prelude: String): String = {
+    val cold = (1 to 5).map { i =>
+      s"""ca$i AS MATERIALIZED (
+           SELECT t.v, COALESCE(SUM(h.hub), CAST(0 AS DOUBLE)) AS auth
+           FROM verts1 t LEFT JOIN e1 ON e1.dst = t.v
+                         LEFT JOIN ch${i - 1} h ON h.v = e1.src
+           GROUP BY t.v),
+         ch$i AS MATERIALIZED (
+           SELECT t.v, COALESCE(SUM(a.auth), CAST(0 AS DOUBLE)) AS hub
+           FROM verts1 t LEFT JOIN e1 ON e1.src = t.v
+                         LEFT JOIN ca$i a ON a.v = e1.dst
+           GROUP BY t.v)"""
+    }.mkString(",\n")
+    val warm = (1 to 2).map { i =>
+      s"""wa$i AS MATERIALIZED (
+           SELECT t.v, COALESCE(SUM(h.hub), CAST(0 AS DOUBLE)) AS auth
+           FROM verts2 t LEFT JOIN e2 ON e2.dst = t.v
+                         LEFT JOIN wh${i - 1} h ON h.v = e2.src
+           GROUP BY t.v),
+         wh$i AS MATERIALIZED (
+           SELECT t.v, COALESCE(SUM(a.auth), CAST(0 AS DOUBLE)) AS hub
+           FROM verts2 t LEFT JOIN e2 ON e2.src = t.v
+                         LEFT JOIN wa$i a ON a.v = e2.dst
+           GROUP BY t.v)"""
+    }.mkString(",\n")
+    s"""WITH $prelude,
+        verts1 AS MATERIALIZED (SELECT DISTINCT v FROM
+          (SELECT src AS v FROM e1 UNION ALL SELECT dst FROM e1)),
+        verts2 AS MATERIALIZED (SELECT DISTINCT v FROM
+          (SELECT src AS v FROM e2 UNION ALL SELECT dst FROM e2)),
+        ch0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS hub FROM verts1),
+        $cold,
+        hw AS MATERIALIZED (SELECT v, hub / (SELECT MAX(hub) FROM ch5) AS hub FROM ch5),
+        wh0 AS MATERIALIZED (
+          SELECT t.v, COALESCE(hw.hub, CAST(1.0 AS DOUBLE)) AS hub
+          FROM verts2 t LEFT JOIN hw ON hw.v = t.v),
+        $warm
+        SELECT wa2.v,
+          ROUND(wa2.auth / (SELECT MAX(auth) FROM wa2), 6) AS auth,
+          ROUND(wh2.hub / (SELECT MAX(hub) FROM wh2), 6) AS hub
+        FROM wa2 JOIN wh2 ON wa2.v = wh2.v ORDER BY wa2.v"""
+  }
+
   /** The fixed LCG priority both symmetry-breaking oracles replay. */
   private def lcgPriSql(x: String) = s"(($x * 1103515245 + 12345) % 2147483648)"
 
@@ -2705,6 +2797,14 @@ object GraphQueries extends QueryModule {
       // e2 = the full ring, e1 = the held-out previous snapshot
       s"""e2 AS ($prRingESql),
           e1 AS (SELECT src, dst FROM e2 WHERE src % 97 <> 1)"""),
+    // Warm-start HITS twins (r12) — same fixtures as the PageRank pair
+    "q_graph_hits_incremental" -> warmStartHitsOracle(
+      s"""e2 AS MATERIALIZED ($prRingESql),
+          e1 AS MATERIALIZED (SELECT src, dst FROM e2 WHERE src % 97 <> 1)"""),
+    "q_graph_hits_incremental_del" -> warmStartHitsOracle(
+      s"""$bfsDelV2Sql,
+          e1 AS (SELECT src, dst FROM e0),
+          e2 AS (SELECT src, dst FROM v2)"""),
     // Warm start is DIFF-AGNOSTIC — resuming the power iteration on the
     // new snapshot needs no per-edge delta reasoning, so deletes ride the
     // same 10-cold-then-3-warm recurrence: e1 = the full ring (the stored
