@@ -114,7 +114,13 @@ object GraphQueries extends QueryModule {
     * fixpoint are no-ops, and GraphSpec asserts the fixpoint IS reached at
     * test scale so the bounded peel equals the true k-core). */
   private val kcoreK = 4 // k=3 never cascades on this graph; k=4 peels 5 rounds at sf0.1
-  private val kcoreRounds = 8
+  // Cap AND oracle unroll. Spark-side kcorePeel early-stops at its
+  // detected fixpoint (r12), so extra cap is free; the oracle runs the
+  // fixed unroll whose trailing no-op rounds are cheap recomputes, with
+  // a sentinel if the last round was NOT a no-op. 12 covers sf1's
+  // measured depth (membership fixpoint at 8, +1 no-op refresh) with
+  // slack; past that the sentinel fails the compare self-diagnosing.
+  private val kcoreRounds = 12
   /** Raw-edge survivor predicate of the k-core DELETE fixture: v2 drops
     * every out-edge of vertices with src % 29 == 11. Chosen by a measured
     * sweep (%53, %41, %29, %61, %37, %23 — PLANS.md r11): this is the
@@ -127,10 +133,10 @@ object GraphQueries extends QueryModule {
   private val kcoreDelRes = 11L
   private def kcoreDelKeep: org.apache.spark.sql.Column =
     col("src") % kcoreDelMod =!= kcoreDelRes
-  /** The delete fixture's oracle peel is unrolled two rounds PAST the
-    * measured fixpoint (round 7 at sf0.1) — deeper than the base
-    * kcoreRounds because the eviction cascade lengthens the peel. */
-  private val kcoreDelRounds = 10
+  /** The delete fixture's peel cap/unroll — deeper than kcoreRounds
+    * because the eviction cascade lengthens the peel (fixpoint at 7 at
+    * sf0.1); same r12 early-stop/sentinel discipline. */
+  private val kcoreDelRounds = 14
 
   /** k-truss parameters (edge peel by triangle support ≥ k−2). The ring
     * graph's triangles are too disjoint to cascade (3-truss is immediately
@@ -139,7 +145,11 @@ object GraphQueries extends QueryModule {
     * oracle-unroll rationale as kcoreRounds; GraphSpec asserts the
     * fixpoint is reached AND non-empty at test scale. */
   private val trussK = 4
-  private val trussRounds = 4
+  // r12: Spark-side ktrussPeel early-stops at its detected fixpoint, so
+  // the cap is free slack; the oracle unroll carries a no-op-last-round
+  // sentinel, and 6 gives the sf0.1-measured depth (4) two rounds of
+  // headroom.
+  private val trussRounds = 6
   /** Held-out band of the k-truss INSERT fixture: each block's (0,1) and
     * (0,2) clique/strip edges (canonical a<b spelled as (src,dst) for the
     * snapshot store). Dropping both detaches block vertex 0's remaining
@@ -2225,12 +2235,24 @@ object GraphQueries extends QueryModule {
            GROUP BY s.src HAVING COUNT(*) >= $kcoreK),
          a$i AS MATERIALIZED (SELECT v FROM d$i)"""
     }.mkString(",\n")
+    // Convergence sentinel (r12, the msfOracleOver discipline): the
+    // published d$rounds degrees are exact ONLY if the final round was a
+    // no-op (supports are counted within the previous round's survivors).
+    // If the last round still removed vertices, emit an impossible
+    // (-1, -1) row so a too-short unroll at a new scale fails the compare
+    // loudly AND self-diagnoses — at sf1 the old 8-round unroll had
+    // exactly zero no-op slack and published 21 one-round-stale degrees.
     s"""WITH $ctes,
        d1 AS MATERIALIZED (SELECT src AS v, COUNT(*) AS deg FROM e
             GROUP BY src HAVING COUNT(*) >= $kcoreK),
        a1 AS MATERIALIZED (SELECT v FROM d1),
-       $steps
-       SELECT v, deg FROM d$rounds ORDER BY v"""
+       $steps,
+       residual AS (SELECT (SELECT COUNT(*) FROM a$rounds) AS cn,
+                           (SELECT COUNT(*) FROM a${rounds - 1}) AS cp)
+       SELECT v, deg FROM d$rounds
+       UNION ALL SELECT CAST(-1 AS BIGINT) AS v, CAST(-1 AS BIGINT) AS deg
+         FROM residual WHERE cn <> cp
+       ORDER BY v"""
   }
   private lazy val kcoreOracleSql: String =
     kcoreOracleOver(ringUndSql, kcoreRounds)
@@ -2260,9 +2282,13 @@ object GraphQueries extends QueryModule {
        t0 AS MATERIALIZED (SELECT DISTINCT a, b FROM
          (SELECT * FROM strip UNION ALL SELECT * FROM clique)
          WHERE $keepWhere),
-       $steps
-       SELECT a, b, CAST(support AS BIGINT) AS support
-       FROM s$rounds ORDER BY a, b"""
+       $steps,
+       residual AS (SELECT (SELECT COUNT(*) FROM t$rounds) AS cn,
+                           (SELECT COUNT(*) FROM t${rounds - 1}) AS cp)
+       SELECT a, b, CAST(support AS BIGINT) AS support FROM s$rounds
+       UNION ALL SELECT CAST(-1 AS BIGINT) AS a, CAST(-1 AS BIGINT) AS b,
+         CAST(-1 AS BIGINT) AS support FROM residual WHERE cn <> cp
+       ORDER BY a, b"""
   }
   private lazy val ktrussOracleSql: String =
     ktrussOracleOver("TRUE", trussRounds)
@@ -3055,13 +3081,18 @@ object GraphQueries extends QueryModule {
     // convergence (the BASE query's 2 rounds are the bounded-unroll
     // showcase, NOT the full forest: 1440 edges at round 2, 1490 at 3,
     // 1498 converged) plus margin — an empty round contributes no rows.
-    "q_graph_msf_incremental" -> msfOracleOver(prRingESql, 5,
+    // Unroll 8 (was 5): the sf1 extension fired the convergence sentinel
+    // — at 150k vertices the candidate contraction needs 6 rounds, the
+    // exact under-unroll scenario the r11 advice predicted. The sentinel
+    // stays: rounds past convergence contribute zero edges, and a future
+    // scale needing >8 fails loudly and self-diagnosed.
+    "q_graph_msf_incremental" -> msfOracleOver(prRingESql, 8,
       withRound = false),
     // The v2 algebra's forest (ring minus the src % 29 == 11 out-edges),
     // round-less for the same reason.
     "q_graph_msf_incremental_del" -> msfOracleOver(
       s"""SELECT src, dst FROM ($prRingESql) raw0
-         WHERE src % $kcoreDelMod <> $kcoreDelRes""", 5, withRound = false),
+         WHERE src % $kcoreDelMod <> $kcoreDelRes""", 8, withRound = false),
     // Incremental maintenance must equal the full enumeration of the NEW
     // snapshot — the oracle is q_graph_triangles' complete-graph wedge
     // count and knows nothing about the delta construction.

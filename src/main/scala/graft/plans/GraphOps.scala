@@ -2630,7 +2630,19 @@ object GraphOps {
     // each round's survivor set or the plan doubles per round.
     var deg = sym.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
       .filter(col("deg") >= k).localCheckpoint(true)
-    for (_ <- 2 to rounds) {
+    // Peel to a DETECTED fixpoint, `rounds` as a loud cap (r12, caught by
+    // the sf1 hash compare): a round's published deg is counted within
+    // the PREVIOUS round's survivors, so stopping on the exact round
+    // membership converges publishes one-round-STALE degrees — survivors
+    // adjacent to last-round removals read too high (21 vertices at sf1,
+    // where the fixed 8-round unroll had no no-op slack left). Count
+    // equality ⇒ set equality (survivor sets only shrink), and the first
+    // no-op round recomputes degrees within the converged set — exact.
+    var prevN = -1L
+    var n = deg.count()
+    var r = 1
+    while (n != prevN && r < rounds) {
+      r += 1
       val act = deg.select("v")
       deg = sym
         .join(act.select(col("v").as("sv")), col("src") === col("sv"), "left_semi")
@@ -2638,7 +2650,13 @@ object GraphOps {
         .groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
         .localCheckpoint(true)
+      prevN = n
+      n = deg.count()
     }
+    require(n == prevN,
+      s"kcorePeel did not converge within $rounds rounds (|core| still $n " +
+        "and changing) - raise the cap; publishing a non-fixpoint peel " +
+        "would carry stale degrees")
     deg
   }
 
@@ -2965,8 +2983,18 @@ object GraphOps {
       rounds: Int): DataFrame = {
     var cur = und.select(col("a").cast("long").as("a"),
       col("b").cast("long").as("b")).localCheckpoint(true)
-    var result: DataFrame = cur
-    for (_ <- 1 to rounds) {
+    var result: DataFrame = cur.withColumn("support", lit(0L))
+    // Peel to a DETECTED fixpoint with `rounds` as a loud cap — the
+    // kcorePeel discipline (r12): a round's published support is counted
+    // among the PREVIOUS round's survivors, so a fixed unroll with no
+    // no-op slack publishes stale supports for edges adjacent to
+    // last-round removals. Count equality ⇒ set equality (survivor sets
+    // only shrink); the first no-op round's supports are exact.
+    var prevN = cur.count()
+    var converged = false
+    var r = 0
+    while (!converged && r < rounds) {
+      r += 1
       val sym = cur.select(col("a").as("v"), col("b").as("w"))
         .union(cur.select(col("b").as("v"), col("a").as("w")))
       val sup = cur.as("u")
@@ -2978,7 +3006,13 @@ object GraphOps {
         .localCheckpoint(true)
       result = sup
       cur = sup.select("a", "b")
+      val n = sup.count()
+      if (n == prevN) converged = true else prevN = n
     }
+    require(converged,
+      s"ktrussPeel did not converge within $rounds rounds (|truss| still " +
+        s"$prevN and changing) - raise the cap; a non-fixpoint peel " +
+        "carries stale supports")
     result
   }
 
