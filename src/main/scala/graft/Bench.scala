@@ -584,7 +584,12 @@ object Bench {
       System.err.println("[bench] all data queries failed - NOT overwriting " +
         "BENCH_FULL.json (fail-visible probe runs must not clobber priors)")
     if (only.isEmpty && !allFailed) {
-      val target = repoRoot.resolve("BENCH_FULL.json")
+      // sf1 runs keep their own artifact: a target/sf1 full run used to
+      // overwrite the sf0.1 BENCH_FULL.json (whose per-query map is the
+      // resample-priors anchor) with same-named rows at 10x the scale
+      val target = repoRoot.resolve(
+        if (sfDir.replaceAll("/+$", "").endsWith("sf1")) "BENCH_sf1.json"
+        else "BENCH_FULL.json")
       try java.nio.file.Files.writeString(target, full + "\n")
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] could not write $target: $e") }
