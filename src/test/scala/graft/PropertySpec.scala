@@ -231,6 +231,68 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("degeneracy/forest maintainers == full recompute on random two-sided diffs") {
+    import spark.implicits._
+    // The r12 hardening for the bug class the ktruss Kahn fix exposed:
+    // hand-built fixtures masked an eviction-order defect because their
+    // cascades collapsed whole blocks. Random graphs with random
+    // TWO-SIDED diffs (independent 0.8-keep masks for v1 and v2 ⇒ both
+    // inserts and deletes in one diff) exercise arbitrary seed
+    // adjacency: the maintainers must equal the full recompute of v2 on
+    // the gated driver path, and on one sample per family the forced
+    // BSP path too.
+    val splitGen = for {
+      edges <- graphGen
+      m1 <- Gen.listOfN(edges.length, Gen.prob(0.8))
+      m2 <- Gen.listOfN(edges.length, Gen.prob(0.8))
+    } yield (edges, m1, m2)
+    def canon(e: Seq[(Long, Long)]) = e.filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    for (((edges, m1, m2), i) <- samples(splitGen, 5).zipWithIndex) {
+      val v1 = edges.zip(m1).collect { case (e, true) => e }
+      val v2 = edges.zip(m2).collect { case (e, true) => e }
+      val u1 = canon(v1); val u2 = canon(v2)
+      if (u1.nonEmpty && u2.nonEmpty && u1 != u2) {
+        val bsp = i == 0 // forced-BSP once per family (wave loops are slow)
+        def gates = if (bsp) Seq(Long.MaxValue, 0L) else Seq(Long.MaxValue)
+        // k-core (k=3): maintainer vs converged peel of v2
+        val prevCore = GraphOps.kcorePeel(spark, v1.toDF("src", "dst"), 3, 20)
+        val fullCore = GraphOps.kcorePeel(spark, v2.toDF("src", "dst"), 3, 20)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        for (g <- gates) {
+          val inc = GraphOps.incrementalKCore(spark, v1.toDF("src", "dst"),
+              v2.toDF("src", "dst"), prevCore, 3, driverSolveLimit = g)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(inc == fullCore, s"kcore sample $i gate=$g: v1=$u1 v2=$u2")
+        }
+        // k-truss (k=4): edge-granular maintainer vs converged peel
+        val prevTruss = GraphOps.ktrussPeel(spark, u1.toDF("a", "b"), 4, 20)
+        val fullTruss = GraphOps.ktrussPeel(spark, u2.toDF("a", "b"), 4, 20)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        for (g <- gates) {
+          val inc = GraphOps.incrementalKTruss(spark, u1.toDF("a", "b"),
+              u2.toDF("a", "b"), prevTruss, 4, driverSolveLimit = g)
+            .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+          assert(inc == fullTruss, s"ktruss sample $i gate=$g: v1=$u1 v2=$u2")
+        }
+        // MSF (deterministic (a*3+b)%7+1 weights): maintainer vs
+        // converged Borůvka of v2 (the unique lexicographic forest)
+        def wdf(e: Seq[(Long, Long)]) =
+          e.map { case (a, b) => (a, b, 1L + (a * 3 + b) % 7) }.toDF("a", "b", "w")
+        val insU = u2.diff(u1); val delU = u1.diff(u2)
+        val prevF = GraphOps.boruvka(spark, wdf(u1), 10)._2.select("a", "b", "w")
+        val fullF = GraphOps.boruvka(spark, wdf(u2), 10)._2.select("a", "b", "w")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+        for (g <- gates) {
+          val inc = GraphOps.incrementalMsf(spark, wdf(u2), prevF,
+              wdf(insU), wdf(delU), driverSolveLimit = g)
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+          assert(inc == fullF, s"msf sample $i gate=$g: v1=$u1 v2=$u2")
+        }
+      }
+    }
+  }
+
   test("adjacency format round-trip: codec format → V2 parse == edge set (random graphs)") {
     // ties the driver-side writer grammar to the DSv2 reader grammar on
     // random matrices — the two parsers must never drift
