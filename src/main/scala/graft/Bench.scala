@@ -212,8 +212,18 @@ object Bench {
         .collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // Probe anchors (timestamp, value) — the probe TIMELINE that lets
+    // queries_norm scale each query by the host state at the moment it
+    // actually ran (r12 VERDICT #4: three rounds of verdicts paid manual
+    // probe arithmetic to separate drift from regressions).
+    val probeAnchors = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    def anchoredProbe(): Double = {
+      val ts = System.currentTimeMillis() / 1000L
+      val v = noiseProbe()
+      probeAnchors += ((ts, v)); v
+    }
     noiseProbe() // JIT the probe's own plan so probe #1 isn't its own warmup
-    val probeStart = noiseProbe()
+    val probeStart = anchoredProbe()
     var probeMid = -1.0
     // JVM environment probes — the r4 driver run was a uniform ~1.4× over
     // the builder's same-commit run with one 8× outlier, and nothing in the
@@ -338,7 +348,7 @@ object Bench {
       .filter { case (n, _) => only.forall(_.findFirstIn(n).isDefined) }
     val firstPass: Seq[(String, List[Double], Boolean, Long, (Int, Int))] =
       toRun.zipWithIndex.map { case ((name, fn), i) =>
-      if (i == toRun.size / 2) probeMid = noiseProbe()
+      if (i == toRun.size / 2) probeMid = anchoredProbe()
       val (t1, ok1, gc1, b1) = once(name, fn)
       // Queries under ~5 s are the ones JIT/first-plan/GC noise distorts
       // the most relative to their cost (the r4 driver run put a 12.8 s
@@ -418,8 +428,34 @@ object Bench {
     val resampledJson = resampled.map { case (k, ss) =>
       "\"" + k + "\":{\"prior\":" + fmt(prior(k)) + ",\"samples\":" + sampleArr(ss) + "}"
     }.mkString("{", ",", "}")
-    val probeEnd = noiseProbe()
+    val probeEnd = anchoredProbe()
     val noiseJson = s"[${fmt(probeStart)},${fmt(probeMid)},${fmt(probeEnd)}]"
+    // Per-query drift normalization (r12 VERDICT #4): scale each query's
+    // published min sample by prior_probe_floor / probe_at(query start),
+    // where probe_at interpolates linearly along this run's probe
+    // timeline. Cross-round per-query comparisons become mechanical:
+    // diff queries_norm maps directly, no manual probe arithmetic.
+    def probeAt(ts: Long): Double = {
+      val a = probeAnchors.filter(_._2 > 0).sortBy(_._1).toIndexedSeq
+      if (a.isEmpty) -1.0
+      else if (ts <= a.head._1) a.head._2
+      else if (ts >= a.last._1) a.last._2
+      else {
+        val i = a.lastIndexWhere(_._1 <= ts)
+        val (t1, v1) = a(i); val (t2, v2) = a(i + 1)
+        if (t2 == t1) v1
+        else v1 + (v2 - v1) * (ts - t1).toDouble / (t2 - t1)
+      }
+    }
+    val queriesNormJson = priorProbeMin match {
+      case Some(pb) if pb > 0 =>
+        results.map { case (k, ss, _, _, _) =>
+          val pAt = probeAt(startedAt.getOrElse(k, 0L))
+          val norm = if (pAt > 0) ss.min * (pb / pAt) else ss.min
+          "\"" + k + "\":" + fmt(norm)
+        }.mkString("{", ",", "}")
+      case _ => "null"
+    }
     // Probe-normalized total (r10 VERDICT #5): value × (probe_baseline /
     // probe_now), both probes published — cross-round ratios then carry
     // the host-drift correction as arithmetic instead of a suspicion.
@@ -546,7 +582,7 @@ object Bench {
     val jvm = s""""notes":$notes,"cache_consumers":$cacheConsumers,"jvm_gc_total_ms":${gcMs()},"jvm_gc_query_ms":${results.map(_._4).sum},"hygiene_gcs":$hygieneGcs,"code_cache_used_mb":${codeCacheUsedMb()},"jvm_gc_ms":$gcmap"""
     val priorsJson =
       s"""{"file":"${priorsFrom._1}","commit":"${priorsFrom._2}"}"""
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$valueNormJson"value_median":${fmt(totalMedian)},"queries":${qmap(results)},"queries_median":$qmedian,"failed":$failed,"n_queries":${results.size},"sf":"$sfDir","staging_sec":${fmt(stagingSec)},"cache_build_sec":${fmt(cacheBuildSec)},"cache_build":$cacheMap,"tail_samples":$tails,"resampled":$resampledJson,"priors_from":$priorsJson,"noise_probe_sec":$noiseJson,"query_started_at":$startedAtJson,"cdc_phases":$cdcPhases,"barrier_jobs":$barrierJobs,"barrier_stages":$barrierStages,$jvm}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$valueNormJson"value_median":${fmt(totalMedian)},"queries":${qmap(results)},"queries_norm":$queriesNormJson,"queries_median":$qmedian,"failed":$failed,"n_queries":${results.size},"sf":"$sfDir","staging_sec":${fmt(stagingSec)},"cache_build_sec":${fmt(cacheBuildSec)},"cache_build":$cacheMap,"tail_samples":$tails,"resampled":$resampledJson,"priors_from":$priorsJson,"noise_probe_sec":$noiseJson,"query_started_at":$startedAtJson,"cdc_phases":$cdcPhases,"barrier_jobs":$barrierJobs,"barrier_stages":$barrierStages,$jvm}"""
     // The driver keeps only the last ~2KB of stdout (BENCH_r3 lost the
     // head of the single JSON line — and the total with it). So: the full
     // line first for humans/greppers, then a LAST line compact enough to
@@ -577,9 +613,13 @@ object Bench {
     // /nonexistent probe is exactly such a run): at r11 close that probe
     // overwrote the real BENCH_FULL.json with 259 0.01 s failure rows,
     // destroying the resample priors until restored from git.
-    val failedCount = results.count(r => !r._3)
-    val allFailed = results.nonEmpty &&
-      failedCount >= results.count(_._1.startsWith("q_")) - 2
+    // Both the failure count and the threshold run over the SAME q_-
+    // filtered population (they used to mix populations, so a legitimate
+    // full run with all-but-≤2 failures could be misread as a probe and
+    // silently never refresh BENCH_FULL.json).
+    val dataQueries = results.filter(_._1.startsWith("q_"))
+    val failedCount = dataQueries.count(r => !r._3)
+    val allFailed = dataQueries.nonEmpty && failedCount >= dataQueries.size - 2
     if (allFailed)
       System.err.println("[bench] all data queries failed - NOT overwriting " +
         "BENCH_FULL.json (fail-visible probe runs must not clobber priors)")

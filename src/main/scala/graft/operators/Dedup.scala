@@ -44,28 +44,60 @@ object Dedup extends QueryModule {
     * The shingle frame feeds THREE consumers (sizes, both join sides) in
     * one action — materialize it eagerly or the shingling pipeline
     * re-executes per consumer (quadratic-feeling re-computation; at scale
-    * this is `checkpoint` on reliable storage). */
+    * this is `checkpoint` on reliable storage).
+    *
+    * Candidate pairs always bound the quadratic stage. When the caller has
+    * none (no LSH state), they are generated with the exact PREFIX FILTER
+    * (the SSJoin/PPJoin family, Chaudhuri et al. ICDE'06 / Xiao et al.
+    * WWW'08): order shingles globally by (document frequency, shingle);
+    * a pair with J ≥ t has overlap c ≥ ⌈t·n⌉ against EACH side's size n,
+    * so if each document keeps only its first n − ⌈t·n⌉ + 1 shingles under
+    * that order (its "prefix"), every qualifying pair still collides on a
+    * prefix shingle of BOTH sides (if all c common shingles sat outside
+    * one side's prefix they would have to fit in its length-(c−1) suffix).
+    * Candidates = prefix collisions only, then the full intersection count
+    * runs just for candidates — the all-pairs D² blowup on a shared common
+    * shingle never happens (a frequent shingle lands in almost no prefix,
+    * because prefixes keep each document's RAREST shingles). */
   private[graft] def jaccardPairs(shRaw: DataFrame, threshold: Double,
                            candidates: Option[DataFrame] = None,
                            preMaterialized: Boolean = false): DataFrame = {
     val sh = if (preMaterialized) shRaw else shRaw.localCheckpoint(true)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val cand = candidates.getOrElse {
+      val dfreq = sh.groupBy("s").agg(count(lit(1)).as("dfreq"))
+      val w = Window.partitionBy("doc_id").orderBy(col("dfreq"), col("s"))
+      // ceil(t·n − ε): the float product must never round UP past the true
+      // ⌈t·n⌉ — that would SHORTEN the prefix and lose pairs; the ε only
+      // ever lengthens it (a pure-performance, never-correctness slack).
+      val pfx = sh.join(dfreq, Seq("s")).join(sizes, Seq("doc_id"))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= col("n") - ceil(lit(threshold) * col("n") - lit(1e-6)) + 1)
+        .select("doc_id", "s", "r", "n")
+        .localCheckpoint(true) // feeds both sides of the collision join
+      // Length filter (J ≥ t ⟹ t·na ≤ nb and t·nb ≤ na) and positional
+      // filter: the pair's MINIMAL common shingle sits in both prefixes
+      // with no common shingle before it, so c ≤ 1 + min(na−ra, nb−rb)
+      // holds for that collision row — a qualifying pair always survives.
+      pfx.select(col("doc_id").as("da"), col("s"), col("r").as("ra"), col("n").as("na"))
+        .join(pfx.select(col("doc_id").as("db"), col("s"), col("r").as("rb"), col("n").as("nb")), Seq("s"))
+        .filter(col("da") < col("db") &&
+          col("nb") >= ceil(lit(threshold) * col("na") - lit(1e-6)) &&
+          col("na") >= ceil(lit(threshold) * col("nb") - lit(1e-6)) &&
+          least(col("na") - col("ra"), col("nb") - col("rb")) + 1 >=
+            ceil(lit(threshold) * greatest(col("na"), col("nb")) - lit(1e-6)))
+        .select("da", "db").distinct()
+        .localCheckpoint(true) // three consumers below (two sides + pair scope)
+    }
     val a = sh.select(col("doc_id").as("da"), col("s"))
     val b = sh.select(col("doc_id").as("db"), col("s"))
-    // With candidates, restrict BOTH shingle sides to candidate documents
-    // BEFORE the shingle equi-join — that is the whole point of LSH: the
-    // quadratic join only ever sees bucket-collision docs.
-    val (aSc, bSc) = candidates match {
-      case Some(c) =>
-        (a.join(c.select("da").distinct(), Seq("da"), "left_semi"),
-         b.join(c.select("db").distinct(), Seq("db"), "left_semi"))
-      case None => (a, b)
-    }
+    // Restrict BOTH shingle sides to candidate documents BEFORE the shingle
+    // equi-join — that is the whole point of LSH/prefix filtering: the
+    // quadratic join only ever sees collision docs.
+    val aSc = a.join(cand.select("da").distinct(), Seq("da"), "left_semi")
+    val bSc = b.join(cand.select("db").distinct(), Seq("db"), "left_semi")
     val joined = aSc.join(bSc, Seq("s")).filter(col("da") < col("db"))
-    val scoped = candidates match {
-      case Some(c) => joined.join(c, Seq("da", "db"), "left_semi")
-      case None    => joined
-    }
+    val scoped = joined.join(cand, Seq("da", "db"), "left_semi")
     val inter = scoped.groupBy("da", "db").agg(count(lit(1)).as("c"))
     val jac = col("c").cast("double") /
       (col("na") + col("nb") - col("c")).cast("double")
@@ -408,15 +440,45 @@ object Dedup extends QueryModule {
     * leading WITH, so callers (incl. TrainingPipeline's funnel oracle)
     * splice it into their own WITH list. Single-sourced: the shingle
     * scheme must never fork between the dedup oracles and the pipeline
-    * oracle. */
-  private[operators] def shingleCtes(src: String): String =
+    * oracle.
+    *
+    * `iv` is EXACT for every pair with J ≥ `threshold` (and possibly a
+    * few below it — callers always re-filter at ≥ threshold): candidate
+    * pairs come from the same prefix filter as the Spark side (see
+    * [[jaccardPairs]] — a J ≥ t pair must collide within each document's
+    * first n − ⌈t·n⌉ + 1 shingles under a global rarity order), plus the
+    * PPJoin length filter (t·na ≤ nb ≤ na/t) and positional filter (the
+    * minimal common shingle's collision row satisfies
+    * c ≤ 1 + min(na−ra, nb−rb)), so the old all-pairs `sh × sh` self-join
+    * (D² rows for a shingle shared by D documents — the reason the sf1
+    * dedup_cluster compare needed a solo machine slot) never runs; the
+    * full intersection count is computed only per candidate pair
+    * (6 s at sf1 vs ~16 min solo for the all-pairs spelling).
+    * `sh`/`pfx`/`cand` are MATERIALIZED: each feeds multiple consumers
+    * and DuckDB's default inlining re-derives them per reference. */
+  private[operators] def shingleCtes(src: String, threshold: String): String =
     s"""tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $src),
-       sh AS (SELECT DISTINCT doc_id, a || ' ' || b AS s FROM (
+       sh AS MATERIALIZED (SELECT DISTINCT doc_id, a || ' ' || b AS s FROM (
          SELECT doc_id, unnest(list_slice(tk, 1, len(tk)-1)) AS a,
                 unnest(list_slice(tk, 2, len(tk))) AS b FROM tk)),
        sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-       iv AS (SELECT x.doc_id AS da, y.doc_id AS db, COUNT(*) AS c
-              FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+       sdf AS (SELECT s, COUNT(*) AS dfreq FROM sh GROUP BY s),
+       pfx AS MATERIALIZED (SELECT doc_id, s, r, n FROM (
+           SELECT sh.doc_id, sh.s, sz.n,
+             ROW_NUMBER() OVER (PARTITION BY sh.doc_id
+               ORDER BY sdf.dfreq, sh.s) AS r
+           FROM sh JOIN sdf USING (s) JOIN sz USING (doc_id))
+         WHERE r <= n - CEIL($threshold * n - 0.000001) + 1),
+       cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+         FROM pfx x JOIN pfx y ON x.s = y.s AND x.doc_id < y.doc_id
+         WHERE y.n >= CEIL($threshold * x.n - 0.000001)
+           AND x.n >= CEIL($threshold * y.n - 0.000001)
+           AND least(x.n - x.r, y.n - y.r) + 1
+               >= CEIL($threshold * greatest(x.n, y.n) - 0.000001)),
+       iv AS (SELECT cd.da, cd.db, COUNT(*) AS c
+              FROM cand cd
+              JOIN sh a ON a.doc_id = cd.da
+              JOIN sh b ON b.doc_id = cd.db AND b.s = a.s
               GROUP BY 1, 2)"""
 
   /** Verified pairs → undirected edges → min-label components, as CTEs
@@ -433,10 +495,11 @@ object Dedup extends QueryModule {
          SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.v),
        comp AS (SELECT v, MIN(root) AS comp FROM reach GROUP BY v)"""
 
-  private val shingleCte = "WITH " + shingleCtes("documents")
+  private val shingleCte =
+    "WITH " + shingleCtes("documents", lshThreshold.toString)
 
   private def jaccardSql(threshold: String) =
-    s"""$shingleCte
+    s"""WITH ${shingleCtes("documents", threshold)}
        SELECT da, db, ROUND(CAST(c AS DOUBLE)/(sa.n+sb.n-c), 4) AS jaccard
        FROM iv JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
        WHERE CAST(c AS DOUBLE)/(sa.n+sb.n-c) >= $threshold
@@ -469,7 +532,8 @@ object Dedup extends QueryModule {
     // ingest batch) — no side restriction: the FULL maintained pair set.
     "q_dedup_incremental_del" ->
       ("WITH " +
-        shingleCtes("documents WHERE doc_id % 5 = 4 OR doc_id % 7 <> 3") +
+        shingleCtes("documents WHERE doc_id % 5 = 4 OR doc_id % 7 <> 3",
+          lshThreshold.toString) +
         s"""
          SELECT da, db, ROUND(CAST(c AS DOUBLE)/(sa.n+sb.n-c), 4) AS jaccard
          FROM iv JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
@@ -478,7 +542,8 @@ object Dedup extends QueryModule {
     // Same exact-Jaccard pair graph, then min-label components via a
     // recursive reachability CTE (the SQL spelling of label propagation).
     "q_dedup_cluster" ->
-      ("WITH RECURSIVE " + shingleCtes("documents") + ", " + componentCtes(lshThreshold.toString) + """
+      ("WITH RECURSIVE " + shingleCtes("documents", lshThreshold.toString) +
+        ", " + componentCtes(lshThreshold.toString) + """
        SELECT comp AS keep_id, COUNT(*) AS n_members
        FROM comp GROUP BY comp ORDER BY keep_id"""),
     "q_dedup_ngram" -> jaccardSql("0.3")

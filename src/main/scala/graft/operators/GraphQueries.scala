@@ -1892,6 +1892,34 @@ object GraphQueries extends QueryModule {
       out.orderBy("a", "b")
     }),
 
+    // Forced-BSP twins of the MSF maintainers (the kcore/ktruss twin
+    // discipline, r12 VERDICT #2 — the one maintainer family whose >gate
+    // path was spec-pinned but never benched/oracled on real data): the
+    // family gate forced to 0 keeps the distributed candidate algebra —
+    // fragment CC over F∖D, the ONE full-edge scan for cross-fragment X,
+    // and the Borůvka-over-candidates contraction loop — benched and
+    // re-oracled on real data every round. Oracle shared VERBATIM with
+    // the gated twins (lexicographic-MSF uniqueness makes the result
+    // algorithm-path-independent).
+    "q_graph_msf_incremental_bsp" -> ((s, dir) => {
+      val (prev, cur, ins) = snapshotInsertDiff(s, dir, "bfsinc",
+        ringEdges(s, dir), col("src") % 97 =!= 1)
+      val st = cachedIncState(s, dir, "msfinc")
+      val insU = msfUnd(ins).join(msfUnd(prev).select("a", "b"),
+        Seq("a", "b"), "left_anti")
+      GraphOps.incrementalMsf(s, msfUnd(cur), st, insU, insU.limit(0),
+        driverSolveLimit = 0L).orderBy("a", "b")
+    }),
+    "q_graph_msf_incremental_del_bsp" -> ((s, dir) => {
+      val (prev, cur, _, _) = snapshotDeleteDiff(s, dir, "kcoredel",
+        ringEdges(s, dir), ringEdges(s, dir).filter(kcoreDelKeep))
+      val st = cachedIncState(s, dir, "msfdel")
+      val delU = msfUnd(prev).join(msfUnd(cur).select("a", "b"),
+        Seq("a", "b"), "left_anti")
+      GraphOps.incrementalMsf(s, msfUnd(cur), st, delU.limit(0), delU,
+        driverSolveLimit = 0L).orderBy("a", "b")
+    }),
+
     // DIRECTED strongly connected components (coloring FW-BW rounds,
     // [[GraphOps.stronglyConnectedComponents]]) over the block-cycle
     // graph: one row per component. The oracle is an honest
@@ -3091,6 +3119,12 @@ object GraphQueries extends QueryModule {
     // The v2 algebra's forest (ring minus the src % 29 == 11 out-edges),
     // round-less for the same reason.
     "q_graph_msf_incremental_del" -> msfOracleOver(
+      s"""SELECT src, dst FROM ($prRingESql) raw0
+         WHERE src % $kcoreDelMod <> $kcoreDelRes""", 8, withRound = false),
+    // Forced-BSP twins: oracle shared VERBATIM with the gated twins.
+    "q_graph_msf_incremental_bsp" -> msfOracleOver(prRingESql, 8,
+      withRound = false),
+    "q_graph_msf_incremental_del_bsp" -> msfOracleOver(
       s"""SELECT src, dst FROM ($prRingESql) raw0
          WHERE src % $kcoreDelMod <> $kcoreDelRes""", 8, withRound = false),
     // Incremental maintenance must equal the full enumeration of the NEW

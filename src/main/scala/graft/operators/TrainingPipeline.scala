@@ -249,7 +249,7 @@ object TrainingPipeline extends QueryModule {
          exact_kept AS (SELECT doc_id, text, n_tok FROM (
              SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
              FROM qual_kept) WHERE rn = 1),
-         ${Dedup.shingleCtes("exact_kept")},
+         ${Dedup.shingleCtes("exact_kept", Dedup.lshThreshold.toString)},
          ${Dedup.componentCtes(Dedup.lshThreshold.toString)},
          dropped AS (SELECT v AS doc_id FROM comp WHERE v <> comp),
          final_kept AS (SELECT * FROM exact_kept

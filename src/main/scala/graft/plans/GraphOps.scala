@@ -2399,6 +2399,17 @@ object GraphOps {
       // single-partition checkpoint): fan-out means fA is NOT bounded by
       // the entering frontier, and an unmeasured frame must never reach
       // broadcast().
+      // (A TRUE two-waves-per-barrier fusion — fA persist()ed inside one
+      // union job, fB's fA-derived sides unhinted for AQE to flip at
+      // runtime — was tried r13 and REJECTED on measurement: dagdel-BSP
+      // 11.0 → 15.1 s, barrier_stages 440 → 647 at sf0.1. The broadcast
+      // gate is the fusion's real obstruction: fB's plan must either
+      // read fA unhinted (AQE shuffles BOTH sides of every fB join
+      // before its runtime flip — the measured +47% stages) or
+      // broadcast a frame whose size no job has measured, which this
+      // loop's own review rule forbids at scale. The two-materialization
+      // shape IS the safe fixpoint of that constraint; ledger PLANS.md
+      // r13.)
       waves += 2
       uFrames ::= frontier
       val fA = ckpt(nextWave(frontier))
@@ -2619,6 +2630,14 @@ object GraphOps {
     * `secondary_server.c`'s traversal queries, SURVEY §2 Part D). */
   def kcorePeel(spark: SparkSession, rawEdges: DataFrame, k: Int,
       rounds: Int): DataFrame = {
+    // Convergence DETECTION needs at least one potential no-op round:
+    // with rounds == 1 the loop below can never observe n == prevN and
+    // the convergence require would throw even on an already-converged
+    // input. (The cap must exceed the true fixpoint depth by ≥1 for the
+    // same reason — the error message below says so when it bites.)
+    require(rounds >= 2,
+      s"kcorePeel rounds must be >= 2 (got $rounds): detecting the " +
+        "fixpoint requires room for one no-op round")
     val und = rawEdges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))

@@ -43,18 +43,27 @@ def run_one(name, sql, q):
         key = list(s.columns)
         s = s.sort_values(key, na_position="first").reset_index(drop=True)
         d = d.sort_values(key, na_position="first").reset_index(drop=True)
-        import pandas as pd2
+        import numpy as np
         for c in s.columns:
             sv, dv = s[c], d[c]
-            for i in range(len(sv)):
+            # Vectorized compare (the per-.iloc Python loop dominated the
+            # per-query timeout budget at sf1 row counts); the row loop
+            # below runs only to report the first mismatching row.
+            sn = pd.isna(sv).to_numpy()
+            dn = pd.isna(dv).to_numpy()
+            bad = sn != dn
+            both = ~sn & ~dn
+            if both.any():
+                a, b = sv.to_numpy()[both], dv.to_numpy()[both]
+                with np.errstate(invalid="ignore"):
+                    neq = a != b
+                    if a.dtype.kind == "f" and b.dtype.kind == "f":
+                        neq = neq | (np.copysign(1.0, a) != np.copysign(1.0, b))
+                bad[np.flatnonzero(both)[np.asarray(neq, dtype=bool)]] = True
+            if bad.any():
+                i = int(np.flatnonzero(bad)[0])
                 a, b = sv.iloc[i], dv.iloc[i]
-                an = a is None or (isinstance(a,float) and math.isnan(a)) or pd.isna(a)
-                bn = b is None or (isinstance(b,float) and math.isnan(b)) or pd.isna(b)
-                if an and bn: continue
-                nz = (isinstance(a,float) and isinstance(b,float)
-                      and math.copysign(1.0,a) != math.copysign(1.0,b))
-                if an != bn or a != b or nz:
-                    q.put((name,"FAIL",f"row {i} col {c}: spark={a!r} duck={b!r}")); return
+                q.put((name,"FAIL",f"row {i} col {c}: spark={a!r} duck={b!r}")); return
         q.put((name,"PASS",f"{len(s)} rows"))
     except Exception as e:
         q.put((name,"FAIL",f"{type(e).__name__}: {e}"))
@@ -72,7 +81,10 @@ for name in names:
         p.terminate(); p.join()
         print(f"TIMEOUT {name} (> {TIMEOUT}s)", flush=True); nfail += 1
     else:
-        try: n, st, msg = q.get_nowait()
+        # The child may exit before its Queue payload finishes flushing
+        # through the pipe — get_nowait() here misreported completed
+        # children as dead. Wait a bounded beat for the payload first.
+        try: n, st, msg = q.get(timeout=5)
         except Exception:
             print(f"FAIL {name}: child died", flush=True); nfail += 1; continue
         print(f"{st} {n}: {msg}", flush=True)
