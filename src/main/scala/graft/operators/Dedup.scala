@@ -89,16 +89,38 @@ object Dedup extends QueryModule {
         .select("da", "db").distinct()
         .localCheckpoint(true) // three consumers below (two sides + pair scope)
     }
-    val a = sh.select(col("doc_id").as("da"), col("s"))
-    val b = sh.select(col("doc_id").as("db"), col("s"))
-    // Restrict BOTH shingle sides to candidate documents BEFORE the shingle
-    // equi-join — that is the whole point of LSH/prefix filtering: the
-    // quadratic join only ever sees collision docs.
-    val aSc = a.join(cand.select("da").distinct(), Seq("da"), "left_semi")
-    val bSc = b.join(cand.select("db").distinct(), Seq("db"), "left_semi")
-    val joined = aSc.join(bSc, Seq("s")).filter(col("da") < col("db"))
-    val scoped = joined.join(cand, Seq("da", "db"), "left_semi")
-    val inter = scoped.groupBy("da", "db").agg(count(lit(1)).as("c"))
+    // Two intersection-count shapes, chosen by where the candidates came
+    // from:
+    //  - LSH candidates (Some(...)): collision DOCS are few, so both
+    //    shingle sides semi-restrict to them BEFORE the s-equi-join and
+    //    the quadratic only ever sees collision docs (and the exact
+    //    verify re-reads text only for them — the incremental-ingest
+    //    contract).
+    //  - Prefix-filter candidates (None branch above): candidate PAIRS
+    //    are bounded but the docs they touch are corpus-dense, so the
+    //    s-equi-join among candidate docs would rebuild the full
+    //    quadratic (the same join-order trap the DuckDB oracle hit, see
+    //    [[shingleCtes]]). Instead each doc's shingle set rides as ONE
+    //    array row and c = size(array_intersect) per candidate pair —
+    //    the only join edges run through cand, so no planner choice can
+    //    recreate the all-pairs join.
+    val inter = candidates match {
+      case Some(_) =>
+        val a = sh.select(col("doc_id").as("da"), col("s"))
+        val b = sh.select(col("doc_id").as("db"), col("s"))
+        val aSc = a.join(cand.select("da").distinct(), Seq("da"), "left_semi")
+        val bSc = b.join(cand.select("db").distinct(), Seq("db"), "left_semi")
+        aSc.join(bSc, Seq("s")).filter(col("da") < col("db"))
+          .join(cand, Seq("da", "db"), "left_semi")
+          .groupBy("da", "db").agg(count(lit(1)).as("c"))
+      case None =>
+        val lists = sh.groupBy("doc_id").agg(collect_list(col("s")).as("ls"))
+        cand
+          .join(lists.select(col("doc_id").as("da"), col("ls").as("la")), Seq("da"))
+          .join(lists.select(col("doc_id").as("db"), col("ls").as("lb")), Seq("db"))
+          .select(col("da"), col("db"),
+            size(array_intersect(col("la"), col("lb"))).cast("long").as("c"))
+    }
     val jac = col("c").cast("double") /
       (col("na") + col("nb") - col("c")).cast("double")
     inter
@@ -383,6 +405,21 @@ object Dedup extends QueryModule {
       jaccardPairs(shingles(
         t(s, dir, "documents").filter(col("doc_id") < 1000)), 0.3)),
 
+    // EXACT similarity self-join over the FULL corpus — no LSH, no
+    // probability argument: the PPJoin prefix+length+positional filters
+    // (see [[jaccardPairs]]) bound the quadratic stage exactly, so the
+    // textbook exact path runs at corpus scale (r13; the pre-filter
+    // spelling was restricted to a 1000-doc slice). Deliberately the
+    // same threshold as q_dedup_minhash: the two queries must produce
+    // IDENTICAL pair sets — the exact join cross-validates the band
+    // guarantee zone of the LSH path against its own oracle, and at
+    // 100 TB the two are the real engineering trade (prefix filter:
+    // deterministic, one dfreq shuffle + rarity-ordered collisions;
+    // LSH: tunable candidate volume, persistable signature state for
+    // incremental ingest).
+    "q_dedup_ppjoin" -> ((s, dir) =>
+      jaccardPairs(shingles(t(s, dir, "documents")), lshThreshold)),
+
     // Duplicated-substring coverage — the ExactSubstr dedup signal (Lee
     // et al., "Deduplicating Training Data Makes Language Models Better")
     // at 5-token-shingle granularity: every shingle POSITION (not the
@@ -451,17 +488,26 @@ object Dedup extends QueryModule {
     * minimal common shingle's collision row satisfies
     * c ≤ 1 + min(na−ra, nb−rb)), so the old all-pairs `sh × sh` self-join
     * (D² rows for a shingle shared by D documents — the reason the sf1
-    * dedup_cluster compare needed a solo machine slot) never runs; the
-    * full intersection count is computed only per candidate pair
-    * (6 s at sf1 vs ~16 min solo for the all-pairs spelling).
-    * `sh`/`pfx`/`cand` are MATERIALIZED: each feeds multiple consumers
-    * and DuckDB's default inlining re-derives them per reference. */
+    * dedup_cluster compare needed a solo machine slot) never runs.
+    * The intersection count deliberately avoids the natural
+    * `cand ⋈ sh ⋈ sh` spelling: inside ONE CTE chain DuckDB's optimizer
+    * reorders that 3-way join back into the quadratic `sh ⋈ sh` (413 s
+    * at sf1 vs 6 s when the same stages run as staged tables with real
+    * stats). Instead each doc's shingle set becomes a LIST of dense
+    * integer ids (`sid`/`ls`) and c = len(list_intersect) per candidate
+    * — the only join edges run through `cand`, so no reordering can
+    * recreate the quadratic; integer lists intersect ~2× faster than
+    * string lists (sf1: 117 s single-query vs 413 s reordered vs the
+    * old all-pairs' ~16 min solo). Every multi-consumer CTE is
+    * MATERIALIZED — default inlining re-derives it per reference, and
+    * [[componentCtes]]'s recursive member would otherwise re-run the
+    * whole chain once per recursion step. */
   private[operators] def shingleCtes(src: String, threshold: String): String =
     s"""tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $src),
        sh AS MATERIALIZED (SELECT DISTINCT doc_id, a || ' ' || b AS s FROM (
          SELECT doc_id, unnest(list_slice(tk, 1, len(tk)-1)) AS a,
                 unnest(list_slice(tk, 2, len(tk))) AS b FROM tk)),
-       sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
        sdf AS (SELECT s, COUNT(*) AS dfreq FROM sh GROUP BY s),
        pfx AS MATERIALIZED (SELECT doc_id, s, r, n FROM (
            SELECT sh.doc_id, sh.s, sz.n,
@@ -475,19 +521,28 @@ object Dedup extends QueryModule {
            AND x.n >= CEIL($threshold * y.n - 0.000001)
            AND least(x.n - x.r, y.n - y.r) + 1
                >= CEIL($threshold * greatest(x.n, y.n) - 0.000001)),
-       iv AS (SELECT cd.da, cd.db, COUNT(*) AS c
-              FROM cand cd
-              JOIN sh a ON a.doc_id = cd.da
-              JOIN sh b ON b.doc_id = cd.db AND b.s = a.s
-              GROUP BY 1, 2)"""
+       sid AS MATERIALIZED (SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS sid
+         FROM (SELECT DISTINCT s FROM sh)),
+       ls AS MATERIALIZED (SELECT doc_id, list(sid ORDER BY sid) AS ls
+         FROM sh JOIN sid USING (s) GROUP BY doc_id),
+       iv AS MATERIALIZED (SELECT cd.da, cd.db,
+           len(list_intersect(a.ls, b.ls)) AS c
+         FROM cand cd
+         JOIN ls a ON a.doc_id = cd.da
+         JOIN ls b ON b.doc_id = cd.db)"""
 
   /** Verified pairs → undirected edges → min-label components, as CTEs
-    * (caller's WITH must be RECURSIVE). Output CTE `comp` is (v, comp). */
+    * (caller's WITH must be RECURSIVE). Output CTE `comp` is (v, comp).
+    * `pairs`/`e` are MATERIALIZED (r13): `e` is referenced inside the
+    * recursive member of `reach`, and an inlined `e` re-executes the
+    * ENTIRE shingle→verify chain on EVERY recursion iteration — the
+    * true root cause of the sf1 dedup_cluster oracle's solo-slot cost
+    * (the quadratic verify was only the per-iteration multiplicand). */
   private[operators] def componentCtes(threshold: String): String =
-    s"""pairs AS (SELECT da, db
+    s"""pairs AS MATERIALIZED (SELECT da, db
          FROM iv JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
          WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $threshold),
-       e AS (SELECT da AS src, db AS dst FROM pairs
+       e AS MATERIALIZED (SELECT da AS src, db AS dst FROM pairs
              UNION ALL SELECT db, da FROM pairs),
        reach(v, root) AS (
          SELECT src, src FROM e
@@ -548,6 +603,9 @@ object Dedup extends QueryModule {
        FROM comp GROUP BY comp ORDER BY keep_id"""),
     "q_dedup_ngram" -> jaccardSql("0.3")
       .replace("FROM documents", "FROM documents WHERE doc_id < 1000"),
+    // Same exact all-pairs semantics as q_dedup_minhash's oracle — the
+    // Spark side must reproduce it WITHOUT the band stage.
+    "q_dedup_ppjoin" -> jaccardSql(lshThreshold.toString),
     // Same 5-token positional shingles, same portable 60-bit hash, same
     // e6 coverage arithmetic.
     "q_dedup_substr" ->

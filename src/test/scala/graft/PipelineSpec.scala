@@ -29,6 +29,18 @@ class PipelineSpec extends SparkSpec {
     assert(exact.nonEmpty, "fixture should contain planted near-dups")
   }
 
+  test("ppjoin exact self-join equals the LSH pair set (same threshold)") {
+    // the r13 cross-validation promise: the prefix+length+positional
+    // filtered EXACT join and the banded-LSH path must agree pair-for-
+    // pair at the shared J >= 0.85 threshold
+    val pp = Dedup.queries("q_dedup_ppjoin")(spark, sfDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = Dedup.queries("q_dedup_minhash")(spark, sfDir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pp == lsh)
+    assert(pp.nonEmpty, "fixture should contain planted near-dups")
+  }
+
   test("exact ngram Jaccard values are correct") {
     val got = Dedup.queries("q_dedup_ngram")(spark, sfDir)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
