@@ -46,8 +46,10 @@ object Dedup extends QueryModule {
     * re-executes per consumer (quadratic-feeling re-computation; at scale
     * this is `checkpoint` on reliable storage).
     *
-    * Candidate pairs always bound the quadratic stage. When the caller has
-    * none (no LSH state), they are generated with the exact PREFIX FILTER
+    * Candidate pairs bound the quadratic stage. When the caller has
+    * none (no LSH state) and t ≥ 0.5 (where the filter is selective —
+    * see the in-body comment), they are generated with the exact PREFIX
+    * FILTER
     * (the SSJoin/PPJoin family, Chaudhuri et al. ICDE'06 / Xiao et al.
     * WWW'08): order shingles globally by (document frequency, shingle);
     * a pair with J ≥ t has overlap c ≥ ⌈t·n⌉ against EACH side's size n,
@@ -64,7 +66,15 @@ object Dedup extends QueryModule {
                            preMaterialized: Boolean = false): DataFrame = {
     val sh = if (preMaterialized) shRaw else shRaw.localCheckpoint(true)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val cand = candidates.getOrElse {
+    // The prefix filter's selectivity collapses as t drops (prefix length
+    // = (1−t)·n + 1 — at t=0.3 it keeps ~70% of every doc, so the
+    // collision join ≈ the all-pairs join plus the dfreq/window/intersect
+    // overhead on top; measured 1.6 → 8.0 s on q_dedup_ngram at sf0.1).
+    // Below t=0.5 exact mode stays quadratic BY NATURE and callers scope
+    // it (q_dedup_ngram bounds its slice); at high t the prefix path is
+    // the corpus-scale spelling (q_dedup_ppjoin).
+    val usePrefix = candidates.isEmpty && threshold >= 0.5
+    lazy val prefixCand = {
       val dfreq = sh.groupBy("s").agg(count(lit(1)).as("dfreq"))
       val w = Window.partitionBy("doc_id").orderBy(col("dfreq"), col("s"))
       // ceil(t·n − ε): the float product must never round UP past the true
@@ -89,37 +99,52 @@ object Dedup extends QueryModule {
         .select("da", "db").distinct()
         .localCheckpoint(true) // three consumers below (two sides + pair scope)
     }
-    // Two intersection-count shapes, chosen by where the candidates came
-    // from:
+    // Three intersection-count shapes, chosen by where the candidates
+    // came from:
     //  - LSH candidates (Some(...)): collision DOCS are few, so both
     //    shingle sides semi-restrict to them BEFORE the s-equi-join and
     //    the quadratic only ever sees collision docs (and the exact
     //    verify re-reads text only for them — the incremental-ingest
     //    contract).
-    //  - Prefix-filter candidates (None branch above): candidate PAIRS
-    //    are bounded but the docs they touch are corpus-dense, so the
-    //    s-equi-join among candidate docs would rebuild the full
+    //  - Prefix-filter candidates (t ≥ 0.5, no LSH state): candidate
+    //    PAIRS are bounded but the docs they touch are corpus-dense, so
+    //    the s-equi-join among candidate docs would rebuild the full
     //    quadratic (the same join-order trap the DuckDB oracle hit, see
     //    [[shingleCtes]]). Instead each doc's shingle set rides as ONE
-    //    array row and c = size(array_intersect) per candidate pair —
-    //    the only join edges run through cand, so no planner choice can
-    //    recreate the all-pairs join.
+    //    array of dense integer ids and c = size(array_intersect) per
+    //    candidate pair — the only join edges run through cand, so no
+    //    planner choice can recreate the all-pairs join; integer arrays
+    //    intersect ~2× faster than strings (the oracle's measurement).
+    //    The id map is monotonically_increasing_id on the DISTINCT
+    //    shingle frame — injective and fully distributed (a global
+    //    row_number would serialize the corpus through one task).
+    //  - Neither (low-t exact mode): the unrestricted s-equi-join —
+    //    quadratic BY NATURE within shingle-sharing groups; callers
+    //    scope it (q_dedup_ngram bounds its slice).
     val inter = candidates match {
-      case Some(_) =>
+      case Some(c0) =>
         val a = sh.select(col("doc_id").as("da"), col("s"))
         val b = sh.select(col("doc_id").as("db"), col("s"))
-        val aSc = a.join(cand.select("da").distinct(), Seq("da"), "left_semi")
-        val bSc = b.join(cand.select("db").distinct(), Seq("db"), "left_semi")
+        val aSc = a.join(c0.select("da").distinct(), Seq("da"), "left_semi")
+        val bSc = b.join(c0.select("db").distinct(), Seq("db"), "left_semi")
         aSc.join(bSc, Seq("s")).filter(col("da") < col("db"))
-          .join(cand, Seq("da", "db"), "left_semi")
+          .join(c0, Seq("da", "db"), "left_semi")
           .groupBy("da", "db").agg(count(lit(1)).as("c"))
-      case None =>
-        val lists = sh.groupBy("doc_id").agg(collect_list(col("s")).as("ls"))
-        cand
+      case None if usePrefix =>
+        val sid = sh.select("s").distinct()
+          .withColumn("sid", monotonically_increasing_id())
+        val lists = sh.join(sid, Seq("s"))
+          .groupBy("doc_id").agg(collect_list(col("sid")).as("ls"))
+        prefixCand
           .join(lists.select(col("doc_id").as("da"), col("ls").as("la")), Seq("da"))
           .join(lists.select(col("doc_id").as("db"), col("ls").as("lb")), Seq("db"))
           .select(col("da"), col("db"),
             size(array_intersect(col("la"), col("lb"))).cast("long").as("c"))
+      case None =>
+        sh.select(col("doc_id").as("da"), col("s"))
+          .join(sh.select(col("doc_id").as("db"), col("s")), Seq("s"))
+          .filter(col("da") < col("db"))
+          .groupBy("da", "db").agg(count(lit(1)).as("c"))
     }
     val jac = col("c").cast("double") /
       (col("na") + col("nb") - col("c")).cast("double")
