@@ -314,6 +314,44 @@ class PropertySpec extends SparkSpec {
     assert(once.exceptAll(twice).isEmpty)
   }
 
+  test("prefix-filter exact join equals brute force on adversarial random corpora") {
+    // Guards the r13 PPJoin exactness chain (prefix + length + positional
+    // filters AND the ceil(t·n − ε) arithmetic) where it is weakest:
+    // tiny vocabularies (every shingle collides), short docs (prefix
+    // length 1), duplicate docs (J = 1 ties), and thresholds whose t·n
+    // lands on/near integers. Brute force is computed in memory.
+    import spark.implicits._
+    import graft.operators.Dedup
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val docGen: Gen[String] = for {
+      len <- Gen.choose(2, 12)
+      toks <- Gen.listOfN(len, Gen.oneOf(vocab))
+    } yield toks.mkString(" ")
+    val corpusGen: Gen[Seq[String]] = for {
+      n <- Gen.choose(4, 18)
+      docs <- Gen.listOfN(n, docGen)
+      dupFrom <- Gen.choose(0, math.max(0, n - 1))
+    } yield docs :+ docs(dupFrom) // always plant one exact duplicate
+    def bigrams(t: String): Set[String] = {
+      val tk = t.split(" ")
+      tk.zip(tk.drop(1)).map { case (a, b) => s"$a $b" }.toSet
+    }
+    for ((docs, ci) <- samples(corpusGen, 6).zipWithIndex;
+         t <- Seq(0.5, 0.75, 0.85, 1.0)) {
+      val df = docs.zipWithIndex
+        .map { case (txt, i) => (i.toLong, txt) }.toDF("doc_id", "text")
+      val got = Dedup.jaccardPairs(Dedup.shingles(df), t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sets = docs.map(bigrams)
+      val want = (for {
+        a <- sets.indices; b <- sets.indices if a < b
+        sa = sets(a); sb = sets(b) if sa.nonEmpty && sb.nonEmpty
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size if j >= t
+      } yield (a.toLong, b.toLong)).toSet
+      assert(got == want, s"corpus $ci t=$t: got ${got.size}, want ${want.size}")
+    }
+  }
+
   test("set-op cardinalities: |A| = |A intersectAll B| + |A exceptAll B|") {
     import spark.implicits._
     val listGen = Gen.listOf(Gen.choose(0, 20))
