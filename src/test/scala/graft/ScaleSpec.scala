@@ -226,6 +226,31 @@ class ScaleSpec extends SparkSpec {
       s"the cell pair join must also key on (band, sig):\n${pairJoins.mkString("\n")}")
   }
 
+  test("ppjoin exact self-join: intersect rides arrays through cand, no full s-equi-join") {
+    // The r13 scale defect this pins: with prefix-filter candidates the
+    // docs they touch are corpus-DENSE, so an s-keyed equi-join between
+    // two shingle sides (even candidate-semi-restricted ones) rebuilds
+    // the all-pairs join. The exact path must (a) count intersections
+    // via array_intersect per candidate pair, and (b) key its only
+    // corpus-scale joins on doc ids (da/db/doc_id), never on s alone —
+    // the one legitimate s-keyed join is the PREFIX collision join,
+    // whose sides are the ~(1−t)-fraction prefix frames.
+    val qe = graft.operators.Dedup.queries("q_dedup_ppjoin")(spark, sfDir)
+      .queryExecution
+    val op = qe.optimizedPlan.toString
+    assert(op.contains("array_intersect"),
+      s"expected array_intersect in the exact-verify stage:\n${op.take(800)}")
+    // exactly three s-keyed inner joins are legitimate: sh ⋈ dfreq
+    // (frequency annotate), sh ⋈ sid (dense-id map), and the PREFIX
+    // collision join (both sides ~(1−t)-fraction prefix frames). A
+    // fourth s-keyed join means someone reintroduced a shingle-side
+    // equi-join — the all-pairs quadratic in disguise.
+    val sJoins = op.linesIterator
+      .filter(l => l.contains("Join Inner") && l.contains("(s#")).toSeq
+    assert(sJoins.size <= 3,
+      s"extra s-keyed inner join — the quadratic is back:\n${sJoins.mkString("\n")}")
+  }
+
   test("round-6 additions: corpus-sized joins unhinted, no nested-loop/cartesian anywhere") {
     // q_dedup_substr's df frame and q_text_lm_score's bigram model both
     // grow with the corpus (shingle/vocab² cardinality) — they must join
