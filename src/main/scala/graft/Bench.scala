@@ -604,7 +604,19 @@ object Bench {
       .mkString("{", ",", "}")
     val note = if (only.isEmpty) s"slowest 45 of ${results.size}; full map in BENCH_FULL.json"
       else s"slowest 45 of ${results.size} (subset run)"
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$valueNormJson"value_median":${fmt(totalMedian)},"n_queries":${results.size},"failed":$failed,"sf":"$sfDir","staging_sec":${fmt(stagingSec)},"cache_build_sec":${fmt(cacheBuildSec)},"cache_build":$cacheMap,"tail_samples":$tails,"resampled":$resampledJson,"priors_from":$priorsJson,"noise_probe_sec":$noiseJson,"cdc_phases":$cdcPhases,"barrier_stages":$compactBarriers,"jvm_gc_total_ms":${gcMs()},"jvm_gc_query_ms":${results.map(_._4).sum},"code_cache_used_mb":${codeCacheUsedMb()},"queries_note":"$note","queries":${qmap(slowest)}}""")
+    // the compact line (the driver's graded BENCH_r{N}.json) carries the
+    // slowest-45's queries_norm too, so per-query drift grading needs no
+    // side file (r12 VERDICT #4)
+    val compactNorm = priorProbeMin match {
+      case Some(pb) if pb > 0 =>
+        slowest.map { case (k, ss, _, _, _) =>
+          val pAt = probeAt(startedAt.getOrElse(k, 0L))
+          val norm = if (pAt > 0) ss.min * (pb / pAt) else ss.min
+          "\"" + k + "\":" + fmt(norm)
+        }.mkString("{", ",", "}")
+      case _ => "null"
+    }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$valueNormJson"value_median":${fmt(totalMedian)},"n_queries":${results.size},"failed":$failed,"sf":"$sfDir","staging_sec":${fmt(stagingSec)},"cache_build_sec":${fmt(cacheBuildSec)},"cache_build":$cacheMap,"tail_samples":$tails,"resampled":$resampledJson,"priors_from":$priorsJson,"noise_probe_sec":$noiseJson,"cdc_phases":$cdcPhases,"barrier_stages":$compactBarriers,"jvm_gc_total_ms":${gcMs()},"jvm_gc_query_ms":${results.map(_._4).sum},"code_cache_used_mb":${codeCacheUsedMb()},"queries_note":"$note","queries":${qmap(slowest)},"queries_norm":$compactNorm}""")
     // Full runs only — a SPARK_GRAFT_ONLY subset would overwrite the
     // repo copy with a misleading partial map. Target the repo checkout
     // when it exists, else the working directory; a failed write is
