@@ -218,15 +218,34 @@ object Relational extends QueryModule {
     // before the event time. Key-equi join + per-event row_number, which is
     // the shuffle-friendly as-of formulation (no sort-merge interleave op in
     // Spark; DuckDB expresses the same with ASOF JOIN).
+    // As-of join in the MERGE spelling (r13): the join+window version
+    // fanned out every event against ALL of its user's earlier orders
+    // (Σ_user events×orders rows — quadratic per user, and at 100 TB one
+    // power user is a straggler task). Instead both sides union into one
+    // per-user timeline sorted by (ts, side, o_orderkey) with orders
+    // BEFORE events at equal ts (the <= inclusivity) and larger
+    // o_orderkey later at equal date (the DESC tie-break), and each
+    // event reads its as-of order via a running last(_, ignoreNulls) —
+    // O(E+O) rows, ONE user-keyed exchange, no fanout. Events with no
+    // prior order drop (the inner-join contract). Same oracle verbatim.
     "q_join_asof" -> ((s, dir) => {
       val e = t(s, dir, "events").select("event_id", "user_id", "ts")
       val o = t(s, dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
-      val j = e.join(o, e("user_id") === o("o_custkey") && o("o_orderdate") <= e("ts"))
-      val w = Window.partitionBy("event_id")
-        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
-      j.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_orderdate"))
+      val oRows = o.select(col("o_custkey").as("user_id"),
+        col("o_orderdate").cast("timestamp").as("mts"), lit(0).as("side"),
+        lit(null).cast("long").as("event_id"), col("o_orderkey"), col("o_orderdate"))
+      val eRows = e.select(col("user_id"), col("ts").as("mts"), lit(1).as("side"),
+        col("event_id"), lit(null).cast(o.schema("o_orderkey").dataType).as("o_orderkey"),
+        lit(null).cast(o.schema("o_orderdate").dataType).as("o_orderdate"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("mts"), col("side"), col("o_orderkey").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      oRows.unionByName(eRows)
+        .withColumn("ok", last("o_orderkey", ignoreNulls = true).over(w))
+        .withColumn("od", last("o_orderdate", ignoreNulls = true).over(w))
+        .filter(col("side") === 1 && col("ok").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          col("ok").as("o_orderkey"), col("od").as("o_orderdate"))
         .orderBy("event_id")
     }),
 
