@@ -133,8 +133,15 @@ object Dedup extends QueryModule {
       case None if usePrefix =>
         val sid = sh.select("s").distinct()
           .withColumn("sid", monotonically_increasing_id())
+        // `lists` feeds BOTH sides of the candidate join (la/lb below) and
+        // `sid` is nondeterministic (monotonically_increasing_id): under AQE
+        // replanning or stage recomputation the two consumers could observe
+        // DIFFERENT id assignments for the same shingle, silently corrupting
+        // the array_intersect counts. Pin one assignment (the same
+        // multi-consumer discipline as pfx/prefixCand above).
         val lists = sh.join(sid, Seq("s"))
           .groupBy("doc_id").agg(collect_list(col("sid")).as("ls"))
+          .localCheckpoint(true)
         prefixCand
           .join(lists.select(col("doc_id").as("da"), col("ls").as("la")), Seq("da"))
           .join(lists.select(col("doc_id").as("db"), col("ls").as("lb")), Seq("db"))
@@ -240,7 +247,10 @@ object Dedup extends QueryModule {
     // candidate joins + exact verify), not rebuilding the state
     "lsh_ingest_state" -> ((s, dir) => { lshIngestState(s, dir); () }),
     // the stored verified pair set the delete-bearing maintenance prunes
-    "lsh_ingest_pairs" -> ((s, dir) => { lshIngestPairs(s, dir); () }))
+    "lsh_ingest_pairs" -> ((s, dir) => { lshIngestPairs(s, dir); () }),
+    // q_dedup_ppjoin_incremental's stored prefix index + frozen rarity
+    // order + verified old×old pairs (the exact-join ingest state)
+    "ppjoin_state" -> ((s, dir) => { ppjoinState(s, dir); () }))
   def prewarmCaches(s: SparkSession, dir: String): Unit =
     namedCaches.foreach(_._2(s, dir))
 
@@ -297,6 +307,52 @@ object Dedup extends QueryModule {
       path
     })
     s.read.parquet(p)
+  }
+
+  /** PPJoin INGEST STATE — the exact-join counterpart of
+    * [[lshIngestState]]/[[lshIngestPairs]] (r13 VERDICT #4: every other
+    * state family had ingest+takedown twins; the exact path didn't).
+    * Three persisted tables over the 80% corpus (`!ingestIsNew`):
+    *
+    *  - `pfx` (doc_id, s, r, n): each document's PREFIX shingles under
+    *    the frozen global (dfreq, s) rarity order, with position r and
+    *    set size n — (1−t)·n+1 rows/doc, the index a production PPJoin
+    *    pipeline keeps between batches;
+    *  - `dfreq` (s, dfreq): the order itself. The prefix-filter theorem
+    *    holds under ANY fixed total order, so the order is FROZEN at
+    *    state-build time: ingested docs rank their shingles by the OLD
+    *    corpus dfreq (unseen shingles get 0 — they sort rarest-first,
+    *    which is also the selective choice). Old prefixes therefore stay
+    *    valid verbatim — no rebuild on ingest;
+    *  - `pairs` (da, db, jaccard): the verified old×old pair set —
+    *    takedowns would prune it by anti-join, never re-verify.
+    */
+  private val ppjoinStateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
+  private def ppjoinState(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (pp, pd, pr) = ppjoinStateCache.computeIfAbsent(dir, _ => {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_ppjstate_" +
+        java.lang.ProcessHandle.current().pid() + "_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val sh = shingles(t(s, dir, "documents").filter(!ingestIsNew))
+        .localCheckpoint(true)
+      val dfreq = sh.groupBy("s").agg(count(lit(1)).as("dfreq"))
+      dfreq.write.mode("overwrite").parquet(s"${base}_dfreq")
+      val dfreqP = s.read.parquet(s"${base}_dfreq")
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("doc_id").orderBy(col("dfreq"), col("s"))
+      sh.join(dfreqP, Seq("s")).join(sizes, Seq("doc_id"))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= col("n") -
+          ceil(lit(lshThreshold) * col("n") - lit(1e-6)) + 1)
+        .select("doc_id", "s", "r", "n")
+        .write.mode("overwrite").parquet(s"${base}_pfx")
+      jaccardPairs(sh, lshThreshold, preMaterialized = true)
+        .write.mode("overwrite").parquet(s"${base}_pairs")
+      (s"${base}_pfx", s"${base}_dfreq", s"${base}_pairs")
+    })
+    (s.read.parquet(pp), s.read.parquet(pd), s.read.parquet(pr))
   }
 
   /** Connected components (v, comp) of the undirected near-dup pair graph —
@@ -444,6 +500,66 @@ object Dedup extends QueryModule {
     // incremental ingest).
     "q_dedup_ppjoin" -> ((s, dir) =>
       jaccardPairs(shingles(t(s, dir, "documents")), lshThreshold)),
+
+    // INCREMENTAL PPJoin — the exact-join twin of q_dedup_incremental
+    // (r13 VERDICT #4): the 80% corpus exists only as its persisted
+    // PREFIX-SIGNATURE state ([[ppjoinState]]: prefix rows + the frozen
+    // (dfreq, s) rarity order + verified old×old pairs); the % 5 == 4
+    // batch computes its own prefixes UNDER THE FROZEN ORDER (the prefix
+    // theorem holds for any fixed total order, so old prefixes stay
+    // valid verbatim and unseen shingles rank rarest-first at dfreq 0),
+    // finds candidates as new-prefix × state-prefix and new × new prefix
+    // collisions under the same length + positional filters as the batch
+    // join, and the exact verify re-reads text only for collision docs.
+    // Cost: O(batch prefixes) + collisions + one (s)-keyed shuffle
+    // against the state — independent of corpus size, the same ingest
+    // discipline as the LSH family but with PPJoin's deterministic
+    // no-probability guarantee. Output = stored pairs ⊎ new-touching
+    // pairs = the full post-batch pair set, so the oracle is SHARED
+    // VERBATIM with q_dedup_ppjoin (exact all-pairs over the corpus) —
+    // a stale prefix, a leaked candidate, or a missed collision all
+    // flip the compare.
+    "q_dedup_ppjoin_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (statePfx, stateDfreq, statePairs) = ppjoinState(s, dir)
+      val shNew = shingles(docs.filter(ingestIsNew)).localCheckpoint(true)
+      val sizesNew = shNew.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val wN = Window.partitionBy("doc_id").orderBy(col("dfreq"), col("s"))
+      val pfxNew = shNew.join(stateDfreq, Seq("s"), "left")
+        .na.fill(0L, Seq("dfreq"))
+        .join(sizesNew, Seq("doc_id"))
+        .withColumn("r", row_number().over(wN))
+        .filter(col("r") <= col("n") -
+          ceil(lit(lshThreshold) * col("n") - lit(1e-6)) + 1)
+        .select("doc_id", "s", "r", "n")
+        .localCheckpoint(true) // feeds new×old AND both sides of new×new
+      def sided(df: DataFrame, d: String, r: String, n: String) =
+        df.select(col("doc_id").as(d), col("s"),
+          col("r").as(r), col("n").as(n))
+      // Same length + positional filters as the batch prefix join — both
+      // are symmetric under endpoint swap, so new×old applies them
+      // before the least/greatest normalization.
+      val filt = col("nb") >= ceil(lit(lshThreshold) * col("na") - lit(1e-6)) &&
+        col("na") >= ceil(lit(lshThreshold) * col("nb") - lit(1e-6)) &&
+        least(col("na") - col("ra"), col("nb") - col("rb")) + 1 >=
+          ceil(lit(lshThreshold) * greatest(col("na"), col("nb")) - lit(1e-6))
+      val vsOld = sided(pfxNew, "xa", "ra", "na")
+        .join(sided(statePfx, "xb", "rb", "nb"), Seq("s")).filter(filt)
+        .select(least(col("xa"), col("xb")).as("da"),
+          greatest(col("xa"), col("xb")).as("db"))
+      val vsNew = sided(pfxNew, "xa", "ra", "na")
+        .join(sided(pfxNew, "xb", "rb", "nb"), Seq("s"))
+        .filter(col("xa") < col("xb") && filt)
+        .select(col("xa").as("da"), col("xb").as("db"))
+      val cand = vsOld.union(vsNew).distinct().localCheckpoint(true)
+      val candDocs = cand.select(col("da").as("doc_id"))
+        .union(cand.select(col("db").as("doc_id"))).distinct()
+      val sh = shingles(docs.join(candDocs, Seq("doc_id"), "left_semi"))
+        .localCheckpoint(true)
+      val newPairs = jaccardPairs(sh, lshThreshold, Some(cand),
+        preMaterialized = true)
+      statePairs.unionByName(newPairs).orderBy("da", "db")
+    }),
 
     // Duplicated-substring coverage — the ExactSubstr dedup signal (Lee
     // et al., "Deduplicating Training Data Makes Language Models Better")
@@ -631,6 +747,10 @@ object Dedup extends QueryModule {
     // Same exact all-pairs semantics as q_dedup_minhash's oracle — the
     // Spark side must reproduce it WITHOUT the band stage.
     "q_dedup_ppjoin" -> jaccardSql(lshThreshold.toString),
+    // SHARED VERBATIM with q_dedup_ppjoin: the maintained state + ingest
+    // batch must reproduce the exact all-pairs join over the full
+    // post-batch corpus (the r13 VERDICT #4 contract).
+    "q_dedup_ppjoin_incremental" -> jaccardSql(lshThreshold.toString),
     // Same 5-token positional shingles, same portable 60-bit hash, same
     // e6 coverage arithmetic.
     "q_dedup_substr" ->

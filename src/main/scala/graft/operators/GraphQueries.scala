@@ -895,7 +895,7 @@ object GraphQueries extends QueryModule {
           (col("graph") * off + col("dst")).as("dst"))
       GraphOps.pageRank(s, encoded, 10)
         .select(expr(s"v div $off").as("graph"), (col("v") % off).as("v"),
-          round(col("pr"), 6).as("pr"))
+          round(col("pr"), 4).as("pr"))
         .orderBy("graph", "v")
     }),
 
@@ -932,19 +932,19 @@ object GraphQueries extends QueryModule {
     // Static PageRank, 10 iterations, over the directed ring graph.
     "q_graph_pagerank" -> ((s, dir) =>
       GraphOps.pageRank(s, ringEdges(s, dir), 10)
-        .select(col("v"), round(col("pr"), 6).as("pr"))
+        .select(col("v"), round(col("pr"), 4).as("pr"))
         .orderBy("v")),
 
     // Personalized PageRank from seed 0, 10 iterations: the random walk
     // restarts at the seed, so rank mass measures proximity to it (the
     // recommendation / local-clustering primitive). Same plan shape as
     // q_graph_pagerank — only the teleport vector differs; ranks below the
-    // e6 rounding floor are cut so the output is the seed's neighborhood,
+    // e4 rounding floor are cut so the output is the seed's neighborhood,
     // not |V| rows of zeros (at scale the filter prunes before the sort).
     "q_graph_ppr" -> ((s, dir) =>
       GraphOps.personalizedPageRank(s, ringEdges(s, dir), 0L, 10)
-        .select(col("v"), round(col("pr"), 6).as("pr"))
-        .filter(col("pr") >= 0.000001)
+        .select(col("v"), round(col("pr"), 4).as("pr"))
+        .filter(col("pr") >= 0.0001)
         .orderBy("v")),
 
     // WARM-START ("delta") PageRank — the rank-family maintenance query:
@@ -961,7 +961,7 @@ object GraphQueries extends QueryModule {
       val all = ringEdges(s, dir)
       val prev = cachedIncState(s, dir, "princ") // stored (v, pr) ranks
       GraphOps.pageRankWarmStart(s, all, prev, 3)
-        .select(col("v"), round(col("pr"), 6).as("pr"))
+        .select(col("v"), round(col("pr"), 4).as("pr"))
         .orderBy("v")
     }),
 
@@ -976,7 +976,7 @@ object GraphQueries extends QueryModule {
         ringEdges(s, dir), bfsDelV2(s, dir))
       val prev = cachedIncState(s, dir, "prdel") // stored ranks of v1
       GraphOps.pageRankWarmStart(s, cur, prev, 3)
-        .select(col("v"), round(col("pr"), 6).as("pr"))
+        .select(col("v"), round(col("pr"), 4).as("pr"))
         .orderBy("v")
     }),
 
@@ -989,7 +989,7 @@ object GraphQueries extends QueryModule {
       GraphOps.weightedPageRank(s,
         ringEdges(s, dir).select(col("src"), col("dst"),
           (lit(1) + (col("src") + col("dst")) % 5).as("w")), 10)
-        .select(col("v"), round(col("pr"), 6).as("pr"))
+        .select(col("v"), round(col("pr"), 4).as("pr"))
         .orderBy("v")),
 
     // Longest-path DAG layering over the increasing-id orientation of the
@@ -1069,8 +1069,8 @@ object GraphQueries extends QueryModule {
     // distributed L2 sum would drift in the last ulp).
     "q_graph_hits" -> ((s, dir) =>
       GraphOps.hits(s, ringEdges(s, dir), 5)
-        .select(col("v"), round(col("auth"), 6).as("auth"),
-          round(col("hub"), 6).as("hub"))
+        .select(col("v"), round(col("auth"), 4).as("auth"),
+          round(col("hub"), 4).as("hub"))
         .orderBy("v")),
 
     // WARM-START ("delta") HITS — the q_graph_pagerank_incremental
@@ -1088,8 +1088,8 @@ object GraphQueries extends QueryModule {
       val all = ringEdges(s, dir)
       val prev = cachedIncState(s, dir, "hitsinc") // stored (v, auth, hub) of v1
       GraphOps.hits(s, all, 2, warmFrom = Some(prev))
-        .select(col("v"), round(col("auth"), 6).as("auth"),
-          round(col("hub"), 6).as("hub"))
+        .select(col("v"), round(col("auth"), 4).as("auth"),
+          round(col("hub"), 4).as("hub"))
         .orderBy("v")
     }),
     // Warm start is DIFF-AGNOSTIC (the resume re-runs the iteration on
@@ -1101,8 +1101,8 @@ object GraphQueries extends QueryModule {
         ringEdges(s, dir), bfsDelV2(s, dir))
       val prev = cachedIncState(s, dir, "hitsdel") // stored scores of v1
       GraphOps.hits(s, cur, 2, warmFrom = Some(prev))
-        .select(col("v"), round(col("auth"), 6).as("auth"),
-          round(col("hub"), 6).as("hub"))
+        .select(col("v"), round(col("auth"), 4).as("auth"),
+          round(col("hub"), 4).as("hub"))
         .orderBy("v")
     }),
 
@@ -1293,7 +1293,7 @@ object GraphQueries extends QueryModule {
       sig0.join(ringDeltas(s, dir).filter(col("dseed") === 0L),
           col("v") === col("dv"), "left")
         .select(col("v"), col("level"), col("sigma"),
-          round(coalesce(col("delta"), lit(0.0)), 6).as("dep"))
+          round(coalesce(col("delta"), lit(0.0)), 4).as("dep"))
         .orderBy("v")
     }),
 
@@ -2480,7 +2480,7 @@ object GraphQueries extends QueryModule {
         w0 AS (SELECT vs2.v, COALESCE(p10.pr, CAST(1.0 AS DOUBLE)) AS pr
                FROM vs2 LEFT JOIN p10 ON p10.v = vs2.v),
         $warm
-        SELECT v, ROUND(pr, 6) AS pr FROM w3 ORDER BY v"""
+        SELECT v, ROUND(pr, 4) AS pr FROM w3 ORDER BY v"""
   }
 
   /** The bfsdel fixture's v2 edge algebra (ring minus the src%13==5 band
@@ -2541,8 +2541,8 @@ object GraphQueries extends QueryModule {
           FROM verts2 t LEFT JOIN hw ON hw.v = t.v),
         $warm
         SELECT wa2.v,
-          ROUND(wa2.auth / (SELECT MAX(auth) FROM wa2), 6) AS auth,
-          ROUND(wh2.hub / (SELECT MAX(hub) FROM wh2), 6) AS hub
+          ROUND(wa2.auth / (SELECT MAX(auth) FROM wa2), 4) AS auth,
+          ROUND(wh2.hub / (SELECT MAX(hub) FROM wh2), 4) AS hub
         FROM wa2 JOIN wh2 ON wa2.v = wh2.v ORDER BY wa2.v"""
   }
 
@@ -2813,7 +2813,7 @@ object GraphQueries extends QueryModule {
           deg AS (SELECT src AS v, COUNT(*) AS d FROM e GROUP BY src),
           pr0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS pr FROM verts),
           $steps
-          SELECT v, ROUND(pr, 6) AS pr FROM pr10 ORDER BY v"""
+          SELECT v, ROUND(pr, 4) AS pr FROM pr10 ORDER BY v"""
     },
     // The identical unrolled recurrence over the ENCODED disjoint union —
     // the oracle reproduces the key-space encoding, so a bug that let
@@ -2844,7 +2844,7 @@ object GraphQueries extends QueryModule {
           deg AS (SELECT src AS v, COUNT(*) AS d FROM e GROUP BY src),
           pr0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS pr FROM verts),
           $steps
-          SELECT v // 1000000 AS graph, v % 1000000 AS v, ROUND(pr, 6) AS pr
+          SELECT v // 1000000 AS graph, v % 1000000 AS v, ROUND(pr, 4) AS pr
           FROM pr10 ORDER BY graph, v"""
     },
     "q_graph_pagerank_incremental" -> warmStartPrOracle(
@@ -2890,7 +2890,7 @@ object GraphQueries extends QueryModule {
           deg AS (SELECT src AS v, CAST(SUM(w) AS BIGINT) AS d FROM e GROUP BY src),
           pr0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS pr FROM verts),
           $steps
-          SELECT v, ROUND(pr, 6) AS pr FROM pr10 ORDER BY v"""
+          SELECT v, ROUND(pr, 4) AS pr FROM pr10 ORDER BY v"""
     },
     "q_graph_ppr" -> {
       // Same unrolled recurrence as q_graph_pagerank with the teleport
@@ -2915,7 +2915,7 @@ object GraphQueries extends QueryModule {
           deg AS (SELECT src AS v, COUNT(*) AS d FROM e GROUP BY src),
           pr0 AS (SELECT v, CASE WHEN v = 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS pr FROM verts),
           $steps
-          SELECT v, ROUND(pr, 6) AS pr FROM pr10 WHERE ROUND(pr, 6) >= 0.000001 ORDER BY v"""
+          SELECT v, ROUND(pr, 4) AS pr FROM pr10 WHERE ROUND(pr, 4) >= 0.0001 ORDER BY v"""
     },
     // The complete DAG's layers — the oracle knows nothing about the
     // v1/delta split, so a wrong max-relaxation fails the compare.
@@ -3029,8 +3029,8 @@ object GraphQueries extends QueryModule {
           h0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS hub FROM verts),
           $steps
           SELECT a5.v,
-            ROUND(a5.auth / (SELECT MAX(auth) FROM a5), 6) AS auth,
-            ROUND(h5.hub / (SELECT MAX(hub) FROM h5), 6) AS hub
+            ROUND(a5.auth / (SELECT MAX(auth) FROM a5), 4) AS auth,
+            ROUND(h5.hub / (SELECT MAX(hub) FROM h5), 4) AS hub
           FROM a5 JOIN h5 ON a5.v = h5.v ORDER BY a5.v"""
     },
     "q_graph_jaccard" ->
@@ -3313,7 +3313,7 @@ object GraphQueries extends QueryModule {
          $dls,
          dall AS ($dallUnion)
          SELECT lv.v, CAST(lv.level AS INT) AS level, sg.sigma,
-           ROUND(COALESCE(d.delta, 0), 6) AS dep
+           ROUND(COALESCE(d.delta, 0), 4) AS dep
          FROM lv JOIN sgall sg ON sg.v = lv.v
          LEFT JOIN dall d ON d.v = lv.v
          ORDER BY lv.v"""
@@ -3368,7 +3368,7 @@ object GraphQueries extends QueryModule {
          dall AS ($dallUnion),
          verts AS (SELECT DISTINCT v FROM lv),
          agg AS (SELECT v, SUM(delta) AS bc FROM dall WHERE v <> seed GROUP BY v)
-         SELECT verts.v, ROUND(COALESCE(agg.bc, 0), 6) AS bc
+         SELECT verts.v, ROUND(COALESCE(agg.bc, 0), 4) AS bc
          FROM verts LEFT JOIN agg ON agg.v = verts.v
          ORDER BY verts.v"""
     },

@@ -230,7 +230,11 @@ object Relational extends QueryModule {
     // prior order drop (the inner-join contract). Same oracle verbatim.
     "q_join_asof" -> ((s, dir) => {
       val e = t(s, dir, "events").select("event_id", "user_id", "ts")
+      // NULL o_orderdate would sort nulls-first and become an eligible
+      // as-of match for EVERY later event; the join spelling's predicate
+      // (o_orderdate <= ts) dropped such rows, so drop them here too.
       val o = t(s, dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+        .filter(col("o_orderdate").isNotNull)
       val oRows = o.select(col("o_custkey").as("user_id"),
         col("o_orderdate").cast("timestamp").as("mts"), lit(0).as("side"),
         lit(null).cast("long").as("event_id"), col("o_orderkey"), col("o_orderdate"))

@@ -51,6 +51,12 @@ object Similarity extends QueryModule {
   private val kmeansK = 8
   private val kmeansIters = 3
 
+  /** SemDeDup intra-cell cosine threshold (q_dedup_semantic) — compared
+    * on the e4-ROUNDED cosine on both engines. Fixture-tuned low (the
+    * synthetic embeddings top out near 0.51); production corpora run
+    * ~0.95+. */
+  private val semdedupThreshold = 0.44
+
   /** Cells probed per IVF query — real IVF probes the nearest p centroids,
     * not just the assigned one (nprobe=1 loses recall exactly at cell
     * boundaries, where a query's true neighbors sit in the adjacent cell).
@@ -517,6 +523,48 @@ object Similarity extends QueryModule {
         .orderBy("cid", "rn")
     }),
 
+    // SEMANTIC dedup (the SemDeDup shape, Abbas et al. 2023): the one
+    // widely-used LLM-pipeline dedup family that keys on EMBEDDINGS, not
+    // text — cluster the corpus into k-means cells, compare cosine only
+    // WITHIN a cell, and keep one representative per near-dup group
+    // (here: a vector is dropped iff some LOWER-id cell-mate clears the
+    // threshold; dup_of names the smallest such id — deterministic,
+    // append-stable, no transitive closure to replay). Rides the SAME
+    // cached Lloyd state as IVF/kmeans/silhouette/diverse. Scale shape:
+    // the intra-cell join's shuffle key is the cell id and k grows with
+    // the corpus so cell populations stay bounded — the quadratic is
+    // per-cell, never corpus-wide (the same bucketed-not-all-pairs
+    // posture as MinHash banding; SemDeDup's own design point). The
+    // threshold is fixture-tuned (the synthetic embeddings top out near
+    // 0.51 cosine) — production SemDeDup runs ~0.95+; only the constant
+    // changes. Oracle: the identical unrolled k-means chain + exact
+    // intra-cell zipped-unnest cosine in DuckDB, so the PAIR SET itself
+    // is cross-verified, not just the survivor list.
+    "q_dedup_semantic" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("embedding").isNotNull)
+      // (vec_id, cid, embedding): feeds BOTH sides of the intra-cell
+      // join and the final readout — pin one copy (multi-consumer
+      // discipline; 2k rows at bench scale, cells at 100 TB).
+      val cells = kmeansAssign(s, dir, kmeansK, kmeansIters)
+        .select("vec_id", "cid")
+        .join(e.select("vec_id", "embedding"), Seq("vec_id"))
+        .localCheckpoint(true)
+      val a = cells.select(col("cid"), col("vec_id").as("va"),
+        col("embedding").as("ea"))
+      val b = cells.select(col("cid"), col("vec_id").as("vb"),
+        col("embedding").as("eb"))
+      val cos = round(dot(col("ea"), col("eb")) /
+        (norm(col("ea")) * norm(col("eb"))), 4)
+      val dupOf = a.join(b, Seq("cid")).filter(col("va") < col("vb"))
+        .select(col("va"), col("vb"), cos.as("cosine"))
+        .filter(col("cosine") >= semdedupThreshold)
+        .groupBy(col("vb").as("vec_id")).agg(min("va").as("dup_of"))
+      cells.select("vec_id", "cid").join(dupOf, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid"),
+          col("dup_of").isNull.as("kept"), col("dup_of"))
+        .orderBy("vec_id")
+    }),
+
     // Random-hyperplane LSH ANN: multi-table banded signatures (8 tables ×
     // 3 bits) computed by the codegen [[graft.functions.HyperplaneBands]]
     // expression — one fused integer loop per row, coefficients derived
@@ -657,6 +705,33 @@ object Similarity extends QueryModule {
            FROM cosined)
          SELECT qid, vec_id, cosine_q, rn FROM ranked WHERE rn <= 5
          ORDER BY qid, rn""",
+    // SemDeDup oracle: the identical unrolled k-means chain gives the
+    // cells; the pair set is recomputed as EXACT intra-cell zipped-unnest
+    // cosine (double math, e4-rounded before the threshold compare, like
+    // every cosine family); keep-one = no lower-id cell-mate over the
+    // threshold, dup_of = the smallest such id.
+    "q_dedup_semantic" ->
+      s"""WITH ${kmeansCtes(kmeansK, kmeansIters)},
+         cell AS MATERIALIZED (
+           SELECT a$kmeansIters.vec_id, a$kmeansIters.cid, e.embedding
+           FROM a$kmeansIters JOIN embeddings e USING (vec_id)),
+         nrm AS (SELECT vec_id, SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nv
+                 FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings
+                       WHERE embedding IS NOT NULL) GROUP BY vec_id),
+         dots AS (SELECT va, vb, SUM(ax*bx) AS dp FROM (
+             SELECT a.vec_id AS va, b.vec_id AS vb,
+                    CAST(unnest(a.embedding) AS DOUBLE) AS ax,
+                    CAST(unnest(b.embedding) AS DOUBLE) AS bx
+             FROM cell a JOIN cell b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+           GROUP BY va, vb),
+         pairs AS (SELECT va, vb
+           FROM dots JOIN nrm na ON na.vec_id = va JOIN nrm nb ON nb.vec_id = vb
+           WHERE ROUND(dp / (na.nv * nb.nv), 4) >= $semdedupThreshold),
+         dup AS (SELECT vb AS vec_id, MIN(va) AS dup_of FROM pairs GROUP BY vb)
+         SELECT c.vec_id, c.cid, dup.dup_of IS NULL AS kept, dup.dup_of
+         FROM cell c LEFT JOIN dup USING (vec_id)
+         ORDER BY c.vec_id""",
+
     // Same integer quantization, exact integer distances and floor-division
     // centroid means, same argmin tie-break, same sufficient statistics —
     // the full iterated recurrence unrolled, bit-replicable end to end.

@@ -578,13 +578,15 @@ object GraphOps {
   }
 
   /** Sampled-betweenness readout over [[multiBrandesDeltas]]' output:
-    * Σ_seeds δ_s(v), each source's own row excluded, rounded e6. */
+    * Σ_seeds δ_s(v), each source's own row excluded, rounded e4
+    * (r13 VERDICT #8: double-summation compares round at 4, not 6, so a
+    * partition-order half-ulp cannot flip the compare). */
   private[graft] def multiBrandesFinal(sigAll: DataFrame, delAll: DataFrame): DataFrame =
     sigAll.select("v").distinct()
       .join(delAll.filter(col("dv") =!= col("dseed"))
         .groupBy(col("dv")).agg(sum("delta").as("bc")),
         col("v") === col("dv"), "left")
-      .select(col("v"), round(coalesce(col("bc"), lit(0.0)), 6).as("bc"))
+      .select(col("v"), round(coalesce(col("bc"), lit(0.0)), 4).as("bc"))
 
   private[graft] def multiBrandesBackward(spark: SparkSession, ed: DataFrame,
       sigAll: DataFrame): DataFrame =
@@ -1017,7 +1019,7 @@ object GraphOps {
     }
     sigAll.join(delAll, col("v") === col("dv"), "left")
       .select(col("v"), col("level"), col("sigma"),
-        round(coalesce(col("delta"), lit(0.0)), 6).as("dep"))
+        round(coalesce(col("delta"), lit(0.0)), 4).as("dep"))
   }
 
   /** Strongly connected components of a DIRECTED graph — the coloring
@@ -2639,14 +2641,15 @@ object GraphOps {
     * `secondary_server.c`'s traversal queries, SURVEY §2 Part D). */
   def kcorePeel(spark: SparkSession, rawEdges: DataFrame, k: Int,
       rounds: Int): DataFrame = {
-    // Convergence DETECTION needs at least one potential no-op round:
-    // with rounds == 1 the loop below can never observe n == prevN and
-    // the convergence require would throw even on an already-converged
-    // input. (The cap must exceed the true fixpoint depth by ≥1 for the
-    // same reason — the error message below says so when it bites.)
-    require(rounds >= 2,
-      s"kcorePeel rounds must be >= 2 (got $rounds): detecting the " +
-        "fixpoint requires room for one no-op round")
+    // `rounds` caps the SHRINKING peel rounds only. Convergence detection
+    // needs one no-op round beyond the last shrink; that detection round
+    // runs beyond the cap for free (it cannot change the output — a
+    // post-fixpoint round recomputes degrees within the converged set),
+    // so rounds == exact fixpoint depth and rounds == 1 on an
+    // already-converged input both succeed instead of throwing (r13
+    // ADVICE: the old `require(rounds >= 2)` + hard cap made those cases
+    // always throw).
+    require(rounds >= 1, s"kcorePeel rounds must be >= 1 (got $rounds)")
     val und = rawEdges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
@@ -2669,7 +2672,9 @@ object GraphOps {
     var prevN = -1L
     var n = deg.count()
     var r = 1
-    while (n != prevN && r < rounds) {
+    // `r <= rounds` (not `<`): the iteration that OBSERVES the no-op is
+    // the free detection round — the cap bounds shrinking work only.
+    while (n != prevN && r <= rounds) {
       r += 1
       val act = deg.select("v")
       deg = sym

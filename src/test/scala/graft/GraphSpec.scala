@@ -138,8 +138,9 @@ class GraphSpec extends SparkSpec {
     val got = GraphOps.multiSourceBrandes(spark, edges, seeds)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     for (v <- vs) {
-      // per-seed deps are rounded at 1e-6 before summing in the reference
-      assert(math.abs(got(v) - expected(v)) < 1e-4, s"vertex $v")
+      // per-seed deps are rounded at 1e-4 before summing in the reference
+      // (r14: the double-summation compares moved from e6 to e4 rounding)
+      assert(math.abs(got(v) - expected(v)) < 1e-3, s"vertex $v")
     }
   }
 
@@ -853,14 +854,14 @@ class GraphSpec extends SparkSpec {
       delta(u) += sigma(u) / sigma(w) * (1.0 + delta(w))
     val expect = lvl.keys.map(x => x ->
       ((lvl(x), sigma(x).toLong,
-        BigDecimal(delta(x)).setScale(6, BigDecimal.RoundingMode.HALF_UP)))).toMap
+        BigDecimal(delta(x)).setScale(4, BigDecimal.RoundingMode.HALF_UP)))).toMap
     val got = SparkEntry.queries("q_graph_betweenness")(spark, dir)
       .collect().map(r => r.getLong(0) ->
         ((r.getInt(1), r.getLong(2), BigDecimal(r.getDouble(3))))).toMap
     assert(got.keySet == expect.keySet)
     for ((k, (l, s, d)) <- expect) {
       assert(got(k)._1 == l && got(k)._2 == s, s"level/sigma at $k")
-      assert((got(k)._3 - d).abs <= BigDecimal("0.000001"), s"delta at $k: ${got(k)._3} vs $d")
+      assert((got(k)._3 - d).abs <= BigDecimal("0.0001"), s"delta at $k: ${got(k)._3} vs $d")
     }
   }
 

@@ -42,12 +42,25 @@ def maps(d):
 oq, on = maps(old)
 nq, nn = maps(new)
 use_norm = on is not None and nn is not None
+# Two-anchor consistency (r13 VERDICT #2): when either artifact says its
+# CPU and scan host factors disagree (>30%), the probe normalization is
+# unattributable — fall back to raw times and say so.
+for side, d in (("old", old), ("new", new)):
+    hf = d.get("host_factor")
+    if isinstance(hf, dict) and hf.get("consistent") is False:
+        print(f"WARNING: {side} artifact's probe anchors disagree "
+              f"(cpu={hf.get('cpu')} scan={hf.get('scan')}) - using RAW times")
+        use_norm = False
 common = sorted(set(oq) & set(nq))
 src_o, src_n = (on, nn) if use_norm else (oq, nq)
 print(f"common queries: {len(common)}  basis: "
       f"{'queries_norm (per-query probe-normalized)' if use_norm else 'raw queries'}")
+if not common:
+    sys.exit("no common queries between the two artifacts - nothing to diff")
 tot_o = sum(src_o.get(q, oq[q]) for q in common)
 tot_n = sum(src_n.get(q, nq[q]) for q in common)
+if tot_o <= 0:
+    sys.exit(f"old common-subset total is {tot_o} - ratios undefined")
 print(f"common-subset total: {tot_o:.1f}s -> {tot_n:.1f}s = {tot_n/tot_o:.3f}x")
 flagged = []
 for q in common:

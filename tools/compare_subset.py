@@ -59,6 +59,16 @@ def run_one(name, sql, q):
                     neq = a != b
                     if a.dtype.kind == "f" and b.dtype.kind == "f":
                         neq = neq | (np.copysign(1.0, a) != np.copysign(1.0, b))
+                    elif a.dtype.kind == "O" or b.dtype.kind == "O":
+                        # object-dtype columns can hold Python floats: the
+                        # old per-element loop caught -0.0 vs 0.0 there too,
+                        # so keep that check elementwise for float instances
+                        neq = np.asarray(neq, dtype=bool)
+                        for j in range(len(a)):
+                            if (not neq[j] and isinstance(a[j], float)
+                                    and isinstance(b[j], float)
+                                    and math.copysign(1.0, a[j]) != math.copysign(1.0, b[j])):
+                                neq[j] = True
                 bad[np.flatnonzero(both)[np.asarray(neq, dtype=bool)]] = True
             if bad.any():
                 i = int(np.flatnonzero(bad)[0])
