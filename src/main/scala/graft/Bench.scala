@@ -717,7 +717,12 @@ object Bench {
     // silently never refresh BENCH_FULL.json).
     val dataQueries = results.filter(_._1.startsWith("q_"))
     val failedCount = dataQueries.count(r => !r._3)
-    val allFailed = dataQueries.nonEmpty && failedCount >= dataQueries.size - 2
+    // failedCount > 0 guards the degenerate small-subset case: a 2-query
+    // SPARK_GRAFT_ONLY run with ZERO failures satisfied `0 >= size - 2`
+    // and logged itself as an all-failed probe run (harmless — subset
+    // runs never write — but the misdiagnosis is noise in every log).
+    val allFailed = dataQueries.nonEmpty && failedCount > 0 &&
+      failedCount >= dataQueries.size - 2
     // EXPLICIT probe indicator (r13 VERDICT #2b): the fail-visible probe
     // run points SPARK_GRAFT_SF_DIR at a nonexistent path — key the guard
     // on that directly so a legitimate run with many failures is written

@@ -63,7 +63,8 @@ object Dedup extends QueryModule {
     * because prefixes keep each document's RAREST shingles). */
   private[graft] def jaccardPairs(shRaw: DataFrame, threshold: Double,
                            candidates: Option[DataFrame] = None,
-                           preMaterialized: Boolean = false): DataFrame = {
+                           preMaterialized: Boolean = false,
+                           candidatesDense: Boolean = false): DataFrame = {
     val sh = if (preMaterialized) shRaw else shRaw.localCheckpoint(true)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // The prefix filter's selectivity collapses as t drops (prefix length
@@ -121,7 +122,37 @@ object Dedup extends QueryModule {
     //  - Neither (low-t exact mode): the unrestricted s-equi-join —
     //    quadratic BY NATURE within shingle-sharing groups; callers
     //    scope it (q_dedup_ngram bounds its slice).
+    // Dense-int per-pair intersect keyed ONLY through the candidate pair
+    // table — the shape for doc-DENSE candidate sets (prefix collisions),
+    // where a shingle-equi-join among candidate docs would rebuild the
+    // full quadratic. `lists` feeds BOTH sides of the candidate join
+    // (la/lb) and `sid` is nondeterministic (monotonically_increasing_id):
+    // under AQE replanning or stage recomputation the two consumers could
+    // observe DIFFERENT id assignments for the same shingle, silently
+    // corrupting the array_intersect counts. Pin one assignment (the same
+    // multi-consumer discipline as pfx/prefixCand).
+    def intersectViaLists(cand: DataFrame): DataFrame = {
+      val sid = sh.select("s").distinct()
+        .withColumn("sid", monotonically_increasing_id())
+      val lists = sh.join(sid, Seq("s"))
+        .groupBy("doc_id").agg(collect_list(col("sid")).as("ls"))
+        .localCheckpoint(true)
+      cand
+        .join(lists.select(col("doc_id").as("da"), col("ls").as("la")), Seq("da"))
+        .join(lists.select(col("doc_id").as("db"), col("ls").as("lb")), Seq("db"))
+        .select(col("da"), col("db"),
+          size(array_intersect(col("la"), col("lb"))).cast("long").as("c"))
+    }
     val inter = candidates match {
+      // Doc-SPARSE candidates (LSH collisions): the docs they touch are
+      // few, so semi-restricting both shingle sides BEFORE the s-equi-join
+      // bounds the quadratic to collision docs. Doc-DENSE candidates
+      // (prefix collisions — most of the corpus appears in some pair) must
+      // NOT take this shape: the r14 ingest twin shipped them through it
+      // and the "bounded" join was the near-full quadratic again (18.6 s
+      // vs 7.7 s for the whole batch join). Callers say which via
+      // candidatesDense.
+      case Some(c0) if candidatesDense => intersectViaLists(c0)
       case Some(c0) =>
         val a = sh.select(col("doc_id").as("da"), col("s"))
         val b = sh.select(col("doc_id").as("db"), col("s"))
@@ -130,23 +161,7 @@ object Dedup extends QueryModule {
         aSc.join(bSc, Seq("s")).filter(col("da") < col("db"))
           .join(c0, Seq("da", "db"), "left_semi")
           .groupBy("da", "db").agg(count(lit(1)).as("c"))
-      case None if usePrefix =>
-        val sid = sh.select("s").distinct()
-          .withColumn("sid", monotonically_increasing_id())
-        // `lists` feeds BOTH sides of the candidate join (la/lb below) and
-        // `sid` is nondeterministic (monotonically_increasing_id): under AQE
-        // replanning or stage recomputation the two consumers could observe
-        // DIFFERENT id assignments for the same shingle, silently corrupting
-        // the array_intersect counts. Pin one assignment (the same
-        // multi-consumer discipline as pfx/prefixCand above).
-        val lists = sh.join(sid, Seq("s"))
-          .groupBy("doc_id").agg(collect_list(col("sid")).as("ls"))
-          .localCheckpoint(true)
-        prefixCand
-          .join(lists.select(col("doc_id").as("da"), col("ls").as("la")), Seq("da"))
-          .join(lists.select(col("doc_id").as("db"), col("ls").as("lb")), Seq("db"))
-          .select(col("da"), col("db"),
-            size(array_intersect(col("la"), col("lb"))).cast("long").as("c"))
+      case None if usePrefix => intersectViaLists(prefixCand)
       case None =>
         sh.select(col("doc_id").as("da"), col("s"))
           .join(sh.select(col("doc_id").as("db"), col("s")), Seq("s"))
@@ -556,8 +571,13 @@ object Dedup extends QueryModule {
         .union(cand.select(col("db").as("doc_id"))).distinct()
       val sh = shingles(docs.join(candDocs, Seq("doc_id"), "left_semi"))
         .localCheckpoint(true)
+      // candidatesDense: these are PREFIX collisions, not LSH collisions —
+      // the docs they touch are corpus-dense, so the verify must intersect
+      // per candidate pair (array_intersect through cand), never
+      // s-equi-join among candidate docs (measured 18.6 s in that shape
+      // vs 7.7 s for the whole batch join it extends).
       val newPairs = jaccardPairs(sh, lshThreshold, Some(cand),
-        preMaterialized = true)
+        preMaterialized = true, candidatesDense = true)
       statePairs.unionByName(newPairs).orderBy("da", "db")
     }),
 

@@ -251,6 +251,28 @@ class ScaleSpec extends SparkSpec {
       s"extra s-keyed inner join — the quadratic is back:\n${sJoins.mkString("\n")}")
   }
 
+  test("ppjoin ingest twin: candidate verify intersects through cand, never an s-equi-join") {
+    // Same defect class as the batch test above, caught LIVE in r14: the
+    // ingest twin first shipped its prefix-collision candidates (doc-
+    // DENSE) through the semi-restricted s-equi-join shape that is only
+    // right for doc-sparse LSH collisions — 18.6 s vs 7.7 s for the whole
+    // batch join it extends. Legitimate s-keyed INNER joins here: the
+    // verify's sh ⋈ sid dense-id map plus the two prefix collision joins
+    // (new×state and new×new, both sides ~(1−t)-fraction prefix frames);
+    // the dfreq annotate is a LEFT join (unseen shingles rank 0) and the
+    // state-side prefix/dfreq/pairs tables come pre-built from parquet.
+    val qe = graft.operators.Dedup
+      .queries("q_dedup_ppjoin_incremental")(spark, sfDir)
+      .queryExecution
+    val op = qe.optimizedPlan.toString
+    assert(op.contains("array_intersect"),
+      s"expected array_intersect in the ingest verify stage:\n${op.take(800)}")
+    val sJoins = op.linesIterator
+      .filter(l => l.contains("Join Inner") && l.contains("(s#")).toSeq
+    assert(sJoins.size <= 3,
+      s"extra s-keyed inner join — the ingest quadratic is back:\n${sJoins.mkString("\n")}")
+  }
+
   test("round-6 additions: corpus-sized joins unhinted, no nested-loop/cartesian anywhere") {
     // q_dedup_substr's df frame and q_text_lm_score's bigram model both
     // grow with the corpus (shingle/vocab² cardinality) — they must join
