@@ -24,6 +24,66 @@ object Bench {
     else java.nio.file.Paths.get("/root/repo")
   }
 
+  /** Which queries read each prewarmed cache — DATA, consumed twice:
+    * the subset-aware prewarm filter and the cache_consumers JSON. */
+  private val cacheConsumerSeq: Seq[(String, Seq[String])] = Seq(
+      "sigma_bfs" -> Seq("q_graph_bfs", "q_graph_dfs_leaves", "q_graph_khop",
+
+        "q_graph_betweenness", "q_graph_betweenness_multi", "q_graph_closeness",
+        "q_graph_ecc", "q_graph_harmonic", "q_graph_diameter"),
+      "brandes_deltas" -> Seq("q_graph_betweenness", "q_graph_betweenness_multi"),
+      "labelprop" -> Seq("q_graph_labelprop", "q_graph_modularity"),
+      "lsh_pairs" -> Seq("q_dedup_minhash", "q_dedup_cluster"),
+      "lloyd_kmeans" -> Seq("q_sim_ivf", "q_sim_ivf_del", "q_sim_kmeans",
+        "q_sim_silhouette", "q_sample_diverse", "q_dedup_semantic"),
+      "winnow_fingerprints" -> Seq("q_text_winnow", "q_text_winnow_pairs",
+        "q_text_decontam"),
+      "incstate_bfsinc" -> Seq("q_graph_bfs_incremental"),
+      "incstate_bfsdel" -> Seq("q_graph_bfs_incremental_del"),
+      "incstate_ccinc" -> Seq("q_graph_cc_incremental"),
+      "incstate_ccdel" -> Seq("q_graph_cc_incremental_del"),
+      "incstate_triinc" -> Seq("q_graph_triangles_incremental"),
+      "incstate_tridel" -> Seq("q_graph_triangles_incremental_del"),
+      "incstate_princ" -> Seq("q_graph_pagerank_incremental"),
+      "incstate_prdel" -> Seq("q_graph_pagerank_incremental_del"),
+      "incstate_ssspinc" -> Seq("q_graph_sssp_incremental"),
+      "incstate_ssspdel" -> Seq("q_graph_sssp_incremental_del"),
+      "incstate_daginc" -> Seq("q_graph_dag_layers_incremental"),
+      "incstate_dagdel" -> Seq("q_graph_dag_layers_incremental_del",
+        "q_graph_dag_layers_incremental_del_bsp"),
+      "incstate_centinc_sig" -> Seq("q_graph_betweenness_incremental",
+        "q_graph_closeness_incremental"),
+      "incstate_centinc_del" -> Seq("q_graph_betweenness_incremental"),
+      "incstate_centdel_sig" -> Seq("q_graph_betweenness_incremental_del",
+        "q_graph_closeness_incremental_del"),
+      "incstate_centdel_del" -> Seq("q_graph_betweenness_incremental_del"),
+      "incstate_misinc" -> Seq("q_graph_mis_incremental",
+        "q_graph_mis_incremental_fallback"),
+      "incstate_colinc" -> Seq("q_graph_coloring_incremental",
+        "q_graph_coloring_incremental_fallback"),
+      "incstate_misdel" -> Seq("q_graph_mis_incremental_del"),
+      "incstate_coldel" -> Seq("q_graph_coloring_incremental_del"),
+      "incstate_colhubinc" -> Seq("q_graph_coloring_hub_incremental"),
+      "incstate_colhubdel" -> Seq("q_graph_coloring_hub_incremental_del"),
+      "incstate_kcoreinc" -> Seq("q_graph_kcore_incremental"),
+      "incstate_kcoredel" -> Seq("q_graph_kcore_incremental_del",
+        "q_graph_kcore_incremental_del_bsp"),
+      "incstate_ktrussinc" -> Seq("q_graph_ktruss_incremental"),
+      "incstate_ktrussdel" -> Seq("q_graph_ktruss_incremental_del",
+        "q_graph_ktruss_incremental_del_bsp"),
+      "incstate_lccinc" -> Seq("q_graph_lcc_incremental"),
+      "incstate_lccdel" -> Seq("q_graph_lcc_incremental_del"),
+      "incstate_msfinc" -> Seq("q_graph_msf_incremental",
+        "q_graph_msf_incremental_bsp"),
+      "incstate_msfdel" -> Seq("q_graph_msf_incremental_del",
+        "q_graph_msf_incremental_del_bsp"),
+      "incstate_hitsinc" -> Seq("q_graph_hits_incremental"),
+      "incstate_hitsdel" -> Seq("q_graph_hits_incremental_del"),
+      "lsh_ingest_pairs" -> Seq("q_dedup_incremental_del"),
+      "ppjoin_state" -> Seq("q_dedup_ppjoin_incremental"),
+      "lsh_ingest_state" -> Seq("q_dedup_incremental",
+        "q_dedup_incremental_del"))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -101,11 +161,25 @@ object Bench {
     // cache_build_sec line hid which sweep regressed); a failed build is
     // recorded as -1 so the failure is visible in the JSON, and the
     // consumer queries then build lazily (and slowly) — fail-visible.
+    // Optional subset filter for local iteration: SPARK_GRAFT_ONLY=regex.
+    // Parsed BEFORE the cache prewarm so a subset run only builds the
+    // caches its queries actually read (r14: the sf10 scale probe runs a
+    // ~10-query subset; prewarming all ~40 caches at 100x bench scale
+    // would dwarf the probe itself). Caches not in cacheConsumerSeq build
+    // unconditionally — unknown means unattributable, so stay safe.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    val consumerMap: Map[String, Seq[String]] = cacheConsumerSeq.toMap
+    def cacheWanted(name: String): Boolean = only.forall { r =>
+      val cs = consumerMap.getOrElse(name, Nil)
+      cs.isEmpty || cs.exists(q => r.findFirstIn(q).isDefined)
+    }
     val cacheTimes: Seq[(String, Double)] =
       (graft.operators.GraphQueries.namedCaches ++
        graft.operators.Dedup.namedCaches ++
        graft.operators.Similarity.namedCaches ++
-       graft.operators.TextOps.namedCaches).map { case (name, build) =>
+       graft.operators.TextOps.namedCaches)
+        .filter { case (name, _) => cacheWanted(name) }
+        .map { case (name, build) =>
         val t0 = System.nanoTime()
         try { build(spark, sfDir); name -> (System.nanoTime() - t0) / 1e9 }
         catch { case scala.util.control.NonFatal(e) =>
@@ -113,8 +187,6 @@ object Bench {
           name -> -1.0 }
       }
     val cacheBuildSec = cacheTimes.map(_._2).filter(_ >= 0).sum
-    // Optional subset filter for local iteration: SPARK_GRAFT_ONLY=regex.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     // Diagnostic knob (r9 VERDICT #5's repeat-run investigations):
     // SPARK_GRAFT_SAMPLES=N forces every surviving query to N in-JVM
     // samples (published via tail_samples for tail queries / the min as
@@ -606,58 +678,7 @@ object Bench {
     // cross-engine per-query comparisons can't mistake a readback for the
     // live operator; families with a live twin keep it benched, e.g.
     // q_graph_bfs_pregel, q_graph_cc_bsp, q_graph_dag_layers_bsp).
-    val cacheConsumers = Seq(
-      "sigma_bfs" -> Seq("q_graph_bfs", "q_graph_dfs_leaves", "q_graph_khop",
-        "q_graph_betweenness", "q_graph_betweenness_multi", "q_graph_closeness",
-        "q_graph_ecc", "q_graph_harmonic", "q_graph_diameter"),
-      "brandes_deltas" -> Seq("q_graph_betweenness", "q_graph_betweenness_multi"),
-      "labelprop" -> Seq("q_graph_labelprop", "q_graph_modularity"),
-      "lsh_pairs" -> Seq("q_dedup_minhash", "q_dedup_cluster"),
-      "lloyd_kmeans" -> Seq("q_sim_ivf", "q_sim_kmeans", "q_sim_silhouette",
-        "q_sample_diverse", "q_dedup_semantic"),
-      "winnow_fingerprints" -> Seq("q_text_winnow", "q_text_winnow_pairs",
-        "q_text_decontam"),
-      "incstate_bfsinc" -> Seq("q_graph_bfs_incremental"),
-      "incstate_bfsdel" -> Seq("q_graph_bfs_incremental_del"),
-      "incstate_ccinc" -> Seq("q_graph_cc_incremental"),
-      "incstate_ccdel" -> Seq("q_graph_cc_incremental_del"),
-      "incstate_triinc" -> Seq("q_graph_triangles_incremental"),
-      "incstate_tridel" -> Seq("q_graph_triangles_incremental_del"),
-      "incstate_princ" -> Seq("q_graph_pagerank_incremental"),
-      "incstate_prdel" -> Seq("q_graph_pagerank_incremental_del"),
-      "incstate_ssspinc" -> Seq("q_graph_sssp_incremental"),
-      "incstate_ssspdel" -> Seq("q_graph_sssp_incremental_del"),
-      "incstate_daginc" -> Seq("q_graph_dag_layers_incremental"),
-      "incstate_dagdel" -> Seq("q_graph_dag_layers_incremental_del"),
-      "incstate_centinc_sig" -> Seq("q_graph_betweenness_incremental",
-        "q_graph_closeness_incremental"),
-      "incstate_centinc_del" -> Seq("q_graph_betweenness_incremental"),
-      "incstate_centdel_sig" -> Seq("q_graph_betweenness_incremental_del",
-        "q_graph_closeness_incremental_del"),
-      "incstate_centdel_del" -> Seq("q_graph_betweenness_incremental_del"),
-      "incstate_misinc" -> Seq("q_graph_mis_incremental",
-        "q_graph_mis_incremental_fallback"),
-      "incstate_colinc" -> Seq("q_graph_coloring_incremental",
-        "q_graph_coloring_incremental_fallback"),
-      "incstate_misdel" -> Seq("q_graph_mis_incremental_del"),
-      "incstate_coldel" -> Seq("q_graph_coloring_incremental_del"),
-      "incstate_colhubinc" -> Seq("q_graph_coloring_hub_incremental"),
-      "incstate_colhubdel" -> Seq("q_graph_coloring_hub_incremental_del"),
-      "incstate_kcoreinc" -> Seq("q_graph_kcore_incremental"),
-      "incstate_kcoredel" -> Seq("q_graph_kcore_incremental_del",
-        "q_graph_kcore_incremental_del_bsp"),
-      "incstate_ktrussinc" -> Seq("q_graph_ktruss_incremental"),
-      "incstate_ktrussdel" -> Seq("q_graph_ktruss_incremental_del",
-        "q_graph_ktruss_incremental_del_bsp"),
-      "incstate_lccinc" -> Seq("q_graph_lcc_incremental"),
-      "incstate_lccdel" -> Seq("q_graph_lcc_incremental_del"),
-      "incstate_msfinc" -> Seq("q_graph_msf_incremental"),
-      "incstate_msfdel" -> Seq("q_graph_msf_incremental_del"),
-      "incstate_hitsinc" -> Seq("q_graph_hits_incremental"),
-      "incstate_hitsdel" -> Seq("q_graph_hits_incremental_del"),
-      "lsh_ingest_pairs" -> Seq("q_dedup_incremental_del"),
-      "ppjoin_state" -> Seq("q_dedup_ppjoin_incremental")
-    ).map { case (k, v) =>
+    val cacheConsumers = cacheConsumerSeq.map { case (k, v) =>
       "\"" + k + "\":" + v.map("\"" + _ + "\"").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val cacheMap = cacheTimes.map { case (k, v) => "\"" + k + "\":" + fmt(v) }

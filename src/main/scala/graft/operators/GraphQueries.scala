@@ -63,6 +63,15 @@ object GraphQueries extends QueryModule {
     * reachable set into a residue subgroup (measured: m2=15 reached
     * 6% of V) — so all four graphs stay expanders with BFS depth ~13–19
     * across sf0.01/sf0.1. Shared verbatim by the DuckDB oracle. */
+  /** Key-space encoding stride for the disjoint-union multi-graph
+    * queries (q_graph_multi_pagerank): vertex v of graph g rides as
+    * g*multiGraphOffset + v, injective while every vertex id stays under
+    * the stride. 1e9 keeps the encoding valid to a billion vertices per
+    * graph (the r14 sf10 probe tripped the old 1e6 guard at 1.5M
+    * customers) while 4 graphs * 1e9 stays far inside Long range. The
+    * ORACLE interpolates this same constant — never hardcode it. */
+  private val multiGraphOffset = 1000000000L
+
   private val multiGraphParams: Seq[(Int, Int, Int)] =
     Seq((0, 7, 5), (1, 11, 7), (2, 13, 9), (3, 17, 11))
 
@@ -880,12 +889,12 @@ object GraphQueries extends QueryModule {
     // 10 iterations, decoded back to (graph, v, pr). One rankLoop's
     // barriers amortize across ALL graphs — the whole point of batching.
     "q_graph_multi_pagerank" -> ((s, dir) => {
-      val off = 1000000L
+      val off = multiGraphOffset
       // the encoding is only injective while every vertex id fits under
-      // the offset — at a scale factor where customers reach 1M ids the
-      // graphs would silently bleed rank mass into each other, so fail
-      // loudly instead (the fix at that scale is a bigger offset on BOTH
-      // sides — the oracle hardcodes the same 1e6)
+      // the offset — beyond it the graphs would silently bleed rank mass
+      // into each other, so fail loudly instead (the fix at that scale
+      // is a bigger offset on BOTH sides — the oracle interpolates the
+      // same shared constant)
       val nCust = t(s, dir, "customer").count()
       require(nCust < off,
         s"q_graph_multi_pagerank: $nCust customers exceed the $off id " +
@@ -2833,18 +2842,18 @@ object GraphQueries extends QueryModule {
       }.mkString(",\n")
       s"""WITH gs(gid, m2, a2) AS (SELECT * FROM (VALUES $gs)),
           e AS (
-            SELECT gs.gid*1000000 + c_custkey AS src,
-              gs.gid*1000000 + (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst
+            SELECT CAST(gs.gid AS BIGINT)*$multiGraphOffset + c_custkey AS src,
+              CAST(gs.gid AS BIGINT)*$multiGraphOffset + (c_custkey*2+1)%(SELECT COUNT(*) FROM customer) AS dst
             FROM customer, gs
             UNION ALL
-            SELECT gs.gid*1000000 + c_custkey,
-              gs.gid*1000000 + (c_custkey*gs.m2+gs.a2)%(SELECT COUNT(*) FROM customer)
+            SELECT CAST(gs.gid AS BIGINT)*$multiGraphOffset + c_custkey,
+              CAST(gs.gid AS BIGINT)*$multiGraphOffset + (c_custkey*gs.m2+gs.a2)%(SELECT COUNT(*) FROM customer)
             FROM customer, gs),
           verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
           deg AS (SELECT src AS v, COUNT(*) AS d FROM e GROUP BY src),
           pr0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS pr FROM verts),
           $steps
-          SELECT v // 1000000 AS graph, v % 1000000 AS v, ROUND(pr, 4) AS pr
+          SELECT v // $multiGraphOffset AS graph, v % $multiGraphOffset AS v, ROUND(pr, 4) AS pr
           FROM pr10 ORDER BY graph, v"""
     },
     "q_graph_pagerank_incremental" -> warmStartPrOracle(
