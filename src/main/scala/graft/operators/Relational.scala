@@ -53,6 +53,56 @@ object Relational extends QueryModule {
     out
   }
 
+  /** Exact interpolated percentiles per group, replicating Spark's
+    * `percentile()` semantics bit-for-bit WITHOUT its
+    * ObjectHashAggregate: the built-in Percentile aggregate builds an
+    * OpenHashMap per partial, ships the serialized maps through the
+    * shuffle, and sorts the merged map single-threaded per group — at
+    * sf0.1 that was ~2 s of the q_agg_stats / q_agg_approx_pct times,
+    * and at 100 TB an unbounded in-memory map per group (OOM, no spill).
+    * This spelling is the q_agg_wmedian discipline: hash-aggregate
+    * (group, value) counts (map-side combine), ONE spillable
+    * sort+window over the value dictionary for the running count, then
+    * conditional-min lookups — every stage whole-stage-codegen, every
+    * buffer spillable.
+    *
+    * Arithmetic is Spark's own (PercentileBase.getPercentile, verified
+    * against the 4.1.2 bytecode): position = (N−1).toDouble × p;
+    * lower = floor(position), higher = ceil(position); lowerKey = the
+    * value covering 0-based sorted index `lower` (= min value whose
+    * running count ≥ lower+1), higherKey likewise; result = lowerKey
+    * when higher == lower or the keys coincide, else
+    * (higher − position)·lowerKey + (position − lower)·higherKey — the
+    * identical double expression, so results are bit-identical to the
+    * built-in (oracle-verified at sf0.01/sf0.1).
+    *
+    * Returns one row per group: (`g`, names…), null-valued inputs
+    * ignored like the built-in. */
+  private def exactPercentiles(df: DataFrame, g: String, x: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    val byVal = df.filter(col(x).isNotNull)
+      .groupBy(col(g), col(x).as("pv")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum",
+        sum("cnt").over(Window.partitionBy(g).orderBy("pv")))
+      .withColumn("tot", sum("cnt").over(Window.partitionBy(g)))
+    def pos(p: Double) = (col("tot") - 1).cast("double") * lit(p)
+    val lookups = ps.flatMap { case (nm, p) =>
+      Seq(
+        min(when(col("cum") >= floor(pos(p)) + 1, col("pv"))).as(s"${nm}_lk"),
+        min(when(col("cum") >= ceil(pos(p)) + 1, col("pv"))).as(s"${nm}_hk"))
+    } :+ max("tot").as("tot")
+    val outs = ps.map { case (nm, p) =>
+      val position = pos(p)
+      val lo = floor(position)
+      val hi = ceil(position)
+      when(hi === lo || col(s"${nm}_lk") === col(s"${nm}_hk"), col(s"${nm}_lk"))
+        .otherwise((hi.cast("double") - position) * col(s"${nm}_lk") +
+          (position - lo.cast("double")) * col(s"${nm}_hk")).as(nm)
+    }
+    byVal.groupBy(g).agg(lookups.head, lookups.tail: _*)
+      .select(col(g) +: outs: _*)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-style pricing summary: scan→filter→hash agg (partial+final
     // map-side combine comes free from Catalyst).
@@ -343,12 +393,16 @@ object Relational extends QueryModule {
     // `apx_ok` = the sketch is within 1% relative error of exact (the
     // rank-error bound at accuracy=10000 is far tighter).
     "q_agg_approx_pct" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)").as("pcts"),
-          expr("percentile(l_extendedprice, 0.5)").as("ex_med"),
-          expr("percentile(l_extendedprice, 0.9)").as("ex_p90"))
+      // exact reference percentiles via the sort+window spelling
+      // ([[exactPercentiles]] — same values as the old percentile()
+      // aggregate, without its per-group in-memory map); the SKETCH side
+      // stays the approx_percentile aggregate under test
+      val li = t(s, dir, "lineitem")
+      val ex = exactPercentiles(li, "l_returnflag", "l_extendedprice",
+        Seq("ex_med" -> 0.5, "ex_p90" -> 0.9))
+      li.groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)").as("pcts"))
+        .join(broadcast(ex), Seq("l_returnflag"))
         .select(col("l_returnflag"),
           round(col("ex_med"), 4).as("median_price"),
           round(col("ex_p90"), 4).as("p90_price"),
@@ -361,18 +415,28 @@ object Relational extends QueryModule {
     // path is approx_percentile — see q_agg_approx_distinct for the sketch
     // posture), correlation and covariance.
     "q_agg_stats" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
+      // exact percentiles via [[exactPercentiles]] (bit-identical to the
+      // old percentile() aggregate, minus its ObjectHashAggregate map);
+      // the declarative aggregates stay in one codegen hash-agg pass and
+      // the 3-row percentile frame broadcast-joins back
+      val li = t(s, dir, "lineitem")
+      val pct = exactPercentiles(li, "l_returnflag", "l_extendedprice",
+        Seq("p50" -> 0.5, "p90" -> 0.9))
+      li.groupBy("l_returnflag")
         .agg(
           round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
           // `+ 0.0` normalizes IEEE -0.0 → +0.0 (DuckDB rounds tiny negative
           // covariances to -0.0, which hash-differs from Spark's 0.0).
           (round(corr(col("l_quantity"), col("l_extendedprice")), 6) + lit(0.0)).as("qty_price_corr"),
           (round(covar_samp(col("l_discount"), col("l_tax")), 6) + lit(0.0)).as("disc_tax_cov"),
           round(min("l_extendedprice"), 2).as("min_price"),
           round(max("l_extendedprice"), 2).as("max_price"))
+        .join(broadcast(pct), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("sd_price"),
+          round(col("p50"), 4).as("median_price"),
+          round(col("p90"), 4).as("p90_price"),
+          col("qty_price_corr"), col("disc_tax_cov"),
+          col("min_price"), col("max_price"))
         .orderBy("l_returnflag")
     }),
 

@@ -260,8 +260,11 @@ object Similarity extends QueryModule {
     val qe = e.filter(col("vec_id") < 20)
       .join(postings.select("vec_id"), Seq("vec_id"), "left_semi")
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val cos = round(dot(col("qe"), col("embedding")) /
-      (norm(col("qe")) * norm(col("embedding"))), 4)
+    // fused codegen cosine (identical left-fold arithmetic — see
+    // [[graft.functions.CosineSimilarity]]): the HOF spelling ran as
+    // interpreted lambdas, 3 array traversals + allocations per pair
+    val cos = round(graft.functions.CosineSimilarity.cosineSim(
+      col("qe"), col("embedding")), 4)
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
     cand.join(broadcast(qe), Seq("qid")).join(e, Seq("vec_id"))
       .select(col("qid"), col("vec_id"), cos.as("cosine"))
@@ -277,7 +280,11 @@ object Similarity extends QueryModule {
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qe"),
       col("label").as("qlabel"))
     val c = corpus.select(col("vec_id"), col("embedding"), col("label"))
-    val cos = round(dot(col("qe"), col("embedding")) / (norm(col("qe")) * norm(col("embedding"))), 4)
+    // fused codegen cosine — same arithmetic as the HOF fold (scaladoc of
+    // [[graft.functions.CosineSimilarity]]); the brute-force pair volume
+    // is exactly where the interpreted-lambda overhead multiplies
+    val cos = round(graft.functions.CosineSimilarity.cosineSim(
+      col("qe"), col("embedding")), 4)
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
     broadcast(q).join(c, col("qid") =!= col("vec_id") && extraCond)
       .select(col("qid"), col("vec_id"), cos.as("cosine"))
@@ -325,8 +332,8 @@ object Similarity extends QueryModule {
       val e = t(s, dir, "embeddings")
       val qe = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      val cos = round(dot(col("qe"), col("embedding")) /
-        (norm(col("qe")) * norm(col("embedding"))), 4)
+      val cos = round(graft.functions.CosineSimilarity.cosineSim(
+        col("qe"), col("embedding")), 4)
       val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("vec_id"))
       cand.join(broadcast(qe), Seq("qid")).join(e, Seq("vec_id"))
         .select(col("qid"), col("vec_id"), cos.as("cosine"))
@@ -553,8 +560,11 @@ object Similarity extends QueryModule {
         col("embedding").as("ea"))
       val b = cells.select(col("cid"), col("vec_id").as("vb"),
         col("embedding").as("eb"))
-      val cos = round(dot(col("ea"), col("eb")) /
-        (norm(col("ea")) * norm(col("eb"))), 4)
+      // fused codegen cosine: the intra-cell all-pairs stage is the hot
+      // loop of this query (~250k pairs at sf0.1) and the HOF spelling
+      // evaluated it as interpreted lambdas inside the join condition
+      val cos = round(graft.functions.CosineSimilarity.cosineSim(
+        col("ea"), col("eb")), 4)
       val dupOf = a.join(b, Seq("cid")).filter(col("va") < col("vb"))
         .select(col("va"), col("vb"), cos.as("cosine"))
         .filter(col("cosine") >= semdedupThreshold)
