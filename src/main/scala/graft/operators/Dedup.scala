@@ -76,12 +76,22 @@ object Dedup extends QueryModule {
     // the corpus-scale spelling (q_dedup_ppjoin).
     val usePrefix = candidates.isEmpty && threshold >= 0.5
     lazy val prefixCand = {
-      val dfreq = sh.groupBy("s").agg(count(lit(1)).as("dfreq"))
+      // dfreq and n as WINDOW counts over the shuffles the ranking needs
+      // anyway (r14, guide §2.4 "remove shuffles outright"): the old
+      // agg+join spelling shuffled sh THREE times (dfreq agg on s + join
+      // back on s, sizes agg on doc_id + join back on doc_id, then the
+      // row_number exchange); count(*) over (partition by s) IS dfreq
+      // (sh is distinct (doc_id, s)) and count(*) over (partition by
+      // doc_id) IS n, so the same two exchanges now carry the whole
+      // computation — plan: Exchange(s)→Window(dfreq)→
+      // Exchange(doc_id)→Sort→Window(n, r), no joins.
       val w = Window.partitionBy("doc_id").orderBy(col("dfreq"), col("s"))
       // ceil(t·n − ε): the float product must never round UP past the true
       // ⌈t·n⌉ — that would SHORTEN the prefix and lose pairs; the ε only
       // ever lengthens it (a pure-performance, never-correctness slack).
-      val pfx = sh.join(dfreq, Seq("s")).join(sizes, Seq("doc_id"))
+      val pfx = sh
+        .withColumn("dfreq", count(lit(1)).over(Window.partitionBy("s")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
         .withColumn("r", row_number().over(w))
         .filter(col("r") <= col("n") - ceil(lit(threshold) * col("n") - lit(1e-6)) + 1)
         .select("doc_id", "s", "r", "n")
@@ -90,6 +100,8 @@ object Dedup extends QueryModule {
       // filter: the pair's MINIMAL common shingle sits in both prefixes
       // with no common shingle before it, so c ≤ 1 + min(na−ra, nb−rb)
       // holds for that collision row — a qualifying pair always survives.
+      // (na, nb) ride along so the verify never re-joins the sizes agg —
+      // they are the SAME shingle-set counts the sizes frame would give.
       pfx.select(col("doc_id").as("da"), col("s"), col("r").as("ra"), col("n").as("na"))
         .join(pfx.select(col("doc_id").as("db"), col("s"), col("r").as("rb"), col("n").as("nb")), Seq("s"))
         .filter(col("da") < col("db") &&
@@ -97,7 +109,7 @@ object Dedup extends QueryModule {
           col("na") >= ceil(lit(threshold) * col("nb") - lit(1e-6)) &&
           least(col("na") - col("ra"), col("nb") - col("rb")) + 1 >=
             ceil(lit(threshold) * greatest(col("na"), col("nb")) - lit(1e-6)))
-        .select("da", "db").distinct()
+        .select("da", "db", "na", "nb").distinct()
         .localCheckpoint(true) // three consumers below (two sides + pair scope)
     }
     // Three intersection-count shapes, chosen by where the candidates
@@ -137,11 +149,15 @@ object Dedup extends QueryModule {
       val lists = sh.join(sid, Seq("s"))
         .groupBy("doc_id").agg(collect_list(col("sid")).as("ls"))
         .localCheckpoint(true)
+      // any (na, nb) the candidate table carries ride through, so the
+      // caller's size attach below skips its joins entirely
+      val carried = cand.columns.filter(Seq("na", "nb").contains).map(col)
       cand
         .join(lists.select(col("doc_id").as("da"), col("ls").as("la")), Seq("da"))
         .join(lists.select(col("doc_id").as("db"), col("ls").as("lb")), Seq("db"))
-        .select(col("da"), col("db"),
+        .select(Seq(col("da"), col("db"),
           size(array_intersect(col("la"), col("lb"))).cast("long").as("c"))
+          ++ carried: _*)
     }
     val inter = candidates match {
       // Doc-SPARSE candidates (LSH collisions): the docs they touch are
@@ -170,9 +186,15 @@ object Dedup extends QueryModule {
     }
     val jac = col("c").cast("double") /
       (col("na") + col("nb") - col("c")).cast("double")
-    inter
-      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
-      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+    // candidate tables built by the prefix path already carry (na, nb) —
+    // identical values to the sizes joins they replace (same shingle-set
+    // counts); only the LSH/low-t paths still attach sizes by join
+    val withSizes =
+      if (inter.columns.contains("na")) inter
+      else inter
+        .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+        .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+    withSizes
       .filter(jac >= threshold)
       .select(col("da"), col("db"), round(jac, 4).as("jaccard"))
       .orderBy("da", "db")
@@ -558,14 +580,20 @@ object Dedup extends QueryModule {
         col("na") >= ceil(lit(lshThreshold) * col("nb") - lit(1e-6)) &&
         least(col("na") - col("ra"), col("nb") - col("rb")) + 1 >=
           ceil(lit(lshThreshold) * greatest(col("na"), col("nb")) - lit(1e-6))
+      // (na, nb) ride through the candidate set (keyed to the
+      // least/greatest-normalized endpoints) so the verify skips its
+      // sizes joins — the prefix n IS the doc's shingle-set count, the
+      // same value the verify's sizes agg would recompute
       val vsOld = sided(pfxNew, "xa", "ra", "na")
         .join(sided(statePfx, "xb", "rb", "nb"), Seq("s")).filter(filt)
         .select(least(col("xa"), col("xb")).as("da"),
-          greatest(col("xa"), col("xb")).as("db"))
+          greatest(col("xa"), col("xb")).as("db"),
+          when(col("xa") < col("xb"), col("na")).otherwise(col("nb")).as("na"),
+          when(col("xa") < col("xb"), col("nb")).otherwise(col("na")).as("nb"))
       val vsNew = sided(pfxNew, "xa", "ra", "na")
         .join(sided(pfxNew, "xb", "rb", "nb"), Seq("s"))
         .filter(col("xa") < col("xb") && filt)
-        .select(col("xa").as("da"), col("xb").as("db"))
+        .select(col("xa").as("da"), col("xb").as("db"), col("na"), col("nb"))
       val cand = vsOld.union(vsNew).distinct().localCheckpoint(true)
       val candDocs = cand.select(col("da").as("doc_id"))
         .union(cand.select(col("db").as("doc_id"))).distinct()

@@ -376,11 +376,20 @@ object Relational extends QueryModule {
     // is deterministic and partitioning-independent — the bound can't
     // flicker between runs.
     "q_agg_approx_distinct" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          approx_count_distinct("l_partkey", 0.02).as("apx"),
-          countDistinct("l_partkey").as("nd_part"))
+      // The sketch and the exact count run as SEPARATE aggregations: a
+      // mixed distinct/non-distinct agg makes Catalyst evaluate the
+      // partial HLL in the (group, distinct-key) pre-aggregate — one 4 KB
+      // register buffer PER DISTINCT (flag, partkey) PAIR (~200k buffers
+      // at sf0.1, ~800 MB of partial state through the shuffle; measured
+      // 3.6 s + 0.3 s GC). Split, the HLL partial is per (group ×
+      // partition) — a handful of buffers — and the register max-merge is
+      // partition-order-independent, so the estimate is bit-identical.
+      val li = t(s, dir, "lineitem")
+      val apx = li.groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_partkey", 0.02).as("apx"))
+      li.groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("nd_part"))
+        .join(broadcast(apx), Seq("l_returnflag"))
         .select(col("l_returnflag"), col("nd_part"),
           (abs(col("apx") - col("nd_part")) <=
             col("nd_part").cast("double") * 0.05).as("apx_ok"))
