@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Diagnostic stage-level timer for the PPJoin prefix pipeline (r14
+  * optimization round): replicates `Dedup.jaccardPairs`' prefix path
+  * stage by stage with eager materialization between stages, so each
+  * published number is one stage's wall time at the given scale.
+  * NOT part of the query surface — attribution tooling only.
+  * Usage: runMain graft.StageProbe [sfDir]
+  */
+object StageProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val t0 = System.nanoTime()
+    def lap(tag: String): Unit =
+      println(f"[stageprobe] $tag%-28s +${(System.nanoTime() - t0) / 1e9}%.2f s total")
+
+    val threshold = 0.85
+    val docs = Tables(spark, sfDir, "documents")
+    // warm the scan
+    docs.write.format("noop").mode("overwrite").save()
+    lap("warm-scan")
+
+    val tk = split(col("text"), " ")
+    val bigrams = array_distinct(zip_with(
+      slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1),
+      (a, b) => concat(a, lit(" "), b)))
+    val sh = docs.select(col("doc_id"), explode(bigrams).as("s"))
+      .localCheckpoint(true)
+    lap("shingle+checkpoint")
+
+    val w = Window.partitionBy("doc_id").orderBy(col("dfreq"), col("s"))
+    val pfx = sh
+      .withColumn("dfreq", count(lit(1)).over(Window.partitionBy("s")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= col("n") - ceil(lit(threshold) * col("n") - lit(1e-6)) + 1)
+      .select("doc_id", "s", "r", "n")
+      .localCheckpoint(true)
+    lap("prefix-rank")
+
+    val cand = pfx.select(col("doc_id").as("da"), col("s"), col("r").as("ra"), col("n").as("na"))
+      .join(pfx.select(col("doc_id").as("db"), col("s"), col("r").as("rb"), col("n").as("nb")), Seq("s"))
+      .filter(col("da") < col("db") &&
+        col("nb") >= ceil(lit(threshold) * col("na") - lit(1e-6)) &&
+        col("na") >= ceil(lit(threshold) * col("nb") - lit(1e-6)) &&
+        least(col("na") - col("ra"), col("nb") - col("rb")) + 1 >=
+          ceil(lit(threshold) * greatest(col("na"), col("nb")) - lit(1e-6)))
+      .select("da", "db", "na", "nb").distinct()
+      .localCheckpoint(true)
+    println(s"[stageprobe] cand rows = ${cand.count()}")
+    lap("prefix-collision-join")
+
+    val sid = sh.select("s").distinct()
+      .withColumn("sid", monotonically_increasing_id())
+    val lists = sh.join(sid, Seq("s"))
+      .groupBy("doc_id").agg(collect_list(col("sid")).as("ls"))
+      .localCheckpoint(true)
+    lap("sid-map+lists")
+
+    val inter = cand
+      .join(lists.select(col("doc_id").as("da"), col("ls").as("la")), Seq("da"))
+      .join(lists.select(col("doc_id").as("db"), col("ls").as("lb")), Seq("db"))
+      .select(col("da"), col("db"), col("na"), col("nb"),
+        size(array_intersect(col("la"), col("lb"))).cast("long").as("c"))
+    val jac = col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double")
+    inter.filter(jac >= threshold)
+      .select(col("da"), col("db"), round(jac, 4).as("jaccard"))
+      .orderBy("da", "db")
+      .write.format("noop").mode("overwrite").save()
+    lap("intersect+readout")
+    spark.stop()
+  }
+}

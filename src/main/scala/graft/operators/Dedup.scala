@@ -146,8 +146,13 @@ object Dedup extends QueryModule {
     def intersectViaLists(cand: DataFrame): DataFrame = {
       val sid = sh.select("s").distinct()
         .withColumn("sid", monotonically_increasing_id())
+      // lists sorted at build (once per doc) so the per-pair count is a
+      // two-pointer merge ([[graft.functions.SortedIntersectCount]]) —
+      // size(array_intersect(...)) built a hash set AND materialized the
+      // intersection array per candidate pair when only its length is
+      // read (~3.2 s of q_dedup_ppjoin at sf0.1, StageProbe attribution)
       val lists = sh.join(sid, Seq("s"))
-        .groupBy("doc_id").agg(collect_list(col("sid")).as("ls"))
+        .groupBy("doc_id").agg(sort_array(collect_list(col("sid"))).as("ls"))
         .localCheckpoint(true)
       // any (na, nb) the candidate table carries ride through, so the
       // caller's size attach below skips its joins entirely
@@ -156,7 +161,7 @@ object Dedup extends QueryModule {
         .join(lists.select(col("doc_id").as("da"), col("ls").as("la")), Seq("da"))
         .join(lists.select(col("doc_id").as("db"), col("ls").as("lb")), Seq("db"))
         .select(Seq(col("da"), col("db"),
-          size(array_intersect(col("la"), col("lb"))).cast("long").as("c"))
+          graft.functions.SortedIntersectCount(col("la"), col("lb")).as("c"))
           ++ carried: _*)
     }
     val inter = candidates match {
@@ -377,9 +382,13 @@ object Dedup extends QueryModule {
       val dfreq = sh.groupBy("s").agg(count(lit(1)).as("dfreq"))
       dfreq.write.mode("overwrite").parquet(s"${base}_dfreq")
       val dfreqP = s.read.parquet(s"${base}_dfreq")
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val w = Window.partitionBy("doc_id").orderBy(col("dfreq"), col("s"))
-      sh.join(dfreqP, Seq("s")).join(sizes, Seq("doc_id"))
+      // n as a window count over the doc_id exchange the ranking needs
+      // anyway (the r14 jaccardPairs spelling) — the dfreq JOIN stays:
+      // the FROZEN order must come from the persisted table, not a
+      // recompute
+      sh.join(dfreqP, Seq("s"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
         .withColumn("r", row_number().over(w))
         .filter(col("r") <= col("n") -
           ceil(lit(lshThreshold) * col("n") - lit(1e-6)) + 1)
@@ -560,11 +569,10 @@ object Dedup extends QueryModule {
       val docs = t(s, dir, "documents")
       val (statePfx, stateDfreq, statePairs) = ppjoinState(s, dir)
       val shNew = shingles(docs.filter(ingestIsNew)).localCheckpoint(true)
-      val sizesNew = shNew.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val wN = Window.partitionBy("doc_id").orderBy(col("dfreq"), col("s"))
       val pfxNew = shNew.join(stateDfreq, Seq("s"), "left")
         .na.fill(0L, Seq("dfreq"))
-        .join(sizesNew, Seq("doc_id"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
         .withColumn("r", row_number().over(wN))
         .filter(col("r") <= col("n") -
           ceil(lit(lshThreshold) * col("n") - lit(1e-6)) + 1)

@@ -170,6 +170,32 @@ class PipelineSpec extends SparkSpec {
     assert(expr == hof)
   }
 
+  test("SortedIntersectCount == size(array_intersect) on sorted distinct arrays") {
+    // the PPJoin verify's merge-count expression (r14) must agree with
+    // the array_intersect spelling it replaced, incl. empty/disjoint/
+    // null cases, under both codegen and interpreted eval
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      def arr() = rnd.shuffle((0L until 50L).toList)
+        .take(rnd.nextInt(20)).distinct.sorted.toArray
+      (i.toLong, arr(), arr())
+    } :+ ((200L, Array.empty[Long], Array(1L, 2L))) :+
+      ((201L, Array(5L, 9L), Array.empty[Long]))
+    val df = rows.toDF("id", "la", "lb")
+    val got = df.select(col("id"),
+        graft.functions.SortedIntersectCount(col("la"), col("lb")).as("c"),
+        size(array_intersect(col("la"), col("lb"))).cast("long").as("ref"))
+      .collect()
+    got.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"row ${r.getLong(0)}: merge-count ${r.getLong(1)} != array_intersect ${r.getLong(2)}"))
+    // null array propagates null, matching size(array_intersect) semantics
+    val nullRow = df.limit(1)
+      .select(graft.functions.SortedIntersectCount(
+        lit(null).cast("array<long>"), col("lb")).as("c")).collect()
+    assert(nullRow.head.isNullAt(0))
+  }
+
   test("custom generator UDTF: == HOF trigrams, and SQL/LATERAL VIEW callable") {
     import graft.functions.NGramsGen
     val docs = Tables(spark, sfDir, "documents").filter(col("doc_id") < 50)

@@ -237,17 +237,18 @@ class ScaleSpec extends SparkSpec {
     // whose sides are the ~(1−t)-fraction prefix frames.
     val qe = graft.operators.Dedup.queries("q_dedup_ppjoin")(spark, sfDir)
       .queryExecution
-    val op = qe.optimizedPlan.toString
-    assert(op.contains("array_intersect"),
-      s"expected array_intersect in the exact-verify stage:\n${op.take(800)}")
-    // exactly three s-keyed inner joins are legitimate: sh ⋈ dfreq
-    // (frequency annotate), sh ⋈ sid (dense-id map), and the PREFIX
-    // collision join (both sides ~(1−t)-fraction prefix frames). A
-    // fourth s-keyed join means someone reintroduced a shingle-side
+    val op = qe.optimizedPlan.toString.toLowerCase
+    assert(op.contains("sortedintersectcount"),
+      s"expected the per-pair sorted-merge intersect count in the " +
+        s"exact-verify stage:\n${op.take(800)}")
+    // at most two s-keyed inner joins are legitimate: sh ⋈ sid (dense-id
+    // map) and the PREFIX collision join (both sides ~(1−t)-fraction
+    // prefix frames); dfreq/sizes are window counts since r14. A third
+    // s-keyed join means someone reintroduced a shingle-side
     // equi-join — the all-pairs quadratic in disguise.
     val sJoins = op.linesIterator
-      .filter(l => l.contains("Join Inner") && l.contains("(s#")).toSeq
-    assert(sJoins.size <= 3,
+      .filter(l => l.contains("join inner") && l.contains("(s#")).toSeq
+    assert(sJoins.size <= 2,
       s"extra s-keyed inner join — the quadratic is back:\n${sJoins.mkString("\n")}")
   }
 
@@ -264,11 +265,12 @@ class ScaleSpec extends SparkSpec {
     val qe = graft.operators.Dedup
       .queries("q_dedup_ppjoin_incremental")(spark, sfDir)
       .queryExecution
-    val op = qe.optimizedPlan.toString
-    assert(op.contains("array_intersect"),
-      s"expected array_intersect in the ingest verify stage:\n${op.take(800)}")
+    val op = qe.optimizedPlan.toString.toLowerCase
+    assert(op.contains("sortedintersectcount"),
+      s"expected the per-pair sorted-merge intersect count in the " +
+        s"ingest verify stage:\n${op.take(800)}")
     val sJoins = op.linesIterator
-      .filter(l => l.contains("Join Inner") && l.contains("(s#")).toSeq
+      .filter(l => l.contains("join inner") && l.contains("(s#")).toSeq
     assert(sJoins.size <= 3,
       s"extra s-keyed inner join — the ingest quadratic is back:\n${sJoins.mkString("\n")}")
   }
