@@ -556,16 +556,27 @@ object Similarity extends QueryModule {
         .select("vec_id", "cid")
         .join(e.select("vec_id", "embedding"), Seq("vec_id"))
         .localCheckpoint(true)
+      // BLOCKED intra-cell self-join (r14, guide §2.5): keyed on cid
+      // alone the join has k=8 distinct keys — an 8-task parallelism
+      // ceiling at ANY scale, with per-task work growing as cell². One
+      // side fans out ×B over every bucket, the other keys by its own
+      // deterministic vec_id bucket, so the join key is (cid, bucket) —
+      // k·B keys, per-task pairs cell²/B — and every (va, vb) pair still
+      // meets exactly once (via vb's bucket). Pair set, cosines, and
+      // output are IDENTICAL; B only re-partitions the quadratic.
+      val B = 16
       val a = cells.select(col("cid"), col("vec_id").as("va"),
-        col("embedding").as("ea"))
-      val b = cells.select(col("cid"), col("vec_id").as("vb"),
-        col("embedding").as("eb"))
+          col("embedding").as("ea"))
+        .withColumn("jb", explode(sequence(lit(0L), lit(B - 1L))))
+      val b = cells.select(col("cid"),
+        pmod(xxhash64(col("vec_id")), lit(B.toLong)).as("jb"),
+        col("vec_id").as("vb"), col("embedding").as("eb"))
       // fused codegen cosine: the intra-cell all-pairs stage is the hot
       // loop of this query (~250k pairs at sf0.1) and the HOF spelling
       // evaluated it as interpreted lambdas inside the join condition
       val cos = round(graft.functions.CosineSimilarity.cosineSim(
         col("ea"), col("eb")), 4)
-      val dupOf = a.join(b, Seq("cid")).filter(col("va") < col("vb"))
+      val dupOf = a.join(b, Seq("cid", "jb")).filter(col("va") < col("vb"))
         .select(col("va"), col("vb"), cos.as("cosine"))
         .filter(col("cosine") >= semdedupThreshold)
         .groupBy(col("vb").as("vec_id")).agg(min("va").as("dup_of"))
