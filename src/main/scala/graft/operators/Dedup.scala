@@ -61,10 +61,19 @@ object Dedup extends QueryModule {
     * runs just for candidates — the all-pairs D² blowup on a shared common
     * shingle never happens (a frequent shingle lands in almost no prefix,
     * because prefixes keep each document's RAREST shingles). */
+  /** Candidate-pair count past which the verify's list attach switches
+    * from per-pair joins to the GRID cogroup ([[jaccardPairs]] body):
+    * below it the two sort-merge joins are cheap and stay in Catalyst;
+    * above it the per-pair array shuffle dominates (guide §8 — at sf10
+    * the join spelling moved ~1.6 KB × 72 M pairs of array bytes through
+    * the db-keyed exchange). Tests force the grid path with 0. */
+  private[graft] val GridIntersectPairLimit = 2000000L
+
   private[graft] def jaccardPairs(shRaw: DataFrame, threshold: Double,
                            candidates: Option[DataFrame] = None,
                            preMaterialized: Boolean = false,
-                           candidatesDense: Boolean = false): DataFrame = {
+                           candidatesDense: Boolean = false,
+                           gridPairLimit: Long = GridIntersectPairLimit): DataFrame = {
     val sh = if (preMaterialized) shRaw else shRaw.localCheckpoint(true)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // The prefix filter's selectivity collapses as t drops (prefix length
@@ -157,7 +166,19 @@ object Dedup extends QueryModule {
       // any (na, nb) the candidate table carries ride through, so the
       // caller's size attach below skips its joins entirely
       val carried = cand.columns.filter(Seq("na", "nb").contains).map(col)
-      cand
+      // Pair-volume gate (r14, guide §8): the join spelling below ships
+      // BOTH full id arrays per candidate pair through the db-keyed
+      // exchange — fine at bench scale (≤2 GB of array bytes) but the
+      // dominant cost once candidates reach the tens of millions
+      // (StageProbe at sf10: ~1.6 KB × 72 M pairs). Past the gate the
+      // GRID cogroup attaches lists per (da-bucket, db-bucket) CELL
+      // instead of per pair: shuffle bytes = pairs × 32 B + lists × 2Q,
+      // not pairs × arrays. Both spellings produce the identical
+      // (da, db, c[, na, nb]) rows — pinned by a forced-gate equality
+      // test in PipelineSpec and by the shared oracle at sf1.
+      if (carried.length == 2 && cand.count() >= gridPairLimit)
+        gridIntersectCount(cand, lists)
+      else cand
         .join(lists.select(col("doc_id").as("da"), col("ls").as("la")), Seq("da"))
         .join(lists.select(col("doc_id").as("db"), col("ls").as("lb")), Seq("db"))
         .select(Seq(col("da"), col("db"),
@@ -203,6 +224,64 @@ object Dedup extends QueryModule {
       .filter(jac >= threshold)
       .select(col("da"), col("db"), round(jac, 4).as("jaccard"))
       .orderBy("da", "db")
+  }
+
+  /** Grid side length for [[gridIntersectCount]]: Q² cells; per-cell
+    * supplier memory = 2·|lists|/Q of array bytes, lists replication =
+    * 2Q. 16 ⇒ 256 cells (≥ any local core count) and ~100 MB/cell at the
+    * sf10 probe scale; at larger corpora Q should grow ~√(pairs·32 B /
+    * lists bytes) — parameterize when a real cluster profile exists. */
+  private val gridQ = 16
+
+  /** GRID list attach for the exact verify (guide §8 "move heavy bytes
+    * once"): candidate pairs hash into (bucket(da), bucket(db)) cells;
+    * each doc's sorted id list is replicated to its row AND column of
+    * cells (2Q copies TOTAL — not one copy per pair); one cogroup puts
+    * every cell's pairs and its two supplier buckets in one task, which
+    * builds a doc→list map and merge-counts each pair in place. Output
+    * rows are EXACTLY the join spelling's (da, db, c, na, nb): a pair
+    * whose doc is absent from `lists` gets c = 0 and dies at the J ≥ t
+    * filter, the same fate the inner join gives it. Deterministic: keys
+    * are xxhash64 buckets, the map is value-identical however the
+    * cogroup orders its inputs. */
+  private def gridIntersectCount(cand: DataFrame, lists: DataFrame): DataFrame = {
+    val spark = cand.sparkSession
+    import spark.implicits._
+    val q = gridQ
+    def b(c: org.apache.spark.sql.Column) =
+      pmod(xxhash64(c), lit(q.toLong)).cast("int")
+    val pairs = cand
+      .select((b(col("da")) * q + b(col("db"))).as("cell"),
+        col("da"), col("db"), col("na").cast("long").as("na"),
+        col("nb").cast("long").as("nb"))
+      .rdd.map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    val sups = lists.select(b(col("doc_id")).as("bkt"), col("doc_id"), col("ls"))
+      .rdd.flatMap { r =>
+        val bkt = r.getInt(0); val doc = r.getLong(1)
+        val arr = r.getSeq[Long](2).toArray
+        // row supplier for cells (bkt, k), column supplier for (k, bkt);
+        // the (bkt, bkt) duplicate collapses in the per-cell map
+        (0 until q).iterator.flatMap(k =>
+          Iterator((bkt * q + k, (doc, arr)), (k * q + bkt, (doc, arr))))
+      }
+    val part = new org.apache.spark.HashPartitioner(q * q)
+    pairs.cogroup(sups, part).flatMap { case (_, (ps, ss)) =>
+      if (ps.isEmpty) Iterator.empty
+      else {
+        val m = new scala.collection.mutable.LongMap[Array[Long]]
+        ss.foreach { case (doc, arr) => m.update(doc, arr) }
+        val empty = Array.empty[Long]
+        ps.iterator.map { case (da, db, na, nb) =>
+          val la = m.getOrElse(da, empty); val lb = m.getOrElse(db, empty)
+          var i = 0; var j = 0; var c = 0L
+          while (i < la.length && j < lb.length) {
+            if (la(i) == lb(j)) { c += 1; i += 1; j += 1 }
+            else if (la(i) < lb(j)) i += 1 else j += 1
+          }
+          (da, db, c, na, nb)
+        }
+      }
+    }.toDF("da", "db", "c", "na", "nb")
   }
 
   /** LSH verify threshold — tuned together with the band parameters (see

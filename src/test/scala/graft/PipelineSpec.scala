@@ -196,6 +196,24 @@ class PipelineSpec extends SparkSpec {
     assert(nullRow.head.isNullAt(0))
   }
 
+  test("grid list attach == per-pair join spelling (forced-gate equality)") {
+    // the r14 §8 rewrite: past GridIntersectPairLimit the exact verify
+    // attaches id lists per (bucket, bucket) cell via cogroup instead of
+    // per pair via two joins — forced on (gridPairLimit = 0) it must
+    // produce the identical verified pair set
+    import graft.operators.Dedup
+    val docs = Tables(spark, sfDir, "documents")
+    val sh = Dedup.shingles(docs).localCheckpoint(true)
+    def rows(limit: Long) =
+      Dedup.jaccardPairs(sh, 0.85, preMaterialized = true, gridPairLimit = limit)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val viaJoin = rows(Long.MaxValue)
+    val viaGrid = rows(0L)
+    assert(viaGrid == viaJoin,
+      s"grid attach diverged: ${viaGrid.size} vs ${viaJoin.size} pairs")
+    assert(viaJoin.nonEmpty, "fixture produced no pairs - test is vacuous")
+  }
+
   test("custom generator UDTF: == HOF trigrams, and SQL/LATERAL VIEW callable") {
     import graft.functions.NGramsGen
     val docs = Tables(spark, sfDir, "documents").filter(col("doc_id") < 50)
