@@ -49,7 +49,10 @@ object StageProbe {
       .localCheckpoint(true)
     lap("prefix-rank")
 
-    val cand = pfx.select(col("doc_id").as("da"), col("s"), col("r").as("ra"), col("n").as("na"))
+    // r14 symmetric spelling (index prefix × index prefix, da < db,
+    // positional filter at alpha = ceil(t * max(na, nb))) — kept as the
+    // BEFORE leg of the r15 PPJoin+ comparison
+    val candOld = pfx.select(col("doc_id").as("da"), col("s"), col("r").as("ra"), col("n").as("na"))
       .join(pfx.select(col("doc_id").as("db"), col("s"), col("r").as("rb"), col("n").as("nb")), Seq("s"))
       .filter(col("da") < col("db") &&
         col("nb") >= ceil(lit(threshold) * col("na") - lit(1e-6)) &&
@@ -58,13 +61,38 @@ object StageProbe {
           ceil(lit(threshold) * greatest(col("na"), col("nb")) - lit(1e-6)))
       .select("da", "db", "na", "nb").distinct()
       .localCheckpoint(true)
-    println(s"[stageprobe] cand rows = ${cand.count()}")
-    lap("prefix-collision-join")
+    println(s"[stageprobe] cand rows (r14 symmetric) = ${candOld.count()}")
+    lap("prefix-collision-join-r14")
+
+    // r15 PPJoin+ spelling: probe prefix (n - ceil(2t/(1+t) n) + 1) on the
+    // smaller side under (n, doc_id) orientation, positional filter at the
+    // sum bound alpha = ceil(t/(1+t) (na+nb)) — must be what
+    // Dedup.jaccardPairs ships
+    val alpha = ceil(lit(threshold / (1 + threshold)) *
+      (col("na") + col("nb")) - lit(1e-6))
+    val probe = pfx
+      .filter(col("r") <= col("n") -
+        ceil(lit(2 * threshold / (1 + threshold)) * col("n") - lit(1e-6)) + 1)
+      .select(col("doc_id").as("xa"), col("s"), col("r").as("ra"), col("n").as("na"))
+    val cand = probe
+      .join(pfx.select(col("doc_id").as("xb"), col("s"), col("r").as("rb"), col("n").as("nb")), Seq("s"))
+      .filter((col("na") < col("nb") ||
+          (col("na") === col("nb") && col("xa") < col("xb"))) &&
+        col("na") >= ceil(lit(threshold) * col("nb") - lit(1e-6)) &&
+        least(col("na") - col("ra"), col("nb") - col("rb")) + 1 >= alpha)
+      .select(least(col("xa"), col("xb")).as("da"),
+        greatest(col("xa"), col("xb")).as("db"),
+        when(col("xa") < col("xb"), col("na")).otherwise(col("nb")).as("na"),
+        when(col("xa") < col("xb"), col("nb")).otherwise(col("na")).as("nb"))
+      .distinct()
+      .localCheckpoint(true)
+    println(s"[stageprobe] cand rows (r15 ppjoin+)   = ${cand.count()}")
+    lap("prefix-collision-join-r15")
 
     val sid = sh.select("s").distinct()
       .withColumn("sid", monotonically_increasing_id())
     val lists = sh.join(sid, Seq("s"))
-      .groupBy("doc_id").agg(collect_list(col("sid")).as("ls"))
+      .groupBy("doc_id").agg(sort_array(collect_list(col("sid"))).as("ls"))
       .localCheckpoint(true)
     lap("sid-map+lists")
 
@@ -72,7 +100,7 @@ object StageProbe {
       .join(lists.select(col("doc_id").as("da"), col("ls").as("la")), Seq("da"))
       .join(lists.select(col("doc_id").as("db"), col("ls").as("lb")), Seq("db"))
       .select(col("da"), col("db"), col("na"), col("nb"),
-        size(array_intersect(col("la"), col("lb"))).cast("long").as("c"))
+        graft.functions.SortedIntersectCount(col("la"), col("lb")).as("c"))
     val jac = col("c").cast("double") / (col("na") + col("nb") - col("c")).cast("double")
     inter.filter(jac >= threshold)
       .select(col("da"), col("db"), round(jac, 4).as("jaccard"))

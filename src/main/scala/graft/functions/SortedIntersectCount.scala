@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Native Catalyst expression: |A ∩ B| of two SORTED long arrays with no
   * duplicates, as a two-pointer merge count — the exact-verify inner loop
@@ -29,6 +30,19 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = left.nullable || right.nullable
+
+  // getLong over anything but array<bigint> would silently mis-read the
+  // ArrayData (r14 ADVICE) — fail analysis instead of corrupting counts.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect_count requires array<bigint> inputs, got " +
+        s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -105,21 +105,45 @@ object Dedup extends QueryModule {
         .filter(col("r") <= col("n") - ceil(lit(threshold) * col("n") - lit(1e-6)) + 1)
         .select("doc_id", "s", "r", "n")
         .localCheckpoint(true) // feeds both sides of the collision join
-      // Length filter (J ≥ t ⟹ t·na ≤ nb and t·nb ≤ na) and positional
-      // filter: the pair's MINIMAL common shingle sits in both prefixes
-      // with no common shingle before it, so c ≤ 1 + min(na−ra, nb−rb)
-      // holds for that collision row — a qualifying pair always survives.
+      // PPJoin+ probing-prefix asymmetry (Xiao et al. WWW'08 §4, r15):
+      // a qualifying pair has c ≥ α = ⌈t/(1+t)·(na+nb)⌉, and the MINIMAL
+      // common shingle sits within the first n − α + 1 positions of BOTH
+      // docs (if a doc's α-prefix held no common shingle, all c ≥ α of
+      // them would have to fit in its length-(α−1) suffix). Orient every
+      // pair so side a is the SMALLER doc under (n, doc_id): then
+      // α ≥ ⌈2t/(1+t)·na⌉ (na ≤ nb ⟹ t(na+nb)/(1+t) ≥ 2t·na/(1+t)), so
+      // a only needs its first na − ⌈2t/(1+t)·na⌉ + 1 shingles — the
+      // PROBE prefix, ~54% of the index prefix at t=0.85 — while b keeps
+      // the full INDEX prefix (α ≥ ⌈t·nb⌉ exactly when the pair passes
+      // the length filter t·nb ≤ na). The collision join shrinks from
+      // Σ_s i_s² to Σ_s p_s·i_s over prefix-bucket sizes — the stage that
+      // grew 26×/decade at sf10 (r14 StageProbe). The positional filter
+      // tightens to the same α: the sum bound t/(1+t)(na+nb) dominates
+      // the old ⌈t·max(na,nb)⌉ (equal only at nb = t·na), so it keeps
+      // every qualifying pair and strictly fewer false candidates.
       // (na, nb) ride along so the verify never re-joins the sizes agg —
       // they are the SAME shingle-set counts the sizes frame would give.
-      pfx.select(col("doc_id").as("da"), col("s"), col("r").as("ra"), col("n").as("na"))
-        .join(pfx.select(col("doc_id").as("db"), col("s"), col("r").as("rb"), col("n").as("nb")), Seq("s"))
-        .filter(col("da") < col("db") &&
-          col("nb") >= ceil(lit(threshold) * col("na") - lit(1e-6)) &&
+      val alpha = ceil(lit(threshold / (1 + threshold)) *
+        (col("na") + col("nb")) - lit(1e-6))
+      val probe = pfx
+        .filter(col("r") <= col("n") -
+          ceil(lit(2 * threshold / (1 + threshold)) * col("n") - lit(1e-6)) + 1)
+        .select(col("doc_id").as("xa"), col("s"), col("r").as("ra"), col("n").as("na"))
+      probe
+        .join(pfx.select(col("doc_id").as("xb"), col("s"), col("r").as("rb"), col("n").as("nb")), Seq("s"))
+        .filter((col("na") < col("nb") ||
+            (col("na") === col("nb") && col("xa") < col("xb"))) &&
           col("na") >= ceil(lit(threshold) * col("nb") - lit(1e-6)) &&
-          least(col("na") - col("ra"), col("nb") - col("rb")) + 1 >=
-            ceil(lit(threshold) * greatest(col("na"), col("nb")) - lit(1e-6)))
-        .select("da", "db", "na", "nb").distinct()
-        .localCheckpoint(true) // three consumers below (two sides + pair scope)
+          least(col("na") - col("ra"), col("nb") - col("rb")) + 1 >= alpha)
+        .select(least(col("xa"), col("xb")).as("da"),
+          greatest(col("xa"), col("xb")).as("db"),
+          when(col("xa") < col("xb"), col("na")).otherwise(col("nb")).as("na"),
+          when(col("xa") < col("xb"), col("nb")).otherwise(col("na")).as("nb"))
+        .distinct()
+        // LAZY checkpoint (r15): intersectViaLists' pair-count gate is the
+        // materializing action, so the gate no longer spawns an extra job
+        // on top of an eager checkpoint (r14 ADVICE).
+        .localCheckpoint(false)
     }
     // Three intersection-count shapes, chosen by where the candidates
     // came from:
@@ -176,15 +200,28 @@ object Dedup extends QueryModule {
       // not pairs × arrays. Both spellings produce the identical
       // (da, db, c[, na, nb]) rows — pinned by a forced-gate equality
       // test in PipelineSpec and by the shared oracle at sf1.
-      if (carried.length == 2 && cand.count() >= gridPairLimit)
-        gridIntersectCount(cand, lists)
-      else cand
+      // The count() below is the ONE materializing action of the (lazily
+      // checkpointed) prefix candidate table — gate measurement and
+      // checkpoint share a single job (r14 ADVICE: no extra count job
+      // below the gate) — and the chosen spelling is logged so bench/
+      // verify artifacts record which path executed.
+      if (carried.length == 2) {
+        val nPairs = cand.count()
+        val useGrid = nPairs >= gridPairLimit
+        val q = if (useGrid) gridQFor(cand.sparkSession, nPairs) else 0
+        System.err.println(s"graft.Dedup exact-verify attach: $nPairs candidate " +
+          s"pairs -> ${if (useGrid) s"GRID path (Q=$q)" else "join path"}")
+        if (useGrid) gridIntersectCount(cand, lists, q)
+        else joinIntersectCount(cand, lists, carried)
+      } else joinIntersectCount(cand, lists, carried)
+    }
+    def joinIntersectCount(cand: DataFrame, lists: DataFrame,
+        carried: Array[Column]): DataFrame = cand
         .join(lists.select(col("doc_id").as("da"), col("ls").as("la")), Seq("da"))
         .join(lists.select(col("doc_id").as("db"), col("ls").as("lb")), Seq("db"))
         .select(Seq(col("da"), col("db"),
           graft.functions.SortedIntersectCount(col("la"), col("lb")).as("c"))
           ++ carried: _*)
-    }
     val inter = candidates match {
       // Doc-SPARSE candidates (LSH collisions): the docs they touch are
       // few, so semi-restricting both shingle sides BEFORE the s-equi-join
@@ -228,10 +265,18 @@ object Dedup extends QueryModule {
 
   /** Grid side length for [[gridIntersectCount]]: Q² cells; per-cell
     * supplier memory = 2·|lists|/Q of array bytes, lists replication =
-    * 2Q. 16 ⇒ 256 cells (≥ any local core count) and ~100 MB/cell at the
-    * sf10 probe scale; at larger corpora Q should grow ~√(pairs·32 B /
-    * lists bytes) — parameterize when a real cluster profile exists. */
-  private val gridQ = 16
+    * 2Q. Derived from the measured candidate count (r15, was a fixed 16):
+    * Q = ⌈√(pairs / 8192)⌉ keeps per-cell pair volume at the gate-scale
+    * density (2 M pairs / 256 cells ≈ 8 k pairs/cell ⟹ Q=16 exactly at
+    * the gate, matching the r14 constant and its ~100 MB/cell sf10
+    * profile), growing cells with pair volume while supplier replication
+    * (2Q copies of the lists bytes) grows only as √pairs. Per-cell
+    * supplier memory is NOT bounded by this rule alone (lists grow with
+    * the corpus, Q only with √pairs) — past ~sf100 set the explicit
+    * override `spark.graft.ppjoin.gridQ` from a cluster memory profile. */
+  private[graft] def gridQFor(s: SparkSession, nPairs: Long): Int =
+    s.conf.getOption("spark.graft.ppjoin.gridQ").map(_.toInt).getOrElse(
+      math.max(16, math.ceil(math.sqrt(nPairs / 8192.0)).toInt))
 
   /** GRID list attach for the exact verify (guide §8 "move heavy bytes
     * once"): candidate pairs hash into (bucket(da), bucket(db)) cells;
@@ -244,10 +289,10 @@ object Dedup extends QueryModule {
     * filter, the same fate the inner join gives it. Deterministic: keys
     * are xxhash64 buckets, the map is value-identical however the
     * cogroup orders its inputs. */
-  private def gridIntersectCount(cand: DataFrame, lists: DataFrame): DataFrame = {
+  private def gridIntersectCount(cand: DataFrame, lists: DataFrame,
+      q: Int): DataFrame = {
     val spark = cand.sparkSession
     import spark.implicits._
-    val q = gridQ
     def b(c: org.apache.spark.sql.Column) =
       pmod(xxhash64(c), lit(q.toLong)).cast("int")
     val pairs = cand
@@ -421,7 +466,11 @@ object Dedup extends QueryModule {
         .localCheckpoint(true)
       val candDocs = cand.select(col("da").as("doc_id"))
         .union(cand.select(col("db").as("doc_id"))).distinct()
-      val sh = shingles(t(s, dir, "documents").filter(!ingestIsNew)
+      // Tables.raw for every candidate-text fetch (r15, guide §2.4): the
+      // first operator over the scan is the doc_id-keyed semi-join
+      // shuffle, so Tables()'s fan-out repartition would re-shuffle the
+      // whole table just to be re-distributed again by the join.
+      val sh = shingles(Tables.raw(s, dir, "documents").filter(!ingestIsNew)
         .join(candDocs, Seq("doc_id"), "left_semi")).localCheckpoint(true)
       jaccardPairs(sh, lshThreshold, Some(cand), preMaterialized = true)
         .write.mode("overwrite").parquet(path)
@@ -564,7 +613,9 @@ object Dedup extends QueryModule {
       val cand = vsOld.union(vsNew).distinct().localCheckpoint(true)
       val candDocs = cand.select(col("da").as("doc_id"))
         .union(cand.select(col("db").as("doc_id"))).distinct()
-      val sh = shingles(docs.join(candDocs, Seq("doc_id"), "left_semi"))
+      // raw scan: the semi-join shuffle re-distributes anyway (r15)
+      val sh = shingles(Tables.raw(s, dir, "documents")
+        .join(candDocs, Seq("doc_id"), "left_semi"))
         .localCheckpoint(true)
       jaccardPairs(sh, lshThreshold, Some(cand), preMaterialized = true)
     }),
@@ -596,7 +647,9 @@ object Dedup extends QueryModule {
       val cand = vsOld.union(vsNew).distinct().localCheckpoint(true)
       val candDocs = cand.select(col("da").as("doc_id"))
         .union(cand.select(col("db").as("doc_id"))).distinct()
-      val sh = shingles(docs.join(candDocs, Seq("doc_id"), "left_semi"))
+      // raw scan: the semi-join shuffle re-distributes anyway (r15)
+      val sh = shingles(Tables.raw(s, dir, "documents")
+        .join(candDocs, Seq("doc_id"), "left_semi"))
         .localCheckpoint(true)
       val newPairs = jaccardPairs(sh, lshThreshold, Some(cand), preMaterialized = true)
       survivors.unionByName(newPairs).orderBy("da", "db")
@@ -660,31 +713,52 @@ object Dedup extends QueryModule {
       def sided(df: DataFrame, d: String, r: String, n: String) =
         df.select(col("doc_id").as(d), col("s"),
           col("r").as(r), col("n").as(n))
-      // Same length + positional filters as the batch prefix join — both
-      // are symmetric under endpoint swap, so new×old applies them
-      // before the least/greatest normalization.
+      // Same length filters as the batch prefix join (symmetric under
+      // endpoint swap, so new×old applies them before the least/greatest
+      // normalization); positional filter TIGHTENED to the PPJoin+ sum
+      // bound α = ⌈t/(1+t)·(na+nb)⌉ (r15 — dominates the old ⌈t·max⌉,
+      // keeps every qualifying pair, drops strictly more false ones).
+      val alphaSum = ceil(lit(lshThreshold / (1 + lshThreshold)) *
+        (col("na") + col("nb")) - lit(1e-6))
       val filt = col("nb") >= ceil(lit(lshThreshold) * col("na") - lit(1e-6)) &&
         col("na") >= ceil(lit(lshThreshold) * col("nb") - lit(1e-6)) &&
-        least(col("na") - col("ra"), col("nb") - col("rb")) + 1 >=
-          ceil(lit(lshThreshold) * greatest(col("na"), col("nb")) - lit(1e-6))
+        least(col("na") - col("ra"), col("nb") - col("rb")) + 1 >= alphaSum
       // (na, nb) ride through the candidate set (keyed to the
       // least/greatest-normalized endpoints) so the verify skips its
       // sizes joins — the prefix n IS the doc's shingle-set count, the
-      // same value the verify's sizes agg would recompute
+      // same value the verify's sizes agg would recompute.
+      // vsOld keeps index×index: the probing-prefix asymmetry needs a
+      // smaller-side orientation, and new-vs-state pairs go both ways —
+      // splitting into two probe×index legs costs 2×0.54 ≈ 1.08× the
+      // single join (no win; the batch self-join is where 0.54× is real).
       val vsOld = sided(pfxNew, "xa", "ra", "na")
         .join(sided(statePfx, "xb", "rb", "nb"), Seq("s")).filter(filt)
         .select(least(col("xa"), col("xb")).as("da"),
           greatest(col("xa"), col("xb")).as("db"),
           when(col("xa") < col("xb"), col("na")).otherwise(col("nb")).as("na"),
           when(col("xa") < col("xb"), col("nb")).otherwise(col("na")).as("nb"))
-      val vsNew = sided(pfxNew, "xa", "ra", "na")
+      // new×new is a SELF-join: the batch join's PPJoin+ probing-prefix
+      // asymmetry applies verbatim (see [[jaccardPairs]] prefixCand) —
+      // the a side probes with its first n − ⌈2t/(1+t)·n⌉ + 1 shingles
+      // under the smaller-side orientation (n, doc_id).
+      val probeNew = pfxNew.filter(col("r") <= col("n") -
+        ceil(lit(2 * lshThreshold / (1 + lshThreshold)) * col("n") - lit(1e-6)) + 1)
+      val vsNew = sided(probeNew, "xa", "ra", "na")
         .join(sided(pfxNew, "xb", "rb", "nb"), Seq("s"))
-        .filter(col("xa") < col("xb") && filt)
-        .select(col("xa").as("da"), col("xb").as("db"), col("na"), col("nb"))
+        .filter((col("na") < col("nb") ||
+            (col("na") === col("nb") && col("xa") < col("xb"))) &&
+          col("na") >= ceil(lit(lshThreshold) * col("nb") - lit(1e-6)) &&
+          least(col("na") - col("ra"), col("nb") - col("rb")) + 1 >= alphaSum)
+        .select(least(col("xa"), col("xb")).as("da"),
+          greatest(col("xa"), col("xb")).as("db"),
+          when(col("xa") < col("xb"), col("na")).otherwise(col("nb")).as("na"),
+          when(col("xa") < col("xb"), col("nb")).otherwise(col("na")).as("nb"))
       val cand = vsOld.union(vsNew).distinct().localCheckpoint(true)
       val candDocs = cand.select(col("da").as("doc_id"))
         .union(cand.select(col("db").as("doc_id"))).distinct()
-      val sh = shingles(docs.join(candDocs, Seq("doc_id"), "left_semi"))
+      // raw scan: the semi-join shuffle re-distributes anyway (r15)
+      val sh = shingles(Tables.raw(s, dir, "documents")
+        .join(candDocs, Seq("doc_id"), "left_semi"))
         .localCheckpoint(true)
       // candidatesDense: these are PREFIX collisions, not LSH collisions —
       // the docs they touch are corpus-dense, so the verify must intersect

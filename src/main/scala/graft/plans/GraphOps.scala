@@ -745,7 +745,8 @@ object GraphOps {
     * one edge (max of an empty score set is undefined).
     */
   def hits(spark: SparkSession, edges: DataFrame, iterations: Int = 5,
-      warmFrom: Option[DataFrame] = None): DataFrame = {
+      warmFrom: Option[DataFrame] = None,
+      normBy: Option[Column] = None): DataFrame = {
     val e = edges.select(col("src").cast("long").as("esrc"),
       col("dst").cast("long").as("edst")).persist()
     val verts = e.select(col("esrc").as("v")).union(e.select(col("edst").as("v")))
@@ -788,11 +789,23 @@ object GraphOps {
     }
     e.unpersist()
     // ONE final max-normalization per score family (commutes with the
-    // linear half-steps — see scaladoc)
-    scores.crossJoin(broadcast(
-        scores.agg(max("auth").as("ma"), max("hub").as("mh"))))
-      .select(col("v"), (col("auth") / col("ma")).as("auth"),
-        (col("hub") / col("mh")).as("hub"))
+    // linear half-steps — see scaladoc). With `normBy` (r15, the paired
+    // state builders' disjoint-union runs) the max is taken PER GROUP of
+    // the given vertex expression — the same single divide per value as
+    // the global path, so each group's scores equal a solo run's exactly.
+    normBy match {
+      case None =>
+        scores.crossJoin(broadcast(
+            scores.agg(max("auth").as("ma"), max("hub").as("mh"))))
+          .select(col("v"), (col("auth") / col("ma")).as("auth"),
+            (col("hub") / col("mh")).as("hub"))
+      case Some(g) =>
+        val sc = scores.withColumn("ng", g)
+        sc.join(broadcast(sc.groupBy("ng")
+            .agg(max("auth").as("ma"), max("hub").as("mh"))), "ng")
+          .select(col("v"), (col("auth") / col("ma")).as("auth"),
+            (col("hub") / col("mh")).as("hub"))
+    }
   }
 
   /** Per-edge Jaccard vertex similarity |N(a)∩N(b)| / |N(a)∪N(b)| over the

@@ -909,7 +909,12 @@ object StreamingOps extends QueryModule {
           val cand = vsOld.union(vsNew).distinct().localCheckpoint(true)
           val candDocs = cand.select(col("da").as("doc_id"))
             .union(cand.select(col("db").as("doc_id"))).distinct()
-          val sh = Dedup.shingles(Tables(ss, dir, "documents")
+          // Tables.raw, not Tables(): the candidate-text fetch's first
+          // operator is the doc_id-keyed semi-join shuffle, so the
+          // fan-out repartition Tables() prepends re-shuffles the WHOLE
+          // corpus table once per microbatch for nothing (r15; guide
+          // §2.4 — the semi-join exchange immediately re-distributes).
+          val sh = Dedup.shingles(Tables.raw(ss, dir, "documents")
             .join(candDocs, Seq("doc_id"), "left_semi")).localCheckpoint(true)
           val newPairs = Dedup.jaccardPairs(sh, Dedup.lshThreshold,
             Some(cand), preMaterialized = true)

@@ -1498,4 +1498,40 @@ class GraphSpec extends SparkSpec {
     // the fixture leaves real mass on the nation tier
     assert(inc.values.exists(_ > 0))
   }
+
+  test("paired incremental-state builders equal the solo builders") {
+    // r15: the inc/del twins of the barrier-floor-bound state builders
+    // run as ONE loop over an offset-union graph (GraphQueries.pairedTags)
+    // and split by the id offset. This pin: for every paired tag, the
+    // production (paired) state equals the r14 solo builder's output —
+    // integer families exactly, float families to 1e-9 relative (the
+    // partial-sum-order envelope rounded compares already tolerate).
+    import graft.operators.GraphQueries
+    import org.apache.spark.sql.types.DoubleType
+    def keyed(df: org.apache.spark.sql.DataFrame): Map[String, Seq[Double]] = {
+      val fields = df.schema.fields.zipWithIndex
+      val (ds, ks) = fields.partition(_._1.dataType == DoubleType)
+      df.collect().map { r =>
+        (ks.map { case (_, i) => r.get(i) }.mkString("|"),
+         ds.map { case (_, i) => r.getDouble(i) }.toSeq)
+      }.toMap
+    }
+    for ((a, b) <- GraphQueries.pairedIncTagPairs; tag <- Seq(a, b)) {
+      val paired = GraphQueries.pairedIncState(spark, sfDir, tag)
+      val solo = GraphQueries.soloIncState(spark, sfDir, tag)
+      assert(paired.columns.toSeq == solo.columns.toSeq, s"$tag: schema drift")
+      val (p, q) = (keyed(paired), keyed(solo))
+      assert(p.keySet == q.keySet,
+        s"$tag: key sets differ (paired-only: ${(p.keySet -- q.keySet).take(3)}, " +
+          s"solo-only: ${(q.keySet -- p.keySet).take(3)})")
+      p.foreach { case (k, pv) =>
+        val qv = q(k)
+        pv.zip(qv).foreach { case (x, y) =>
+          assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.max(math.abs(x), math.abs(y))),
+            s"$tag row $k: paired $x vs solo $y")
+        }
+      }
+      assert(p.nonEmpty, s"$tag: empty state - vacuous compare")
+    }
+  }
 }

@@ -196,6 +196,64 @@ class PipelineSpec extends SparkSpec {
     assert(nullRow.head.isNullAt(0))
   }
 
+  test("ppjoin+ probing prefix: candidates cover every qualifying pair and subset the symmetric spelling") {
+    // r15: the batch collision join probes with the SHORTER PPJoin+
+    // prefix (n - ceil(2t/(1+t) n) + 1 on the smaller side) and filters
+    // positionally at the sum bound alpha = ceil(t/(1+t) (na+nb)). Both
+    // are theorem applications: the candidate set must (a) stay a subset
+    // of the r14 symmetric spelling's (pure pruning, no new pairs) and
+    // (b) still contain EVERY pair with true J >= t (no lost recall —
+    // the correctness half of the theorem).
+    import org.apache.spark.sql.expressions.Window
+    val t = 0.85
+    val sh = Dedup.shingles(Tables(spark, sfDir, "documents")).localCheckpoint(true)
+    val w = Window.partitionBy("doc_id").orderBy(col("dfreq"), col("s"))
+    val pfx = sh
+      .withColumn("dfreq", count(lit(1)).over(Window.partitionBy("s")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= col("n") - ceil(lit(t) * col("n") - lit(1e-6)) + 1)
+      .select("doc_id", "s", "r", "n").localCheckpoint(true)
+    val symmetric = pfx.select(col("doc_id").as("da"), col("s"), col("r").as("ra"), col("n").as("na"))
+      .join(pfx.select(col("doc_id").as("db"), col("s"), col("r").as("rb"), col("n").as("nb")), Seq("s"))
+      .filter(col("da") < col("db") &&
+        col("nb") >= ceil(lit(t) * col("na") - lit(1e-6)) &&
+        col("na") >= ceil(lit(t) * col("nb") - lit(1e-6)) &&
+        least(col("na") - col("ra"), col("nb") - col("rb")) + 1 >=
+          ceil(lit(t) * greatest(col("na"), col("nb")) - lit(1e-6)))
+      .select("da", "db").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probe = pfx
+      .filter(col("r") <= col("n") -
+        ceil(lit(2 * t / (1 + t)) * col("n") - lit(1e-6)) + 1)
+      .select(col("doc_id").as("xa"), col("s"), col("r").as("ra"), col("n").as("na"))
+    val plus = probe
+      .join(pfx.select(col("doc_id").as("xb"), col("s"), col("r").as("rb"), col("n").as("nb")), Seq("s"))
+      .filter((col("na") < col("nb") ||
+          (col("na") === col("nb") && col("xa") < col("xb"))) &&
+        col("na") >= ceil(lit(t) * col("nb") - lit(1e-6)) &&
+        least(col("na") - col("ra"), col("nb") - col("rb")) + 1 >=
+          ceil(lit(t / (1 + t)) * (col("na") + col("nb")) - lit(1e-6)))
+      .select(least(col("xa"), col("xb")).as("da"),
+        greatest(col("xa"), col("xb")).as("db")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plus.subsetOf(symmetric),
+      s"ppjoin+ produced pairs outside the symmetric candidate set: ${(plus -- symmetric).take(5)}")
+    // recall: every TRUE qualifying pair is still a candidate
+    val truth = {
+      val d = docs
+      for {
+        (a, ta) <- d.toSeq; (b, tb) <- d.toSeq if a < b
+        sa = bigramSet(ta); sb = bigramSet(tb)
+        if sa.nonEmpty && sb.nonEmpty
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size if j >= t
+      } yield (a, b)
+    }.toSet
+    assert(truth.subsetOf(plus),
+      s"ppjoin+ LOST qualifying pairs: ${(truth -- plus).take(5)}")
+    assert(truth.nonEmpty, "fixture should contain planted near-dups")
+  }
+
   test("grid list attach == per-pair join spelling (forced-gate equality)") {
     // the r14 §8 rewrite: past GridIntersectPairLimit the exact verify
     // attaches id lists per (bucket, bucket) cell via cogroup instead of
