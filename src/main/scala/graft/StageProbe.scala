@@ -52,7 +52,7 @@ object StageProbe {
     // r14 symmetric spelling (index prefix × index prefix, da < db,
     // positional filter at alpha = ceil(t * max(na, nb))) — kept as the
     // BEFORE leg of the r15 PPJoin+ comparison
-    val candOld = pfx.select(col("doc_id").as("da"), col("s"), col("r").as("ra"), col("n").as("na"))
+    val candOldPlan = pfx.select(col("doc_id").as("da"), col("s"), col("r").as("ra"), col("n").as("na"))
       .join(pfx.select(col("doc_id").as("db"), col("s"), col("r").as("rb"), col("n").as("nb")), Seq("s"))
       .filter(col("da") < col("db") &&
         col("nb") >= ceil(lit(threshold) * col("na") - lit(1e-6)) &&
@@ -60,7 +60,7 @@ object StageProbe {
         least(col("na") - col("ra"), col("nb") - col("rb")) + 1 >=
           ceil(lit(threshold) * greatest(col("na"), col("nb")) - lit(1e-6)))
       .select("da", "db", "na", "nb").distinct()
-      .localCheckpoint(true)
+    val candOld = candOldPlan.localCheckpoint(true)
     println(s"[stageprobe] cand rows (r14 symmetric) = ${candOld.count()}")
     lap("prefix-collision-join-r14")
 
@@ -74,7 +74,7 @@ object StageProbe {
       .filter(col("r") <= col("n") -
         ceil(lit(2 * threshold / (1 + threshold)) * col("n") - lit(1e-6)) + 1)
       .select(col("doc_id").as("xa"), col("s"), col("r").as("ra"), col("n").as("na"))
-    val cand = probe
+    val candPlan = probe
       .join(pfx.select(col("doc_id").as("xb"), col("s"), col("r").as("rb"), col("n").as("nb")), Seq("s"))
       .filter((col("na") < col("nb") ||
           (col("na") === col("nb") && col("xa") < col("xb"))) &&
@@ -85,9 +85,22 @@ object StageProbe {
         when(col("xa") < col("xb"), col("na")).otherwise(col("nb")).as("na"),
         when(col("xa") < col("xb"), col("nb")).otherwise(col("na")).as("nb"))
       .distinct()
-      .localCheckpoint(true)
+    val cand = candPlan.localCheckpoint(true)
     println(s"[stageprobe] cand rows (r15 ppjoin+)   = ${cand.count()}")
     lap("prefix-collision-join-r15")
+    // The collision join executes during query CONSTRUCTION (checkpoint
+    // barrier), so it never appears in the final query's explain — dump
+    // both spellings' plans here as the committed plan evidence.
+    val planDir = new java.io.File("plans/r15")
+    if (planDir.isDirectory) {
+      def dump(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"plans/r15/$name.txt"),
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      dump(candOldPlan, "ppjoin_collision_join_r14spelling")
+      dump(candPlan, "ppjoin_collision_join_r15spelling")
+    }
 
     val sid = sh.select("s").distinct()
       .withColumn("sid", monotonically_increasing_id())

@@ -208,7 +208,7 @@ object Dedup extends QueryModule {
       if (carried.length == 2) {
         val nPairs = cand.count()
         val useGrid = nPairs >= gridPairLimit
-        val q = if (useGrid) gridQFor(cand.sparkSession, nPairs) else 0
+        val q = if (useGrid) gridQFor(cand.sparkSession, lists) else 0
         System.err.println(s"graft.Dedup exact-verify attach: $nPairs candidate " +
           s"pairs -> ${if (useGrid) s"GRID path (Q=$q)" else "join path"}")
         if (useGrid) gridIntersectCount(cand, lists, q)
@@ -264,19 +264,26 @@ object Dedup extends QueryModule {
   }
 
   /** Grid side length for [[gridIntersectCount]]: Q² cells; per-cell
-    * supplier memory = 2·|lists|/Q of array bytes, lists replication =
-    * 2Q. Derived from the measured candidate count (r15, was a fixed 16):
-    * Q = ⌈√(pairs / 8192)⌉ keeps per-cell pair volume at the gate-scale
-    * density (2 M pairs / 256 cells ≈ 8 k pairs/cell ⟹ Q=16 exactly at
-    * the gate, matching the r14 constant and its ~100 MB/cell sf10
-    * profile), growing cells with pair volume while supplier replication
-    * (2Q copies of the lists bytes) grows only as √pairs. Per-cell
-    * supplier memory is NOT bounded by this rule alone (lists grow with
-    * the corpus, Q only with √pairs) — past ~sf100 set the explicit
-    * override `spark.graft.ppjoin.gridQ` from a cluster memory profile. */
-  private[graft] def gridQFor(s: SparkSession, nPairs: Long): Int =
-    s.conf.getOption("spark.graft.ppjoin.gridQ").map(_.toInt).getOrElse(
-      math.max(16, math.ceil(math.sqrt(nPairs / 8192.0)).toInt))
+    * supplier memory = 2·|lists bytes|/Q, lists replication = 2Q copies.
+    * Derived from the MEASURED id volume of the (already-checkpointed)
+    * lists frame (r15, was a fixed 16 with the scaling rule deferred —
+    * r14 ADVICE): pairs cost only 32 B/row per cell, so the memory that
+    * can OOM a cell task is the supplier side — the on-heap LongMap over
+    * ~2/Q of every doc's id list. Q = ⌈2·listsBytes / 256 MB⌉ (floor 16)
+    * bounds that map at ~256 MB of raw ids per cell while keeping the
+    * replication factor (2Q) the MINIMUM that fits — growing Q any
+    * faster multiplies shuffle bytes for no memory benefit (a √pairs
+    * variant measured at sf1 picked Q=22 and shipped 1.4× the supplier
+    * bytes of Q=16 for identical results). One cheap aggregate over the
+    * cached lists measures the exact volume, only ever run past the
+    * ≥2 M-pair gate. `spark.graft.ppjoin.gridQ` overrides for cluster
+    * memory profiles. */
+  private[graft] def gridQFor(s: SparkSession, lists: DataFrame): Int =
+    s.conf.getOption("spark.graft.ppjoin.gridQ").map(_.toInt).getOrElse {
+      val row = lists.agg(sum(size(col("ls")))).collect()(0)
+      val ids = if (row.isNullAt(0)) 0L else row.getLong(0)
+      math.max(16, math.ceil(2.0 * ids * 8L / (256L << 20)).toInt)
+    }
 
   /** GRID list attach for the exact verify (guide §8 "move heavy bytes
     * once"): candidate pairs hash into (bucket(da), bucket(db)) cells;

@@ -389,7 +389,11 @@ object Relational extends QueryModule {
         .agg(approx_count_distinct("l_partkey", 0.02).as("apx"))
       li.groupBy("l_returnflag")
         .agg(countDistinct("l_partkey").as("nd_part"))
-        .join(broadcast(apx), Seq("l_returnflag"))
+        // LEFT join (r14 ADVICE): a group whose sketch input is all-null,
+        // or a null group key, keeps its row with null sketch values —
+        // the old single-aggregation behavior. Inner ≡ left on this data
+        // (both frames aggregate the same table by the same key).
+        .join(broadcast(apx), Seq("l_returnflag"), "left")
         .select(col("l_returnflag"), col("nd_part"),
           (abs(col("apx") - col("nd_part")) <=
             col("nd_part").cast("double") * 0.05).as("apx_ok"))
@@ -411,7 +415,9 @@ object Relational extends QueryModule {
         Seq("ex_med" -> 0.5, "ex_p90" -> 0.9))
       li.groupBy("l_returnflag")
         .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)").as("pcts"))
-        .join(broadcast(ex), Seq("l_returnflag"))
+        // LEFT join — the r14-ADVICE null-group semantics (see
+        // q_agg_approx_distinct); inner ≡ left on this data
+        .join(broadcast(ex), Seq("l_returnflag"), "left")
         .select(col("l_returnflag"),
           round(col("ex_med"), 4).as("median_price"),
           round(col("ex_p90"), 4).as("p90_price"),
@@ -440,7 +446,9 @@ object Relational extends QueryModule {
           (round(covar_samp(col("l_discount"), col("l_tax")), 6) + lit(0.0)).as("disc_tax_cov"),
           round(min("l_extendedprice"), 2).as("min_price"),
           round(max("l_extendedprice"), 2).as("max_price"))
-        .join(broadcast(pct), Seq("l_returnflag"))
+        // LEFT join — the r14-ADVICE null-group semantics (see
+        // q_agg_approx_distinct); inner ≡ left on this data
+        .join(broadcast(pct), Seq("l_returnflag"), "left")
         .select(col("l_returnflag"), col("sd_price"),
           round(col("p50"), 4).as("median_price"),
           round(col("p90"), 4).as("p90_price"),
